@@ -1,0 +1,123 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and the
+matching ``oracle_sql()`` on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values stringified). Queries with no
+oracle get a rows-only check. Usage:
+
+    python tools/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        out[c] = col.map(_cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _cell(v):
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "<null>"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    canon = _canon(df)
+    h = hashlib.md5()
+    for row in canon.itertuples(index=False):
+        h.update(("\x1f".join(map(str, row)) + "\x1e").encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from adtech_log_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-compare")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(sdf)} rows [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                a, b = _canon(sdf), _canon(odf)
+                neq = (a != b).any(axis=1)
+                print(a[neq].head(5))
+                print(b[neq].head(5))
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} [{t_spark:.1f}s]")
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [{t_spark:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
