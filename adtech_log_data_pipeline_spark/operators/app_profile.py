@@ -1,0 +1,91 @@
+"""Per-app distinct-user aggregation — AppProfiles (reference:
+transforms/AppProfiles.java:48-133; SURVEY.md §2.3 A2-A5).
+
+The reference emits, per device-app, one `(bundle, -1)` user-count token
+plus one `(bundle, exchange)` token per exchange PRESENT in the app's
+count_per_exchange map (presence, not weighted by count — EmitData at
+AppProfiles.java:117-133), then counts tokens. Since device ids are unique
+after the duplicate tripwire, token counts == distinct-user counts. The
+Spark-native statement of that semantic truth is countDistinct over the
+exploded device-app(-exchange) rows — one shuffle per agg level, partial
+aggregation included, no sentinel tokens needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tripwire import CorruptedDataError
+
+
+def assert_unique_device_ids(profiles: DataFrame) -> None:
+    """Duplicate-ID tripwire (reference: AppProfiles.java:50-56 and
+    Features.java:81-87 — any device id appearing twice aborts the job with
+    CorruptedDataException). uuid compared case-insensitively
+    (DeviceProfileUtils.java:242-251 keys by lower-cased uuid).
+
+    Spark is lazy, so this is an explicit eager action on the driver
+    (SURVEY.md §2.5 X1): cheap count-based probe, short-circuits at the
+    first duplicate found.
+    """
+    dup = (
+        profiles.groupBy("os", F.lower(F.col("uuid")).alias("uuid_lc"))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        row = dup[0]
+        raise CorruptedDataError(
+            f"duplicate DeviceId: os={row['os']} uuid={row['uuid_lc']}"
+        )
+
+
+def app_profiles(profiles: DataFrame, check_duplicates: bool = True) -> DataFrame:
+    """AppProfile per bundle: user_count (distinct devices with the app) and
+    user_count_per_exchange (distinct devices whose app activity includes
+    the exchange). Output schema (FIXTURES.md / profile.proto:130-145):
+      bundle string, user_count int,
+      user_count_per_exchange map<int,int> (zero entries absent)
+    """
+    if check_duplicates:
+        assert_unique_device_ids(profiles)
+
+    device_apps = profiles.select(
+        "os", "uuid", F.explode("apps").alias("app")
+    ).select("os", "uuid", F.col("app.bundle").alias("bundle"), "app.count_per_exchange")
+
+    users = device_apps.groupBy("bundle").agg(
+        F.countDistinct("os", "uuid").cast("int").alias("user_count")
+    )
+
+    per_exchange = (
+        device_apps.select(
+            "os", "uuid", "bundle", F.explode(F.map_keys("count_per_exchange")).alias("exchange")
+        )
+        .groupBy("bundle", "exchange")
+        .agg(F.countDistinct("os", "uuid").cast("int").alias("cnt"))
+        .groupBy("bundle")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("exchange", "cnt")))
+            ).alias("user_count_per_exchange")
+        )
+    )
+
+    return users.join(per_exchange, "bundle")
+
+
+def flatten_app_profiles(aps: DataFrame) -> DataFrame:
+    """Hashable projection: (bundle, slot, cnt) rows where slot=-1 carries
+    user_count (the reference's own sentinel encoding, AppProfiles.java:121)
+    and slot>=1 carries the per-exchange distinct-user counts."""
+    user_leg = aps.select(
+        "bundle", F.lit(-1).alias("slot"), F.col("user_count").alias("cnt")
+    )
+    ex_leg = aps.select(
+        "bundle", F.explode("user_count_per_exchange").alias("slot", "cnt")
+    )
+    return user_leg.unionByName(ex_leg)

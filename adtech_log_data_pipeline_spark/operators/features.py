@@ -1,0 +1,87 @@
+"""Feature-input assembly for the prediction job (reference:
+transforms/Features.java:55-130 + utils/PredictionUtils.java:35-57;
+SURVEY.md §2 J2/J3/F6/F7/A6/A7/R2).
+
+Pipeline: DeviceProfiles
+  -> broadcast LEFT-ANTI join against the suspicious blacklist (J2; the
+     reference compares DeviceId protos exactly — os + uuid, case as given)
+  -> deterministic 1/16 sample: canonical uuid char at index 7 == '0'
+     (F6; Features.java:116)
+  -> per-device intersection with the in-app-purchase dimension via
+     broadcast INNER join on bundle (J3/A7), keeping devices with no
+     match through a LEFT join from the sampled side (coalesce 0)
+  -> 4 ratio features against the global IAPP scalars (A6)
+
+Everything is native DataFrame ops; the only Python is the downstream
+feature-vector/inference UDF (inference.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def feature_inputs(
+    profiles: DataFrame,
+    suspicious: DataFrame,
+    iapp: DataFrame,
+) -> DataFrame:
+    """Per kept device: intersection aggregates + ratio features.
+
+    Output: os, uuid, first_at, app_count, intersect_app,
+    intersect_purchaser, intersect_amount, f486, f586, f686, f777.
+
+    Ratio slots (PredictionUtils.java:39-55):
+      f486 = intersect_app / (1 + |IAPP|)
+      f686 = intersect_app / (1 + app_count)
+      f586 = intersect_purchaser / (1 + total_purchasers)
+      f777 = intersect_amount / (1 + total_amount)
+    """
+    kept = (
+        profiles.join(F.broadcast(suspicious), ["os", "uuid"], "left_anti")
+        .filter(F.substring(F.col("uuid"), 8, 1) == "0")
+        .select("os", "uuid", "first_at", F.size("apps").alias("app_count"), "apps")
+    )
+
+    device_apps = kept.select(
+        "os", "uuid", F.explode(F.col("apps.bundle")).alias("bundle")
+    )
+    matched = (
+        device_apps.join(F.broadcast(iapp), "bundle", "inner")
+        .groupBy("os", "uuid")
+        .agg(
+            F.count(F.lit(1)).alias("intersect_app"),
+            F.sum("num_purchasers").alias("intersect_purchaser"),
+            F.sum("total_amount").alias("intersect_amount"),
+        )
+    )
+
+    # Global IAPP scalars (A6) — a 1-row aggregate cross-joined (broadcast)
+    # onto the device rows; equivalent to the reference's driver-side map
+    # scan, but stays distributed and plan-visible.
+    totals = iapp.agg(
+        F.count(F.lit(1)).alias("iapp_size"),
+        F.sum("num_purchasers").alias("total_purchasers"),
+        F.sum("total_amount").alias("total_amount_sum"),
+    )
+
+    out = (
+        kept.drop("apps")
+        .join(matched, ["os", "uuid"], "left")
+        .fillna(0, ["intersect_app", "intersect_purchaser", "intersect_amount"])
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "os",
+        "uuid",
+        "first_at",
+        "app_count",
+        "intersect_app",
+        "intersect_purchaser",
+        "intersect_amount",
+        (F.col("intersect_app") / (F.lit(1) + F.col("iapp_size"))).alias("f486"),
+        (F.col("intersect_purchaser") / (F.lit(1) + F.col("total_purchasers"))).alias("f586"),
+        (F.col("intersect_app") / (F.lit(1) + F.col("app_count"))).alias("f686"),
+        (F.col("intersect_amount") / (F.lit(1) + F.col("total_amount_sum"))).alias("f777"),
+    )

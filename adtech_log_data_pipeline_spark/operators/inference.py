@@ -1,0 +1,105 @@
+"""Feature-vector assembly + batched model inference (reference:
+utils/PredictionUtils.java:35-57 for the 784-float vector, transforms/
+Predictions.java:129-225 for the batched TF inference; SURVEY.md §2 R2-R4).
+
+The reference loads a TensorFlow SavedModel once per worker (@Setup) and
+buffers <=60 inputs per session.run. The Spark-native equivalent is an
+Arrow-batched ``mapInPandas``: the model lives in a module-level global
+(one load per Python worker process), and each Arrow batch is one
+vectorized matrix multiply — the same amortization, expressed through the
+engine's batching instead of hand-rolled buffers.
+
+The model itself is a deterministic stand-in (fixed integer-formula weight
+matrix, float32) preserving the reference's contract: 10 logits, score =
+max, prediction = argmax with ties broken toward the smallest index
+(Predictions.java getArgMax:38-46 — np.argmax has the same tie rule).
+The 15 base images are likewise engine-owned deterministic constants, NOT
+copies of the reference's hardcoded image data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 784
+N_CLASSES = 10
+N_BASE_IMAGES = 15
+
+# Ratio-feature slots (PredictionUtils.java:44-47) and the modulo slots
+# feature[i] = (first_at % i) / i for i = 100, 140, ..., 700 (:50-52).
+SLOT_F486, SLOT_F586, SLOT_F686, SLOT_F777 = 486, 586, 686, 777
+MODULO_SLOTS = tuple(range(100, 701, 40))
+
+_MODEL: np.ndarray | None = None
+_BASES: np.ndarray | None = None
+
+
+def _base_images() -> np.ndarray:
+    """15 deterministic 784-float base images in [0, 1), float32."""
+    global _BASES
+    if _BASES is None:
+        k = np.arange(N_BASE_IMAGES, dtype=np.int64)[:, None]
+        i = np.arange(FEATURE_DIM, dtype=np.int64)[None, :]
+        _BASES = (((k + 1) * (i + 1) * 2654435761) % 997 / 997.0).astype(np.float32)
+    return _BASES
+
+
+def _model_weights() -> np.ndarray:
+    """Deterministic (784, 10) float32 weight matrix — loaded once per
+    Python worker process (module global ≡ the reference's @Setup load)."""
+    global _MODEL
+    if _MODEL is None:
+        i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
+        j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
+        _MODEL = (((i * 31 + j * 17) % 101 - 50) / 50.0).astype(np.float32)
+    return _MODEL
+
+
+def build_vectors(pdf: pd.DataFrame) -> np.ndarray:
+    """Vectorized R2: (n, 784) float32 from the feature_inputs columns."""
+    n = len(pdf)
+    base_idx = (
+        pdf["uuid"].str.upper().str.slice(0, 1).map(lambda ch: ord(ch) if ch else 0)
+        % N_BASE_IMAGES
+    ).to_numpy()
+    x = _base_images()[base_idx].copy()
+    x[:, SLOT_F486] = pdf["f486"].to_numpy(np.float32)
+    x[:, SLOT_F586] = pdf["f586"].to_numpy(np.float32)
+    x[:, SLOT_F686] = pdf["f686"].to_numpy(np.float32)
+    x[:, SLOT_F777] = pdf["f777"].to_numpy(np.float32)
+    first_at = pdf["first_at"].to_numpy(np.int64)
+    for i in MODULO_SLOTS:
+        x[:, i] = ((first_at % i) / np.float32(i)).astype(np.float32)
+    return x
+
+
+def predict(feature_inputs: DataFrame) -> DataFrame:
+    """R2+R3+R4 fused: feature assembly and batched inference in one
+    Arrow-batched pass (no shuffle of 784-float arrays). Output matches the
+    reference's BigQuery schema (PredictionJob.java:88-92):
+      os string, uuid string, prediction int, score double
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = _model_weights()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = build_vectors(pdf)
+            logits = x @ w  # float32 matmul, deterministic
+            yield pd.DataFrame(
+                {
+                    "os": pdf["os"],
+                    "uuid": pdf["uuid"],
+                    "prediction": logits.argmax(axis=1).astype(np.int32),
+                    "score": logits.max(axis=1).astype(np.float64),
+                }
+            )
+
+    return feature_inputs.mapInPandas(
+        run, schema="os string, uuid string, prediction int, score double"
+    )

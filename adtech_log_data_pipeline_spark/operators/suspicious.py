@@ -1,0 +1,78 @@
+"""Suspicious-device (bot) detection — SuspiciousIDs (reference:
+transforms/SuspiciousIDs.java:23-110; thresholds MyOptions.java:28-54;
+SURVEY.md §2 F8/J1/R1).
+
+Rules (a device is suspicious if ANY fires; reference early-returns so each
+id is emitted at most once — here a single boolean disjunction per row):
+  (a) it appears in more than GEO_COUNT_THRESHOLD distinct geos
+  (b) it has more than APP_COUNT_THRESHOLD apps that are NOT popular
+      (popular = user_count > USER_COUNT_THRESHOLD in AppProfiles)
+  (c) its total bid count across all apps/exchanges exceeds
+      BID_LOG_COUNT_THRESHOLD
+
+The popular-apps side input (Beam View.asList) becomes a broadcast
+left-anti join — the dimension is small (distinct bundles), so no shuffle
+of the device side; at 100 TB the detail side streams through
+map-side-only stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SuspiciousThresholds:
+    """Defaults per reference MyOptions.java:28-54."""
+
+    user_count: int = 4  # popularity cut for AppProfiles
+    app_count: int = 3  # max unpopular apps
+    geo_count: int = 8  # max distinct geos
+    bid_log_count: int = 10  # max total bids
+
+
+def suspicious_ids(
+    profiles: DataFrame,
+    app_profiles: DataFrame,
+    thresholds: SuspiciousThresholds = SuspiciousThresholds(),
+) -> DataFrame:
+    """Return the suspicious DeviceIds as (os, uuid).
+
+    `profiles` is the nested DeviceProfile frame; `app_profiles` the nested
+    AppProfile frame (J4: the aggregate side is broadcast back onto the
+    per-device side, mirroring the reference's side-input pattern).
+    """
+    t = thresholds
+    popular = app_profiles.filter(F.col("user_count") > t.user_count).select("bundle")
+
+    device_apps = profiles.select(
+        "os", "uuid", F.explode(F.col("apps.bundle")).alias("bundle")
+    )
+    unpopular_counts = (
+        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        .groupBy("os", "uuid")
+        .agg(F.count(F.lit(1)).alias("unpopular_apps"))
+    )
+
+    base = profiles.select(
+        "os",
+        "uuid",
+        F.size("geos").alias("geo_cnt"),
+        F.expr(
+            "aggregate(apps, 0L, (acc, a) -> acc +"
+            " aggregate(map_values(a.count_per_exchange), 0L, (x, y) -> x + y))"
+        ).alias("total_bids"),
+    )
+
+    scored = base.join(unpopular_counts, ["os", "uuid"], "left").withColumn(
+        "unpopular_apps", F.coalesce(F.col("unpopular_apps"), F.lit(0))
+    )
+
+    return scored.filter(
+        (F.col("geo_cnt") > t.geo_count)
+        | (F.col("unpopular_apps") > t.app_count)
+        | (F.col("total_bids") > t.bid_log_count)
+    ).select("os", "uuid")

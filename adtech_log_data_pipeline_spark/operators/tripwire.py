@@ -1,0 +1,88 @@
+"""Corruption tripwires — eager structural validation that aborts the job
+(reference: CorruptedDataException.java:6-25; DeviceProfile invariant
+`isDpValid` at utils/DeviceProfileUtils.java:110-177, spec 70-109).
+
+The reference throws from inside DoFns, killing the pipeline. In a lazy
+engine the idiomatic equivalent is an explicit driver-side probe: evaluate
+the invariant as a column expression (higher-order array/map functions, all
+JVM-side), look for ONE violating row, and raise. Same observable behavior
+— the job fails before any sink write — without side effects inside tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .validate import VALID_EXCHANGES
+
+
+class CorruptedDataError(ValueError):
+    """Raised when a dataset violates a structural invariant
+    (reference: CorruptedDataException extends IllegalArgumentException)."""
+
+
+def is_valid_device_profile() -> Column:
+    """The 10-clause DeviceProfile invariant as one boolean expression over
+    the nested schema (DeviceProfileUtils.java:110-177):
+
+      id valid; 0 < first_at <= last_at; apps non-empty per-app checks
+      (bundle non-blank, profile.first <= app.first <= app.last <=
+      profile.last, count_per_exchange non-empty with valid exchange keys
+      and positive values); min(app.first)=profile.first;
+      max(app.last)=profile.last; bundles distinct; geos non-blank distinct.
+    """
+    ex_list = ",".join(str(x) for x in VALID_EXCHANGES)
+    apps_ok = F.expr(
+        f"""
+        forall(apps, a ->
+          a.bundle IS NOT NULL AND trim(a.bundle) != ''
+          AND first_at <= a.first_at AND a.first_at <= a.last_at
+          AND a.last_at <= last_at
+          AND size(a.count_per_exchange) > 0
+          AND forall(map_keys(a.count_per_exchange),  k -> array_contains(array({ex_list}), k))
+          AND forall(map_values(a.count_per_exchange), v -> v > 0))
+        """
+    )
+    bounds_tight = F.expr(
+        "aggregate(apps, cast(9223372036854775807 as bigint), (acc, a) -> least(acc, a.first_at)) = first_at"
+    ) & F.expr(
+        "aggregate(apps, cast(-9223372036854775808 as bigint), (acc, a) -> greatest(acc, a.last_at)) = last_at"
+    )
+    bundles_distinct = F.expr(
+        "size(array_distinct(transform(apps, a -> a.bundle))) = size(apps)"
+    )
+    geos_ok = F.expr(
+        """
+        size(array_distinct(geos)) = size(geos)
+        AND forall(geos, g ->
+              g.country IS NOT NULL AND trim(g.country) != ''
+              AND g.region IS NOT NULL AND trim(g.region) != '')
+        """
+    )
+    id_ok = (
+        F.col("os").isin("ANDROID", "IOS")
+        & F.col("uuid").isNotNull()
+        & (F.trim(F.col("uuid")) != "")
+    )
+    return (
+        id_ok
+        & (F.col("first_at") > 0)
+        & (F.col("first_at") <= F.col("last_at"))
+        & (F.size("apps") > 0)
+        & apps_ok
+        & bounds_tight
+        & bundles_distinct
+        & geos_ok
+    )
+
+
+def assert_valid_device_profiles(profiles: DataFrame) -> DataFrame:
+    """Raise CorruptedDataError if any profile violates the invariant;
+    returns the input unchanged for fluent chaining."""
+    bad = profiles.filter(~is_valid_device_profile()).select("os", "uuid").limit(1).collect()
+    if bad:
+        raise CorruptedDataError(
+            f"invalid DeviceProfile: os={bad[0]['os']} uuid={bad[0]['uuid']}"
+        )
+    return profiles

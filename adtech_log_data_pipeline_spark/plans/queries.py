@@ -1,0 +1,141 @@
+"""Declared queries — the driver contract (`__spark_entry__.queries`).
+
+Each entry is (spark, sf_dir) -> DataFrame, one per implemented operator
+from SURVEY.md §2 plus general analytics coverage. Outputs are flat
+primitive columns (nested maps/arrays are exploded) so the DuckDB oracle
+hash-compare is portable; every computed column is aliased identically in
+plans/oracles.py.
+
+Float determinism convention: double SUM/AVG aggregates accumulate in
+exact decimal and are quantized portably (see plans/relational.py::_dsum)
+so partial-aggregation order can never flip a bit vs the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.bidlogs import load_bid_logs, load_iapp
+from ..sources.tables import register_tables
+from ..operators.validate import valid_bid_logs
+from ..operators.device_profile import device_profiles, flatten_device_profiles
+from ..operators.app_profile import app_profiles, flatten_app_profiles
+from ..operators.suspicious import SuspiciousThresholds, suspicious_ids
+from ..operators.features import feature_inputs
+from ..operators.inference import predict
+from .relational import RELATIONAL_SQL
+
+
+# Threshold set for the DECLARED queries, tuned to the synthetic data's
+# per-device activity (~47 valid bids, ~28 geos, ~27 apps per device) so all
+# three suspicious rules fire and a meaningful device subset survives to the
+# feature stage. The reference's own defaults (4/3/8/10, MyOptions.java:28-54)
+# remain the SuspiciousThresholds dataclass defaults and are exercised in
+# tests/test_suspicious.py.
+QUERY_THRESHOLDS = SuspiciousThresholds(
+    user_count=40, app_count=3, geo_count=30, bid_log_count=47
+)
+
+
+def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return valid_bid_logs(load_bid_logs(spark, sf_dir))
+
+
+def _profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return device_profiles(_valid(spark, sf_dir))
+
+
+# --- reference-parity queries (SURVEY.md §2) -------------------------------
+
+
+def q_bidlog_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: the 11-clause validity filter, summarized per exchange."""
+    return (
+        _valid(spark, sf_dir)
+        .groupBy("exchange")
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.sum(F.when(F.col("bid_result") == 1, 1).otherwise(0)).alias("n_bids"),
+            F.sum(F.col("bid_price").cast("long")).alias("sum_price"),
+            F.min("received_at").alias("min_received"),
+            F.max("received_at").alias("max_received"),
+        )
+    )
+
+
+def q_device_profiles_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/A1: the nested per-device profile aggregation, re-flattened to
+    app-exchange granularity for hash comparison."""
+    return flatten_device_profiles(_profiles(spark, sf_dir))
+
+
+def q_device_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rollup: per-device bounds + app/geo/bid cardinalities."""
+    p = _profiles(spark, sf_dir)
+    return p.select(
+        "os",
+        "uuid",
+        "first_at",
+        "last_at",
+        F.size("apps").alias("app_count"),
+        F.size("geos").alias("geo_count"),
+        F.expr(
+            "aggregate(apps, 0L, (acc, a) -> acc +"
+            " aggregate(map_values(a.count_per_exchange), 0L, (x, y) -> x + y))"
+        ).alias("total_bids"),
+    )
+
+
+def q_app_profiles_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A5: per-app distinct-user counts; slot=-1 is the user-count leg."""
+    return flatten_app_profiles(app_profiles(_profiles(spark, sf_dir)))
+
+
+def q_suspicious_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/J1/R1: rule-based bot detection at default thresholds."""
+    p = _profiles(spark, sf_dir)
+    return suspicious_ids(p, app_profiles(p), QUERY_THRESHOLDS)
+
+
+def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/F6/A6/A7: blacklist anti-join, 1/16 sample, IAPP intersection
+    aggregates + the 4 ratio features."""
+    p = _profiles(spark, sf_dir)
+    susp = suspicious_ids(p, app_profiles(p), QUERY_THRESHOLDS)
+    return feature_inputs(p, susp, load_iapp(spark, sf_dir))
+
+
+def q_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2-R4: feature vectors + batched deterministic inference
+    (pandas-UDF path; rows-only driver check — not SQL-expressible)."""
+    return predict(q_feature_inputs(spark, sf_dir))
+
+
+# --- general analytics coverage (TPC-H-style over the star schema) ---------
+# Query text lives in plans/relational.py (dialect-shared with the oracle).
+
+
+def _relational(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    sql_fn, tables = RELATIONAL_SQL[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir, tables)
+        return spark.sql(sql_fn("spark"))
+
+    run.__doc__ = sql_fn.__doc__
+    return run
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bidlog_validation": q_bidlog_validation,
+    "device_profiles_flat": q_device_profiles_flat,
+    "device_profile_summary": q_device_profile_summary,
+    "app_profiles_flat": q_app_profiles_flat,
+    "suspicious_ids": q_suspicious_ids,
+    "feature_inputs": q_feature_inputs,
+    "predictions": q_predictions,
+    **{name: _relational(name) for name in RELATIONAL_SQL},
+}

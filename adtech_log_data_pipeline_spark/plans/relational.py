@@ -1,0 +1,147 @@
+"""General analytics (TPC-H-style) query text, shared verbatim between the
+Spark SQL implementation and the DuckDB oracle — both dialects parse the
+same string; only epoch-ms extraction differs (unix_millis/epoch_ms).
+
+Float-determinism pattern: the synthetic money columns are exact 2-decimal
+values stored as doubles (verified: max deviation ~1e-9), so each FACTOR is
+cast to decimal before arithmetic. All accumulation then happens in exact
+decimal — immune to partial-aggregation order — with a single cast back to
+double at the end. Casting the per-row double PRODUCT instead would be
+wrong: Spark rounds via the shortest decimal representation while DuckDB
+rounds the true binary expansion, and 3-factor products land on 1e-4
+boundaries often enough to flip the last digit.
+"""
+
+from __future__ import annotations
+
+# exact-decimal building blocks (money has 2 decimals, rates 2 decimals)
+_PRICE = "cast(l_extendedprice as decimal(12,2))"
+_DISC = "(1 - cast(l_discount as decimal(8,4)))"
+_TAX = "(1 + cast(l_tax as decimal(8,4)))"
+
+
+def _dsum(expr: str) -> str:
+    """Exact decimal sum -> quantize to 2 decimals -> double, portably.
+
+    The inner sum keeps the full product scale (exact decimal, immune to
+    partial-agg order). Quantization is explicit arithmetic — floor(x*100 +
+    0.5) — because engines disagree on both implicit conversions: decimal
+    scale-down is HALF_UP in Spark but truncation in DuckDB, and casting a
+    full-scale decimal (mantissa > 2^53) straight to double differs by 1 ulp
+    (BigDecimal correct rounding vs int128 divide). Here every step is exact
+    integer arithmetic until one final bigint->double divide, which IEEE
+    rounds identically everywhere."""
+    return f"(cast(cast(floor(sum({expr}) * 100 + 0.5) as bigint) as double) / 100)"
+
+
+REVENUE = _dsum(f"{_PRICE} * {_DISC}")
+
+
+def _ms(expr: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"unix_millis(cast({expr} as timestamp_ltz))"
+    return f"epoch_ms({expr})"
+
+
+def pricing_summary_sql(dialect: str) -> str:
+    """TPC-H Q1-style pricing summary: scan -> filter -> 2-key hash agg."""
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('cast(l_quantity as decimal(12,2))')} AS sum_qty,
+               {_dsum(_PRICE)} AS sum_base_price,
+               {REVENUE} AS sum_disc_price,
+               {_dsum(f'{_PRICE} * {_DISC} * {_TAX}')} AS sum_charge,
+               {_dsum('cast(l_quantity as decimal(12,2))')} / count(*) AS avg_qty,
+               {_dsum(_PRICE)} / count(*) AS avg_price,
+               cast(count(*) as bigint) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+
+
+def top_revenue_orders_sql(dialect: str) -> str:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    return f"""
+        SELECT o.o_orderkey,
+               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue,
+               {_ms('o.o_orderdate', dialect)} AS order_date_ms
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+
+
+def nation_revenue_sql(dialect: str) -> str:
+    """TPC-H Q5-style star join through region/nation with
+    supplier-customer co-nationality."""
+    return f"""
+        SELECT n.n_name,
+               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'AMERICA')
+        GROUP BY n.n_name
+        """
+
+
+def sessionized_events_sql(dialect: str) -> str:
+    """Sessionization via window functions: a 30-minute inactivity gap
+    starts a new session (lag + conditional running sum). Ordering is fully
+    deterministic — (ts_ms, event_id) — so the running sum is stable."""
+    ts = _ms("ts", dialect)
+    return f"""
+        WITH gaps AS (
+          SELECT user_id, event_id, {ts} AS ts_ms,
+                 CASE WHEN {ts}
+                           - lag({ts}) OVER (PARTITION BY user_id
+                                             ORDER BY {ts}, event_id)
+                           > 1800000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts_ms,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        )
+        SELECT user_id,
+               cast(count(DISTINCT session_id) AS INT) AS n_sessions,
+               cast(count(*) AS BIGINT) AS n_events,
+               cast(max(ts_ms) - min(ts_ms) AS BIGINT) AS span_ms
+        FROM sess
+        GROUP BY user_id
+        """
+
+
+def top_orders_per_customer_sql(dialect: str) -> str:
+    """Top-K per group via ranked window, deterministic tiebreak."""
+    return """
+        SELECT o_custkey, o_orderkey, rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+        WHERE rk <= 3
+        """
+
+
+RELATIONAL_SQL = {
+    "pricing_summary": (pricing_summary_sql, ["lineitem"]),
+    "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
+    "nation_revenue": (
+        nation_revenue_sql,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    ),
+    "sessionized_events": (sessionized_events_sql, ["events"]),
+    "top_orders_per_customer": (top_orders_per_customer_sql, ["orders"]),
+}

@@ -1,0 +1,67 @@
+"""Per-round benchmark — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes fully via the noop sink (no driver-side collect — we
+measure engine execution, not Arrow transfer of results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "bidlog_validation",
+    "device_profiles_flat",
+    "device_profile_summary",
+    "app_profiles_flat",
+    "suspicious_ids",
+    "feature_inputs",
+    "predictions",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "sessionized_events",
+    "top_orders_per_customer",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from adtech_log_data_pipeline_spark.session import get_spark
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    spark = get_spark("bench")
+    # warm the JVM/scan path so per-query numbers measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
