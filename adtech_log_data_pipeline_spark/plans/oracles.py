@@ -163,8 +163,8 @@ def _oracle_feature_inputs() -> str:
         """
 totals AS (
   SELECT CAST(count(*) AS BIGINT) AS iapp_size,
-         CAST(sum(num_purchasers) AS BIGINT) AS total_purchasers,
-         CAST(sum(total_amount) AS BIGINT) AS total_amount_sum
+         CAST(coalesce(sum(num_purchasers), 0) AS BIGINT) AS total_purchasers,
+         CAST(coalesce(sum(total_amount), 0) AS BIGINT) AS total_amount_sum
   FROM iapp
 ),
 sampled AS (
