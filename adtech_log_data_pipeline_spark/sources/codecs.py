@@ -1,0 +1,73 @@
+"""Boundary codecs — the reference's at-rest formats re-expressed
+(SURVEY.md §2.1 S2-S5).
+
+The reference persists newline-delimited Base64-encoded protobuf messages
+(utils/IOUtils.java:15-19, utils/ProtoUtils.java:22-59) and reads them back
+with a malformed-row-dropping decode. Protobuf itself is an artifact of the
+reference's grading harness; the engine's canonical at-rest format is
+Parquet. For fidelity we provide the same framing with a JSON payload:
+
+  encode: struct -> to_json -> base64 -> one line per record (text sink)
+  decode: text -> unbase64 -> from_json(schema) -> drop malformed rows
+
+(`from_protobuf`/`to_protobuf` from pyspark.sql.protobuf slot in here
+directly when a compiled descriptor set is available — same pipeline shape,
+different serializer.)
+
+All encode/decode work is JVM-side built-ins: base64/unbase64/to_json/
+from_json — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def encode_b64_json(df: DataFrame) -> DataFrame:
+    """All columns -> one Base64(JSON) text column named `value`
+    (the shape TextIO expects — reference IOUtils.encodeB64AndWrite)."""
+    return df.select(F.base64(F.to_json(F.struct(*df.columns)).cast("binary")).alias("value"))
+
+
+def write_b64_text(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Base64 text sink (S4). `single_file` mirrors the reference's local
+    withNumShards(1); NEVER use it at scale — the default keeps the sink
+    partitioned."""
+    out = encode_b64_json(df)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
+def read_b64_json(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Text source + decode (S2+S3). Malformed lines (bad base64 / bad
+    JSON / wrong shape) are dropped, mirroring the reference's try/catch
+    decode (ProtoUtils.decodeMessageBase64, Features.java:72-79)."""
+    raw = spark.read.text(path)
+    # unbase64 is strict in Spark 4, and a regex pre-filter is NOT a safe
+    # gate (Catalyst may reorder deterministic filters around a projection).
+    # try_to_binary is null-on-malformed regardless of plan shape.
+    parsed = raw.select(
+        F.from_json(
+            F.expr("try_to_binary(value, 'base64')").cast("string"), schema
+        ).alias("r")
+    )
+    # from_json is PERMISSIVE: unparseable payloads come back as all-null
+    # structs. Dropping those is exactly the reference's default-instance
+    # filter (F7, Features.java:75-77) plus its decode try/catch.
+    return parsed.filter(
+        F.col("r").isNotNull() & (F.to_json(F.col("r")) != F.lit("{}"))
+    ).select("r.*")
+
+
+def write_json_text(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Compact-JSON text sink (S5) preserving snake_case field names
+    (reference ProtoUtils printer :50-59 keeps proto field names)."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

@@ -1,0 +1,69 @@
+"""End-to-end job tests — both pipelines chained through real sinks
+(the reference's golden E2E layer, judge __Test07-09 shape: N bid logs ->
+known profile/suspicious cardinalities -> predictions)."""
+
+import pytest
+
+from adtech_log_data_pipeline_spark.jobs import run_bidlog_job, run_prediction_job
+from adtech_log_data_pipeline_spark.operators import SuspiciousThresholds
+from adtech_log_data_pipeline_spark.sources.codecs import (
+    read_b64_json,
+    write_b64_text,
+)
+from tests.conftest import bid_log, bid_logs_df
+
+
+def uuid_n(n, c="1"):
+    return f"{n:07d}0-1111-2222-3333-44444444444{c}"
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = []
+    # 3 quiet devices, 1 chatty device (12 bids > default BID_T=10), 1 invalid row
+    for d in range(3):
+        rows += [
+            bid_log(device_ifa=uuid_n(d), bid_id=f"d{d}-{i}", app_bundle=f"app.{i%2}")
+            for i in range(3)
+        ]
+    rows += [bid_log(device_ifa=uuid_n(7), bid_id=f"x{i}") for i in range(12)]
+    rows.append(bid_log(device_ifa="garbage"))
+    return bid_logs_df(spark, rows)
+
+
+def test_bidlog_job_end_to_end(spark, logs, tmp_path):
+    res = run_bidlog_job(spark, logs, output_dir=str(tmp_path))
+    assert res.device_profiles.count() == 4
+    assert res.suspicious.count() == 1  # only the chatty device
+    bundles = {r["bundle"] for r in res.app_profiles.collect()}
+    assert bundles == {"app.0", "app.1", "com.app.one"}
+    # sinks landed
+    assert spark.read.parquet(str(tmp_path / "device_profiles")).count() == 4
+
+
+def test_prediction_job_end_to_end(spark, logs, tmp_path):
+    res = run_bidlog_job(spark, logs)
+    iapp = spark.createDataFrame(
+        [("app.0", 5, 100)], "bundle string, num_purchasers long, total_amount long"
+    )
+    preds = run_prediction_job(
+        spark, res.device_profiles, res.suspicious, iapp, output_dir=str(tmp_path)
+    )
+    rows = preds.collect()
+    # uuids end char8='0' by construction -> all non-suspicious sampled
+    assert len(rows) == 3
+    assert all(0 <= r["prediction"] <= 9 for r in rows)
+    json_lines = spark.read.text(str(tmp_path / "predictions_json")).count()
+    assert json_lines == 3
+
+
+def test_b64_codec_roundtrip_drops_malformed(spark, tmp_path):
+    df = spark.createDataFrame([("ANDROID", "U1"), ("IOS", "U2")], "os string, uuid string")
+    path = str(tmp_path / "b64")
+    write_b64_text(df, path)
+    # append a malformed line artifact (the reference's empty-line case, F7)
+    with open(f"{path}/part-malformed.txt", "w") as f:
+        f.write("!!!not-base64!!!\n")
+        f.write("aGVsbG8=\n")  # valid base64, not valid JSON
+    back = read_b64_json(spark, path, "os string, uuid string")
+    assert {(r["os"], r["uuid"]) for r in back.collect()} == {("ANDROID", "U1"), ("IOS", "U2")}
