@@ -1,0 +1,114 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+array<float>, label) — brute-force cosine top-k as the exact baseline and
+a random-hyperplane LSH variant as the scale path (BASELINE.json north
+star).
+
+Scale design: brute force is O(queries x corpus) — correct but only
+viable when the query set is small or the corpus is pre-filtered; it
+broadcasts the query vectors so the corpus never shuffles. The LSH
+variant hashes every vector to a signature bucket map-side; the join then
+touches only same-bucket pairs (tunable recall via bits/probes). An IVF
+variant would follow the same pattern with learned centroids instead of
+random hyperplanes.
+
+All math is JVM-side higher-order functions (zip_with/aggregate) in
+double precision, accumulated in array order — deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LSH_BITS = 6  # ~corpus/64 vectors per bucket; raise for larger corpora
+
+
+_DOT = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({v}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+
+
+def _cosine() -> F.Column:
+    return F.expr(
+        f"{_DOT} / (({_NORM.format(v='a')}) * ({_NORM.format(v='b')}))"
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    `queries` is (query_id, qvec); the full corpus is scanned once per
+    partition with the queries broadcast. Ranking uses the cosine rounded
+    to 1e-6 with doc-id tiebreak so results are stable under any float
+    summation schedule. Output: (query_id, neighbor_id, rank, cos_sim_r6).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col("query_id"), F.col("qvec").alias("a"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(), 6).alias("cos_sim_r6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_r6")
+    )
+
+
+def lsh_signatures(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bit i = sign(dot(v, h_i)) where h_i is
+    a deterministic pseudo-random hyperplane derived from (i, dim) via a
+    md5-based weight in [-1, 1]. Map-only; one int signature per vector."""
+    plane = (
+        "(cast(conv(substr(md5(concat(cast(i as string), ':', cast(d as string))), 1, 8), 16, 10) as double)"
+        " / 2147483647.5 - 1.0)"
+    )
+    sig = F.expr(
+        f"""
+        aggregate(sequence(0, {bits - 1}), 0,
+          (acc, i) -> acc + (CASE WHEN
+              aggregate(sequence(0, size(embedding) - 1), 0D,
+                (s, d) -> s + cast(element_at(embedding, d + 1) as double) * {plane}) >= 0
+              THEN shiftleft(1, i) ELSE 0 END))
+        """
+    )
+    return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket. Same
+    output shape as brute_force_topk; recall < 1 by construction."""
+    from pyspark.sql.window import Window
+
+    sigs = lsh_signatures(embeddings)
+    corpus = embeddings.join(sigs, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "bucket"
+    )
+    q = (
+        queries.join(sigs, queries.query_id == sigs.vec_id)
+        .select("query_id", F.col("qvec").alias("a"), "bucket")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_cosine(), 6).alias("cos_sim_r6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_r6")
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline layer (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All operators are pure column expressions (whole-stage codegen; no Python
+in the hot path) over `documents(doc_id, text, lang, source, n_chars)`.
+At 100 TB these are embarrassingly-parallel map stages — no shuffle at all
+except the final aggregation a caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic whitespace tokenization (lower-cased). The BPE-ish variant
+# below splits punctuation off as its own tokens.
+_WS = r"\s+"
+
+# small marker vocabularies for the language-ID heuristic (distinctive
+# function words; ties broken by the fixed en > de > fr > es > zh order)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "you", "that", "it"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
+    "fr": ("le", "les", "et", "des", "une", "est", "que", "dans"),
+    "es": ("el", "los", "de", "que", "y", "en", "una", "es"),
+    "zh": ("de5", "le5", "shi4", "bu4", "wo3", "ni3", "zhe4", "you3"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Lower-cased whitespace tokens of a non-blank-trimmed text column."""
+    return F.split(F.lower(F.trim(F.col(text))), _WS)
+
+
+def bpe_ish_tokens_col(text: str = "text") -> Column:
+    """Token count the way a byte-pair-ish tokenizer would see it: words
+    AND punctuation marks as separate tokens (regex pre-split)."""
+    spaced = F.regexp_replace(F.lower(F.col(text)), f"({PUNCT_CLASS})", r" $1 ")
+    return F.split(F.trim(spaced), _WS)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality metrics:
+      n_tokens, n_tokens_bpe, n_chars_measured, avg_token_len,
+      punct_ratio, stopword_ratio, quality_score
+    quality_score is a deterministic composite in [0,1]: length band,
+    low punctuation noise, presence of function words — the standard
+    cheap pretraining-quality heuristics."""
+    toks = tokens_col()
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    d = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.col("text")).alias("n_chars_measured"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+        ).alias("n_punct"),
+        F.size(bpe_ish_tokens_col()).alias("n_tokens_bpe"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "n_tokens_bpe",
+        "n_chars_measured",
+        (
+            F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+            / F.size("toks")
+        ).alias("avg_token_len"),
+        (F.col("n_punct") / F.col("n_chars_measured")).alias("punct_ratio"),
+        (
+            F.expr(f"size(filter(toks, t -> t IN ({stop_arr})))") / F.size("toks")
+        ).alias("stopword_ratio"),
+    )
+    # composite: in-band length (64..4096 chars), low punct, some stopwords
+    return d.withColumn(
+        "quality_score",
+        (
+            F.when((F.col("n_chars_measured") >= 64) & (F.col("n_chars_measured") <= 4096), 0.5)
+            .otherwise(0.0)
+            + F.when(F.col("punct_ratio") <= 0.1, 0.25).otherwise(0.0)
+            + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        ).cast("double"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram-free language ID: count marker-word hits per language, pick
+    the max (ties resolved by the fixed language order). Returns
+    (doc_id, lang_declared, lang_pred, marker_hits)."""
+    toks = tokens_col()
+    d = documents.select("doc_id", F.col("lang").alias("lang_declared"), toks.alias("toks"))
+    counts = {
+        lang: F.expr(
+            "size(filter(toks, t -> t IN ({})))".format(
+                ", ".join(f"'{w}'" for w in ws)
+            )
+        ).alias(f"c_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    d = d.select("doc_id", "lang_declared", *counts.values())
+    mx = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # first lang wins ties
+        pred = F.when((mx > 0) & (F.col(f"c_{lang}") == mx), lang).otherwise(pred)
+    return d.select(
+        "doc_id", "lang_declared", pred.alias("lang_pred"), mx.cast("int").alias("marker_hits")
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic fingerprints per document:
+      content_hash  — md5 of whitespace-normalized lower-cased text
+      vocab_hash    — md5 of the sorted DISTINCT token set (bag-of-words
+                      signature: equal iff same vocabulary, a cheap
+                      near-dup blocker)
+      min_token_hash — min over md5(token) (1-permutation MinHash)
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    return documents.select(
+        "doc_id", norm.alias("norm"), tokens_col().alias("toks")
+    ).select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("content_hash"),
+        F.md5(
+            F.concat_ws("\x1f", F.array_sort(F.array_distinct(F.col("toks")))).cast(
+                "binary"
+            )
+        ).alias("vocab_hash"),
+        F.expr("array_min(transform(toks, t -> md5(cast(t as binary))))").alias(
+            "min_token_hash"
+        ),
+    )

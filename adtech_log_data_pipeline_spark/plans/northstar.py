@@ -1,0 +1,330 @@
+"""North-star queries (training-data-pipeline ops) + their DuckDB oracles.
+
+Spark side uses the functions/ modules (column-expression implementations);
+the oracle restates the same semantics in DuckDB's list/lambda dialect —
+independently written, hash-compared by the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    dedup_exact,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..functions.multimodal import decode_image_metadata, with_blob_column
+from ..functions.similarity import brute_force_topk, lsh_topk
+from ..functions.text import LANG_MARKERS, STOPWORDS, doc_fingerprints, lang_id, text_stats
+from ..sources.tables import load_table
+
+N_QUERY_VECS = 10  # vec_id < 10 are the similarity query vectors
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting (whitespace and BPE-ish)."""
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic."""
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content/vocab/min-token-hash fingerprints."""
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + set-hash dedup groups."""
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs."""
+    return minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures."""
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the MinHash candidate pairs."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors."""
+    return brute_force_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path)."""
+    return lsh_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: blob synthesis + Arrow-batched stub decode."""
+    return decode_image_metadata(with_blob_column(_docs(spark, sf_dir)))
+
+
+NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# same class as text.PUNCT_CLASS with the single quote doubled for SQL
+_PUNCT = r"[.,;:!?''\"()\[\]{}-]"
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_ORACLE_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         length(text) AS n_chars_measured,
+         length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS n_punct,
+         len(string_split_regex(trim(regexp_replace(lower(text), '({_PUNCT})', ' \\1 ', 'g')), '\\s+')) AS n_tokens_bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(n_tokens_bpe AS INT) AS n_tokens_bpe,
+       CAST(n_chars_measured AS INT) AS n_chars_measured,
+       list_sum(list_transform(toks, t -> length(t))) / len(toks) AS avg_token_len,
+       n_punct / n_chars_measured AS punct_ratio,
+       len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) / len(toks) AS stopword_ratio,
+       (CASE WHEN n_chars_measured BETWEEN 64 AND 4096 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN n_punct / n_chars_measured <= 0.1 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) / len(toks) >= 0.05
+               THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+FROM t
+"""
+
+
+def _oracle_lang_id() -> str:
+    count_cols = ",\n         ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], t))) AS c_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    mx = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
+    pred = "CASE WHEN " + " WHEN ".join(
+        f"c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    pred = (
+        f"CASE WHEN {mx} = 0 THEN 'unknown' "
+        + " ".join(f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS)
+        + " END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang AS lang_declared, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, lang_declared, {count_cols} FROM t)
+SELECT doc_id, lang_declared, {pred} AS lang_pred, CAST({mx} AS INT) AS marker_hits
+FROM c
+"""
+
+
+_ORACLE_FINGERPRINTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         {_TOKS} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(toks)), chr(31))) AS vocab_hash,
+       list_min(list_transform(toks, t -> md5(t))) AS min_token_hash
+FROM t
+"""
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), chr(31))) AS vocab_hash
+  FROM documents
+)
+SELECT vocab_hash,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS INT) AS group_size,
+       CAST(count(DISTINCT content_hash) AS INT) AS distinct_texts
+FROM t GROUP BY vocab_hash
+"""
+
+# shared MinHash CTE chain (shingles -> 16 signatures -> 4 bands)
+_MINHASH_CTES = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         END AS shingles
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           p -> list_min(list_transform(shingles,
+                s -> md5(concat(CAST(p AS STRING), '#', s))))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)"""
+
+_ORACLE_DEDUP_MINHASH = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM cand"
+
+
+def _oracle_dedup_simhash() -> str:
+    h16 = "(('0x' || substr(md5(t), 1, 4))::BIGINT)"
+    votes = ", ".join(
+        f"list_sum(list_transform(toks, t -> CASE WHEN (({h16} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        for b in range(16)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN votes[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, [{votes}] AS votes FROM t)
+SELECT doc_id, CAST({assemble} AS INT) AS simhash FROM v
+"""
+
+
+_ORACLE_NGRAM_JACCARD = f"""
+WITH {_MINHASH_CTES},
+ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS inter_size,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INT) AS union_size,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand c
+JOIN ds a ON a.doc_id = c.doc_a
+JOIN ds b ON b.doc_id = c.doc_b
+"""
+
+_ORACLE_SIMILARITY_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
+           AS cos_sim_r6
+  FROM q, c WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _oracle_similarity_lsh_topk() -> str:
+    plane = (
+        "((('0x' || substr(md5(concat(CAST(i AS STRING), ':', CAST(d AS STRING))), 1, 8))::BIGINT)"
+        "::DOUBLE / 2147483647.5 - 1.0)"
+    )
+    sig = f"""
+    list_sum(list_transform(generate_series(0, 5), i ->
+      CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
+             d -> embedding[d + 1]::DOUBLE * {plane})) >= 0
+           THEN (1 << i) ELSE 0 END))
+    """
+    return f"""
+WITH sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS a, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
+c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS b, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
+           AS cos_sim_r6
+  FROM q JOIN c USING (bucket) WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
+FROM ranked WHERE rank <= 5
+"""
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 448 AS INT) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 448 AS INT) AS height,
+       CASE (('0x' || substr(md5(text), 9, 2))::BIGINT % 3)
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+"""
+
+NORTHSTAR_ORACLES: dict[str, str] = {
+    "text_stats": _ORACLE_TEXT_STATS,
+    "lang_id": _oracle_lang_id(),
+    "doc_fingerprints": _ORACLE_FINGERPRINTS,
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": _oracle_dedup_simhash(),
+    "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "similarity_topk": _ORACLE_SIMILARITY_TOPK,
+    "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
+    "multimodal_meta": _ORACLE_MULTIMODAL,
+}

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from ..sources.bidlogs import bid_logs_cte, iapp_cte
 from .relational import RELATIONAL_SQL
+from .northstar import NORTHSTAR_ORACLES
 
 _UUID_RE = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
 
@@ -209,4 +210,5 @@ ORACLES: dict[str, str] = {
     "feature_inputs": _oracle_feature_inputs(),
     # predictions: pandas-UDF inference — rows-only check, no oracle
     **{name: sql_fn("duckdb") for name, (sql_fn, _t) in RELATIONAL_SQL.items()},
+    **NORTHSTAR_ORACLES,
 }

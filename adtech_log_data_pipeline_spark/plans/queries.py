@@ -27,6 +27,7 @@ from ..operators.suspicious import SuspiciousThresholds, suspicious_ids
 from ..operators.features import feature_inputs
 from ..operators.inference import predict
 from .relational import RELATIONAL_SQL
+from .northstar import NORTHSTAR_QUERIES
 
 
 # Threshold set for the DECLARED queries, tuned to the synthetic data's
@@ -138,4 +139,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_inputs": q_feature_inputs,
     "predictions": q_predictions,
     **{name: _relational(name) for name in RELATIONAL_SQL},
+    **NORTHSTAR_QUERIES,
 }
