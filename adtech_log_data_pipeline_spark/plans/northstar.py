@@ -91,6 +91,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_metadata(with_blob_column(_docs(spark, sf_dir)))
 
 
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling 1h windows with watermark, replayed
+    to completion over the events parquet (oracle = batch time_bucket)."""
+    from ..streaming import stream_window_counts
+
+    return stream_window_counts(spark, sf_dir)
+
+
+def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-device incremental profile aggregates (rows-only:
+    approx_count_distinct is engine-specific)."""
+    from ..streaming import streaming_device_activity
+
+    return streaming_device_activity(spark, sf_dir)
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -102,6 +118,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
+    "stream_window_counts": q_stream_window_counts,
+    "streaming_device_activity": q_streaming_device_activity,
 }
 
 
@@ -306,6 +324,14 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_ORACLE_STREAM_WINDOW = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -327,4 +353,6 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "multimodal_meta": _ORACLE_MULTIMODAL,
+    "stream_window_counts": _ORACLE_STREAM_WINDOW,
+    # streaming_device_activity: approx_count_distinct — rows-only check
 }

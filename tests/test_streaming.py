@@ -1,0 +1,43 @@
+"""Structured Streaming smoke: the parquet replay must produce exactly the
+batch semantics (the driver's oracle cross-checks values; here we check
+conservation + schema)."""
+
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.sources.tables import load_table
+from adtech_log_data_pipeline_spark.streaming import (
+    stream_window_counts,
+    streaming_device_activity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_window_counts_conserve_events(spark):
+    out = stream_window_counts(spark, SF)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, SF, "events").count()
+    assert out.columns == ["window_start_ms", "event_type", "n_events", "sum_value"]
+
+
+def test_streaming_device_activity_matches_batch_bounds(spark):
+    out = {r["user_id"]: r for r in streaming_device_activity(spark, SF).collect()}
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("first_at"),
+            F.max(F.unix_millis("ts")).alias("last_at"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(out) == set(batch)
+    for uid, b in batch.items():
+        s = out[uid]
+        assert (s["first_at"], s["last_at"], s["n_events"]) == (
+            b["first_at"],
+            b["last_at"],
+            b["n_events"],
+        )
