@@ -32,7 +32,10 @@ def with_blob_column(documents: DataFrame) -> DataFrame:
     """Synthesize an opaque binary payload per document (utf-8 bytes of the
     text). A real pipeline reads these from object storage; the engine
     treats the bytes as opaque either way."""
-    return documents.select(
+    # repartition: blob tables should parallelize by bytes, and the synthetic
+    # source arrives as a single parquet partition
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(n_parts, "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
 

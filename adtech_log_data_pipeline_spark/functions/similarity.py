@@ -69,21 +69,41 @@ def brute_force_topk(
 def lsh_signatures(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     """Random-hyperplane (sign) LSH: bit i = sign(dot(v, h_i)) where h_i is
     a deterministic pseudo-random hyperplane derived from (i, dim) via a
-    md5-based weight in [-1, 1]. Map-only; one int signature per vector."""
-    plane = (
-        "(cast(conv(substr(md5(concat(cast(i as string), ':', cast(d as string))), 1, 8), 16, 10) as double)"
-        " / 2147483647.5 - 1.0)"
+    md5-based weight in [-1, 1].
+
+    Shape: the hyperplane WEIGHTS are a tiny (bits x dim) table built once
+    and broadcast; vectors posexplode to (vec, dim, x) rows and two codegen
+    hash-aggs produce the signature. The naive nested-lambda form computes
+    bits x dim interpreted md5 calls PER VECTOR (~40x slower at sf0.1)."""
+    import hashlib
+
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = spark.createDataFrame(
+        [
+            (
+                i,
+                d,
+                int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+                / 2147483647.5
+                - 1.0,
+            )
+            for i in range(bits)
+            for d in range(dim)
+        ],
+        "i int, d int, w double",
     )
-    sig = F.expr(
-        f"""
-        aggregate(sequence(0, {bits - 1}), 0,
-          (acc, i) -> acc + (CASE WHEN
-              aggregate(sequence(0, size(embedding) - 1), 0D,
-                (s, d) -> s + cast(element_at(embedding, d + 1) as double) * {plane}) >= 0
-              THEN shiftleft(1, i) ELSE 0 END))
-        """
+    n_parts = spark.sparkContext.defaultParallelism
+    dims = embeddings.repartition(n_parts, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
     )
-    return embeddings.select("vec_id", sig.cast("int").alias("bucket"))
+    dots = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "i")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") >= 0, F.expr("shiftleft(1, i)")).otherwise(0)
+    return dots.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:

@@ -78,6 +78,33 @@ def app_profiles(profiles: DataFrame, check_duplicates: bool = True) -> DataFram
     return users.join(per_exchange, "bundle")
 
 
+def app_profile_slots_from_valid(valid_logs: DataFrame) -> DataFrame:
+    """Scale-optimized formulation of A3-A5 directly over the flat validated
+    rows — identical output to flatten_app_profiles(app_profiles(...)) (the
+    equivalence is oracle- and test-checked) without materializing nested
+    profiles first: the reference builds AppProfiles FROM DeviceProfiles
+    because Beam has no shared scans; in Spark that detour costs an
+    ObjectHashAggregate collect_list + explode per branch, all outside
+    whole-stage codegen. Here: distinct -> two codegen hash aggs.
+
+    Devices are distinct by construction (groupBy), so the A2 duplicate
+    tripwire is structural rather than a runtime probe on this path."""
+    device_apps = valid_logs.select(
+        "os", "uuid", F.col("app_bundle").alias("bundle"), "exchange"
+    )
+    user_leg = (
+        device_apps.groupBy("bundle")
+        .agg(F.countDistinct("os", "uuid").cast("int").alias("cnt"))
+        .select("bundle", F.lit(-1).alias("slot"), "cnt")
+    )
+    ex_leg = (
+        device_apps.groupBy("bundle", F.col("exchange").alias("slot"))
+        .agg(F.countDistinct("os", "uuid").cast("int").alias("cnt"))
+        .select("bundle", "slot", "cnt")
+    )
+    return user_leg.unionByName(ex_leg)
+
+
 def flatten_app_profiles(aps: DataFrame) -> DataFrame:
     """Hashable projection: (bundle, slot, cnt) rows where slot=-1 carries
     user_count (the reference's own sentinel encoding, AppProfiles.java:121)

@@ -76,3 +76,43 @@ def suspicious_ids(
         | (F.col("unpopular_apps") > t.app_count)
         | (F.col("total_bids") > t.bid_log_count)
     ).select("os", "uuid")
+
+
+def suspicious_ids_from_valid(
+    valid_logs: DataFrame,
+    thresholds: SuspiciousThresholds = SuspiciousThresholds(),
+) -> DataFrame:
+    """Scale-optimized formulation straight from the flat validated rows —
+    identical output to suspicious_ids(device_profiles(v), app_profiles(...))
+    (oracle- and test-checked) with zero nested-array construction: every
+    stage is a codegen hash agg or broadcast join on the one scan. geo
+    count is countDistinct(country, region); total bids is the row count
+    (each valid row contributes exactly one count_per_exchange increment)."""
+    t = thresholds
+    device_apps = valid_logs.select(
+        "os", "uuid", F.col("app_bundle").alias("bundle")
+    ).distinct()
+
+    popular = (
+        device_apps.groupBy("bundle")
+        .agg(F.countDistinct("os", "uuid").alias("user_count"))
+        .filter(F.col("user_count") > t.user_count)
+        .select("bundle")
+    )
+    unpopular_counts = (
+        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        .groupBy("os", "uuid")
+        .agg(F.count(F.lit(1)).alias("unpopular_apps"))
+    )
+    dev_stats = valid_logs.groupBy("os", "uuid").agg(
+        F.countDistinct("geo_country", "geo_region").alias("geo_cnt"),
+        F.count(F.lit(1)).alias("total_bids"),
+    )
+    scored = dev_stats.join(unpopular_counts, ["os", "uuid"], "left").withColumn(
+        "unpopular_apps", F.coalesce(F.col("unpopular_apps"), F.lit(0))
+    )
+    return scored.filter(
+        (F.col("geo_cnt") > t.geo_count)
+        | (F.col("unpopular_apps") > t.app_count)
+        | (F.col("total_bids") > t.bid_log_count)
+    ).select("os", "uuid")

@@ -219,16 +219,23 @@ sh AS (
          END AS shingles
   FROM t
 ),
+hh AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS ha,
+         list_transform(shingles, s -> 1 + ('0x' || substr(md5(concat('x', s)), 1, 8))::BIGINT) AS hb
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          list_transform(generate_series(0, 15),
-           p -> list_min(list_transform(shingles,
-                s -> md5(concat(CAST(p AS STRING), '#', s))))) AS sig
-  FROM sh
+           p -> list_min(list_transform(generate_series(1, len(ha)),
+                i -> (ha[i] + p * hb[i]) % 4294967291))) AS sig
+  FROM hh
 ),
 bands AS (
   SELECT doc_id, b.band,
-         md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS key
+         md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
+                                            x -> CAST(x AS STRING)), '|')) AS key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
 ),
 cand AS (

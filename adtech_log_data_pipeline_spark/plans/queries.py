@@ -22,9 +22,17 @@ from ..sources.bidlogs import load_bid_logs, load_iapp
 from ..sources.tables import register_tables
 from ..operators.validate import valid_bid_logs
 from ..operators.device_profile import device_profiles, flatten_device_profiles
-from ..operators.app_profile import app_profiles, flatten_app_profiles
-from ..operators.suspicious import SuspiciousThresholds, suspicious_ids
-from ..operators.features import feature_inputs
+from ..operators.app_profile import (
+    app_profile_slots_from_valid,
+    app_profiles,
+    flatten_app_profiles,
+)
+from ..operators.suspicious import (
+    SuspiciousThresholds,
+    suspicious_ids,
+    suspicious_ids_from_valid,
+)
+from ..operators.features import feature_inputs_from_valid
 from ..operators.inference import predict
 from .relational import RELATIONAL_SQL
 from .northstar import NORTHSTAR_QUERIES
@@ -91,22 +99,27 @@ def q_device_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_app_profiles_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2-A5: per-app distinct-user counts; slot=-1 is the user-count leg."""
-    return flatten_app_profiles(app_profiles(_profiles(spark, sf_dir)))
+    """A2-A5: per-app distinct-user counts; slot=-1 is the user-count leg.
+    Flat-path formulation (no nested detour); equivalence to
+    flatten_app_profiles(app_profiles(...)) is test-checked."""
+    return app_profile_slots_from_valid(_valid(spark, sf_dir))
 
 
 def q_suspicious_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8/J1/R1: rule-based bot detection at default thresholds."""
-    p = _profiles(spark, sf_dir)
-    return suspicious_ids(p, app_profiles(p), QUERY_THRESHOLDS)
+    """F8/J1/R1: rule-based bot detection (flat-path formulation)."""
+    return suspicious_ids_from_valid(_valid(spark, sf_dir), QUERY_THRESHOLDS)
 
 
 def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3/F6/A6/A7: blacklist anti-join, 1/16 sample, IAPP intersection
-    aggregates + the 4 ratio features."""
-    p = _profiles(spark, sf_dir)
-    susp = suspicious_ids(p, app_profiles(p), QUERY_THRESHOLDS)
-    return feature_inputs(p, susp, load_iapp(spark, sf_dir))
+    aggregates + the 4 ratio features (flat-path formulation).
+
+    The validated frame feeds three consumers (suspicious rules, device
+    rollup, device-app pairs) — persist it so the scan+derive+filter chain
+    runs once (at cluster scale: a checkpoint of the validated fact)."""
+    v = _valid(spark, sf_dir).persist()
+    susp = suspicious_ids_from_valid(v, QUERY_THRESHOLDS)
+    return feature_inputs_from_valid(v, susp, load_iapp(spark, sf_dir))
 
 
 def q_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:

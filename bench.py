@@ -29,6 +29,17 @@ BENCH_QUERIES = [
     "nation_revenue",
     "sessionized_events",
     "top_orders_per_customer",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "multimodal_meta",
+    "stream_window_counts",
 ]
 
 
@@ -48,6 +59,9 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries are independent: drop frames persisted inside operators so
+        # earlier queries' cache doesn't pressure later ones
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
