@@ -1,0 +1,77 @@
+"""CLI driver — the reference's Main.java job dispatch re-expressed
+(reference: Main.java:44-64 parses --job/--isLocal/threshold flags and
+dispatches to BidLogJob or PredictionJob; SURVEY.md §3.1).
+
+    python -m adtech_log_data_pipeline_spark --job bidlog \\
+        --sf-dir /root/testdata/sf0.01 --output /tmp/out \\
+        --threshold-user 40 --threshold-bid 47
+
+    python -m adtech_log_data_pipeline_spark --job prediction \\
+        --sf-dir /root/testdata/sf0.01 --profiles /tmp/out --output /tmp/out2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="adtech_log_data_pipeline_spark")
+    ap.add_argument("--job", choices=["bidlog", "prediction"], required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--profiles", help="bidlog-job output dir (prediction job)")
+    ap.add_argument("--master", default=None, help="spark master (default: local[*])")
+    # suspicious thresholds (reference MyOptions.java defaults)
+    ap.add_argument("--threshold-user", type=int, default=4)
+    ap.add_argument("--threshold-app", type=int, default=3)
+    ap.add_argument("--threshold-geo", type=int, default=8)
+    ap.add_argument("--threshold-bid", type=int, default=10)
+    ap.add_argument("--b64-outputs", action="store_true")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    from .operators.suspicious import SuspiciousThresholds
+
+    spark = get_spark("adtech-cli", master=args.master)
+    thresholds = SuspiciousThresholds(
+        user_count=args.threshold_user,
+        app_count=args.threshold_app,
+        geo_count=args.threshold_geo,
+        bid_log_count=args.threshold_bid,
+    )
+
+    if args.job == "bidlog":
+        from .jobs import run_bidlog_job
+        from .sources.bidlogs import load_bid_logs
+
+        res = run_bidlog_job(
+            spark,
+            load_bid_logs(spark, args.sf_dir),
+            output_dir=args.output,
+            thresholds=thresholds,
+            b64_outputs=args.b64_outputs,
+        )
+        print(
+            f"bidlog job done: {res.device_profiles.count()} device profiles,"
+            f" {res.app_profiles.count()} app profiles,"
+            f" {res.suspicious.count()} suspicious -> {args.output}"
+        )
+    else:
+        if not args.profiles:
+            ap.error("--profiles (bidlog-job output dir) is required for --job prediction")
+        from .jobs import run_prediction_job
+        from .sources.bidlogs import load_iapp
+
+        dp = spark.read.parquet(f"{args.profiles}/device_profiles")
+        susp = spark.read.parquet(f"{args.profiles}/suspicious")
+        preds = run_prediction_job(
+            spark, dp, susp, load_iapp(spark, args.sf_dir), output_dir=args.output
+        )
+        print(f"prediction job done: {preds.count()} predictions -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,6 +135,43 @@ def top_orders_per_customer_sql(dialect: str) -> str:
         """
 
 
+def revenue_cube_sql(dialect: str) -> str:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one pass — Spark expands grouping sets inside a single hash aggregate.
+    Group-marker NULLs are disambiguated by grouping_id (both dialects)."""
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               {REVENUE} AS revenue,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+
+
+def asof_last_signup_sql(dialect: str) -> str:
+    """As-of lookup: for every purchase event, the most recent prior signup
+    of the same user (running conditional max over the event-time order) —
+    the window formulation of an as-of join. At scale with two separate
+    tables this becomes union-by-key + the same window, so the pattern
+    holds without a range-join primitive."""
+    ts = _ms("ts", dialect)
+    return f"""
+        WITH ordered AS (
+          SELECT user_id, event_id, event_type, {ts} AS ts_ms,
+                 max(CASE WHEN event_type = 'signup' THEN {ts} END)
+                   OVER (PARTITION BY user_id ORDER BY {ts}, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_signup_ms
+          FROM events
+        )
+        SELECT user_id, event_id, ts_ms,
+               last_signup_ms,
+               CAST(ts_ms - last_signup_ms AS BIGINT) AS ms_since_signup
+        FROM ordered WHERE event_type = 'purchase'
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -144,4 +181,6 @@ RELATIONAL_SQL = {
     ),
     "sessionized_events": (sessionized_events_sql, ["events"]),
     "top_orders_per_customer": (top_orders_per_customer_sql, ["orders"]),
+    "revenue_cube": (revenue_cube_sql, ["lineitem"]),
+    "asof_last_signup": (asof_last_signup_sql, ["events"]),
 }

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "similarity_lsh_topk",
     "multimodal_meta",
     "stream_window_counts",
+    "revenue_cube",
+    "asof_last_signup",
 ]
 
 

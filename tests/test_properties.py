@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the core aggregation laws — the
+reference's mergeDps is an associative/commutative monoid fold
+(DeviceProfileUtils.java:186-240); in Spark that translates to: the result
+must be invariant to input order and physical partitioning, and duplicating
+the input must exactly double the counts while fixing the bounds."""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from adtech_log_data_pipeline_spark.operators import device_profiles, valid_bid_logs
+from tests.conftest import bid_log, bid_logs_df
+
+UUIDS = [f"{i:08d}-1111-2222-3333-444444444444" for i in range(3)]
+
+row_strategy = st.fixed_dictionaries(
+    {
+        "device_ifa": st.sampled_from(UUIDS + [u.lower() for u in UUIDS]),
+        "device_os": st.sampled_from(["android", "Android", "ios", "IOS"]),
+        "app_bundle": st.sampled_from(["a.app", "b.app", "A.app"]),
+        "exchange": st.sampled_from([1, 5, 21]),
+        "received_at": st.integers(min_value=1, max_value=10_000),
+        "geo_country": st.sampled_from(["USA", "usa", "CAN"]),
+        "geo_region": st.sampled_from(["r1", "r2"]),
+    }
+)
+
+
+def canon(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        d["apps"] = sorted(
+            (a["bundle"], a["first_at"], a["last_at"], tuple(sorted(a["count_per_exchange"].items())))
+            for a in d["apps"]
+        )
+        d["geos"] = sorted((g["country"], g["region"]) for g in d["geos"])
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+def build(spark, rows, n_parts=1):
+    base = [bid_log(bid_id=str(i), processed_at=r["received_at"] + 1, **r) for i, r in enumerate(rows)]
+    df = bid_logs_df(spark, base).repartition(n_parts)
+    return device_profiles(valid_bid_logs(df))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(row_strategy, min_size=1, max_size=30))
+def test_partitioning_and_order_invariance(spark, rows):
+    one = canon(build(spark, rows, n_parts=1))
+    many = canon(build(spark, list(reversed(rows)), n_parts=7))
+    assert one == many
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(row_strategy, min_size=1, max_size=15))
+def test_duplication_doubles_counts_fixes_bounds(spark, rows):
+    doubled = canon(build(spark, rows + rows, n_parts=3))
+    base = canon(build(spark, rows))
+    assert len(doubled) == len(base)
+    for b, d in zip(base, doubled):
+        db, dd = dict(b), dict(d)
+        assert db["os"] == dd["os"] and db["uuid"] == dd["uuid"]
+        assert db["first_at"] == dd["first_at"] and db["last_at"] == dd["last_at"]
+        assert db["geos"] == dd["geos"]
+        for (ab, af, al, ac), (bb, bf, bl, bc) in zip(db["apps"], dd["apps"]):
+            assert (ab, af, al) == (bb, bf, bl)
+            assert {k: 2 * v for k, v in ac} == dict(bc)
