@@ -99,6 +99,15 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_window_counts(spark, sf_dir)
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with a 30-minute gap; bounded replay equals
+    batch sessionization (oracle-checked)."""
+    from ..streaming import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates (rows-only:
     approx_count_distinct is engine-specific)."""
@@ -119,6 +128,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "multimodal_meta": q_multimodal_meta,
     "stream_window_counts": q_stream_window_counts,
+    "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
 
@@ -339,6 +349,29 @@ SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
 FROM events GROUP BY 1, 2
 """
 
+_ORACLE_STREAM_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts)
+                   - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts), event_id)
+                   > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_ms,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -361,5 +394,6 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "multimodal_meta": _ORACLE_MULTIMODAL,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
+    "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     # streaming_device_activity: approx_count_distinct — rows-only check
 }

@@ -1,3 +1,4 @@
 from .windowed import stream_window_counts, streaming_device_activity
+from .sessionize import streaming_sessionize
 
-__all__ = ["stream_window_counts", "streaming_device_activity"]
+__all__ = ["stream_window_counts", "streaming_device_activity", "streaming_sessionize"]

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "similarity_lsh_topk",
     "multimodal_meta",
     "stream_window_counts",
+    "streaming_sessionize",
     "revenue_cube",
     "asof_last_signup",
 ]

