@@ -172,6 +172,37 @@ def asof_last_signup_sql(dialect: str) -> str:
         """
 
 
+def order_priority_sql(dialect: str) -> str:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> semi join; counts
+    orders with at least one late-shipped line item, per priority."""
+    return """
+        SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+
+
+def returned_customers_sql(dialect: str) -> str:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    return f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -183,4 +214,6 @@ RELATIONAL_SQL = {
     "top_orders_per_customer": (top_orders_per_customer_sql, ["orders"]),
     "revenue_cube": (revenue_cube_sql, ["lineitem"]),
     "asof_last_signup": (asof_last_signup_sql, ["events"]),
+    "order_priority": (order_priority_sql, ["orders", "lineitem"]),
+    "returned_customers": (returned_customers_sql, ["customer", "orders", "lineitem", "nation"]),
 }

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "streaming_sessionize",
     "revenue_cube",
     "asof_last_signup",
+    "order_priority",
+    "returned_customers",
 ]
 
 
