@@ -127,19 +127,27 @@ iapp AS (
 )"""
 
 
-def load_bid_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the bid_logs view for a scale-factor directory."""
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
     from .tables import load_table
 
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    events = load_table(spark, sf_dir, "events")
+    # the synthetic events parquet is a single file/partition: spread it so
+    # the per-row derivation (md5s, regex validation, CASE towers) runs
+    # parallel instead of on one core (real deployments get this for free
+    # from the file layout)
+    events = events.repartition(spark.sparkContext.defaultParallelism)
+    events.createOrReplaceTempView("events")
+
+
+def load_bid_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the bid_logs view for a scale-factor directory."""
+    _events_view(spark, sf_dir)
     return spark.sql(f"WITH {bid_logs_cte('spark')} SELECT * FROM bid_logs")
 
 
 def load_iapp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the iapp dimension for a scale-factor directory."""
-    from .tables import load_table
-
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _events_view(spark, sf_dir)
     return spark.sql(
         f"WITH {bid_logs_cte('spark')}, {iapp_cte('spark')} SELECT * FROM iapp"
     )

@@ -54,8 +54,12 @@ def main() -> None:
     from adtech_log_data_pipeline_spark.plans.queries import QUERIES
 
     spark = get_spark("bench")
-    # warm the JVM/scan path so per-query numbers measure the queries
+    # warm the JVM (codegen infra, parquet readers, Python workers) so
+    # per-query numbers measure the queries, not first-touch costs
+    from adtech_log_data_pipeline_spark.sources.bidlogs import load_bid_logs
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    load_bid_logs(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
