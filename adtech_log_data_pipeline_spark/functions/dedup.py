@@ -190,6 +190,66 @@ def simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", assemble.cast("int").alias("simhash"))
 
 
+def dedup_clusters(
+    documents: DataFrame, candidates: DataFrame | None = None, max_iters: int = 20
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the candidate-pair
+    graph via distributed min-label propagation (the iterative-algorithm
+    pattern — alternating small joins until fixpoint, convergence checked
+    with a cheap driver-side count per round).
+
+    Output: (doc_id, component_id) for every document appearing in at least
+    one candidate pair, where component_id = min doc_id of its component.
+    Components are tiny in practice (near-dup groups), so the iteration
+    count is the graph diameter — bounded by max_iters as a safety rail.
+    """
+    from pyspark.sql import functions as F
+
+    if candidates is None:
+        candidates = minhash_candidates(documents)
+    edges = (
+        candidates.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            candidates.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    ).persist()
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component_id", "old"), "doc_id")
+            .filter(F.col("component_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
 ) -> DataFrame:

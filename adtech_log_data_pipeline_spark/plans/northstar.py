@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -71,6 +72,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup candidate graph (iterative
+    min-label propagation; oracle: DuckDB recursive CTE)."""
+    return dedup_clusters(_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over the MinHash candidate pairs."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
@@ -123,6 +130,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -256,6 +264,20 @@ cand AS (
 
 _ORACLE_DEDUP_MINHASH = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM cand"
 
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+reach(doc_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, min(lbl) AS component_id FROM reach GROUP BY doc_id
+"""
+
 
 def _oracle_dedup_simhash() -> str:
     h16 = "(('0x' || substr(md5(t), 1, 4))::BIGINT)"
@@ -388,6 +410,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "doc_fingerprints": _ORACLE_FINGERPRINTS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+    "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _oracle_dedup_simhash(),
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,

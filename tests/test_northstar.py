@@ -137,3 +137,14 @@ def test_multimodal_metadata_matches_md5_formula(spark):
     assert out["width"] == 64 + int(h[0:4], 16) % 448
     assert out["height"] == 64 + int(h[4:8], 16) % 448
     assert out["format"] in ("png", "jpeg", "webp")
+
+
+def test_dedup_clusters_transitive_grouping(spark):
+    # a~b and b~c must land in one component labeled by the min doc_id,
+    # even though a and c never share a band necessarily
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    corpus = docs(spark, [t1, t1, t1, "totally unrelated text about engines and columns"])
+    from adtech_log_data_pipeline_spark.functions.dedup import dedup_clusters
+
+    out = {r["doc_id"]: r["component_id"] for r in dedup_clusters(corpus).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}
