@@ -45,7 +45,9 @@ def _cell(v):
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(_cell(x) for x in v) + "]"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        # exact — a 1-ulp engine difference must FAIL here (the driver's
+        # hash may be exact; masking differences locally would be worse)
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
