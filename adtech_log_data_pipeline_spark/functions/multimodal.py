@@ -33,8 +33,11 @@ def with_blob_column(documents: DataFrame) -> DataFrame:
     text). A real pipeline reads these from object storage; the engine
     treats the bytes as opaque either way."""
     # repartition: blob tables should parallelize by bytes, and the synthetic
-    # source arrives as a single parquet partition
-    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    # source arrives as a single parquet partition. Cap the fan-out — each
+    # partition spins a Python worker (pandas import + Arrow channel), so
+    # tiny corpora should not pay 32 worker cold-starts.
+    sc = documents.sparkSession.sparkContext
+    n_parts = min(8, sc.defaultParallelism)
     return documents.repartition(n_parts, "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )

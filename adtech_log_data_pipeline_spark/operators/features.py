@@ -89,6 +89,93 @@ def feature_inputs(
     )
 
 
+def feature_pipeline_from_valid(
+    valid_logs: DataFrame,
+    iapp: DataFrame,
+    thresholds=None,
+) -> DataFrame:
+    """Fused flat-path pipeline: suspicious detection AND feature assembly
+    off ONE shared per-device aggregate — a single shuffle over the fact
+    produces (first_at, app_count, geo_cnt, total_bids) for both consumers
+    (separately, suspicious_ids_from_valid and feature_inputs_from_valid
+    each re-aggregate the fact). Output identical to
+    feature_inputs_from_valid(v, suspicious_ids_from_valid(v, t), iapp) —
+    oracle- and test-checked."""
+    from .suspicious import SuspiciousThresholds
+
+    t = thresholds or SuspiciousThresholds()
+    device_apps = valid_logs.select(
+        "os", "uuid", F.col("app_bundle").alias("bundle")
+    ).distinct().persist()
+
+    dev_stats = valid_logs.groupBy("os", "uuid").agg(
+        F.min("received_at").alias("first_at"),
+        F.countDistinct("app_bundle").cast("int").alias("app_count"),
+        F.countDistinct("geo_country", "geo_region").alias("geo_cnt"),
+        F.count(F.lit(1)).alias("total_bids"),
+    )
+
+    popular = (
+        device_apps.groupBy("bundle")
+        .agg(F.countDistinct("os", "uuid").alias("user_count"))
+        .filter(F.col("user_count") > t.user_count)
+        .select("bundle")
+    )
+    unpopular_counts = (
+        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        .groupBy("os", "uuid")
+        .agg(F.count(F.lit(1)).alias("unpopular_apps"))
+    )
+
+    kept = (
+        dev_stats.join(unpopular_counts, ["os", "uuid"], "left")
+        .withColumn("unpopular_apps", F.coalesce(F.col("unpopular_apps"), F.lit(0)))
+        .filter(
+            ~(
+                (F.col("geo_cnt") > t.geo_count)
+                | (F.col("unpopular_apps") > t.app_count)
+                | (F.col("total_bids") > t.bid_log_count)
+            )
+        )
+        .filter(F.substring(F.col("uuid"), 8, 1) == "0")
+        .select("os", "uuid", "first_at", "app_count")
+    )
+
+    matched = (
+        device_apps.join(kept.select("os", "uuid"), ["os", "uuid"], "left_semi")
+        .join(F.broadcast(iapp), "bundle", "inner")
+        .groupBy("os", "uuid")
+        .agg(
+            F.count(F.lit(1)).alias("intersect_app"),
+            F.sum("num_purchasers").alias("intersect_purchaser"),
+            F.sum("total_amount").alias("intersect_amount"),
+        )
+    )
+    totals = iapp.agg(
+        F.count(F.lit(1)).alias("iapp_size"),
+        F.coalesce(F.sum("num_purchasers"), F.lit(0)).alias("total_purchasers"),
+        F.coalesce(F.sum("total_amount"), F.lit(0)).alias("total_amount_sum"),
+    )
+    out = (
+        kept.join(matched, ["os", "uuid"], "left")
+        .fillna(0, ["intersect_app", "intersect_purchaser", "intersect_amount"])
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "os",
+        "uuid",
+        "first_at",
+        "app_count",
+        "intersect_app",
+        "intersect_purchaser",
+        "intersect_amount",
+        (F.col("intersect_app") / (F.lit(1) + F.col("iapp_size"))).alias("f486"),
+        (F.col("intersect_purchaser") / (F.lit(1) + F.col("total_purchasers"))).alias("f586"),
+        (F.col("intersect_app") / (F.lit(1) + F.col("app_count"))).alias("f686"),
+        (F.col("intersect_amount") / (F.lit(1) + F.col("total_amount_sum"))).alias("f777"),
+    )
+
+
 def feature_inputs_from_valid(
     valid_logs: DataFrame,
     suspicious: DataFrame,

@@ -32,7 +32,7 @@ from ..operators.suspicious import (
     suspicious_ids,
     suspicious_ids_from_valid,
 )
-from ..operators.features import feature_inputs_from_valid
+from ..operators.features import feature_pipeline_from_valid
 from ..operators.inference import predict
 from .relational import RELATIONAL_SQL
 from .northstar import NORTHSTAR_QUERIES
@@ -114,12 +114,12 @@ def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3/F6/A6/A7: blacklist anti-join, 1/16 sample, IAPP intersection
     aggregates + the 4 ratio features (flat-path formulation).
 
-    The validated frame feeds three consumers (suspicious rules, device
-    rollup, device-app pairs) — persist it so the scan+derive+filter chain
-    runs once (at cluster scale: a checkpoint of the validated fact)."""
+    Fused formulation: ONE shared per-device aggregate feeds both the
+    suspicious rules and the feature assembly (operators/features.py::
+    feature_pipeline_from_valid); the validated frame is persisted so the
+    scan+derive chain runs once."""
     v = _valid(spark, sf_dir).persist()
-    susp = suspicious_ids_from_valid(v, QUERY_THRESHOLDS)
-    return feature_inputs_from_valid(v, susp, load_iapp(spark, sf_dir))
+    return feature_pipeline_from_valid(v, load_iapp(spark, sf_dir), QUERY_THRESHOLDS)
 
 
 def q_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,7 +45,10 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long and convert at the source (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: give the single JVM real headroom so
+        # long sessions (bench runs 28 queries back-to-back) don't degrade
+        # into GC thrash; override with SPARK_DRIVER_MEM
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

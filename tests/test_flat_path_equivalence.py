@@ -46,3 +46,15 @@ def test_feature_paths_equal(spark):
     nested = feature_inputs(p, susp, iapp)
     flat = feature_inputs_from_valid(v, suspicious_ids_from_valid(v, T), iapp)
     assert rows(nested) == rows(flat)
+
+
+def test_fused_pipeline_equals_composed(spark):
+    from adtech_log_data_pipeline_spark.operators.features import (
+        feature_pipeline_from_valid,
+    )
+
+    v = valid_bid_logs(load_bid_logs(spark, SF))
+    iapp = load_iapp(spark, SF)
+    composed = feature_inputs_from_valid(v, suspicious_ids_from_valid(v, T), iapp)
+    fused = feature_pipeline_from_valid(v, iapp, T)
+    assert rows(composed) == rows(fused)
