@@ -66,6 +66,31 @@ def _shingles() -> F.Column:
     )
 
 
+def _shingle_rows_with_pos(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, s) shingle rows with 0-based positions — winnowing and
+    other order-aware consumers. Same construction as _shingle_rows."""
+    from pyspark.sql.window import Window
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    d = documents.repartition(n_parts, "doc_id").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    tok = d.filter(F.size("toks") >= SHINGLE).select(
+        "doc_id", F.posexplode("toks").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    long_docs = (
+        tok.withColumn("t2", F.lead("t", 1).over(w))
+        .withColumn("t3", F.lead("t", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select("doc_id", "pos", F.concat_ws(" ", "t", "t2", "t3").alias("s"))
+    )
+    short_docs = d.filter(F.size("toks") < SHINGLE).select(
+        "doc_id", F.lit(0).alias("pos"), F.concat_ws(" ", "toks").alias("s")
+    )
+    return long_docs.unionByName(short_docs)
+
+
 def _shingle_rows(documents: DataFrame) -> DataFrame:
     """(doc_id, s) shingle rows — posexplode + lead() window, all codegen.
     Identical shingle multiset to _shingles(); short docs (<3 tokens) emit

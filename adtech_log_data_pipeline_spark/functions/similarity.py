@@ -106,6 +106,63 @@ def lsh_signatures(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     return dots.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
 
 
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 10) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest seed
+    centroid. Seeds are a deterministic corpus sample (vec_id % stride == 0
+    for ~n_lists seeds) — the stand-in for k-means centroids, keeping the
+    whole index oracle-reproducible. Centroids broadcast; assignment is a
+    map-side argmax, (vec_id, list_id)."""
+    from pyspark.sql.window import Window
+
+    total = embeddings.count()
+    stride = max(1, total // n_lists)
+    seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("a")
+    )
+    scored = embeddings.select(
+        F.col("vec_id"), F.col("embedding").alias("b")
+    ).crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "list_id", F.round(_cosine(), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_lists: int = 10
+) -> DataFrame:
+    """IVF search: rank candidates only within the query's inverted list
+    (n_probes=1). Same output shape as brute_force_topk; at scale the
+    inverted lists bound the scan to corpus/n_lists per query — the
+    centroid-table sibling of the LSH path."""
+    from pyspark.sql.window import Window
+
+    assign = ivf_assignments(embeddings, n_lists)
+    corpus = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "list_id"
+    )
+    q = queries.join(assign, queries.query_id == assign.vec_id).select(
+        "query_id", F.col("qvec").alias("a"), "list_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_cosine(), 6).alias("cos_sim_r6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_r6")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Same
     output shape as brute_force_topk; recall < 1 by construction."""

@@ -113,6 +113,45 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_WINDOW = 4  # consecutive shingle hashes per winnowing window
+
+
+def winnowing_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every word 3-gram
+    shingle, slide a window of WINNOW_WINDOW consecutive hashes, keep each
+    window's minimum — the classic local-fingerprinting scheme that
+    guarantees shared substrings of sufficient length produce shared
+    fingerprints. Output: distinct (doc_id, fp bigint).
+
+    All codegen: shingle rows via window lead(), hash via md5 prefix, the
+    rolling minimum via a frame-bounded window min."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _shingle_rows_with_pos
+
+    sh = _shingle_rows_with_pos(documents).select(
+        "doc_id",
+        "pos",
+        F.expr("cast(conv(substr(md5(cast(s as binary)), 1, 8), 16, 10) as bigint)").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
+    )
+    n = Window.partitionBy("doc_id")
+    return (
+        sh.withColumn("win_min", F.min("h").over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(n))
+        # only complete windows (or the single short-doc window)
+        .filter(
+            (F.col("pos") <= F.col("n_sh") - WINNOW_WINDOW) | (F.col("pos") == 0)
+        )
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic fingerprints per document:
       content_hash  — md5 of whitespace-normalized lower-cased text

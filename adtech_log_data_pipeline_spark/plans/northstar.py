@@ -20,8 +20,15 @@ from ..functions.dedup import (
     simhash,
 )
 from ..functions.multimodal import decode_image_metadata, with_blob_column
-from ..functions.similarity import brute_force_topk, lsh_topk
-from ..functions.text import LANG_MARKERS, STOPWORDS, doc_fingerprints, lang_id, text_stats
+from ..functions.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprints,
+    lang_id,
+    text_stats,
+    winnowing_fingerprints,
+)
 from ..sources.tables import load_table
 
 N_QUERY_VECS = 10  # vec_id < 10 are the similarity query vectors
@@ -93,6 +100,16 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (centroid-table scale path)."""
+    return ivf_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints."""
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob synthesis + Arrow-batched stub decode."""
     return decode_image_metadata(with_blob_column(_docs(spark, sf_dir)))
@@ -134,6 +151,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "winnowing": q_winnowing,
     "multimodal_meta": q_multimodal_meta,
     "stream_window_counts": q_stream_window_counts,
     "streaming_sessionize": q_streaming_sessionize,
@@ -394,6 +413,73 @@ SELECT user_id,
 FROM sess GROUP BY user_id, session_id
 """
 
+_ORACLE_IVF = f"""
+WITH params AS (SELECT greatest(1, count(*) // 10) AS stride FROM embeddings),
+seeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
+          FROM embeddings, params WHERE vec_id % stride = 0),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.sv)
+                                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                     * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                              s.list_id) AS rn
+    FROM embeddings e CROSS JOIN seeds s) t
+  WHERE rn = 1
+),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS a, x.list_id
+      FROM embeddings e JOIN assign x USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
+c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS b, x.list_id
+      FROM embeddings e JOIN assign x USING (vec_id)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
+           AS cos_sim_r6
+  FROM q JOIN c USING (list_id) WHERE c.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
+FROM ranked WHERE rank <= 5
+"""
+
+_ORACLE_WINNOWING = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         END AS shingles
+  FROM t
+),
+shrows AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(shingles)),
+                i -> struct_pack(pos := i - 1, s := shingles[i]))) AS r
+  FROM sh
+),
+hashed AS (
+  SELECT doc_id, r.pos AS pos,
+         ('0x' || substr(md5(r.s), 1, 8))::BIGINT AS h
+  FROM shrows
+),
+wins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM hashed
+)
+SELECT DISTINCT doc_id, win_min AS fp
+FROM wins WHERE pos <= n_sh - 4 OR pos = 0
+"""
+
 _ORACLE_MULTIMODAL = """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -415,6 +501,8 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
+    "similarity_ivf_topk": _ORACLE_IVF,
+    "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,

@@ -32,12 +32,14 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_id",
     "doc_fingerprints",
+    "winnowing",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
     "similarity_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "multimodal_meta",
     "stream_window_counts",
     "streaming_sessionize",

@@ -148,3 +148,36 @@ def test_dedup_clusters_transitive_grouping(spark):
 
     out = {r["doc_id"]: r["component_id"] for r in dedup_clusters(corpus).collect()}
     assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_ivf_topk_shape(spark):
+    import numpy as np
+    from adtech_log_data_pipeline_spark.functions.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = ivf_topk(emb, q, k=3, n_lists=6).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_winnowing_shared_fingerprints_for_shared_substrings(spark):
+    from adtech_log_data_pipeline_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the old barn today"
+    d0 = shared + " with extra trailing words appended here"
+    d1 = "completely different prefix words then " + shared
+    d2 = "nothing in common with anything else at all whatsoever in this text"
+    out = winnowing_fingerprints(docs(spark, [d0, d1, d2])).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]  # the long shared run must yield shared fingerprints
+    assert not (fps[0] & fps[2])
