@@ -163,6 +163,29 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
+    bucket (sub-quadratic; the full cross product never materializes), then
+    the exact cosine filters at `threshold`. Output:
+    (vec_a, vec_b, cos_sim_r6) with vec_a < vec_b."""
+    sigs = lsh_signatures(embeddings)
+    tagged = embeddings.join(sigs, "vec_id")
+    left = tagged.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"), "bucket"
+    )
+    right = tagged.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine(), 6).alias("cos_sim_r6"))
+        .filter(F.col("cos_sim_r6") >= threshold)
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Same
     output shape as brute_force_topk; recall < 1 by construction."""

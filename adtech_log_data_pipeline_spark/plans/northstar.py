@@ -20,7 +20,12 @@ from ..functions.dedup import (
     simhash,
 )
 from ..functions.multimodal import decode_image_metadata, with_blob_column
-from ..functions.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -105,6 +110,11 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints."""
     return winnowing_fingerprints(_docs(spark, sf_dir))
@@ -152,6 +162,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "winnowing": q_winnowing,
     "multimodal_meta": q_multimodal_meta,
     "stream_window_counts": q_stream_window_counts,
@@ -448,6 +459,31 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
 FROM ranked WHERE rank <= 5
 """
 
+def _oracle_embedding_near_dup() -> str:
+    plane = (
+        "((('0x' || substr(md5(concat(CAST(i AS STRING), ':', CAST(d AS STRING))), 1, 8))::BIGINT)"
+        "::DOUBLE / 2147483647.5 - 1.0)"
+    )
+    sig = f"""
+    list_sum(list_transform(generate_series(0, 5), i ->
+      CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
+             d -> embedding[d + 1]::DOUBLE * {plane})) >= 0
+           THEN (1 << i) ELSE 0 END))
+    """
+    return f"""
+WITH sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings),
+t AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cos_sim_r6
+FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
 _ORACLE_WINNOWING = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (
@@ -502,6 +538,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,
+    "embedding_near_dup": _oracle_embedding_near_dup(),
     "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "embedding_near_dup",
     "multimodal_meta",
     "stream_window_counts",
     "streaming_sessionize",
