@@ -1,0 +1,51 @@
+"""Session-scoped registry for persisted intermediate frames.
+
+Operators that reuse a subplan across two consumers (LSH signatures feeding
+both sides of a bucket join, the IVF assignment feeding corpus and query
+joins, the MinHash band relation feeding a self-join) persist it via
+``hold()`` so the shared work executes once. The registry keeps the handle
+so a long-lived session can release everything between queries instead of
+accumulating cached partitions forever — ``plans/queries.py`` wraps every
+declared query with a ``release_cached()`` so at most one query's
+intermediates are ever cached, and bench/test harnesses call it explicitly.
+
+At 100 TB these held frames are exactly the artifacts you would checkpoint
+(signatures, assignments, band keys: a few small columns per corpus row),
+so persisting them is the scale-correct plan, not a local hack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_HELD: list[DataFrame] = []
+
+
+def hold(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Persist ``df`` and register it for later release. ``eager=True``
+    materializes immediately (one cheap action) so concurrent consumers in
+    the same downstream job never race to populate the cache."""
+    df = df.persist()
+    _HELD.append(df)
+    if eager:
+        df.count()
+    return df
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for later release (for callers
+    that manage persist/unpersist inside a loop and only the survivor
+    needs releasing)."""
+    _HELD.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame registered since the last release."""
+    global _HELD
+    held, _HELD = _HELD, []
+    for df in held:
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -21,12 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import hold, register
 from .text import tokens_col
 
 N_PERM = 16  # MinHash permutations
 N_BANDS = 4  # LSH bands -> r = N_PERM / N_BANDS = 4 rows per band
 SHINGLE = 3  # word-shingle width
 SIMHASH_BITS = 16
+# Degenerate-bucket guardrail: membership of a single (band, key) bucket is
+# capped (keep-rule: smallest doc_ids) so an adversarial corpus of identical
+# documents stays bucket-local O(cap^2) instead of O(n^2). The DuckDB oracle
+# states the identical cap; no real bucket approaches it on honest data.
+BAND_BUCKET_CAP = 500
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -150,29 +156,42 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(documents: DataFrame) -> DataFrame:
+def minhash_candidates(
+    documents: DataFrame, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
     """LSH banding: docs sharing any band of 4 consecutive signature slots
     are near-dup candidates. Output: distinct (doc_a, doc_b) with
     doc_a < doc_b. The self-join shuffles on the band hash — bucket sizes,
-    not the corpus, drive the cost."""
+    not the corpus, drive the cost, so bucket membership is capped at
+    `bucket_cap` (smallest doc_ids kept) to bound the worst case."""
+    from pyspark.sql.window import Window
+
     # persist: the band relation is consumed twice (self-join) — without it
     # the whole shingle+signature pipeline runs once PER SIDE. One row per
     # (doc, band): small at any corpus size (this is the artifact you'd
-    # checkpoint in a 100 TB run too).
+    # checkpoint in a 100 TB run too). Registered with functions/_cache.py
+    # so harnesses release it after the query.
     sigs = minhash_signatures(documents)
     r = N_PERM // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""
-                transform(sequence(0, {N_BANDS - 1}),
-                          b -> struct(b AS band,
-                                      md5(cast(concat_ws('|', transform(slice(sig, b * {r} + 1, {r}), x -> cast(x as string))) as binary)) AS key))
-                """
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key").persist()
+    wcap = Window.partitionBy("band", "key").orderBy("doc_id")
+    bands = hold(
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {N_BANDS - 1}),
+                              b -> struct(b AS band,
+                                          md5(cast(concat_ws('|', transform(slice(sig, b * {r} + 1, {r}), x -> cast(x as string))) as binary)) AS key))
+                    """
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.key")
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -225,14 +244,17 @@ def dedup_clusters(
 
     Output: (doc_id, component_id) for every document appearing in at least
     one candidate pair, where component_id = min doc_id of its component.
-    Components are tiny in practice (near-dup groups), so the iteration
-    count is the graph diameter — bounded by max_iters as a safety rail.
+    Each round combines a neighbor-min step with a pointer-jumping step
+    (label := label of my label), so convergence is O(log diameter) rounds
+    rather than O(diameter) — a chain of 1M near-dups converges in ~20
+    rounds. Non-convergence inside max_iters raises rather than silently
+    returning partial components.
     """
     from pyspark.sql import functions as F
 
     if candidates is None:
         candidates = minhash_candidates(documents)
-    edges = (
+    edges = hold(
         candidates.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             candidates.select(
@@ -240,24 +262,36 @@ def dedup_clusters(
             )
         )
         .distinct()
-        .persist()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     ).persist()
 
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+            ).alias("component_id"),
+        )
+        # pointer jumping: follow my label's label (labels are doc_ids, so
+        # the self-join resolves one extra hop per round — halves the
+        # remaining distance to the component minimum each iteration)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_doc"), F.col("component_id").alias("p_lbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(parent, stepped.component_id == parent.p_doc, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component_id"), F.coalesce(F.col("nbr_min"), F.col("component_id"))
+                    F.col("component_id"), F.coalesce(F.col("p_lbl"), F.col("component_id"))
                 ).alias("component_id"),
             )
             .persist()
@@ -271,8 +305,15 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_iters} pointer-jumping rounds (graph diameter > 2^{max_iters})"
+        )
+    return register(labels)
 
 
 def ngram_jaccard_pairs(
@@ -286,7 +327,7 @@ def ngram_jaccard_pairs(
     # join formulation: distinct shingle ROWS, intersection = equi-join count
     # restricted to candidate pairs — no per-row array_intersect over big
     # arrays, and every stage is a codegen hash agg/join
-    ds = _shingle_rows(documents).distinct().persist()
+    ds = hold(_shingle_rows(documents).distinct())
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     inter = (
         candidates.join(

@@ -1,36 +1,114 @@
 """Similarity search over the `embeddings` table (vec_id, embedding
-array<float>, label) — brute-force cosine top-k as the exact baseline and
-a random-hyperplane LSH variant as the scale path (BASELINE.json north
-star).
+array<float>, label) — brute-force cosine top-k as the exact baseline,
+random-hyperplane LSH and IVF inverted lists as the scale paths
+(BASELINE.json north star).
 
 Scale design: brute force is O(queries x corpus) — correct but only
 viable when the query set is small or the corpus is pre-filtered; it
 broadcasts the query vectors so the corpus never shuffles. The LSH
-variant hashes every vector to a signature bucket map-side; the join then
-touches only same-bucket pairs (tunable recall via bits/probes). An IVF
-variant would follow the same pattern with learned centroids instead of
-random hyperplanes.
+variant hashes every vector to a signature bucket map-side (one
+Arrow-batched matmul, no shuffle, no per-dim row blow-up); the join then
+touches only same-bucket pairs. The IVF variant does the same with
+sampled centroids instead of random hyperplanes. Shared subplans
+(signatures, assignments) are persisted through functions/_cache.py so
+they compute once per query, and vector norms are projected per SIDE
+before any join so the per-pair work is a single dot product.
 
-All math is JVM-side higher-order functions (zip_with/aggregate) in
-double precision, accumulated in array order — deterministic.
+Determinism: every dot product that feeds a sign test or a ranking is
+rounded to 1e-6 first, so a float-summation-order difference between
+Spark and the DuckDB oracle can never flip a bucket bit or a rank.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LSH_BITS = 6  # ~corpus/64 vectors per bucket; raise for larger corpora
-
+LSH_BITS_MIN = 6  # floor; lsh_bits() scales with the corpus (bucket ~ 64 vecs)
+LSH_TARGET_BUCKET = 64
+# Degenerate-bucket guardrail for the near-dup candidate join: an
+# all-identical corpus would otherwise make one bucket O(n^2). Membership
+# beyond the cap (deterministic keep-rule: smallest vec_ids) is dropped
+# from PAIR GENERATION only; at the default no real bucket reaches it.
+NEAR_DUP_BUCKET_CAP = 1000
 
 _DOT = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
-_NORM = "sqrt(aggregate({v}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
 
 
-def _cosine() -> F.Column:
+def _norm(col: str) -> F.Column:
     return F.expr(
-        f"{_DOT} / (({_NORM.format(v='a')}) * ({_NORM.format(v='b')}))"
+        f"sqrt(aggregate({col}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"
     )
+
+
+def _cosine_r6() -> F.Column:
+    """round(dot(a, b) / (na * nb), 6) with the norms ALREADY projected on
+    each side (columns na/nb) — the per-pair lambda work is one dot, not
+    three array folds (the norms would otherwise be recomputed once per
+    PAIR instead of once per vector)."""
+    return F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+
+
+def lsh_bits(n: int) -> int:
+    """Hyperplane count scaled to the corpus: enough bits that the mean
+    bucket holds ~LSH_TARGET_BUCKET vectors, floored at LSH_BITS_MIN. The
+    DuckDB oracle states the identical formula (greatest/ceil/log2), so
+    both sides derive the same bucket space at any scale."""
+    if n <= LSH_TARGET_BUCKET:
+        return LSH_BITS_MIN
+    return max(LSH_BITS_MIN, math.ceil(math.log2(n / float(LSH_TARGET_BUCKET))))
+
+
+_PLANES: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _planes(bits: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: w[d, i] derived from
+    md5(f"{i}:{d}") mapped into [-1, 1] — restatable verbatim in DuckDB.
+    Built once per Python worker process (module cache)."""
+    key = (bits, dim)
+    if key not in _PLANES:
+        import hashlib
+
+        w = np.empty((dim, bits), dtype=np.float64)
+        for i in range(bits):
+            for d in range(dim):
+                w[d, i] = (
+                    int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+                    / 2147483647.5
+                    - 1.0
+                )
+        _PLANES[key] = w
+    return _PLANES[key]
+
+
+def lsh_signatures(embeddings: DataFrame, bits: int = LSH_BITS_MIN) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bit i = sign(round(dot(v, h_i), 6)).
+
+    Map-side only: one Arrow-batched float64 matmul per batch against the
+    broadcast-by-closure (bits x dim) weight matrix — no posexplode, no
+    (vec, dim) shuffle, no driver action to learn the dimension (the batch
+    itself carries it). The sign test rounds the dot to 1e-6 so a
+    summation-order difference vs the sequential DuckDB oracle can never
+    flip a bucket bit."""
+
+    @F.pandas_udf("int")
+    def bucket(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        w = _planes(bits, x.shape[1])
+        dots = np.round(x @ w, 6)
+        sig = ((dots >= 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(
+            axis=1
+        )
+        return pd.Series(sig.astype(np.int32))
+
+    return embeddings.select("vec_id", bucket(F.col("embedding")).alias("bucket"))
 
 
 def brute_force_topk(
@@ -39,22 +117,27 @@ def brute_force_topk(
     """Exact cosine top-k neighbors for each query vector.
 
     `queries` is (query_id, qvec); the full corpus is scanned once per
-    partition with the queries broadcast. Ranking uses the cosine rounded
-    to 1e-6 with doc-id tiebreak so results are stable under any float
-    summation schedule. Output: (query_id, neighbor_id, rank, cos_sim_r6).
-    """
+    partition with the queries broadcast. Norms are projected per side
+    before the join (once per vector, not per pair); ranking uses the
+    cosine rounded to 1e-6 with doc-id tiebreak so results are stable
+    under any float summation schedule. Output:
+    (query_id, neighbor_id, rank, cos_sim_r6)."""
     from pyspark.sql.window import Window
 
-    q = queries.select(F.col("query_id"), F.col("qvec").alias("a"))
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"))
+    q = queries.select(
+        F.col("query_id"),
+        F.col("qvec").alias("a"),
+        _norm("qvec").alias("na"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(), 6).alias("cos_sim_r6"),
-        )
+        .select("query_id", "neighbor_id", _cosine_r6().alias("cos_sim_r6"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim_r6").desc(), F.col("neighbor_id")
@@ -66,63 +149,34 @@ def brute_force_topk(
     )
 
 
-def lsh_signatures(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
-    """Random-hyperplane (sign) LSH: bit i = sign(dot(v, h_i)) where h_i is
-    a deterministic pseudo-random hyperplane derived from (i, dim) via a
-    md5-based weight in [-1, 1].
-
-    Shape: the hyperplane WEIGHTS are a tiny (bits x dim) table built once
-    and broadcast; vectors posexplode to (vec, dim, x) rows and two codegen
-    hash-aggs produce the signature. The naive nested-lambda form computes
-    bits x dim interpreted md5 calls PER VECTOR (~40x slower at sf0.1)."""
-    import hashlib
-
-    spark = embeddings.sparkSession
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = spark.createDataFrame(
-        [
-            (
-                i,
-                d,
-                int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
-                / 2147483647.5
-                - 1.0,
-            )
-            for i in range(bits)
-            for d in range(dim)
-        ],
-        "i int, d int, w double",
-    )
-    n_parts = spark.sparkContext.defaultParallelism
-    dims = embeddings.repartition(n_parts, "vec_id").select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    )
-    dots = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "i")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
-    )
-    bit = F.when(F.col("dot") >= 0, F.expr("shiftleft(1, i)")).otherwise(0)
-    return dots.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
-
-
-def ivf_assignments(embeddings: DataFrame, n_lists: int = 10) -> DataFrame:
+def ivf_assignments(
+    embeddings: DataFrame, n_lists: int = 10, total: int | None = None
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest seed
     centroid. Seeds are a deterministic corpus sample (vec_id % stride == 0
     for ~n_lists seeds) — the stand-in for k-means centroids, keeping the
-    whole index oracle-reproducible. Centroids broadcast; assignment is a
-    map-side argmax, (vec_id, list_id)."""
+    whole index oracle-reproducible. Centroids broadcast with precomputed
+    norms; assignment is a map-side argmax, (vec_id, list_id). Pass
+    ``total`` when the caller already knows the corpus size to skip the
+    count scan."""
     from pyspark.sql.window import Window
 
-    total = embeddings.count()
+    if total is None:
+        total = embeddings.count()
     stride = max(1, total // n_lists)
     seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("list_id"), F.col("embedding").alias("a")
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("a"),
+        _norm("embedding").alias("na"),
     )
-    scored = embeddings.select(
-        F.col("vec_id"), F.col("embedding").alias("b")
-    ).crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "list_id", F.round(_cosine(), 6).alias("sim")
+    scored = (
+        embeddings.select(
+            F.col("vec_id"),
+            F.col("embedding").alias("b"),
+            _norm("embedding").alias("nb"),
+        )
+        .crossJoin(F.broadcast(seeds))
+        .select("vec_id", "list_id", _cosine_r6().alias("sim"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("list_id"))
     return (
@@ -138,20 +192,31 @@ def ivf_topk(
     """IVF search: rank candidates only within the query's inverted list
     (n_probes=1). Same output shape as brute_force_topk; at scale the
     inverted lists bound the scan to corpus/n_lists per query — the
-    centroid-table sibling of the LSH path."""
+    centroid-table sibling of the LSH path. The assignment relation feeds
+    both the corpus and the query joins, so it is persisted and
+    materialized ONCE (functions/_cache.py) — unpersisted, the whole
+    count + crossJoin + window-argmax subplan would run per consumer."""
     from pyspark.sql.window import Window
 
-    assign = ivf_assignments(embeddings, n_lists)
+    from ._cache import hold
+
+    assign = hold(ivf_assignments(embeddings, n_lists), eager=True)
     corpus = embeddings.join(assign, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "list_id"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+        "list_id",
     )
     q = queries.join(assign, queries.query_id == assign.vec_id).select(
-        "query_id", F.col("qvec").alias("a"), "list_id"
+        "query_id",
+        F.col("qvec").alias("a"),
+        _norm("qvec").alias("na"),
+        "list_id",
     )
     scored = (
         corpus.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(_cosine(), 6).alias("cos_sim_r6"))
+        .select("query_id", "neighbor_id", _cosine_r6().alias("cos_sim_r6"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim_r6").desc(), F.col("neighbor_id")
@@ -164,45 +229,78 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.8
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bucket_cap: int = NEAR_DUP_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
     bucket (sub-quadratic; the full cross product never materializes), then
-    the exact cosine filters at `threshold`. Output:
-    (vec_a, vec_b, cos_sim_r6) with vec_a < vec_b."""
-    sigs = lsh_signatures(embeddings)
-    tagged = embeddings.join(sigs, "vec_id")
+    the exact cosine filters at `threshold`. Bucket membership is capped at
+    `bucket_cap` (keep-rule: smallest vec_ids) so a degenerate corpus —
+    every vector identical — stays bucket-local O(cap^2) instead of O(n^2);
+    the oracle states the same cap. Output: (vec_a, vec_b, cos_sim_r6)
+    with vec_a < vec_b."""
+    from pyspark.sql.window import Window
+
+    from ._cache import hold
+
+    n = embeddings.count()
+    sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
+    wcap = Window.partitionBy("bucket").orderBy("vec_id")
+    tagged = (
+        embeddings.join(sigs, "vec_id")
+        .select("vec_id", F.col("embedding").alias("v"), _norm("embedding").alias("nv"), "bucket")
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
     left = tagged.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("a"),
+        F.col("nv").alias("na"),
+        "bucket",
     )
     right = tagged.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("b"),
+        F.col("nv").alias("nb"),
+        "bucket",
     )
     return (
         left.join(right, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(_cosine(), 6).alias("cos_sim_r6"))
+        .select("vec_a", "vec_b", _cosine_r6().alias("cos_sim_r6"))
         .filter(F.col("cos_sim_r6") >= threshold)
     )
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Same
-    output shape as brute_force_topk; recall < 1 by construction."""
+    output shape as brute_force_topk; recall < 1 by construction. The
+    signature relation feeds both the corpus and the query joins —
+    persisted once via functions/_cache.py."""
     from pyspark.sql.window import Window
 
-    sigs = lsh_signatures(embeddings)
+    from ._cache import hold
+
+    n = embeddings.count()
+    sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
     corpus = embeddings.join(sigs, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+        "bucket",
     )
-    q = (
-        queries.join(sigs, queries.query_id == sigs.vec_id)
-        .select("query_id", F.col("qvec").alias("a"), "bucket")
+    q = queries.join(sigs, queries.query_id == sigs.vec_id).select(
+        "query_id",
+        F.col("qvec").alias("a"),
+        _norm("qvec").alias("na"),
+        "bucket",
     )
     scored = (
         corpus.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(_cosine(), 6).alias("cos_sim_r6"))
+        .select("query_id", "neighbor_id", _cosine_r6().alias("cos_sim_r6"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim_r6").desc(), F.col("neighbor_id")

@@ -104,9 +104,11 @@ def feature_pipeline_from_valid(
     from .suspicious import SuspiciousThresholds
 
     t = thresholds or SuspiciousThresholds()
-    device_apps = valid_logs.select(
-        "os", "uuid", F.col("app_bundle").alias("bundle")
-    ).distinct().persist()
+    from ..functions._cache import hold
+
+    device_apps = hold(
+        valid_logs.select("os", "uuid", F.col("app_bundle").alias("bundle")).distinct()
+    )
 
     dev_stats = valid_logs.groupBy("os", "uuid").agg(
         F.min("received_at").alias("first_at"),

@@ -10,11 +10,19 @@ vectorized matrix multiply — the same amortization, expressed through the
 engine's batching instead of hand-rolled buffers.
 
 The model itself is a deterministic stand-in (fixed integer-formula weight
-matrix, float32) preserving the reference's contract: 10 logits, score =
-max, prediction = argmax with ties broken toward the smallest index
+matrix) preserving the reference's contract: 10 logits, score = max,
+prediction = argmax with ties broken toward the smallest index
 (Predictions.java getArgMax:38-46 — np.argmax has the same tie rule).
 The 15 base images are likewise engine-owned deterministic constants, NOT
 copies of the reference's hardcoded image data.
+
+Oracle reproducibility: every value in the pipeline is derived by integer
+arithmetic followed by ONE double division (base pixels m/997, modulo
+slots m/i, weights m/50 — each exactly rounded identically by any IEEE-754
+engine), and the logits are rounded to 1e-6 before argmax/score so a
+summation-order difference between numpy's pairwise matmul and the DuckDB
+oracle's sequential list_sum can never flip a rank or a hash bit (the same
+convention the similarity family uses for cosine ranking).
 """
 
 from __future__ import annotations
@@ -39,41 +47,44 @@ _BASES: np.ndarray | None = None
 
 
 def _base_images() -> np.ndarray:
-    """15 deterministic 784-float base images in [0, 1), float32."""
+    """15 deterministic 784-float base images in [0, 1), float64: pixel
+    (k, i) = ((k+1)(i+1)·2654435761 mod 997) / 997 — exact integer work
+    plus one exactly-rounded double division, restated verbatim in the
+    DuckDB oracle."""
     global _BASES
     if _BASES is None:
         k = np.arange(N_BASE_IMAGES, dtype=np.int64)[:, None]
         i = np.arange(FEATURE_DIM, dtype=np.int64)[None, :]
-        _BASES = (((k + 1) * (i + 1) * 2654435761) % 997 / 997.0).astype(np.float32)
+        _BASES = ((k + 1) * (i + 1) * 2654435761) % 997 / 997.0
     return _BASES
 
 
 def _model_weights() -> np.ndarray:
-    """Deterministic (784, 10) float32 weight matrix — loaded once per
-    Python worker process (module global ≡ the reference's @Setup load)."""
+    """Deterministic (784, 10) float64 weight matrix — loaded once per
+    Python worker process (module global ≡ the reference's @Setup load).
+    w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1]."""
     global _MODEL
     if _MODEL is None:
         i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
         j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
-        _MODEL = (((i * 31 + j * 17) % 101 - 50) / 50.0).astype(np.float32)
+        _MODEL = ((i * 31 + j * 17) % 101 - 50) / 50.0
     return _MODEL
 
 
 def build_vectors(pdf: pd.DataFrame) -> np.ndarray:
-    """Vectorized R2: (n, 784) float32 from the feature_inputs columns."""
-    n = len(pdf)
+    """Vectorized R2: (n, 784) float64 from the feature_inputs columns."""
     base_idx = (
         pdf["uuid"].str.upper().str.slice(0, 1).map(lambda ch: ord(ch) if ch else 0)
         % N_BASE_IMAGES
     ).to_numpy()
     x = _base_images()[base_idx].copy()
-    x[:, SLOT_F486] = pdf["f486"].to_numpy(np.float32)
-    x[:, SLOT_F586] = pdf["f586"].to_numpy(np.float32)
-    x[:, SLOT_F686] = pdf["f686"].to_numpy(np.float32)
-    x[:, SLOT_F777] = pdf["f777"].to_numpy(np.float32)
+    x[:, SLOT_F486] = pdf["f486"].to_numpy(np.float64)
+    x[:, SLOT_F586] = pdf["f586"].to_numpy(np.float64)
+    x[:, SLOT_F686] = pdf["f686"].to_numpy(np.float64)
+    x[:, SLOT_F777] = pdf["f777"].to_numpy(np.float64)
     first_at = pdf["first_at"].to_numpy(np.int64)
     for i in MODULO_SLOTS:
-        x[:, i] = ((first_at % i) / np.float32(i)).astype(np.float32)
+        x[:, i] = (first_at % i) / float(i)
     return x
 
 
@@ -82,6 +93,7 @@ def predict(feature_inputs: DataFrame) -> DataFrame:
     Arrow-batched pass (no shuffle of 784-float arrays). Output matches the
     reference's BigQuery schema (PredictionJob.java:88-92):
       os string, uuid string, prediction int, score double
+    Logits are rounded to 1e-6 before argmax/max (see module docstring).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,13 +102,13 @@ def predict(feature_inputs: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             x = build_vectors(pdf)
-            logits = x @ w  # float32 matmul, deterministic
+            logits = np.round(x @ w, 6)  # float64 matmul, order-insensitive after rounding
             yield pd.DataFrame(
                 {
                     "os": pdf["os"],
                     "uuid": pdf["uuid"],
                     "prediction": logits.argmax(axis=1).astype(np.int32),
-                    "score": logits.max(axis=1).astype(np.float64),
+                    "score": logits.max(axis=1),
                 }
             )
 

@@ -281,10 +281,12 @@ sig AS (
   FROM hh
 ),
 bands AS (
-  SELECT doc_id, b.band,
-         md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
-                                            x -> CAST(x AS STRING)), '|')) AS key
-  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, b.band,
+           md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
+                                              x -> CAST(x AS STRING)), '|')) AS key
+    FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
+  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= 500
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -359,19 +361,30 @@ FROM ranked WHERE rank <= 5
 """
 
 
-def _oracle_similarity_lsh_topk() -> str:
+def _sigs_cte() -> str:
+    """Shared random-hyperplane signature CTE: bits scale with the corpus
+    (greatest(6, ceil(log2(n/64))) — identical to similarity.lsh_bits) and
+    the per-plane dot is rounded to 1e-6 before the sign test so a float
+    summation-order difference vs Spark can never flip a bucket bit."""
     plane = (
         "((('0x' || substr(md5(concat(CAST(i AS STRING), ':', CAST(d AS STRING))), 1, 8))::BIGINT)"
         "::DOUBLE / 2147483647.5 - 1.0)"
     )
     sig = f"""
-    list_sum(list_transform(generate_series(0, 5), i ->
-      CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
-             d -> embedding[d + 1]::DOUBLE * {plane})) >= 0
+    list_sum(list_transform(generate_series(0, bits - 1), i ->
+      CASE WHEN round(list_sum(list_transform(generate_series(0, len(embedding) - 1),
+             d -> embedding[d + 1]::DOUBLE * {plane})), 6) >= 0
            THEN (1 << i) ELSE 0 END))
     """
     return f"""
-WITH sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings),
+lshp AS (SELECT greatest(6, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS bits
+         FROM embeddings),
+sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings, lshp)"""
+
+
+def _oracle_similarity_lsh_topk() -> str:
+    return f"""
+WITH {_sigs_cte()},
 q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS a, s.bucket
       FROM embeddings e JOIN sigs s USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
 c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS b, s.bucket
@@ -460,20 +473,11 @@ FROM ranked WHERE rank <= 5
 """
 
 def _oracle_embedding_near_dup() -> str:
-    plane = (
-        "((('0x' || substr(md5(concat(CAST(i AS STRING), ':', CAST(d AS STRING))), 1, 8))::BIGINT)"
-        "::DOUBLE / 2147483647.5 - 1.0)"
-    )
-    sig = f"""
-    list_sum(list_transform(generate_series(0, 5), i ->
-      CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
-             d -> embedding[d + 1]::DOUBLE * {plane})) >= 0
-           THEN (1 << i) ELSE 0 END))
-    """
     return f"""
-WITH sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings),
+WITH {_sigs_cte()},
 t AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.bucket
-      FROM embeddings e JOIN sigs s USING (vec_id))
+      FROM embeddings e JOIN sigs s USING (vec_id)
+      QUALIFY row_number() OVER (PARTITION BY s.bucket ORDER BY e.vec_id) <= 1000)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)

@@ -201,6 +201,43 @@ matched AS (
     )
 
 
+def _oracle_predictions() -> str:
+    """Full restatement of the stand-in model (operators/inference.py) in
+    DuckDB list SQL: base image pixels, mutated slots, the (784, 10)
+    integer-formula weight matrix, and argmax-with-smallest-index-tie via
+    list_position. Logits rounded to 1e-6 on both sides, so numpy's
+    pairwise summation vs list_sum's sequential order cannot diverge."""
+    x_expr = """
+      CASE WHEN i = 486 THEN f486
+           WHEN i = 586 THEN f586
+           WHEN i = 686 THEN f686
+           WHEN i = 777 THEN f777
+           WHEN i >= 100 AND i <= 700 AND (i - 100) % 40 = 0
+                THEN CAST(first_at % i AS DOUBLE) / i
+           ELSE CAST(((k + 1) * (i + 1) * 2654435761) % 997 AS DOUBLE) / 997.0
+      END"""
+    return f"""
+WITH fi AS ({_oracle_feature_inputs()}),
+based AS (SELECT *, ord(substr(upper(uuid), 1, 1)) % 15 AS k FROM fi),
+xv AS (
+  SELECT os, uuid,
+         list_transform(generate_series(0, 783), i -> {x_expr}) AS x
+  FROM based
+),
+lg AS (
+  SELECT os, uuid,
+         list_transform(generate_series(0, 9), j ->
+           round(list_sum(list_transform(generate_series(0, 783), i ->
+             x[i + 1] * (CAST((i * 31 + j * 17) % 101 - 50 AS DOUBLE) / 50.0))), 6)) AS logits
+  FROM xv
+)
+SELECT os, uuid,
+       CAST(list_position(logits, list_max(logits)) - 1 AS INT) AS prediction,
+       list_max(logits) AS score
+FROM lg
+"""
+
+
 ORACLES: dict[str, str] = {
     "bidlog_validation": _oracle_bidlog_validation(),
     "device_profiles_flat": _oracle_device_profiles_flat(),
@@ -208,7 +245,7 @@ ORACLES: dict[str, str] = {
     "app_profiles_flat": _oracle_app_profiles_flat(),
     "suspicious_ids": _oracle_suspicious_ids(),
     "feature_inputs": _oracle_feature_inputs(),
-    # predictions: pandas-UDF inference — rows-only check, no oracle
+    "predictions": _oracle_predictions(),
     **{name: sql_fn("duckdb") for name, (sql_fn, _t) in RELATIONAL_SQL.items()},
     **NORTHSTAR_ORACLES,
 }

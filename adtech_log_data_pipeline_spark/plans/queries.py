@@ -118,7 +118,9 @@ def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suspicious rules and the feature assembly (operators/features.py::
     feature_pipeline_from_valid); the validated frame is persisted so the
     scan+derive chain runs once."""
-    v = _valid(spark, sf_dir).persist()
+    from ..functions._cache import hold
+
+    v = hold(_valid(spark, sf_dir))
     return feature_pipeline_from_valid(v, load_iapp(spark, sf_dir), QUERY_THRESHOLDS)
 
 
@@ -143,14 +145,32 @@ def _relational(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _hygienic(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's held/persisted intermediates before
+    building the next one: a long-lived session running many declared
+    queries caches at most one query's worth of frames at a time
+    (functions/_cache.py registry)."""
+    from ..functions._cache import release_cached
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_cached()
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "bidlog_validation": q_bidlog_validation,
-    "device_profiles_flat": q_device_profiles_flat,
-    "device_profile_summary": q_device_profile_summary,
-    "app_profiles_flat": q_app_profiles_flat,
-    "suspicious_ids": q_suspicious_ids,
-    "feature_inputs": q_feature_inputs,
-    "predictions": q_predictions,
-    **{name: _relational(name) for name in RELATIONAL_SQL},
-    **NORTHSTAR_QUERIES,
+    name: _hygienic(fn)
+    for name, fn in {
+        "bidlog_validation": q_bidlog_validation,
+        "device_profiles_flat": q_device_profiles_flat,
+        "device_profile_summary": q_device_profile_summary,
+        "app_profiles_flat": q_app_profiles_flat,
+        "suspicious_ids": q_suspicious_ids,
+        "feature_inputs": q_feature_inputs,
+        "predictions": q_predictions,
+        **{name: _relational(name) for name in RELATIONAL_SQL},
+        **NORTHSTAR_QUERIES,
+    }.items()
 }

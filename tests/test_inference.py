@@ -32,18 +32,18 @@ def test_vector_shape_and_slots():
                  "intersect_purchaser", "intersect_amount", "f486", "f586", "f686", "f777"],
     )
     x = build_vectors(pdf)
-    assert x.shape == (1, FEATURE_DIM) and x.dtype == np.float32
-    assert x[0, 486] == np.float32(0.5)
-    assert x[0, 586] == np.float32(0.88)
-    assert x[0, 777] == np.float32(0.94)
+    assert x.shape == (1, FEATURE_DIM) and x.dtype == np.float64
+    assert x[0, 486] == 0.5
+    assert x[0, 586] == 0.88
+    assert x[0, 777] == 0.94
     for i in MODULO_SLOTS:
-        assert x[0, i] == np.float32((12345 % i) / np.float32(i))
+        assert x[0, i] == (12345 % i) / float(i)
 
 
 def test_argmax_tie_breaks_to_smallest_index():
     # all-zero features -> logits all zero -> argmax must be class 0
-    x = np.zeros((1, FEATURE_DIM), dtype=np.float32)
-    logits = x @ _model_weights()
+    x = np.zeros((1, FEATURE_DIM))
+    logits = np.round(x @ _model_weights(), 6)
     assert logits.argmax(axis=1)[0] == 0
 
 
@@ -65,6 +65,6 @@ def test_scores_match_numpy_reference(spark):
     df = spark.createDataFrame(rows, FI_SCHEMA)
     got = predict(df).collect()[0]
     pdf = pd.DataFrame(rows, columns=df.columns)
-    logits = build_vectors(pdf) @ _model_weights()
+    logits = np.round(build_vectors(pdf) @ _model_weights(), 6)
     assert got["prediction"] == int(logits.argmax(axis=1)[0])
     assert abs(got["score"] - float(logits.max(axis=1)[0])) < 1e-4

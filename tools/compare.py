@@ -75,6 +75,8 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
@@ -84,6 +86,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_cached()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
