@@ -27,8 +27,9 @@ UUID_PATTERN = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0
 
 
 def _non_blank(name: str) -> Column:
-    c = F.col(name)
-    return c.isNotNull() & (F.trim(c) != F.lit(""))
+    # StringUtils.isBlank semantics: blank iff NO non-whitespace char —
+    # covers "\n"/"\t" padding that a space-only trim() would miss.
+    return F.col(name).rlike(r"\S")
 
 
 def is_valid_bidlog() -> Column:

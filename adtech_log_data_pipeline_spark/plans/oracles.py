@@ -35,9 +35,9 @@ valid_logs AS (
     AND processed_at > received_at
     AND lower(device_os) IN ('android','ios')
     AND regexp_full_match(device_ifa, '{_UUID_RE}')
-    AND app_bundle IS NOT NULL AND trim(app_bundle) <> ''
-    AND geo_country IS NOT NULL AND trim(geo_country) <> ''
-    AND geo_region IS NOT NULL AND trim(geo_region) <> ''
+    AND regexp_matches(app_bundle, '\S')
+    AND regexp_matches(geo_country, '\S')
+    AND regexp_matches(geo_region, '\S')
 )"""
 
 # Profile aggregation levels (reference mergeDps/mergeApps laws).
