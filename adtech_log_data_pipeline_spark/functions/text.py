@@ -72,7 +72,9 @@ def text_stats(documents: DataFrame) -> DataFrame:
             F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
             / F.size("toks")
         ).alias("avg_token_len"),
-        (F.col("n_punct") / F.col("n_chars_measured")).alias("punct_ratio"),
+        # nullif: an empty document must yield NULL (not a div-by-zero NaN
+        # that canonicalizes differently across engines)
+        (F.col("n_punct") / F.expr("nullif(n_chars_measured, 0)")).alias("punct_ratio"),
         (
             F.expr(f"size(filter(toks, t -> t IN ({stop_arr})))") / F.size("toks")
         ).alias("stopword_ratio"),

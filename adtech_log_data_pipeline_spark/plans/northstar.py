@@ -126,8 +126,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming: tumbling 1h windows with watermark, replayed
-    to completion over the events parquet (oracle = batch time_bucket)."""
+    """Structured Streaming: tumbling 1h windows with watermark, APPEND
+    output (windows emit once, when the watermark passes their end; state
+    evicted as windows close). Oracle = batch time_bucket restricted to
+    watermark-finalized windows."""
     from ..streaming import stream_window_counts
 
     return stream_window_counts(spark, sf_dir)
@@ -143,8 +145,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming per-device incremental profile aggregates (rows-only:
-    approx_count_distinct is engine-specific)."""
+    """Streaming per-device incremental profile aggregates — exact
+    first/last/count/distinct-type counts maintained by the state store
+    (oracle-checked; the approximate HLL variant is tolerance-tested in
+    operators/approx.py)."""
     from ..streaming import streaming_device_activity
 
     return streaming_device_activity(spark, sf_dir)
@@ -194,10 +198,10 @@ SELECT doc_id,
        CAST(n_tokens_bpe AS INT) AS n_tokens_bpe,
        CAST(n_chars_measured AS INT) AS n_chars_measured,
        list_sum(list_transform(toks, t -> length(t))) / len(toks) AS avg_token_len,
-       n_punct / n_chars_measured AS punct_ratio,
+       n_punct / nullif(n_chars_measured, 0) AS punct_ratio,
        len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) / len(toks) AS stopword_ratio,
        (CASE WHEN n_chars_measured BETWEEN 64 AND 4096 THEN 0.5 ELSE 0.0 END
-        + CASE WHEN n_punct / n_chars_measured <= 0.1 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_punct / nullif(n_chars_measured, 0) <= 0.1 THEN 0.25 ELSE 0.0 END
         + CASE WHEN len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) / len(toks) >= 0.05
                THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
 FROM t
@@ -212,9 +216,6 @@ def _oracle_lang_id() -> str:
         for lang, ws in LANG_MARKERS.items()
     )
     mx = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
-    pred = "CASE WHEN " + " WHEN ".join(
-        f"c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS
-    )
     pred = (
         f"CASE WHEN {mx} = 0 THEN 'unknown' "
         + " ".join(f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS)
@@ -407,11 +408,26 @@ FROM ranked WHERE rank <= 5
 
 
 _ORACLE_STREAM_WINDOW = """
-SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
-       event_type,
+WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+agg AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         (CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS sum_value
+  FROM events GROUP BY 1, 2
+)
+-- append mode emits a window when the watermark (max event time - delay,
+-- ms precision) passes its END; eviction at equality is inclusive
+SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_STREAM_DEVICE_ACTIVITY = """
+SELECT user_id,
+       epoch_ms(min(ts)) AS first_at,
+       epoch_ms(max(ts)) AS last_at,
        CAST(count(*) AS BIGINT) AS n_events,
-       (CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS sum_value
-FROM events GROUP BY 1, 2
+       CAST(count(DISTINCT event_type) AS INT) AS n_types
+FROM events GROUP BY user_id
 """
 
 _ORACLE_STREAM_SESSIONS = """
@@ -547,5 +563,5 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "multimodal_meta": _ORACLE_MULTIMODAL,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
-    # streaming_device_activity: approx_count_distinct — rows-only check
+    "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
 }

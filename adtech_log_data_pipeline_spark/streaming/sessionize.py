@@ -60,7 +60,10 @@ def _sessionize_group(
 
     # bounded replay: flush the open session at the end of input so the
     # result equals batch sessionization (an unbounded run would instead
-    # keep it in state and rely on the timeout to emit)
+    # keep it in state and rely on the timeout to emit). This flush is only
+    # correct when the replay is ONE micro-batch — _run_to_memory asserts
+    # that (expect_single_batch) rather than silently splitting sessions
+    # at batch boundaries.
     if start is not None:
         out.append((user_id, start, end, n))
         state.remove()
@@ -86,4 +89,4 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(sessions, "append")
+    return _run_to_memory(sessions, "append", expect_single_batch=True)

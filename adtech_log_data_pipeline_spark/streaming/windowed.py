@@ -3,16 +3,30 @@
 associative/commutative monoid and therefore streams cleanly).
 
 Patterns covered:
-  * tumbling event-time windows with a watermark over the events stream
+  * tumbling event-time windows with a watermark over the events stream,
+    APPEND output: a window row is emitted exactly once, when the
+    watermark passes its end — state is evicted as windows finalize, so
+    state size is bounded by the watermark delay x key cardinality at any
+    stream length. (Complete mode would retain every window ever seen and
+    re-emit the full result each batch — a scale-killer on unbounded
+    streams.)
   * the per-device profile aggregation running incrementally (same merge
     laws as operators/device_profile.py, maintained by the streaming
     state store)
 
 For local verification the parquet table is replayed through readStream
-with a memory sink and processAllAvailable() — one deterministic batch.
-On a cluster the same code points at Kafka/object-store streams; with
-watermarks bounding state, the aggregation state store holds one row per
-open (window, key).
+with a memory sink and an availableNow trigger. Spark runs a final
+no-data micro-batch after the replay (spark.sql.streaming.noDataMicroBatches,
+on by default), which advances the watermark to max(event_time) - delay
+and flushes every closed window — so the append-mode result is exactly
+the batch aggregation restricted to windows with end <= watermark, which
+is what the DuckDB oracle states (eviction at end == watermark is
+INCLUSIVE; verified empirically). Windows still open at end-of-replay
+(end > watermark) are correctly absent: on a real unbounded stream they
+would emit later.
+
+On a cluster the same code points at Kafka/object-store streams with a
+real sink; nothing here is memory-sink-specific except _run_to_memory.
 """
 
 from __future__ import annotations
@@ -25,9 +39,15 @@ from pyspark.sql import functions as F
 _QUERY_SEQ = 0
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, output_mode: str, expect_single_batch: bool = False
+) -> DataFrame:
     """Execute a streaming frame to completion against the available input
-    and return the materialized result (deterministic: single replay)."""
+    and return the materialized result (deterministic: single replay).
+    ``expect_single_batch=True`` asserts the replay arrived as ONE data
+    micro-batch — operators whose bounded-replay semantics depend on it
+    (sessionize's end-of-input flush) fail loudly instead of silently
+    splitting state across batch boundaries."""
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     name = f"stream_out_{os.getpid()}_{_QUERY_SEQ}"
@@ -39,6 +59,17 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if expect_single_batch:
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        if data_batches > 1:
+            raise RuntimeError(
+                f"bounded replay arrived as {data_batches} data batches; "
+                "this operator's end-of-input flush assumes exactly one "
+                "(set maxFilesPerTrigger/coalesce the input, or switch to "
+                "timeout-based emission for multi-batch replays)"
+            )
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -63,8 +94,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type with a 30-minute
-    watermark: count + exact-decimal value sum. Returns the final windows
-    as a batch frame (window exposed as epoch-ms start for portability)."""
+    watermark, APPEND output: each window emits once, when the watermark
+    (max event time - 30 min, ms precision) passes its end, and its state
+    is evicted — the scale-honest shape for unbounded streams. Count +
+    exact-decimal value sum per window; window exposed as epoch-ms start
+    for portability."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
@@ -76,7 +110,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "append")
     return out.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         "event_type",
@@ -87,8 +121,16 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 monoid streaming: per (user) device, incremental
-    first/last/count maintained by the state store — the streaming shape of
-    the reference's Combine.perKey(mergeDps)."""
+    first/last/count/distinct-type maintained by the state store — the
+    streaming shape of the reference's Combine.perKey(mergeDps). All
+    aggregates are exact (collect_set for the small event_type domain), so
+    the result is oracle-checkable; the HLL approximate variant lives in
+    operators/approx.py where it is tolerance-tested.
+
+    A global (un-windowed) keyed aggregation can only emit in complete or
+    update mode — complete + memory sink here because the bounded replay
+    wants the final table; production would use update mode into a
+    changelog/upsert sink, keeping one state row per device either way."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -97,7 +139,7 @@ def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_millis("ts")).alias("first_at"),
             F.max(F.unix_millis("ts")).alias("last_at"),
             F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("event_type").alias("approx_types"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
         )
     )
     return _run_to_memory(agg, "complete")

@@ -13,10 +13,20 @@ from adtech_log_data_pipeline_spark.streaming import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_window_counts_conserve_events(spark):
+def test_window_counts_emit_exactly_finalized_windows(spark):
+    """Append mode: every window whose end <= watermark (max event time -
+    30 min, inclusive) is emitted once; open windows are withheld."""
     out = stream_window_counts(spark, SF)
+    ev = load_table(spark, SF, "events")
+    wm_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0] - 30 * 60 * 1000
+    expected = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.unix_millis(F.col("w.end")) <= wm_ms)
+    )
+    assert out.count() == expected.count()
     total = out.agg(F.sum("n_events")).collect()[0][0]
-    assert total == load_table(spark, SF, "events").count()
+    assert total == expected.agg(F.sum("n")).collect()[0][0]
     assert out.columns == ["window_start_ms", "event_type", "n_events", "sum_value"]
 
 
@@ -30,16 +40,18 @@ def test_streaming_device_activity_matches_batch_bounds(spark):
             F.min(F.unix_millis("ts")).alias("first_at"),
             F.max(F.unix_millis("ts")).alias("last_at"),
             F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
         )
         .collect()
     }
     assert set(out) == set(batch)
     for uid, b in batch.items():
         s = out[uid]
-        assert (s["first_at"], s["last_at"], s["n_events"]) == (
+        assert (s["first_at"], s["last_at"], s["n_events"], s["n_types"]) == (
             b["first_at"],
             b["last_at"],
             b["n_events"],
+            b["n_types"],
         )
 
 
