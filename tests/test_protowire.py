@@ -1,0 +1,173 @@
+"""Protobuf wire-format codec (S3/S4 fidelity) — golden bytes, roundtrip,
+and the malformed-drop contract of ProtoUtils.decodeMessageBase64
+(reference utils/ProtoUtils.java:22-59, drop sites Features.java:72-79)."""
+
+import base64
+
+import pytest
+
+from adtech_log_data_pipeline_spark.sources.protowire import (
+    APP_PROFILE,
+    DEVICE_ID,
+    DEVICE_PROFILE,
+    DEVICE_PROFILE_SQL_SCHEMA,
+    WireError,
+    decode_b64_proto,
+    decode_message,
+    device_profile_to_row,
+    encode_b64_proto,
+    encode_message,
+    is_default_instance,
+    row_to_device_profile,
+)
+
+
+def small_profile():
+    return {
+        "device_id": {"os": 1, "uuid": "A"},
+        "app": [{"bundle": "b", "first_at": 1, "last_at": 2,
+                 "count_per_exchange": {1: 2}}],
+        "first_at": 1,
+        "last_at": 2,
+        "geo": [{"country": "us", "region": "ca"}],
+    }
+
+
+GOLDEN = bytes.fromhex(
+    "0a0508011201412a0d0a016210011802320408011002480150025a080a02757312026361"
+)
+
+
+def test_golden_wire_bytes():
+    """Hand-computed canonical encoding: field-number order, map entries as
+    nested {1:key,2:value} messages, defaults omitted."""
+    assert encode_message(small_profile(), DEVICE_PROFILE) == GOLDEN
+
+
+def test_golden_decode_roundtrip():
+    assert decode_message(GOLDEN, DEVICE_PROFILE) == small_profile()
+
+
+def test_decode_any_field_order():
+    """parseFrom accepts fields in any order — decode last_at before
+    device_id."""
+    reordered = GOLDEN[22:24] + GOLDEN[:22] + GOLDEN[24:]
+    assert decode_message(reordered, DEVICE_PROFILE) == small_profile()
+
+
+def test_unknown_fields_skipped():
+    """proto3 skips unknown fields (here: field 99 varint, field 98
+    length-delimited) instead of erroring."""
+    from adtech_log_data_pipeline_spark.sources.protowire import _write_varint
+
+    extra = bytearray()
+    _write_varint(extra, 99 << 3 | 0)   # field 99, varint
+    extra.append(0x07)
+    _write_varint(extra, 98 << 3 | 2)   # field 98, length-delimited
+    extra += bytes([0x02, 0x61, 0x62])
+    extra = bytes(extra)
+    assert decode_message(GOLDEN + extra, DEVICE_PROFILE) == small_profile()
+
+
+@pytest.mark.parametrize(
+    "spec, buf",
+    [
+        (DEVICE_PROFILE, GOLDEN[:-1]),              # truncated payload
+        (DEVICE_PROFILE, bytes([0x48, 0x80])),      # truncated varint
+        (DEVICE_PROFILE, bytes([0x4A, 0x01, 0x00])),  # first_at (9) wrong wire type
+        (DEVICE_PROFILE, bytes([0x0A, 0x02, 0x12, 0x03])),  # nested truncation
+        (APP_PROFILE, bytes([0x0A, 0x02, 0xC3, 0x28])),  # invalid UTF-8 bundle
+        (DEVICE_PROFILE, bytes([0x00, 0x01])),      # field number 0
+    ],
+)
+def test_malformed_bytes_raise(spec, buf):
+    with pytest.raises(WireError):
+        decode_message(buf, spec)
+
+
+def test_negative_and_large_varints():
+    """int32 -1 travels as a 10-byte varint (Java semantics); int64 min/max
+    survive."""
+    msg = {"bundle": "x", "user_count": -1,
+           "user_count_per_exchange": {0: 2147483647}}
+    assert decode_message(encode_message(msg, APP_PROFILE), APP_PROFILE) == msg
+    did = {"os": 2, "uuid": "u"}
+    assert decode_message(encode_message(did, DEVICE_ID), DEVICE_ID) == did
+
+
+def test_default_instance_detection():
+    assert is_default_instance(DEVICE_PROFILE.default(), DEVICE_PROFILE)
+    assert not is_default_instance(small_profile(), DEVICE_PROFILE)
+    assert decode_message(b"", DEVICE_PROFILE) == DEVICE_PROFILE.default()
+
+
+def test_spark_roundtrip_and_malformed_drop(spark):
+    """Nested profiles -> Base64 wire lines -> decode: exact roundtrip;
+    injected garbage / truncated / default-instance lines are dropped."""
+    rows = [
+        {
+            "os": "ANDROID",
+            "uuid": "ABCDEFAB-1234-5678-9ABC-DEF012345678",
+            "first_at": 100,
+            "last_at": 900,
+            "apps": [
+                {"bundle": "a", "first_at": 100, "last_at": 900,
+                 "count_per_exchange": {1: 2, 21: 3}},
+                {"bundle": "B", "first_at": 150, "last_at": 800,
+                 "count_per_exchange": {22: 1}},
+            ],
+            "geos": [{"country": "USA", "region": "ca"},
+                     {"country": "usa", "region": "ca"}],
+        },
+        {
+            "os": "IOS",
+            "uuid": "00000000-0000-4000-8000-000000000001",
+            "first_at": 5,
+            "last_at": 5,
+            "apps": [{"bundle": "solo", "first_at": 5, "last_at": 5,
+                      "count_per_exchange": {2: 1}}],
+            "geos": [],
+        },
+    ]
+    df = spark.createDataFrame(rows, schema=DEVICE_PROFILE_SQL_SCHEMA)
+    encoded = encode_b64_proto(df, DEVICE_PROFILE, row_to_device_profile)
+
+    garbage = spark.createDataFrame(
+        [
+            ("!!!not-base64!!!",),
+            (base64.b64encode(GOLDEN[:-1]).decode(),),  # truncated wire
+            (base64.b64encode(b"").decode(),),          # default instance
+        ],
+        "value string",
+    )
+    decoded = decode_b64_proto(
+        encoded.unionByName(garbage),
+        DEVICE_PROFILE,
+        DEVICE_PROFILE_SQL_SCHEMA,
+        device_profile_to_row,
+    )
+    got = sorted(
+        (r.asDict(recursive=True) for r in decoded.collect()),
+        key=lambda r: r["uuid"],
+    )
+    want = sorted(rows, key=lambda r: r["uuid"])
+    # map columns come back as plain dicts; geo/app order is preserved
+    assert got == want
+
+
+def test_spark_decode_interops_with_python_encoder(spark):
+    """Lines produced by the raw Python encoder (simulating the reference's
+    Java writer) decode through the Spark path bit-exactly."""
+    line = base64.b64encode(encode_message(small_profile(), DEVICE_PROFILE))
+    df = spark.createDataFrame([(line.decode(),)], "value string")
+    out = decode_b64_proto(
+        df, DEVICE_PROFILE, DEVICE_PROFILE_SQL_SCHEMA, device_profile_to_row
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["uuid"] == "A"
+    assert out[0]["apps"][0]["count_per_exchange"] == {1: 2}
+
+
+def test_device_profile_row_mapping_is_inverse():
+    row = device_profile_to_row(small_profile())
+    assert row_to_device_profile(row) == small_profile()
