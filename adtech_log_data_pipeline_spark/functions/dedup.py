@@ -234,21 +234,66 @@ def simhash(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", assemble.cast("int").alias("simhash"))
 
 
+# Adaptive cutoff for connected components: below this many (deduplicated,
+# undirected) edges the graph is collected and solved with driver-side
+# union-find — the broadcast-join analogue for iterative algorithms. A
+# candidate-pair graph is usually SMALL even on a huge corpus (LSH bucketing
+# already reduced it to near-dup pairs); 2M edges ≈ 32 MB of longs on the
+# driver, far below what each label-propagation ROUND would shuffle anyway.
+# Above the cutoff the distributed pointer-jumping loop takes over.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _union_find_components(edge_rows) -> list:
+    """Driver-side union-find with path compression; returns (doc_id, label)
+    pairs with component label = min doc_id of the component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(x, find(x)) for x in parent]
+
+
 def dedup_clusters(
-    documents: DataFrame, candidates: DataFrame | None = None, max_iters: int = 20
+    documents: DataFrame,
+    candidates: DataFrame | None = None,
+    max_iters: int = 20,
+    driver_cutoff: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the candidate-pair
-    graph via distributed min-label propagation (the iterative-algorithm
-    pattern — alternating small joins until fixpoint, convergence checked
-    with a cheap driver-side count per round).
+    graph.
 
     Output: (doc_id, component_id) for every document appearing in at least
     one candidate pair, where component_id = min doc_id of its component.
-    Each round combines a neighbor-min step with a pointer-jumping step
-    (label := label of my label), so convergence is O(log diameter) rounds
-    rather than O(diameter) — a chain of 1M near-dups converges in ~20
-    rounds. Non-convergence inside max_iters raises rather than silently
-    returning partial components.
+
+    Adaptive strategy (AQE-style): the edge set is counted once (an action
+    that also materializes the persisted frame the loop would reuse). If it
+    fits the driver comfortably (<= driver_cutoff), components are solved
+    with union-find locally and returned as a small local relation —
+    O(E α(E)) with zero shuffles, the same call every serious graph system
+    makes when a graph collapses below a threshold. Otherwise, distributed
+    min-label propagation: each round combines a neighbor-min step with a
+    pointer-jumping step (label := label of my label), so convergence is
+    O(log diameter) rounds rather than O(diameter) — a chain of 1M near-dups
+    converges in ~20 rounds. Non-convergence inside max_iters raises rather
+    than silently returning partial components.
     """
     from pyspark.sql import functions as F
 
@@ -263,6 +308,23 @@ def dedup_clusters(
         )
         .distinct()
     )
+    if edges.count() <= driver_cutoff:
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["src"].dataType
+        # collect (not toLocalIterator): the cutoff already bounds the size,
+        # and toLocalIterator schedules one sequential job per partition
+        pairs = _union_find_components(
+            (r.src, r.dst) for r in edges.collect()
+        )
+        edges.unpersist()
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, False),
+                StructField("component_id", id_type, False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(pairs, schema)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     ).persist()

@@ -150,6 +150,26 @@ def test_dedup_clusters_transitive_grouping(spark):
     assert out == {0: 0, 1: 0, 2: 0}
 
 
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    # the adaptive cutoff must not change results: force the distributed
+    # label-propagation loop (driver_cutoff=0 -> never collect) and compare
+    # against the driver-side union-find on a chain a~b, b~c, c~d
+    from adtech_log_data_pipeline_spark.functions.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    fast = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(None, candidates=chain).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(None, candidates=chain, driver_cutoff=0).collect()
+    }
+    assert fast == dist == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
 def test_ivf_topk_shape(spark):
     import numpy as np
     from adtech_log_data_pipeline_spark.functions.similarity import ivf_topk
@@ -181,3 +201,20 @@ def test_winnowing_shared_fingerprints_for_shared_substrings(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1]  # the long shared run must yield shared fingerprints
     assert not (fps[0] & fps[2])
+
+
+def test_text_stats_empty_document_yields_null_ratio(spark):
+    """ADVICE guard: an empty/whitespace-only document must produce NULL
+    punct_ratio (nullif), not a div-by-zero — and a 0.0 quality score."""
+    from adtech_log_data_pipeline_spark.functions.text import text_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text with some words")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert rows[1]["punct_ratio"] is None
+    assert rows[1]["quality_score"] == 0.0
+    # whitespace-only: n_chars_measured counts raw length (3), ratio is 0
+    assert rows[2]["punct_ratio"] == 0.0
+    assert rows[3]["punct_ratio"] is not None

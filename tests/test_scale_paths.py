@@ -54,3 +54,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_degenerate_corpus_bucket_cap_bounds_candidate_pairs(spark):
+    """Adversarial all-identical corpus: every document lands in ONE
+    band bucket; the cap keeps candidate generation at O(cap^2) instead of
+    O(n^2), with the deterministic smallest-doc_id keep-rule."""
+    import time
+
+    from adtech_log_data_pipeline_spark.functions.dedup import minhash_candidates
+
+    n, cap = 2000, 40
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias("text"),
+    )
+    t0 = time.time()
+    pairs = minhash_candidates(docs, bucket_cap=cap).collect()
+    elapsed = time.time() - t0
+    # all 4 bands share one bucket, capped at `cap` members -> C(cap, 2)
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert max(max(r["doc_a"], r["doc_b"]) for r in pairs) == cap - 1
+    assert elapsed < 60
+
+
+def test_degenerate_embeddings_bucket_cap(spark):
+    """Same guardrail on the embedding near-dup path: identical vectors
+    collapse to one LSH bucket; the cap bounds the verify join."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    n, cap = 500, 30
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.5, bucket_cap=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(r["cos_sim_r6"] == 1.0 for r in pairs)
