@@ -271,6 +271,100 @@ def _union_find_components(edge_rows) -> list:
     return [(x, find(x)) for x in parent]
 
 
+# 60-bit SimHash for the Hamming-distance near-dup join (15 md5 hex chars
+# keeps the value positive in a signed 64-bit int in BOTH dialects; the
+# 16-bit variant above stays the compact signature column). 4 pieces of 15
+# bits: by pigeonhole, any pair at Hamming distance <= 3 matches on at
+# least one piece — the classic Manku/Jain/Sarma banding scheme.
+SIMHASH64_BITS = 60
+SIMHASH64_PIECES = 4
+_PIECE_BITS = SIMHASH64_BITS // SIMHASH64_PIECES  # 15
+_PIECE_MASK = (1 << _PIECE_BITS) - 1
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash64 bigint) — 60-bit SimHash over tokens; same
+    vote construction as simhash(), one md5 per token, all codegen.
+
+    The +1/-1 vote for bit b is folded algebraically: vote_sum(b) =
+    2*ones(b) - n_tokens, so bit b is set iff 2*sum((h>>b)&1) >= count —
+    the sum expressions stay tiny (no CASE per bit), which matters for
+    codegen compile time with 60 aggregate buffers."""
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("t")).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    ones = [
+        F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"s{b}")
+        for b in range(SIMHASH64_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *ones)
+    assemble = sum(
+        F.when(F.col(f"s{b}") * 2 >= F.col("cnt"), F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH64_BITS)
+    )
+    return agg.select("doc_id", assemble.cast("bigint").alias("simhash64"))
+
+
+def simhash_near_dup(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int = BAND_BUCKET_CAP
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming between 60-bit
+    SimHash signatures. Candidate generation is the piece-banding join
+    (pairs sharing any of the 4 15-bit pieces — exhaustive for distance
+    <= 3 by pigeonhole); verification is a single codegen
+    bit_count(xor) per candidate pair. Output: (doc_a, doc_b, hamming).
+
+    Scale shape mirrors minhash_candidates: the only shuffle keys on the
+    (piece, value) bucket, bucket membership is capped against degenerate
+    corpora, and the signature relation is persisted so the vote
+    aggregation runs once for both join sides."""
+    from pyspark.sql.window import Window
+
+    wcap = Window.partitionBy("piece", "pval").orderBy("doc_id")
+    # the signature rides along in the piece relation, so the verify is a
+    # single bit_count inside the bucket join — no join-back to the
+    # signature table. Persisted: it feeds BOTH sides of the self-join.
+    pieces = hold(
+        simhash64(documents)
+        .select(
+            "doc_id",
+            "simhash64",
+            F.explode(
+                F.expr(
+                    f"""
+                    transform(sequence(0, {SIMHASH64_PIECES - 1}),
+                              p -> struct(p AS piece,
+                                          (shiftright(simhash64, p * {_PIECE_BITS}) & {_PIECE_MASK}) AS pval))
+                    """
+                )
+            ).alias("pk"),
+        )
+        .select("doc_id", "simhash64", "pk.piece", "pk.pval")
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
+    return (
+        pieces.alias("l")
+        .join(
+            pieces.alias("r"),
+            (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.pval") == F.col("r.pval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.expr("bit_count(l.simhash64 ^ r.simhash64)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def dedup_clusters(
     documents: DataFrame,
     candidates: DataFrame | None = None,

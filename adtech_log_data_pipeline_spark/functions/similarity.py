@@ -310,3 +310,36 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim_r6")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column, dimension-exploded —
+    the embedding-QA pass of a training-data pipeline (cluster drift,
+    label purity, outlier screens all start from these).
+
+    Determinism across engines: each element is quantized to integer
+    micros FIRST (floor(x * 1e6 + 0.5), identical formula in the DuckDB
+    oracle), so the per-dimension sums are exact integer arithmetic —
+    immune to float summation order under shuffles at any parallelism.
+    Output: (label, dim, n_vecs, sum_micro, centroid_micro).
+
+    Scale shape: posexplode is a generator (no shuffle); the single
+    shuffle keys on (label, dim) with map-side partial aggregation, so
+    the shuffle carries one row per (label, dim) per partition — never
+    the vectors themselves."""
+    e = embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+    agg = e.groupBy("label", "dim").agg(
+        F.sum(
+            F.expr("cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)")
+        ).alias("sum_micro"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n_vecs",
+        "sum_micro",
+        F.expr(
+            "cast(floor(cast(sum_micro as double) / n_vecs + 0.5) as bigint)"
+        ).alias("centroid_micro"),
+    )

@@ -115,6 +115,82 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary statistics: the top-k tokens by total occurrence
+    count with document frequency — the vocabulary-building / coverage
+    pass of a training-data pipeline. Output:
+    (token, total_count, doc_freq, rank), rank 1..k, ties broken by token.
+
+    Scale shape: explode -> ONE hash aggregation on the token (map-side
+    partial combine does the heavy lifting; the shuffle carries one row
+    per distinct token per partition), then a distributed top-k
+    (TakeOrderedAndProject — never a global sort of the vocabulary)."""
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq"),
+    )
+    top = agg.orderBy(F.desc("total_count"), F.asc("token")).limit(k)
+    from pyspark.sql.window import Window
+
+    # rank window runs over the k survivors only — single tiny partition
+    w = Window.orderBy(F.desc("total_count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# Deterministic hash split: md5 of the doc id -> bucket 0..99.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # val = buckets [80, 90), test = [90, 100)
+
+
+def train_split(documents: DataFrame) -> DataFrame:
+    """Deterministic, reshuffle-proof train/val/test assignment: bucket =
+    md5(doc_id) mod 100 — stable under re-partitioning, re-ingestion and
+    corpus growth (a document's split never changes when others are added,
+    unlike rand() or row-number splits). Map-only; no shuffle.
+    Output: (doc_id, bucket, split)."""
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    return documents.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4 addresses / phone numbers with
+    typed placeholder tags, reporting per-document match counts and the
+    md5 of the redacted text (so the full redaction output is
+    hash-verified without shipping the text through the compare). Order:
+    emails, then IPs, then phones (emails may contain digit runs; IPs
+    must be consumed before the looser phone pattern can touch them).
+    Pure map stage — the 100 TB shape is a rewrite pass fused into the
+    scan."""
+    redacted = F.col("text")
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"), (PII_PHONE, "<PHONE>")):
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 WINNOW_WINDOW = 4  # consecutive shingle hashes per winnowing window
 
 

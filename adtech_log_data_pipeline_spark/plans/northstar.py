@@ -115,6 +115,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs: 60-bit signatures,
+    4x15-bit piece banding (exhaustive for distance <= 3), codegen
+    bit_count(xor) verify."""
+    from ..functions.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by occurrence with doc frequency."""
+    from ..functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir))
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment."""
+    from ..functions.text import train_split
+
+    return train_split(_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phones) with per-doc counts and the
+    redacted-text hash."""
+    from ..functions.text import pii_redact
+
+    return pii_redact(_docs(spark, sf_dir))
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact integer micros."""
+    from ..functions.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints."""
     return winnowing_fingerprints(_docs(spark, sf_dir))
@@ -169,6 +207,11 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "winnowing": q_winnowing,
     "multimodal_meta": q_multimodal_meta,
+    "simhash_near_dup": q_simhash_near_dup,
+    "vocab_topk": q_vocab_topk,
+    "train_split": q_train_split,
+    "pii_redact": q_pii_redact,
+    "label_centroids": q_label_centroids,
     "stream_window_counts": q_stream_window_counts,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
@@ -546,6 +589,98 @@ SELECT doc_id,
 FROM documents
 """
 
+def _oracle_simhash_near_dup() -> str:
+    from ..functions.dedup import (
+        BAND_BUCKET_CAP,
+        SIMHASH64_BITS,
+        SIMHASH64_PIECES,
+        _PIECE_BITS,
+        _PIECE_MASK,
+    )
+
+    votes = ", ".join(
+        f"sum((h >> {b}) & 1) AS s{b}" for b in range(SIMHASH64_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} * 2 >= cnt THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH64_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+v AS (SELECT doc_id, count(*) AS cnt, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS sig FROM v),
+p AS (SELECT doc_id, sig, unnest(range({SIMHASH64_PIECES})) AS piece FROM s),
+pk AS (SELECT doc_id, sig, piece,
+              (sig >> (piece * {_PIECE_BITS})) & {_PIECE_MASK} AS pval FROM p),
+pc AS (SELECT * FROM (
+         SELECT doc_id, sig, piece, pval,
+                row_number() OVER (PARTITION BY piece, pval ORDER BY doc_id) AS rn
+         FROM pk) WHERE rn <= {BAND_BUCKET_CAP}),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                l.sig AS sig_a, r.sig AS sig_b
+         FROM pc l JOIN pc r
+           ON l.piece = r.piece AND l.pval = r.pval AND l.doc_id < r.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+_ORACLE_VOCAB_TOPK = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+a AS (SELECT token, count(*) AS total_count,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok GROUP BY token),
+r AS (SELECT token, total_count, doc_freq,
+             CAST(row_number() OVER (ORDER BY total_count DESC, token) AS INT) AS rank
+      FROM a)
+SELECT * FROM r WHERE rank <= 100
+"""
+
+_ORACLE_TRAIN_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4))::BIGINT % 100 AS INT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _oracle_pii_redact() -> str:
+    from ..functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    red = "text"
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"), (PII_PHONE, "<PHONE>")):
+        red = "regexp_replace({}, '{}', '{}', 'g')".format(red, pat, tag)
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(text, '{}')) AS INT) AS {}".format(pat, name)
+        for pat, name in ((PII_EMAIL, "n_emails"), (PII_IPV4, "n_ips"), (PII_PHONE, "n_phones"))
+    )
+    return (
+        "WITH r AS (SELECT doc_id, text, " + red + " AS red FROM documents)\n"
+        "SELECT doc_id, " + counts + ", md5(red) AS redacted_hash,\n"
+        "       CAST(length(red) AS INT) AS redacted_len FROM r"
+    )
+
+
+_ORACLE_LABEL_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS x,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+a AS (SELECT label, dim,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+             count(*) AS n_vecs
+      FROM e GROUP BY label, dim)
+SELECT label, CAST(dim AS INT) AS dim, n_vecs, sum_micro,
+       CAST(floor(CAST(sum_micro AS DOUBLE) / n_vecs + 0.5) AS BIGINT) AS centroid_micro
+FROM a
+"""
+
+
 NORTHSTAR_ORACLES: dict[str, str] = {
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id": _oracle_lang_id(),
@@ -561,6 +696,11 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "embedding_near_dup": _oracle_embedding_near_dup(),
     "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,
+    "simhash_near_dup": _oracle_simhash_near_dup(),
+    "vocab_topk": _ORACLE_VOCAB_TOPK,
+    "train_split": _ORACLE_TRAIN_SPLIT,
+    "pii_redact": _oracle_pii_redact(),
+    "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,

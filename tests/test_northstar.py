@@ -218,3 +218,83 @@ def test_text_stats_empty_document_yields_null_ratio(spark):
     # whitespace-only: n_chars_measured counts raw length (3), ratio is 0
     assert rows[2]["punct_ratio"] == 0.0
     assert rows[3]["punct_ratio"] is not None
+
+
+def test_simhash_near_dup_finds_single_word_change(spark):
+    from adtech_log_data_pipeline_spark.functions.dedup import simhash_near_dup
+
+    # one word changed in a 120-word doc: margins are wide enough that only
+    # a few signature bits flip (verified: hamming(0,1)=1 for this corpus)
+    base = " ".join(f"w{i:03d}x" for i in range(120))
+    corpus = docs(
+        spark,
+        [base, base.replace("w119x", "zzzzz"),
+         "totally different content about columns and rows and nothing else"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_dup(corpus).collect()}
+    assert (0, 1) in pairs  # one word changed -> tiny Hamming distance
+    assert all(p in {(0, 1)} for p in pairs)  # doc 2 matches nothing
+    assert pairs[(0, 1)] <= 3
+
+
+def test_simhash_near_dup_identical_docs_distance_zero(spark):
+    from adtech_log_data_pipeline_spark.functions.dedup import simhash_near_dup
+
+    t = "one two three four five six seven eight nine ten"
+    out = simhash_near_dup(docs(spark, [t, t])).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from adtech_log_data_pipeline_spark.functions.text import vocab_topk
+
+    out = vocab_topk(docs(spark, ["a a b", "a b c"]), k=2).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["token"] == "a"
+    assert by_rank[1]["total_count"] == 3 and by_rank[1]["doc_freq"] == 2
+    assert by_rank[2]["token"] == "b"  # tie with c on count -> token order
+
+
+def test_train_split_deterministic_and_partitioning_proof(spark):
+    from adtech_log_data_pipeline_spark.functions.text import train_split
+
+    d = docs(spark, [f"doc number {i}" for i in range(200)])
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(d).collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in train_split(d.repartition(7)).collect()
+    }
+    assert a == b  # reshuffle-proof
+    assert all(
+        (bk < 80) == (sp == "train") and (80 <= bk < 90) == (sp == "val")
+        for bk, sp in a.values()
+    )
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    from adtech_log_data_pipeline_spark.functions.text import pii_redact
+
+    text = "mail alice@example.com from 10.0.0.1 or call 555-867-5309 now"
+    out = pii_redact(docs(spark, [text, "nothing sensitive here"])).collect()
+    byid = {r["doc_id"]: r for r in out}
+    assert (byid[0]["n_emails"], byid[0]["n_ips"], byid[0]["n_phones"]) == (1, 1, 1)
+    redacted = "mail <EMAIL> from <IP> or call <PHONE> now"
+    assert byid[0]["redacted_hash"] == hashlib.md5(redacted.encode()).hexdigest()
+    assert byid[0]["redacted_len"] == len(redacted)
+    assert byid[1]["redacted_hash"] == hashlib.md5(b"nothing sensitive here").hexdigest()
+
+
+def test_label_centroids_exact_micros(spark):
+    from adtech_log_data_pipeline_spark.functions.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5], 7), (1, [2.0, 0.25], 7), (2, [10.0, 10.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r for r in label_centroids(emb).collect()}
+    assert out[(7, 0)]["sum_micro"] == 3_000_000
+    assert out[(7, 0)]["centroid_micro"] == 1_500_000
+    assert out[(7, 1)]["sum_micro"] == -250_000
+    assert out[(7, 1)]["centroid_micro"] == -125_000
+    assert out[(8, 0)]["n_vecs"] == 1
