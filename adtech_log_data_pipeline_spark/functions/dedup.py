@@ -393,13 +393,22 @@ def dedup_clusters(
 
     if candidates is None:
         candidates = minhash_candidates(documents)
+    # both orientations from ONE pass over the candidate pipeline (a union
+    # of two selects would execute the unpersisted candidate subplan twice)
     edges = hold(
-        candidates.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            candidates.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+        candidates.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     if edges.count() <= driver_cutoff:

@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "embedding_near_dup",
     "multimodal_meta",
+    "simhash_near_dup",
+    "vocab_topk",
+    "train_split",
+    "pii_redact",
+    "label_centroids",
     "dedup_clusters",
     "stream_window_counts",
     "streaming_sessionize",
