@@ -190,7 +190,11 @@ def minhash_candidates(
         .select("doc_id", "bk.band", "bk.key")
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
-        .drop("rn")
+        .drop("rn"),
+        # eager: both sides of the self-join scan this in one job — without
+        # upfront materialization they race to populate the cache and each
+        # recomputes the signature pipeline
+        eager=True,
     )
     left = bands.alias("l")
     right = bands.alias("r")
@@ -345,7 +349,9 @@ def simhash_near_dup(
         .select("doc_id", "simhash64", "pk.piece", "pk.pval")
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
-        .drop("rn")
+        .drop("rn"),
+        # eager: self-join — see minhash_candidates
+        eager=True,
     )
     return (
         pieces.alias("l")
@@ -488,11 +494,13 @@ def ngram_jaccard_pairs(
     pairs (from minhash_candidates by default). Output:
     (doc_a, doc_b, inter_size, union_size, jaccard)."""
     if candidates is None:
-        candidates = minhash_candidates(documents)
+        # tiny pair relation consumed by two joins below — persist so the
+        # band self-join behind it runs once
+        candidates = hold(minhash_candidates(documents), eager=True)
     # join formulation: distinct shingle ROWS, intersection = equi-join count
     # restricted to candidate pairs — no per-row array_intersect over big
     # arrays, and every stage is a codegen hash agg/join
-    ds = hold(_shingle_rows(documents).distinct())
+    ds = hold(_shingle_rows(documents).distinct(), eager=True)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     inter = (
         candidates.join(

@@ -88,18 +88,34 @@ def app_profile_slots_from_valid(valid_logs: DataFrame) -> DataFrame:
     whole-stage codegen. Here: distinct -> two codegen hash aggs.
 
     Devices are distinct by construction (groupBy), so the A2 duplicate
-    tripwire is structural rather than a runtime probe on this path."""
-    device_apps = valid_logs.select(
-        "os", "uuid", F.col("app_bundle").alias("bundle"), "exchange"
+    tripwire is structural rather than a runtime probe on this path.
+
+    The distinct (os, uuid, bundle, exchange) relation is persisted: it is
+    the big cardinality reduction (bid-log rows -> device-app-exchange) and
+    BOTH legs aggregate from it — without the persist the scan+derive
+    pipeline would execute once per leg. Post-distinct, every count is a
+    plain count(*)."""
+    from ..functions._cache import hold
+
+    device_apps = hold(
+        valid_logs.select(
+            "os", "uuid", F.col("app_bundle").alias("bundle"), "exchange"
+        ).distinct(),
+        # eager: both legs execute in ONE downstream job; without the
+        # upfront materialization they race to populate the cache and each
+        # recomputes the full scan+derive chain
+        eager=True,
     )
     user_leg = (
-        device_apps.groupBy("bundle")
-        .agg(F.countDistinct("os", "uuid").cast("int").alias("cnt"))
+        device_apps.select("os", "uuid", "bundle")
+        .distinct()
+        .groupBy("bundle")
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
         .select("bundle", F.lit(-1).alias("slot"), "cnt")
     )
     ex_leg = (
         device_apps.groupBy("bundle", F.col("exchange").alias("slot"))
-        .agg(F.countDistinct("os", "uuid").cast("int").alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
         .select("bundle", "slot", "cnt")
     )
     return user_leg.unionByName(ex_leg)

@@ -53,10 +53,26 @@ def device_profiles(valid_logs: DataFrame) -> DataFrame:
         F.col("geo_region").alias("region"),
     )
 
-    per_exchange = flat.groupBy("os", "uuid", "bundle", "exchange").agg(
+    # the geo set rides through every aggregation level (set-union =
+    # distinct of the flattened partials), so profiles are ONE scan and one
+    # cascading shuffle tree — a second scan + join-back for geos would
+    # read the validated input twice. The level-0 reduce groups by the geo
+    # columns too: a pure codegen hash agg does the big row reduction, and
+    # collect_set (an object agg that falls back to sort-based beyond 128
+    # in-memory groups) only ever runs over the already-tiny relation.
+    level0 = flat.groupBy(
+        "os", "uuid", "bundle", "exchange", "country", "region"
+    ).agg(
         F.count(F.lit(1)).cast("int").alias("cnt"),
         F.min("received_at").alias("first_at"),
         F.max("received_at").alias("last_at"),
+    )
+
+    per_exchange = level0.groupBy("os", "uuid", "bundle", "exchange").agg(
+        F.sum("cnt").cast("int").alias("cnt"),
+        F.min("first_at").alias("first_at"),
+        F.max("last_at").alias("last_at"),
+        F.collect_set(F.struct("country", "region")).alias("geos"),
     )
 
     apps = per_exchange.groupBy("os", "uuid", "bundle").agg(
@@ -65,6 +81,7 @@ def device_profiles(valid_logs: DataFrame) -> DataFrame:
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("exchange", "cnt")))
         ).alias("count_per_exchange"),
+        F.array_distinct(F.flatten(F.collect_list("geos"))).alias("geos"),
     )
 
     # sort_array can't order structs that contain maps; sort by the (unique)
@@ -77,13 +94,12 @@ def device_profiles(valid_logs: DataFrame) -> DataFrame:
             " (l, r) -> CASE WHEN l.bundle < r.bundle THEN -1"
             " WHEN l.bundle > r.bundle THEN 1 ELSE 0 END)"
         ).alias("apps"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("geos")))).alias(
+            "geos"
+        ),
     )
 
-    geos = flat.groupBy("os", "uuid").agg(
-        F.sort_array(F.collect_set(F.struct("country", "region"))).alias("geos")
-    )
-
-    return app_level.join(geos, ["os", "uuid"])
+    return app_level
 
 
 def flatten_device_profiles(profiles: DataFrame) -> DataFrame:

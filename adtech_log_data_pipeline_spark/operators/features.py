@@ -107,7 +107,11 @@ def feature_pipeline_from_valid(
     from ..functions._cache import hold
 
     device_apps = hold(
-        valid_logs.select("os", "uuid", F.col("app_bundle").alias("bundle")).distinct()
+        valid_logs.select("os", "uuid", F.col("app_bundle").alias("bundle")).distinct(),
+        # eager: popular/unpopular/matched all consume this in one job —
+        # populate the cache before they race (each racer would recompute
+        # the full scan+derive+validate chain)
+        eager=True,
     )
 
     dev_stats = valid_logs.groupBy("os", "uuid").agg(

@@ -89,24 +89,45 @@ def suspicious_ids_from_valid(
     count is countDistinct(country, region); total bids is the row count
     (each valid row contributes exactly one count_per_exchange increment)."""
     t = thresholds
-    device_apps = valid_logs.select(
-        "os", "uuid", F.col("app_bundle").alias("bundle")
-    ).distinct()
+    from ..functions._cache import hold
+
+    # ONE scan: the level-1 agg does the big cardinality reduction (bid-log
+    # rows -> device-app) while carrying the row count and geo set partials;
+    # it is persisted and every downstream relation derives from it. geo
+    # fields are never null in validated logs (blanks are ''/' '), so
+    # set-union size == countDistinct(country, region).
+    # level-0: pure codegen reduce (geo columns in the grouping key) so the
+    # object-agg collect_set only touches the already-reduced relation
+    level0 = valid_logs.groupBy(
+        "os", "uuid", F.col("app_bundle").alias("bundle"),
+        "geo_country", "geo_region",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    level1 = hold(
+        level0.groupBy("os", "uuid", "bundle").agg(
+            F.sum("n").alias("n"),
+            F.collect_set(F.struct("geo_country", "geo_region")).alias("geos"),
+        ),
+        # eager: three consumers share one downstream job — populate the
+        # cache before they race
+        eager=True,
+    )
 
     popular = (
-        device_apps.groupBy("bundle")
-        .agg(F.countDistinct("os", "uuid").alias("user_count"))
+        level1.groupBy("bundle")
+        .agg(F.count(F.lit(1)).alias("user_count"))
         .filter(F.col("user_count") > t.user_count)
         .select("bundle")
     )
     unpopular_counts = (
-        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        level1.join(F.broadcast(popular), "bundle", "left_anti")
         .groupBy("os", "uuid")
         .agg(F.count(F.lit(1)).alias("unpopular_apps"))
     )
-    dev_stats = valid_logs.groupBy("os", "uuid").agg(
-        F.countDistinct("geo_country", "geo_region").alias("geo_cnt"),
-        F.count(F.lit(1)).alias("total_bids"),
+    dev_stats = level1.groupBy("os", "uuid").agg(
+        F.size(F.array_distinct(F.flatten(F.collect_list("geos")))).cast(
+            "long"
+        ).alias("geo_cnt"),
+        F.sum("n").alias("total_bids"),
     )
     scored = dev_stats.join(unpopular_counts, ["os", "uuid"], "left").withColumn(
         "unpopular_apps", F.coalesce(F.col("unpopular_apps"), F.lit(0))
