@@ -253,3 +253,114 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
             "min_token_hash"
         ),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition screens — the standard pretraining-corpus
+    quality gates for boilerplate/templated text:
+      dup_line_frac   — 1 - distinct/total over newline-split lines
+      dup_token_frac  — 1 - distinct/total over whitespace tokens
+      top_bigram, top_bigram_cnt, top_bigram_frac — the most frequent word
+        2-gram and its share of all bigrams (ties -> lexicographically
+        smallest bigram; NULL for docs with < 2 tokens)
+
+    Scale shape: the line/token fractions are map-only array expressions;
+    the bigram mode is explode -> (doc_id, bigram) codegen hash agg ->
+    per-doc min(struct(-cnt, bigram)) — two shuffles keyed by doc_id, no
+    windows over raw rows."""
+    toks = tokens_col()
+    lines = F.split(F.col("text"), "\n")
+    base = documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines))
+            / F.expr("nullif(size(split(text, '\n')), 0)")
+        ).alias("dup_line_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks)
+        ).alias("dup_token_frac"),
+        toks.alias("toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            # CASE guard: sequence(1, 0) would generate a DESCENDING [1, 0]
+            # for single-token docs, not an empty list
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i])) END"
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    top = per_bg.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("bg"))).alias("t"),
+        F.sum("cnt").alias("total_bg"),
+    )
+    return (
+        base.drop("toks")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_token_frac",
+            F.col("t.bg").alias("top_bigram"),
+            (-F.col("t.neg")).cast("bigint").alias("top_bigram_cnt"),
+            ((-F.col("t.neg")) / F.col("total_bg")).alias("top_bigram_frac"),
+        )
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by tf-idf with a log-free idf,
+    tfidf = tf * (N + 1) / (df + 1) — rank-equivalent to the log form for
+    any fixed term and, unlike ln(), bit-identical across engines (integer
+    products under 2^53 and one correctly-rounded IEEE division).
+    Output: (doc_id, term, tf, df, tfidf, rank), rank 1..k, ties broken by
+    term.
+
+    Scale shape: ONE explode -> (doc_id, term) codegen hash agg, persisted
+    and shared by the df aggregation (count of docs per term = rows per
+    term here) and the scoring join; N comes from a 1-row aggregate
+    broadcast onto the term rows — no driver-side count during plan
+    construction. Top-k is a bounded per-doc window over already-aggregated
+    rows."""
+    from pyspark.sql.window import Window
+
+    from ._cache import hold
+
+    tf = hold(
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        # eager: feeds both the df aggregation and the scoring join below
+        eager=True,
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1)).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -138,6 +138,21 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_split(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens: duplicate line/token fractions and
+    the dominant-bigram share."""
+    from ..functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by (log-free, engine-exact) tf-idf."""
+    from ..functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails / IPv4 / phones) with per-doc counts and the
     redacted-text hash."""
@@ -212,6 +227,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "stream_window_counts": q_stream_window_counts,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
@@ -680,6 +697,48 @@ SELECT label, CAST(dim AS INT) AS dim, n_vecs, sum_micro,
 FROM a
 """
 
+_ORACLE_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS lines
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(lines) AS INT) AS n_lines,
+         1.0 - len(list_distinct(lines)) / nullif(len(lines), 0) AS dup_line_frac,
+         1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_frac,
+         toks
+  FROM t),
+bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+                             ELSE list_transform(range(1, len(toks)),
+                                                 i -> toks[i] || ' ' || toks[i + 1]) END) AS bg
+  FROM base),
+per_bg AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, bg AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_cnt,
+         cnt / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS top_bigram_frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+  FROM per_bg)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_token_frac,
+       t.top_bigram, t.top_bigram_cnt, t.top_bigram_frac
+FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON b.doc_id = t.doc_id
+"""
+
+_ORACLE_TFIDF = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         tf.tf * (n.n_docs + 1) / (dfr.df + 1) AS tfidf
+  FROM tf JOIN dfr USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
+"""
+
 
 NORTHSTAR_ORACLES: dict[str, str] = {
     "text_stats": _ORACLE_TEXT_STATS,
@@ -701,6 +760,8 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "train_split": _ORACLE_TRAIN_SPLIT,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
+    "repetition_stats": _ORACLE_REPETITION,
+    "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,

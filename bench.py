@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "train_split",
     "pii_redact",
     "label_centroids",
+    "repetition_stats",
+    "tfidf_top_terms",
     "dedup_clusters",
     "stream_window_counts",
     "streaming_sessionize",

@@ -298,3 +298,48 @@ def test_label_centroids_exact_micros(spark):
     assert out[(7, 1)]["sum_micro"] == -250_000
     assert out[(7, 1)]["centroid_micro"] == -125_000
     assert out[(8, 0)]["n_vecs"] == 1
+
+
+def test_repetition_stats_duplicate_detection(spark):
+    from adtech_log_data_pipeline_spark.functions.text import repetition_stats
+
+    out = {r["doc_id"]: r for r in repetition_stats(
+        docs(spark, [
+            "spam spam spam spam",          # one bigram repeated 3x
+            "line\nline\nother",            # duplicate lines
+            "solo",                          # single token: no bigrams
+            "all words here are different",
+        ])
+    ).collect()}
+    r0 = out[0]
+    assert r0["dup_token_frac"] == 0.75  # 1 distinct of 4
+    assert r0["top_bigram"] == "spam spam" and r0["top_bigram_cnt"] == 3
+    assert r0["top_bigram_frac"] == 1.0
+    r1 = out[1]
+    assert r1["n_lines"] == 3 and abs(r1["dup_line_frac"] - 1 / 3) < 1e-12
+    r2 = out[2]
+    assert r2["top_bigram"] is None and r2["top_bigram_cnt"] is None
+    r3 = out[3]
+    assert r3["dup_token_frac"] == 0.0 and r3["top_bigram_cnt"] == 1
+
+
+def test_repetition_stats_tie_breaks_to_smallest_bigram(spark):
+    from adtech_log_data_pipeline_spark.functions.text import repetition_stats
+
+    # "b a" and "a b" both occur twice -> lexicographically smaller wins
+    out = repetition_stats(docs(spark, ["a b a b a"])).collect()[0]
+    assert out["top_bigram"] == "a b" and out["top_bigram_cnt"] == 2
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from adtech_log_data_pipeline_spark.functions.text import tfidf_top_terms
+
+    corpus = docs(spark, ["shared zebra", "shared yak", "shared shared wolf"])
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(corpus).collect()}
+    # doc 0: zebra df=1 beats shared df=3 (tf 1 each)
+    assert out[(0, 1)]["term"] == "zebra" and out[(0, 2)]["term"] == "shared"
+    assert out[(0, 1)]["df"] == 1 and out[(0, 2)]["df"] == 3
+    # doc 2: shared has tf=2 -> tfidf 2*4/4=2.0 vs wolf 1*4/2=2.0 -> tie,
+    # term order breaks it: "shared" < "wolf"
+    assert out[(2, 1)]["term"] == "shared" and out[(2, 2)]["term"] == "wolf"
+    assert out[(2, 1)]["tfidf"] == out[(2, 2)]["tfidf"] == 2.0
