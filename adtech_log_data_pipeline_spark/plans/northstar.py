@@ -197,6 +197,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize(spark, sf_dir)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming deduplication
+    (dropDuplicatesWithinWatermark): distinct (user_id, event_type) keys,
+    state evicted as the watermark advances."""
+    from ..streaming import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates — exact
     first/last/count/distinct-type counts maintained by the state store
@@ -230,6 +239,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stream_window_counts": q_stream_window_counts,
+    "stream_dedup": q_stream_dedup,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -466,6 +476,12 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
 FROM ranked WHERE rank <= 5
 """
 
+
+_ORACLE_STREAM_DEDUP = """
+-- bounded replay: every duplicate arrives inside one watermark horizon,
+-- so the streaming dedup equals batch DISTINCT on the key columns
+SELECT DISTINCT user_id, event_type FROM events
+"""
 
 _ORACLE_STREAM_WINDOW = """
 WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
@@ -763,6 +779,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "repetition_stats": _ORACLE_REPETITION,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
+    "stream_dedup": _ORACLE_STREAM_DEDUP,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
 }

@@ -1,4 +1,9 @@
-from .windowed import stream_window_counts, streaming_device_activity
+from .windowed import stream_dedup_keys, stream_window_counts, streaming_device_activity
 from .sessionize import streaming_sessionize
 
-__all__ = ["stream_window_counts", "streaming_device_activity", "streaming_sessionize"]
+__all__ = [
+    "stream_dedup_keys",
+    "stream_window_counts",
+    "streaming_device_activity",
+    "streaming_sessionize",
+]

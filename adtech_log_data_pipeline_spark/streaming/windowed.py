@@ -143,3 +143,24 @@ def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` over (user_id, event_type) — each key
+    emits once on first arrival, and its dedup state is EVICTED once the
+    watermark passes that event's time + delay, so state is bounded by the
+    watermark horizon x key arrival rate, not by the stream length (plain
+    streaming dropDuplicates would retain every key ever seen — unbounded).
+    Exactness contract: duplicates separated by more than the watermark
+    horizon can re-emit; within a bounded replay the result equals batch
+    SELECT DISTINCT, which is what the oracle states. Only the key columns
+    are projected so the surviving row per key is deterministic."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append")

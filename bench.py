@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "dedup_clusters",
     "stream_window_counts",
+    "stream_dedup",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

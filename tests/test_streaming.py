@@ -68,3 +68,16 @@ def test_stateful_sessionize_matches_batch(spark):
     # no session may contain an internal gap > 30 min: spot-check bounds
     per_user = out.groupBy("user_id").count().collect()
     assert all(r["count"] >= 1 for r in per_user)
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    """Bounded replay: watermark-bounded streaming dedup == batch DISTINCT
+    on the key columns."""
+    from adtech_log_data_pipeline_spark.streaming import stream_dedup_keys
+
+    out = stream_dedup_keys(spark, SF)
+    ev = load_table(spark, SF, "events")
+    expected = ev.select("user_id", "event_type").distinct()
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+    assert out.columns == ["user_id", "event_type"]
