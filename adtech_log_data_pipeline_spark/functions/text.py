@@ -364,3 +364,76 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+PCTS = (25, 50, 75, 90, 99)
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Exact discrete token-length percentiles per source — the corpus
+    length-distribution report that drives truncation/packing choices.
+    percentile_disc semantics: the smallest value whose cumulative rank
+    reaches p, i.e. the element at rank ceil(p * n).
+
+    Scale shape: NOT the builtin exact percentile aggregate (which
+    collects every group's values into one aggregation buffer — a
+    scale-killer for big groups). Instead rank rows with a window sort
+    (distributed, spillable) and pick the ceil(p*n) ranks — one shuffle
+    keyed by source, memory bounded by a partition, any group size.
+    Output: (source, pct, n_docs, n_tokens_p)."""
+    sized = documents.select(
+        "source", F.size(tokens_col()).cast("bigint").alias("n_tokens"), "doc_id"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = sized.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_docs"),
+    )
+    # one generator pass over the single ranked relation (a union of
+    # per-percentile filters would re-run the window sort once per pct)
+    pcts = F.array(*[F.lit(p) for p in PCTS])
+    return (
+        ranked.select(
+            "source", "n_tokens", "rn", "n_docs", F.explode(pcts).alias("pct")
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n_docs") * F.col("pct") / 100.0))
+        .select(
+            "source",
+            F.col("pct").cast("int").alias("pct"),
+            "n_docs",
+            F.col("n_tokens").alias("n_tokens_p"),
+        )
+    )
+
+
+def source_mix(documents: DataFrame) -> DataFrame:
+    """Corpus composition report: per (source, lang) document count, token
+    total, and share of the corpus by docs and by tokens — the data-mix
+    summary every pretraining run is planned around.
+
+    Scale shape: one codegen hash agg to (source, lang) partials, then the
+    corpus totals come from a second tiny agg broadcast back — the fact
+    table is scanned once and the shuffle carries one row per group per
+    partition."""
+    per = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col()).cast("bigint")).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") / F.col("t_docs")).alias("doc_share"),
+            (F.col("n_tokens") / F.col("t_tokens")).alias("token_share"),
+        )
+    )

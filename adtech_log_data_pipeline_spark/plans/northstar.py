@@ -138,6 +138,21 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_split(_docs(spark, sf_dir))
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles via distributed rank-pick
+    (no collect-the-group percentile buffers)."""
+    from ..functions.text import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir))
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per (source, lang) doc/token counts and shares."""
+    from ..functions.text import source_mix
+
+    return source_mix(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition screens: duplicate line/token fractions and
     the dominant-bigram share."""
@@ -237,6 +252,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "repetition_stats": q_repetition_stats,
+    "length_percentiles": q_length_percentiles,
+    "source_mix": q_source_mix,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup": q_stream_dedup,
@@ -713,6 +730,31 @@ SELECT label, CAST(dim AS INT) AS dim, n_vecs, sum_micro,
 FROM a
 """
 
+_ORACLE_LENGTH_PCT = f"""
+WITH sized AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, doc_id
+               FROM documents),
+ranked AS (SELECT source, n_tokens,
+                  row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n_docs
+           FROM sized),
+p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+SELECT r.source, CAST(p.pct AS INT) AS pct, r.n_docs, r.n_tokens AS n_tokens_p
+FROM ranked r JOIN p ON r.rn = CAST(ceil(r.n_docs * p.pct / 100.0) AS BIGINT)
+"""
+
+_ORACLE_SOURCE_MIX = f"""
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
+SELECT source, lang, n_docs, n_tokens,
+       n_docs / CAST(t_docs AS DOUBLE) AS doc_share,
+       n_tokens / CAST(t_tokens AS DOUBLE) AS token_share
+FROM per, t
+"""
+
 _ORACLE_REPETITION = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS lines
@@ -777,6 +819,8 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "repetition_stats": _ORACLE_REPETITION,
+    "length_percentiles": _ORACLE_LENGTH_PCT,
+    "source_mix": _ORACLE_SOURCE_MIX,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "stream_dedup": _ORACLE_STREAM_DEDUP,

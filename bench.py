@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "label_centroids",
     "repetition_stats",
     "tfidf_top_terms",
+    "length_percentiles",
+    "source_mix",
     "dedup_clusters",
     "stream_window_counts",
     "stream_dedup",

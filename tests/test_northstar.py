@@ -343,3 +343,31 @@ def test_tfidf_rare_term_outranks_common(spark):
     # term order breaks it: "shared" < "wolf"
     assert out[(2, 1)]["term"] == "shared" and out[(2, 2)]["term"] == "wolf"
     assert out[(2, 1)]["tfidf"] == out[(2, 2)]["tfidf"] == 2.0
+
+
+def test_length_percentiles_rank_pick(spark):
+    from adtech_log_data_pipeline_spark.functions.text import length_percentiles
+
+    # 10 docs in one source, lengths 1..10 tokens: pct p picks rank ceil(p/10)
+    d = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "en", "webA", 0) for i in range(1, 11)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["pct"]: r["n_tokens_p"] for r in length_percentiles(d).collect()}
+    assert out == {25: 3, 50: 5, 75: 8, 90: 9, 99: 10}
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    from adtech_log_data_pipeline_spark.functions.text import source_mix
+
+    d = spark.createDataFrame(
+        [(0, "a b", "en", "webA", 0), (1, "c", "en", "webB", 0),
+         (2, "d e f", "de", "webA", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = source_mix(d).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-12
+    byk = {(r["source"], r["lang"]): r for r in rows}
+    assert byk[("webA", "en")]["n_tokens"] == 2
+    assert byk[("webA", "de")]["token_share"] == 0.5
