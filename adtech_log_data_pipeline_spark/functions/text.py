@@ -419,9 +419,16 @@ def source_mix(documents: DataFrame) -> DataFrame:
     corpus totals come from a second tiny agg broadcast back — the fact
     table is scanned once and the shuffle carries one row per group per
     partition."""
-    per = documents.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens_col()).cast("bigint")).alias("n_tokens"),
+    from ._cache import hold
+
+    per = hold(
+        documents.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col()).cast("bigint")).alias("n_tokens"),
+        ),
+        # eager: the totals aggregate and the share projection both read
+        # this (tiny) relation — without it the corpus scan runs twice
+        eager=True,
     )
     totals = per.agg(
         F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
