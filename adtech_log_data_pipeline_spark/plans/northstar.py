@@ -221,6 +221,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_keys(spark, sf_dir)
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases x same-user clicks within the
+    preceding hour, watermark-bounded state on both sides."""
+    from ..streaming import stream_click_attribution
+
+    return stream_click_attribution(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates — exact
     first/last/count/distinct-type counts maintained by the state store
@@ -257,6 +265,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup": q_stream_dedup,
+    "stream_attribution": q_stream_attribution,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -498,6 +507,16 @@ _ORACLE_STREAM_DEDUP = """
 -- bounded replay: every duplicate arrives inside one watermark horizon,
 -- so the streaming dedup equals batch DISTINCT on the key columns
 SELECT DISTINCT user_id, event_type FROM events
+"""
+
+_ORACLE_STREAM_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
 """
 
 _ORACLE_STREAM_WINDOW = """
@@ -824,6 +843,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
+    "stream_attribution": _ORACLE_STREAM_ATTRIBUTION,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
 }

@@ -164,3 +164,53 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_memory(dedup, "append")
+
+
+ATTRIBUTION_WINDOW_MIN = 60
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the classic attribution shape: each
+    purchase joins every click by the same user in the preceding hour.
+    Both sides carry watermarks, and the join's time-range predicate gives
+    the engine the state-retention bound: buffered clicks are evicted once
+    the click watermark passes ts + 1 hour, purchases as soon as their
+    watermark passes — state is bounded by the interval x arrival rate,
+    never the stream length. Inner interval joins emit in append mode as
+    matches arrive.
+
+    Output: (purchase_id, click_id, user_id, lag_ms) — deterministic (the
+    full qualifying pair set), so the DuckDB oracle states the same join
+    as batch SQL."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
+    )
+    return _run_to_memory(joined, "append")

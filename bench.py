@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "stream_window_counts",
     "stream_dedup",
+    "stream_attribution",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

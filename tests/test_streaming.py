@@ -81,3 +81,30 @@ def test_stream_dedup_equals_batch_distinct(spark):
     assert out.count() == expected.count()
     assert out.exceptAll(expected).count() == 0
     assert out.columns == ["user_id", "event_type"]
+
+
+def test_stream_attribution_equals_batch_interval_join(spark):
+    """Bounded replay: the watermarked stream-stream interval join equals
+    the batch interval join."""
+    from adtech_log_data_pipeline_spark.streaming import stream_click_attribution
+
+    out = stream_click_attribution(spark, SF)
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
+    )
+    assert out.count() == expected.count()
+    assert out.agg(F.sum("lag_ms")).collect()[0][0] == expected.select(
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag")
+    ).agg(F.sum("lag")).collect()[0][0]
