@@ -444,3 +444,46 @@ def source_mix(documents: DataFrame) -> DataFrame:
             (F.col("n_tokens") / F.col("t_tokens")).alias("token_share"),
         )
     )
+
+
+PACK_CTX_TOKENS = 2048
+
+
+def packing_plan(documents: DataFrame, ctx: int = PACK_CTX_TOKENS) -> DataFrame:
+    """Sequence-packing plan: assign documents to fixed-capacity context
+    windows by running token count in deterministic (source, doc_id) order
+    — the packing manifest a pretraining data loader consumes. A document
+    starts in the pack where its cumulative predecessor tokens land
+    (contiguous fill; long docs span packs and the loader splits them at
+    the recorded offset). Output:
+      (doc_id, source, n_tokens, cum_before, pack_id, pack_offset)
+    pack_id is globally unique as (source-local pack index, source).
+
+    Scale shape: the running sum is a window per SOURCE (orderBy doc_id),
+    so the sort distributes across sources rather than one global
+    ordering; within a source the window is a single sort-based pass.
+    For a single giant source, shard the key (source, doc_id mod K) first
+    — same plan shape."""
+    from pyspark.sql.window import Window
+
+    sized = documents.select(
+        "doc_id", "source", F.size(tokens_col()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / ctx).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % ctx).cast("bigint").alias("pack_offset"),
+    )

@@ -153,6 +153,14 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(_docs(spark, sf_dir))
 
 
+def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: contiguous fill of 2048-token context
+    windows per source in deterministic doc order."""
+    from ..functions.text import packing_plan
+
+    return packing_plan(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition screens: duplicate line/token fractions and
     the dominant-bigram share."""
@@ -262,6 +270,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "length_percentiles": q_length_percentiles,
     "source_mix": q_source_mix,
+    "packing_plan": q_packing_plan,
     "tfidf_top_terms": q_tfidf_top_terms,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup": q_stream_dedup,
@@ -774,6 +783,21 @@ SELECT source, lang, n_docs, n_tokens,
 FROM per, t
 """
 
+_ORACLE_PACKING = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+  FROM sized)
+SELECT doc_id, source, n_tokens, cum_before,
+       CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM c
+"""
+
 _ORACLE_REPETITION = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS toks, string_split(text, chr(10)) AS lines
@@ -840,6 +864,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "repetition_stats": _ORACLE_REPETITION,
     "length_percentiles": _ORACLE_LENGTH_PCT,
     "source_mix": _ORACLE_SOURCE_MIX,
+    "packing_plan": _ORACLE_PACKING,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
     "stream_dedup": _ORACLE_STREAM_DEDUP,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "length_percentiles",
     "source_mix",
+    "packing_plan",
     "dedup_clusters",
     "stream_window_counts",
     "stream_dedup",

@@ -371,3 +371,20 @@ def test_source_mix_shares_sum_to_one(spark):
     byk = {(r["source"], r["lang"]): r for r in rows}
     assert byk[("webA", "en")]["n_tokens"] == 2
     assert byk[("webA", "de")]["token_share"] == 0.5
+
+
+def test_packing_plan_contiguous_fill(spark):
+    from adtech_log_data_pipeline_spark.functions.text import packing_plan
+
+    # source A: docs of 3, 2, 4 tokens with ctx=4 -> cum_before 0, 3, 5
+    d = spark.createDataFrame(
+        [(0, "a b c", "en", "A", 0), (1, "d e", "en", "A", 0),
+         (2, "f g h i", "en", "A", 0), (3, "x", "en", "B", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["doc_id"]: r for r in packing_plan(d, ctx=4).collect()}
+    assert (out[0]["cum_before"], out[0]["pack_id"], out[0]["pack_offset"]) == (0, 0, 0)
+    assert (out[1]["cum_before"], out[1]["pack_id"], out[1]["pack_offset"]) == (3, 0, 3)
+    assert (out[2]["cum_before"], out[2]["pack_id"], out[2]["pack_offset"]) == (5, 1, 1)
+    # sources pack independently
+    assert (out[3]["cum_before"], out[3]["pack_id"]) == (0, 0)
