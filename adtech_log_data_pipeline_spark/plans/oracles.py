@@ -22,7 +22,7 @@ _UUID_RE = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA
 
 # Validity filter (reference BidLogUtils.isValid, 11 clauses) + canonical
 # device identity, in DuckDB SQL.
-_VALID = f"""
+_VALID = rf"""
 valid_logs AS (
   SELECT bid_id, exchange, bid_result, bid_price, received_at, processed_at,
          upper(device_os) AS os, upper(device_ifa) AS uuid,

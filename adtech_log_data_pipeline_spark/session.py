@@ -42,9 +42,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # testdata events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
-        # rejects; read as long and convert at the source (sources/tables.py)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local mode = driver-only: give the single JVM real headroom so
         # long sessions (bench runs 28 queries back-to-back) don't degrade
         # into GC thrash; override with SPARK_DRIVER_MEM

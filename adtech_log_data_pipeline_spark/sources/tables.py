@@ -33,21 +33,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan — Catalyst handles
     pushdown/pruning; no schema inference cost (parquet is self-described).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet file; Spark reads it as
-    a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and we
-    normalize to a microsecond TimestampType here. Truncation keeps the
-    epoch-millisecond value identical to DuckDB's ``epoch_ms`` (both floor),
-    which is the only resolution the engine exposes downstream.
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet file. How Spark
+    surfaces that varies by version: <= 4.0 needs
+    ``spark.sql.legacy.parquet.nanosAsLong`` and yields a nanosecond
+    bigint; 4.1+ ignores that conf and yields ``timestamp_ntz`` (nanos
+    truncated to micros). Normalize both to session-TZ TimestampType
+    (``timestamp_ltz``) at this one chokepoint — the session TZ is pinned
+    UTC (session.py), so the NTZ->LTZ cast preserves the epoch value and
+    ``unix_millis(ts)`` matches DuckDB's ``epoch_ms`` downstream.
     """
     if name == "events":
-        # runtime session conf (not builder-only) — the caller may hand us a
-        # vanilla SparkSession (the grading driver does exactly that)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            # no-op on Spark 4.1+, needed on older versions for the bigint
+            # path; runtime conf (not builder-only) because the caller may
+            # hand us a vanilla SparkSession (the grading driver does)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce the ``ts`` column to TimestampType (LTZ) whatever the reader
+    produced: nanosecond bigint (old Spark + nanosAsLong), timestamp_ntz
+    (Spark 4.1+), or already-LTZ timestamp (future-proof no-op)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype is not None and dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

@@ -75,7 +75,7 @@ def _run_to_memory(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import load_table
+    from ..sources.tables import _normalize_event_ts, load_table
 
     batch = load_table(spark, sf_dir, "events")  # establishes schema + ts conv
     # readStream requires a directory: stream the sf dir with a glob filter
@@ -86,8 +86,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # same version-dependent ts normalization as the batch path: bigint
+    # nanos on old Spark, timestamp_ntz on 4.1+ (withWatermark rejects NTZ)
+    stream = _normalize_event_ts(stream)
     _ = batch  # schema side effects only
     return stream
 
