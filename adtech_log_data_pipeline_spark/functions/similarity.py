@@ -187,7 +187,11 @@ def ivf_assignments(
 
 
 def ivf_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_lists: int = 10
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 10,
+    total: int | None = None,
 ) -> DataFrame:
     """IVF search: rank candidates only within the query's inverted list
     (n_probes=1). Same output shape as brute_force_topk; at scale the
@@ -200,7 +204,7 @@ def ivf_topk(
 
     from ._cache import hold
 
-    assign = hold(ivf_assignments(embeddings, n_lists), eager=True)
+    assign = hold(ivf_assignments(embeddings, n_lists, total=total), eager=True)
     corpus = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b"),
@@ -232,6 +236,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.8,
     bucket_cap: int = NEAR_DUP_BUCKET_CAP,
+    total: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate pairs share an LSH
     bucket (sub-quadratic; the full cross product never materializes), then
@@ -244,7 +249,7 @@ def embedding_near_dup_pairs(
 
     from ._cache import hold
 
-    n = embeddings.count()
+    n = embeddings.count() if total is None else total
     sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
     wcap = Window.partitionBy("bucket").orderBy("vec_id")
     tagged = (
@@ -274,16 +279,22 @@ def embedding_near_dup_pairs(
     )
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    total: int | None = None,
+) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket. Same
     output shape as brute_force_topk; recall < 1 by construction. The
     signature relation feeds both the corpus and the query joins —
-    persisted once via functions/_cache.py."""
+    persisted once via functions/_cache.py. Pass ``total`` (known corpus
+    size, e.g. from parquet footer metadata) to skip the count job."""
     from pyspark.sql.window import Window
 
     from ._cache import hold
 
-    n = embeddings.count()
+    n = embeddings.count() if total is None else total
     sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
     corpus = embeddings.join(sigs, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),

@@ -34,7 +34,7 @@ from ..functions.text import (
     text_stats,
     winnowing_fingerprints,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, table_row_count
 
 N_QUERY_VECS = 10  # vec_id < 10 are the similarity query vectors
 
@@ -101,18 +101,33 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (scale path)."""
-    return lsh_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+    """LSH-bucketed approximate top-5 (scale path). Corpus size comes from
+    the parquet footer (table_row_count) — no driver count() job."""
+    return lsh_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        total=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (centroid-table scale path)."""
-    return ivf_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+    return ivf_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        total=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.3,
+        total=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,54 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_ROW_COUNTS: dict[str, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer metadata — no Spark job, no
+    scan (the footer stores num_rows per file). Memoized per path; used by
+    plan builders whose closure shape depends on the corpus size (e.g. LSH
+    bit width), where a ``df.count()`` would cost a full-table job per
+    query build. Matches ``count(*)`` exactly, so oracle formulas that
+    derive from the count stay in lockstep."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path not in _ROW_COUNTS:
+        import pyarrow.dataset as pads
+
+        # count_rows() answers from footer metadata (no data read) for
+        # plain parquet; handles single files and directories alike
+        _ROW_COUNTS[path] = pads.dataset(path, format="parquet").count_rows()
+    return _ROW_COUNTS[path]
+
+
+def table_ts_max_ms(sf_dir: str, name: str, col: str = "ts") -> int:
+    """Max of a timestamp column in epoch-ms, answered from parquet footer
+    statistics — no Spark job. Used by bounded-replay streaming harnesses
+    to place their end-of-input sentinel past every real event."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    best = None
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                best = st.max if best is None else max(best, st.max)
+    if best is None:
+        raise ValueError(f"no {col} statistics in {path}")
+    import calendar
+
+    # integer arithmetic — float .timestamp() can be off by 1 at ms scale
+    return calendar.timegm(best.timetuple()) * 1000 + best.microsecond // 1000
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register the synthetic tables as temp views for SQL-side plans."""
     for name in names or TABLES:

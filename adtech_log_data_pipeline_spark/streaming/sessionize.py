@@ -3,33 +3,70 @@
 stateful stream processing; SURVEY.md §2.6 lists Beam's stateful DoFn gap).
 
 Per user, events are folded into sessions split on a 30-minute inactivity
-gap. The group state carries the open session across micro-batches (batch
-boundaries are NOT session boundaries); completed sessions emit as soon as
-a later event closes them, and the final batch flushes the open session so
-a bounded replay produces exactly the batch-SQL sessionization (the driver
-oracle cross-checks this).
+gap. Emission is WATERMARK-DRIVEN (event-time timeout), the unbounded
+production shape:
 
-Scale notes: state is one small tuple per active user; the watermark-driven
-timeout (GroupStateTimeout) would evict idle users in a true unbounded run
-— here the bounded replay flushes instead, keeping the operator
-deterministic for verification.
+  * each batch's events merge into the per-user session interval list in
+    state (interval-merge, so out-of-order arrivals within the watermark
+    delay land correctly — batch boundaries are NOT session boundaries);
+  * a session finalizes (emits + leaves state) only once the watermark
+    passes ``session_end + gap`` — past that point no surviving event can
+    extend it (an event t >= watermark has t - end > gap and would start a
+    new session; events below the watermark are dropped by the engine);
+  * ``GroupState`` timeouts re-invoke idle groups as the watermark
+    advances, so sessions finalize without waiting for new data.
+
+Bounded-replay determinism: once the replay's rows are all consumed, the
+harness drops a far-future SENTINEL row into an initially-empty second
+file source union'd into the stream; arriving strictly after the real
+data, it pushes the final watermark past every real ``end + gap`` —
+Flink's end-of-input +inf watermark, restated in Spark terms. The result
+then equals batch sessionization exactly (the driver oracle cross-checks
+it), for ANY micro-batch slicing — one batch or maxFilesPerTrigger=1
+(tests/test_streaming_multibatch.py proves both).
+
+Scale notes: state per user is the interval list inside the watermark
+horizon (typically one open session: three longs), evicted on
+finalization. No collect, no driver loops; the sentinel is one row.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_MS = 30 * 60 * 1000
+SENTINEL_USER_ID = -1
 
 OUTPUT_SCHEMA = (
     "user_id long, session_start_ms long, session_end_ms long, n_events long"
 )
-STATE_SCHEMA = "start long, end long, n long"
+# unfinalized sessions, sorted by start: parallel arrays (interval list)
+STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<long>"
+
+
+def _merge_points(
+    sessions: list[tuple[int, int, int]], points, gap_ms: int
+) -> list[tuple[int, int, int]]:
+    """Fold new event timestamps into the session interval list. Each point
+    becomes a (t, t, 1) interval; adjacent intervals merge while the gap
+    between them is <= gap_ms — identical partitioning to sorting all
+    points and splitting on gap > gap_ms, but incremental and order-safe."""
+    merged: list[tuple[int, int, int]] = []
+    for s in sorted(sessions + [(int(t), int(t), 1) for t in points]):
+        if merged and s[0] - merged[-1][1] <= gap_ms:
+            last = merged[-1]
+            merged[-1] = (last[0], max(last[1], s[1]), last[2] + s[2])
+        else:
+            merged.append(s)
+    return merged
 
 
 def _sessionize_group(
@@ -38,55 +75,203 @@ def _sessionize_group(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    gap = SESSION_GAP_MS
     if state.exists:
-        start, end, n = state.get
+        starts, ends, ns = state.get
+        sessions = list(zip(starts, ends, ns))
     else:
-        start = end = None
-        n = 0
+        sessions = []
 
-    out: list[tuple[int, int, int, int]] = []
-    ts_all = (
-        pd.concat([pdf["ts_ms"] for pdf in pdfs]).sort_values().to_numpy()
-    )
-    for t in ts_all:
-        t = int(t)
-        if start is None:
-            start, end, n = t, t, 1
-        elif t - end > SESSION_GAP_MS:
-            out.append((user_id, start, end, n))
-            start, end, n = t, t, 1
-        else:
-            end, n = t, n + 1
+    if not state.hasTimedOut:
+        batches = [pdf["ts_ms"] for pdf in pdfs]
+        if batches:
+            sessions = _merge_points(
+                sessions, pd.concat(batches).to_numpy(), gap
+            )
 
-    # bounded replay: flush the open session at the end of input so the
-    # result equals batch sessionization (an unbounded run would instead
-    # keep it in state and rely on the timeout to emit). This flush is only
-    # correct when the replay is ONE micro-batch — _run_to_memory asserts
-    # that (expect_single_batch) rather than silently splitting sessions
-    # at batch boundaries.
-    if start is not None:
-        out.append((user_id, start, end, n))
+    # finalize every session the watermark has passed: once wm > end + gap
+    # no surviving event can land in or merge with it
+    wm = state.getCurrentWatermarkMs()
+    done = [s for s in sessions if s[1] + gap < wm]
+    open_ = [s for s in sessions if s[1] + gap >= wm]
+
+    if open_:
+        state.update((
+            [s[0] for s in open_],
+            [s[1] for s in open_],
+            [s[2] for s in open_],
+        ))
+        # re-invoke this group once the watermark passes the earliest
+        # possible finalization point (must be strictly beyond current wm)
+        state.setTimeoutTimestamp(max(min(s[1] for s in open_) + gap, wm) + 1)
+    elif state.exists:
         state.remove()
+
     yield pd.DataFrame(
-        out, columns=["user_id", "session_start_ms", "session_end_ms", "n_events"]
+        [(user_id, s, e, n) for (s, e, n) in done],
+        columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
     )
 
 
-def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the stateful sessionizer over the replayed events stream and
-    return the materialized sessions."""
-    from pyspark.sql import functions as F
-
-    from .windowed import _events_stream, _run_to_memory
-
-    events = _events_stream(spark, sf_dir).select(
-        "user_id", F.unix_millis("ts").alias("ts_ms")
-    )
-    sessions = events.groupBy("user_id").applyInPandasWithState(
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Build the stateful sessionizer over a watermarked events stream with
+    columns (user_id, ts_ms). Works for any micro-batch slicing."""
+    return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return _run_to_memory(sessions, "append", expect_single_batch=True)
+
+
+def _write_sentinel_file(d: str, sentinel_ts_ms: int) -> None:
+    """Drop a one-row far-future parquet into directory ``d``. Its only
+    purpose is to drive the final watermark past every real session's
+    ``end + gap`` at end of replay — Spark's file source has no
+    end-of-input watermark (Flink's bounded sources emit +inf), so the
+    replay harness injects its own."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([SENTINEL_USER_ID], type=pa.int64()),
+            # micros, not nanos: TIMESTAMP(MICROS, adjusted=false) maps
+            # straight onto Spark's timestamp_ntz reader
+            "ts": pa.array([sentinel_ts_ms * 1_000], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "sentinel.parquet"))
+
+
+def sessionize_bounded(
+    spark: SparkSession,
+    ev: DataFrame,
+    max_ts_ms: int,
+    expected_rows: int,
+    delay_ms: int = 60_000,
+) -> DataFrame:
+    """Sessionize a bounded replay stream ``ev`` (columns user_id, ts —
+    ANY micro-batch slicing) to completion; the result equals batch
+    sessionization.
+
+    End-of-input protocol: the query runs on a short processing-time
+    trigger; once every expected input row has been consumed
+    (``expected_rows``, known to bounded callers — e.g. parquet footer
+    count), the harness drops a far-future sentinel row into a second,
+    initially EMPTY file source union'd into the stream. Arriving strictly
+    after all real data, it advances the watermark past every real
+    ``end + gap`` without late-dropping anything, and the next micro-batch
+    fires every pending group timeout. This is Flink's end-of-input +inf
+    watermark restated with Spark primitives, and it is what makes the
+    bounded result slicing-invariant (the round-2 single-batch assumption
+    is gone). ``max_ts_ms`` is the replay's max event time (footer stats);
+    a sentinel misplaced BELOW it would late-drop data, which is why it is
+    derived, not hardcoded."""
+    global _QUERY_SEQ_S
+    sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
+    sentinel_dir = tempfile.mkdtemp(prefix="sessionize_sentinel_")
+    sent = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .parquet(sentinel_dir)
+        .select("user_id", F.col("ts").cast("timestamp_ltz").alias("ts"))
+    )
+    ev = ev.select("user_id", "ts").unionByName(sent)
+    # The sentinel row must flow THROUGH the watermark operator and into
+    # the stateful op: a user_id filter here would be pushed below the
+    # EventTimeWatermark node by the optimizer and the sentinel would never
+    # advance the watermark. It forms its own group whose session can never
+    # finalize (end + gap is past the final watermark by construction), so
+    # it emits nothing; the output filter below is belt-and-braces. The
+    # watermarked ts attribute stays in the projection — EventTimeTimeout
+    # requires it to reach the stateful operator.
+    events = ev.withWatermark("ts", f"{delay_ms // 1000} seconds").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
+    )
+    _QUERY_SEQ_S += 1
+    name = f"sessionize_out_{os.getpid()}_{_QUERY_SEQ_S}"
+    q = (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        _await_input_rows(q, expected_rows)
+        _write_sentinel_file(sentinel_dir, sentinel_ms)
+        _await_input_rows(q, expected_rows + 1)
+        _await_watermark(q, sentinel_ms - delay_ms)
+        _await_sink_stable(spark, name)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER_ID)
+
+
+_QUERY_SEQ_S = 0
+_WAIT_TIMEOUT_S = 180.0
+
+
+def _await_input_rows(q, n: int) -> None:
+    """Poll until the query has consumed >= n input rows total."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < _WAIT_TIMEOUT_S:
+        if sum(p["numInputRows"] for p in q.recentProgress) >= n:
+            return
+        time.sleep(0.1)
+    raise TimeoutError(f"stream consumed fewer than {n} rows")
+
+
+def _await_watermark(q, wm_ms: int) -> None:
+    """Poll until a COMPLETED batch reports watermark >= wm_ms — i.e. the
+    timeout-firing batch has run."""
+    import datetime as _dt
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < _WAIT_TIMEOUT_S:
+        for p in q.recentProgress:
+            wm = p.get("eventTime", {}).get("watermark")
+            if wm is not None:
+                cur = _dt.datetime.fromisoformat(
+                    wm.replace("Z", "+00:00")
+                ).timestamp() * 1000
+                if cur >= wm_ms:
+                    return
+        time.sleep(0.1)
+    raise TimeoutError(f"watermark never reached {wm_ms}")
+
+
+def _await_sink_stable(spark: SparkSession, name: str, quiet_s: float = 1.0) -> None:
+    """Poll until the memory sink's row count is unchanged for quiet_s."""
+    import time
+
+    t0 = time.time()
+    last, last_change = -1, time.time()
+    while time.time() - t0 < _WAIT_TIMEOUT_S:
+        cur = spark.table(name).count()
+        if cur != last:
+            last, last_change = cur, time.time()
+        elif time.time() - last_change >= quiet_s:
+            return
+        time.sleep(0.2)
+    raise TimeoutError("sink row count never stabilized")
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer over the replayed events table and
+    return the materialized sessions (equals batch sessionization)."""
+    from ..sources.tables import table_row_count, table_ts_max_ms
+    from .windowed import _events_stream
+
+    return sessionize_bounded(
+        spark,
+        _events_stream(spark, sf_dir),
+        table_ts_max_ms(sf_dir, "events"),
+        expected_rows=table_row_count(sf_dir, "events"),
+    )

@@ -39,15 +39,13 @@ from pyspark.sql import functions as F
 _QUERY_SEQ = 0
 
 
-def _run_to_memory(
-    stream_df: DataFrame, output_mode: str, expect_single_batch: bool = False
-) -> DataFrame:
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion against the available input
     and return the materialized result (deterministic: single replay).
-    ``expect_single_batch=True`` asserts the replay arrived as ONE data
-    micro-batch — operators whose bounded-replay semantics depend on it
-    (sessionize's end-of-input flush) fail loudly instead of silently
-    splitting state across batch boundaries."""
+    Every operator routed through here is multi-batch-safe — state is
+    carried by the engine (windows, dedup horizon, join buffers, group
+    state), so the micro-batch slicing of the replay cannot change the
+    result within each operator's stated watermark contract."""
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     name = f"stream_out_{os.getpid()}_{_QUERY_SEQ}"
@@ -59,17 +57,6 @@ def _run_to_memory(
         .start()
     )
     q.awaitTermination()
-    if expect_single_batch:
-        data_batches = sum(
-            1 for p in q.recentProgress if p["numInputRows"] > 0
-        )
-        if data_batches > 1:
-            raise RuntimeError(
-                f"bounded replay arrived as {data_batches} data batches; "
-                "this operator's end-of-input flush assumes exactly one "
-                "(set maxFilesPerTrigger/coalesce the input, or switch to "
-                "timeout-based emission for multi-batch replays)"
-            )
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -93,15 +80,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_window_counts(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type with a 30-minute
     watermark, APPEND output: each window emits once, when the watermark
     (max event time - 30 min, ms precision) passes its end, and its state
     is evicted — the scale-honest shape for unbounded streams. Count +
     exact-decimal value sum per window; window exposed as epoch-ms start
-    for portability."""
+    for portability. ``events`` lets a harness inject a multi-batch
+    replay; the emitted-window set is slicing-invariant for time-ordered
+    replays (zero lateness)."""
     agg = (
-        _events_stream(spark, sf_dir)
+        (events if events is not None else _events_stream(spark, sf_dir))
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -146,7 +137,12 @@ def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
     """Streaming deduplication with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type) — each key
     emits once on first arrival, and its dedup state is EVICTED once the
@@ -156,10 +152,15 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness contract: duplicates separated by more than the watermark
     horizon can re-emit; within a bounded replay the result equals batch
     SELECT DISTINCT, which is what the oracle states. Only the key columns
-    are projected so the surviving row per key is deterministic."""
+    are projected so the surviving row per key is deterministic.
+
+    ``events``/``watermark`` let a harness inject its own (multi-batch)
+    replay stream and a horizon matched to that replay's time span — the
+    batch-DISTINCT equality holds whenever duplicate arrivals for a key
+    are separated by less than the horizon."""
     dedup = (
-        _events_stream(spark, sf_dir)
-        .withWatermark("ts", "30 minutes")
+        (events if events is not None else _events_stream(spark, sf_dir))
+        .withWatermark("ts", watermark)
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -170,7 +171,12 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_WINDOW_MIN = 60
 
 
-def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
     """Stream-stream interval join — the classic attribution shape: each
     purchase joins every click by the same user in the preceding hour.
     Both sides carry watermarks, and the join's time-range predicate gives
@@ -182,8 +188,13 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (purchase_id, click_id, user_id, lag_ms) — deterministic (the
     full qualifying pair set), so the DuckDB oracle states the same join
-    as batch SQL."""
-    ev = _events_stream(spark, sf_dir)
+    as batch SQL.
+
+    ``events``/``watermark`` let a harness inject a multi-batch replay
+    and a horizon matched to its disorder; the batch-join equality holds
+    when cross-batch disorder stays inside the horizon (time-ordered
+    replays trivially satisfy it)."""
+    ev = events if events is not None else _events_stream(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -191,7 +202,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "30 minutes")
+        .withWatermark("p_ts", watermark)
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -200,7 +211,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", "30 minutes")
+        .withWatermark("c_ts", watermark)
     )
     joined = purchases.join(
         clicks,

@@ -1,0 +1,183 @@
+"""Multi-batch replay: the streaming operators must produce batch-equal
+results when the bounded input arrives as MANY micro-batches
+(maxFilesPerTrigger=1 over a time-split directory), not just one.
+
+This is the unbounded-stream shape: state crosses batch boundaries
+(session intervals, dedup horizon, join buffers, window partials) and
+emission is watermark-driven. Each test states the watermark contract it
+relies on: the replay files are time-ordered (zero cross-batch lateness),
+and where equality with a batch query is asserted the horizon is chosen
+to cover the replay's disorder (dedup/join use a span-sized horizon).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.sources.tables import load_table
+from adtech_log_data_pipeline_spark.streaming.sessionize import (
+    SESSION_GAP_MS,
+    sessionize_bounded,
+)
+from adtech_log_data_pipeline_spark.streaming.windowed import (
+    stream_click_attribution,
+    stream_dedup_keys,
+    stream_window_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+N_FILES = 4
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """Events split into N_FILES time-ordered parquet files with ascending
+    mtimes, so maxFilesPerTrigger=1 yields N_FILES in-order micro-batches."""
+    d = tmp_path_factory.mktemp("replay")
+    ev = load_table(spark, SF, "events").orderBy("ts", "event_id").collect()
+    schema = load_table(spark, SF, "events").schema
+    chunk = (len(ev) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        part = ev[i * chunk : (i + 1) * chunk]
+        path = os.path.join(str(d), f"part-{i:02d}.parquet")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".dir")
+        # one file per batch: move the single part file up, bump mtime
+        files = [
+            f
+            for f in os.listdir(path + ".dir")
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        assert len(files) == 1
+        os.rename(os.path.join(path + ".dir", files[0]), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def _multibatch_stream(spark, replay_dir):
+    schema = load_table(spark, SF, "events").schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(replay_dir)
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import _normalize_event_ts
+
+    return _normalize_event_ts(s)
+
+
+def _n_batches(spark, replay_dir):
+    """The replay must actually arrive as multiple data micro-batches —
+    otherwise these tests silently degrade to the single-batch case."""
+    s = _multibatch_stream(spark, replay_dir)
+    q = (
+        s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mb_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+
+
+def test_replay_is_actually_multibatch(spark, replay_dir):
+    assert _n_batches(spark, replay_dir) == N_FILES
+
+
+def test_sessionize_multibatch_equals_batch(spark, replay_dir):
+    """Sessions split across micro-batch boundaries must still come out as
+    ONE session (state carries the open interval; watermark finalizes)."""
+    ev = load_table(spark, SF, "events")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    out = sessionize_bounded(
+        spark,
+        _multibatch_stream(spark, replay_dir),
+        max_ms,
+        expected_rows=ev.count(),
+    )
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in out.collect()
+    }
+
+    rows = ev.select("user_id", F.unix_millis("ts").alias("ms")).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r["ms"])
+    exp = set()
+    for u, ts in by_user.items():
+        start = end = None
+        n = 0
+        for t in sorted(ts):
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > SESSION_GAP_MS:
+                exp.add((u, start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = max(end, t), n + 1
+        exp.add((u, start, end, n))
+    assert got == exp
+
+
+def test_dedup_multibatch_equals_distinct(spark, replay_dir):
+    """With a horizon covering the replay span, streaming dedup equals
+    batch DISTINCT even when duplicate keys arrive in different batches."""
+    out = stream_dedup_keys(
+        spark,
+        SF,
+        events=_multibatch_stream(spark, replay_dir),
+        watermark="3650 days",
+    )
+    expected = (
+        load_table(spark, SF, "events").select("user_id", "event_type").distinct()
+    )
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+
+
+def test_attribution_multibatch_equals_batch_join(spark, replay_dir):
+    """Interval-join pairs whose click and purchase arrive in different
+    micro-batches must still match (join buffers cross batches)."""
+    out = stream_click_attribution(
+        spark,
+        SF,
+        events=_multibatch_stream(spark, replay_dir),
+        watermark="3650 days",
+    )
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
+    )
+    assert out.count() == expected.count()
+
+
+def test_window_counts_multibatch_equals_singlebatch(spark, replay_dir):
+    """The emitted finalized-window set is micro-batch-slicing-invariant
+    for a time-ordered replay (windows straddling a batch boundary only
+    finalize once the watermark passes their end)."""
+    multi = stream_window_counts(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    single = stream_window_counts(spark, SF)
+    assert multi.count() == single.count()
+    assert multi.exceptAll(single).count() == 0
