@@ -573,3 +573,27 @@ def decode_b64_proto_jvm(
         ).alias("r")
     )
     return parsed.filter(F.col("r").isNotNull()).select("r.*")
+
+
+def decode_b64_proto_auto(
+    df: DataFrame,
+    spec: Spec,
+    out_schema: str,
+    to_row: Callable[[dict[str, Any]], dict[str, Any]],
+    message_name: str | None = None,
+    desc_file: str | None = None,
+    drop_default_instance: bool = True,
+) -> DataFrame:
+    """Capability-routed proto decode (reference: ProtoUtils.java:22-42):
+    when the spark-protobuf jar is on the classpath AND the caller supplies
+    a compiled descriptor set (``protoc --descriptor_set_out``), decode
+    JVM-side with ``from_protobuf`` — codegen'd, no Python in the hot
+    path; otherwise fall back to the Arrow-batched wire-format decoder,
+    which needs no jar and no compiled protos. Both paths drop malformed
+    records rather than failing the job."""
+    spark = df.sparkSession
+    if message_name and desc_file and have_spark_protobuf(spark):
+        return decode_b64_proto_jvm(df, message_name, desc_file)
+    return decode_b64_proto(
+        df, spec, out_schema, to_row, drop_default_instance=drop_default_instance
+    )

@@ -96,6 +96,12 @@ def main() -> None:
         release_cached()
         spark.catalog.clearCache()
 
+    # unpersist audit: a full bench session must end with ZERO cached RDDs
+    # (a leaked persisted relation is executor memory lost for the rest of
+    # a long-lived session) — fail loudly, not silently
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leaked == 0, f"{leaked} persisted RDDs leaked after bench run"
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
