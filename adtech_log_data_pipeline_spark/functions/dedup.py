@@ -56,6 +56,41 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keep_best(documents: DataFrame) -> DataFrame:
+    """Representative selection — the dedup POLICY half of exact dedup:
+    within each normalized-content group keep the document with the
+    longest RAW text (most formatting/casing preserved), tie broken by
+    smallest doc_id. Output one row per document:
+    (doc_id, content_hash, group_size, keep) — training pipelines filter
+    `keep` and keep lineage via content_hash.
+
+    Scale shape: one shuffle on content_hash; the two window passes ride
+    the same partitioning (groups are tiny — raw dup multiplicity — so
+    per-partition sorts are bounded)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = documents.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_hash"),
+        F.length("text").alias("raw_len"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("raw_len").desc(), F.col("doc_id")
+    )
+    g = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(g).cast("int"))
+        .select(
+            "doc_id",
+            "content_hash",
+            "group_size",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
 def _shingles() -> F.Column:
     """Word 3-gram shingles from `toks` (array column in scope). Documents
     shorter than the shingle width contribute their full token join.

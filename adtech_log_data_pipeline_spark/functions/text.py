@@ -162,6 +162,93 @@ def train_split(documents: DataFrame) -> DataFrame:
     )
 
 
+SAMPLE_TARGET_PER_SOURCE = 15  # approx docs kept per source (binds at sf>=0.01)
+SAMPLE_BUCKETS = 1_000_000  # hash-bucket resolution (ppm)
+
+
+def stratified_sample(
+    documents: DataFrame, target_per_source: int = SAMPLE_TARGET_PER_SOURCE
+) -> DataFrame:
+    """Balanced per-source downsample — the corpus-mixing knob of a
+    training pipeline (cap over-represented sources without touching rare
+    ones). Deterministic and reshuffle-proof like train_split: a document
+    is kept iff its salted-md5 bucket (ppm) falls under its source's keep
+    rate, where rate_ppm = ceil(target / n_source * 1e6) capped at 1e6 —
+    so sources at-or-under target keep everything, larger sources keep a
+    ~target-sized uniform, stable subset (membership never changes when
+    OTHER sources grow).
+
+    Scale shape: one small per-source count aggregate broadcast back onto
+    a map-only filter — no shuffle of the corpus itself, no window, no
+    rand(). Exact integer arithmetic throughout so the DuckDB oracle
+    states the identical membership."""
+    rates = (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .select(
+            "source",
+            F.least(
+                F.lit(SAMPLE_BUCKETS).cast("bigint"),
+                F.expr(
+                    f"({target_per_source} * {SAMPLE_BUCKETS} + n_src - 1) div n_src"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('strat:', cast(doc_id as string))), 1, 12), 16, 10)"
+        f" as bigint) % {SAMPLE_BUCKETS}"
+    )
+    return (
+        documents.select("doc_id", "source", bucket.alias("bucket_ppm"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket_ppm") < F.col("rate_ppm"))
+        .select("doc_id", "source", "bucket_ppm", "rate_ppm")
+    )
+
+
+CONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" docs
+
+
+def contamination_check(documents: DataFrame) -> DataFrame:
+    """Benchmark-contamination screen: how much of each training document's
+    3-gram shingle set also appears in the held-out eval set (here the
+    deterministic pseudo-benchmark doc_id % CONTAM_EVAL_MOD == 0; in
+    production the eval side is the real benchmark corpus). Output per
+    train doc: (doc_id, n_shingles, n_contaminated, contamination_r6).
+
+    Scale shape: the distinct shingle relation materializes once and feeds
+    all three consumers; the eval shingle set is benchmark-sized and
+    broadcast, so the corpus never shuffles for the probe join — the
+    whole check is scan + hash-agg shaped."""
+    from ._cache import hold
+    from .dedup import _shingle_rows
+
+    sh = hold(_shingle_rows(documents).distinct(), eager=True)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("s").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_r6",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB): no backreferences, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -262,6 +262,28 @@ def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_device_activity(spark, sf_dir)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced per-source downsample (hash-threshold)."""
+    from ..functions.text import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup representative selection: longest raw text, tie -> min
+    doc_id."""
+    from ..functions.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf_dir))
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen over 3-gram shingles."""
+    from ..functions.text import contamination_check
+
+    return contamination_check(_docs(spark, sf_dir))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -287,6 +309,9 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": q_source_mix,
     "packing_plan": q_packing_plan,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
+    "dedup_keep_best": q_dedup_keep_best,
+    "contamination_check": q_contamination_check,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
@@ -730,6 +755,57 @@ r AS (SELECT token, total_count, doc_freq,
 SELECT * FROM r WHERE rank <= 100
 """
 
+_ORACLE_STRATIFIED_SAMPLE = """
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+r AS (SELECT source,
+             least(1000000, (15 * 1000000 + n_src - 1) // n_src) AS rate_ppm
+      FROM c),
+b AS (SELECT doc_id, source,
+             ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS bucket_ppm
+      FROM documents)
+SELECT b.doc_id, b.source, b.bucket_ppm, r.rate_ppm
+FROM b JOIN r USING (source)
+WHERE b.bucket_ppm < r.rate_ppm
+"""
+
+_ORACLE_DEDUP_KEEP_BEST = """
+WITH t AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+         length(text) AS raw_len
+  FROM documents),
+ranked AS (
+  SELECT doc_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY raw_len DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY content_hash) AS INT) AS group_size
+  FROM t)
+SELECT doc_id, content_hash, group_size, rn = 1 AS keep FROM ranked
+"""
+
+_ORACLE_CONTAMINATION_CHECK = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         END AS shingles
+  FROM t),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shl),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+hits AS (SELECT tr.doc_id, count(*) AS n_contaminated
+         FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+SELECT tot.doc_id, tot.n_shingles,
+       coalesce(hits.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(hits.n_contaminated, 0) / tot.n_shingles, 6)
+         AS contamination_r6
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+"""
+
 _ORACLE_TRAIN_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -874,6 +950,9 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "simhash_near_dup": _oracle_simhash_near_dup(),
     "vocab_topk": _ORACLE_VOCAB_TOPK,
     "train_split": _ORACLE_TRAIN_SPLIT,
+    "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+    "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
+    "contamination_check": _ORACLE_CONTAMINATION_CHECK,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "repetition_stats": _ORACLE_REPETITION,

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "source_mix",
     "packing_plan",
     "dedup_clusters",
+    "stratified_sample",
+    "dedup_keep_best",
+    "contamination_check",
     "stream_window_counts",
     "stream_dedup",
     "stream_attribution",

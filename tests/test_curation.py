@@ -1,0 +1,98 @@
+"""Corpus-curation operators: stratified sampling, dedup representative
+selection, benchmark-contamination screening (oracle-gated in
+__spark_entry__; these tests pin the semantic contracts directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.functions.dedup import dedup_keep_best
+from adtech_log_data_pipeline_spark.functions.text import (
+    CONTAM_EVAL_MOD,
+    contamination_check,
+    stratified_sample,
+)
+from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_stratified_sample_caps_each_source(spark):
+    """Each source keeps about `target` docs (hash-threshold tolerance);
+    sources at-or-under target keep everything."""
+    target = 10
+    docs = _docs(spark)
+    kept = stratified_sample(docs, target_per_source=target)
+    src_totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, total in src_totals.items():
+        k = kept_counts.get(src, 0)
+        if total <= target:
+            assert k == total, f"{src}: small source must keep all docs"
+        else:
+            # hash-threshold sampling: expected ~target, binomial spread
+            assert 0 < k <= total
+            assert abs(k - target) <= max(6, total // 3)
+
+
+def test_stratified_sample_membership_stable_under_corpus_growth(spark):
+    """A document's membership depends only on its own hash and its
+    source's rate — re-running on a superset with the same per-source
+    rate keeps the same members (reshuffle-/growth-proof, unlike rand())."""
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
+    assert a == b  # deterministic across runs
+
+
+def test_dedup_keep_best_one_keeper_per_group(spark):
+    out = dedup_keep_best(_docs(spark))
+    per_group = out.groupBy("content_hash").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("group_size").alias("gs"),
+    )
+    rows = per_group.collect()
+    assert all(r["n_keep"] == 1 for r in rows)
+    assert all(r["n"] == r["gs"] for r in rows)
+    # total rows = corpus size (policy labels every doc)
+    assert out.count() == _docs(spark).count()
+
+
+def test_dedup_keep_best_prefers_longest_then_smallest_id(spark):
+    rows = [
+        (1, "a  b"),   # len 4 — longest raw text of the group
+        (2, "a b"),    # len 3
+        (3, "a b"),    # len 3, larger id
+        (4, "unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in dedup_keep_best(df).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_contamination_check_flags_eval_overlap(spark):
+    """A train doc sharing a full shingle with an eval doc must be flagged
+    with ratio 1; disjoint docs report 0."""
+    ev_id = CONTAM_EVAL_MOD  # % CONTAM_EVAL_MOD == 0 -> eval side
+    rows = [
+        (ev_id, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),  # fully contained in eval shingles
+        (2, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_check(df).collect()}
+    assert set(out) == {1, 2}  # eval doc itself is excluded from output
+    assert out[1]["n_contaminated"] == out[1]["n_shingles"]
+    assert out[1]["contamination_r6"] == 1.0
+    assert out[2]["n_contaminated"] == 0
