@@ -203,6 +203,70 @@ def returned_customers_sql(dialect: str) -> str:
         """
 
 
+def customer_order_distribution_sql(dialect: str) -> str:
+    """TPC-H Q13 shape: LEFT OUTER join preserved through a double
+    aggregation — per-customer order counts, then the histogram of those
+    counts (customers with zero orders land in bucket 0 via the outer
+    join, the part an inner join silently drops)."""
+    return """
+        SELECT c_count, cast(count(*) as bigint) AS custdist
+        FROM (
+          SELECT c.c_custkey, cast(count(o.o_orderkey) as int) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+        """
+
+
+def monthly_revenue_trend_sql(dialect: str) -> str:
+    """Time-series window shape: monthly revenue with month-over-month
+    delta via lag() over the (year, month) order — one hash agg then one
+    1-partition window over ~tens of rows (the agg output, NOT the fact
+    table, so the single-partition window is scale-safe)."""
+    return f"""
+        WITH m AS (
+          SELECT cast(year(o_orderdate) as int) AS y,
+                 cast(month(o_orderdate) as int) AS mo,
+                 {_dsum('cast(o_totalprice as decimal(12,2))')} AS revenue
+          FROM orders
+          GROUP BY cast(year(o_orderdate) as int), cast(month(o_orderdate) as int))
+        SELECT y, mo, revenue,
+               revenue - lag(revenue) OVER (ORDER BY y, mo) AS delta
+        FROM m
+        """
+
+
+def brand_supplier_stats_sql(dialect: str) -> str:
+    """TPC-H Q16 shape: distinct-supplier counts per part brand/size with
+    a NOT IN exclusion subquery (suppliers in deficit) — exercises the
+    null-aware anti-join path on the exclusion and distinct aggregation
+    over a join."""
+    return """
+        SELECT p.p_brand, cast(p.p_size as int) AS p_size,
+               cast(count(DISTINCT l.l_suppkey) as bigint) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        """
+
+
+def quiet_returners_sql(dialect: str) -> str:
+    """Set-op shape (EXCEPT): customers who placed a 1996 order but had no
+    1996-shipped return — distinct-set semantics on both sides, the set
+    operator the reference never needed but an analytics engine must
+    have."""
+    return """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o.o_custkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -216,4 +280,8 @@ RELATIONAL_SQL = {
     "asof_last_signup": (asof_last_signup_sql, ["events"]),
     "order_priority": (order_priority_sql, ["orders", "lineitem"]),
     "returned_customers": (returned_customers_sql, ["customer", "orders", "lineitem", "nation"]),
+    "customer_order_distribution": (customer_order_distribution_sql, ["customer", "orders"]),
+    "monthly_revenue_trend": (monthly_revenue_trend_sql, ["orders"]),
+    "brand_supplier_stats": (brand_supplier_stats_sql, ["part", "lineitem", "supplier"]),
+    "quiet_returners": (quiet_returners_sql, ["orders", "lineitem"]),
 }

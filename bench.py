@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "asof_last_signup",
     "order_priority",
     "returned_customers",
+    "customer_order_distribution",
+    "monthly_revenue_trend",
+    "brand_supplier_stats",
+    "quiet_returners",
 ]
 
 
