@@ -207,6 +207,85 @@ def stratified_sample(
     )
 
 
+CURATE_MIN_TOKENS = 20
+
+
+def curated_corpus(
+    documents: DataFrame,
+    target_per_source: int = SAMPLE_TARGET_PER_SOURCE,
+    min_tokens: int = CURATE_MIN_TOKENS,
+) -> DataFrame:
+    """The end-to-end curation composition — what a training-data pipeline
+    actually ships: a document survives iff it is (a) its exact-dup
+    group's representative (longest raw text, doc_id tiebreak), (b) inside
+    its source's balanced sample, and (c) above the token-length quality
+    floor; survivors carry their deterministic train/val/test split.
+    Output: (doc_id, source, split, n_tokens).
+
+    Fused single-scan shape (NOT a join of the three standalone
+    operators): every per-document column — token count, content hash,
+    sample bucket, split bucket — comes from one projection of one corpus
+    scan; the only corpus shuffle is the content-hash window for
+    representative selection, and the per-source rates arrive as a
+    broadcast of a column-pruned count aggregate. The standalone
+    operators remain the oracle-checked building blocks; this plan is the
+    production composition of the same formulas (hash-compared end-to-end
+    by ITS own oracle)."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    split_bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    sample_bucket = F.expr(
+        "cast(conv(substr(md5(concat('strat:', cast(doc_id as string))), 1, 12), 16, 10)"
+        f" as bigint) % {SAMPLE_BUCKETS}"
+    )
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.md5(norm.cast("binary")).alias("content_hash"),
+        F.length("text").alias("raw_len"),
+        sample_bucket.alias("bucket_ppm"),
+        split_bucket.alias("sbucket"),
+    )
+    rates = (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .select(
+            "source",
+            F.least(
+                F.lit(SAMPLE_BUCKETS).cast("bigint"),
+                F.expr(
+                    f"({target_per_source} * {SAMPLE_BUCKETS} + n_src - 1) div n_src"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("raw_len").desc(), F.col("doc_id")
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("bucket_ppm") < F.col("rate_ppm"))
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("sbucket") < SPLIT_TRAIN_PCT, "train")
+            .when(F.col("sbucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_tokens",
+        )
+    )
+
+
 CONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" docs
 
 

@@ -284,6 +284,15 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(_docs(spark, sf_dir))
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: keep-best dedup x stratified
+    sample x quality floor, with split assignment — fused single-scan
+    plan."""
+    from ..functions.text import curated_corpus
+
+    return curated_corpus(_docs(spark, sf_dir))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -312,6 +321,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_keep_best": q_dedup_keep_best,
     "contamination_check": q_contamination_check,
+    "curated_corpus": q_curated_corpus,
     "stream_window_counts": q_stream_window_counts,
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
@@ -806,6 +816,32 @@ SELECT tot.doc_id, tot.n_shingles,
 FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
 """
 
+_ORACLE_CURATED_CORPUS = f"""
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+r AS (SELECT source,
+             least(1000000, (15 * 1000000 + n_src - 1) // n_src) AS rate_ppm
+      FROM c),
+b AS (SELECT doc_id, source,
+             len({_TOKS}) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+             length(text) AS raw_len,
+             ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS bucket_ppm,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+               AS sbucket
+      FROM documents),
+k AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                   ORDER BY raw_len DESC, doc_id) AS rn
+      FROM b)
+SELECT doc_id, source,
+       CASE WHEN sbucket < 80 THEN 'train'
+            WHEN sbucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       n_tokens
+FROM k JOIN r USING (source)
+WHERE rn = 1 AND bucket_ppm < rate_ppm AND n_tokens >= 20
+"""
+
 _ORACLE_TRAIN_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -953,6 +989,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
     "contamination_check": _ORACLE_CONTAMINATION_CHECK,
+    "curated_corpus": _ORACLE_CURATED_CORPUS,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "repetition_stats": _ORACLE_REPETITION,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dedup_keep_best",
     "contamination_check",
+    "curated_corpus",
     "stream_window_counts",
     "stream_dedup",
     "stream_attribution",

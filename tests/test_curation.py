@@ -81,6 +81,79 @@ def test_dedup_keep_best_prefers_longest_then_smallest_id(spark):
     assert out == {1: True, 2: False, 3: False, 4: True}
 
 
+def test_curated_corpus_equals_operator_composition(spark):
+    """The fused single-scan plan must produce exactly the intersection of
+    its three standalone building blocks (each independently
+    oracle-checked), with the split labels of train_split."""
+    from adtech_log_data_pipeline_spark.functions.text import (
+        curated_corpus,
+        train_split,
+    )
+
+    docs = _docs(spark)
+    fused = {
+        (r["doc_id"], r["source"], r["split"]) for r in curated_corpus(docs).collect()
+    }
+    keep = {r["doc_id"] for r in dedup_keep_best(docs).collect() if r["keep"]}
+    sampled = {r["doc_id"] for r in stratified_sample(docs).collect()}
+    long_enough = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n")
+        ).collect()
+        if r["n"] >= 20
+    }
+    splits = {r["doc_id"]: r["split"] for r in train_split(docs).collect()}
+    sources = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    expected = {
+        (d, sources[d], splits[d]) for d in keep & sampled & long_enough
+    }
+    assert fused == expected
+
+
+def test_export_training_shards_layout_and_manifest(spark, tmp_path):
+    """The sink writes hive-partitioned split directories whose contents
+    match the curated relation, and the manifest agrees with both."""
+    import os
+
+    from adtech_log_data_pipeline_spark.functions.export import (
+        export_training_shards,
+    )
+    from adtech_log_data_pipeline_spark.functions.text import curated_corpus
+
+    out = str(tmp_path / "export")
+    docs = _docs(spark)
+    manifest = {r["split"]: r for r in export_training_shards(docs, out).collect()}
+    curated = curated_corpus(docs)
+    expected = {
+        r["split"]: (r["n"], r["toks"])
+        for r in curated.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert set(manifest) == set(expected)
+    for split, (n, toks) in expected.items():
+        assert manifest[split]["n_docs"] == n
+        assert manifest[split]["n_tokens"] == toks
+        assert os.path.isdir(os.path.join(out, "shards", f"split={split}"))
+
+    back = spark.read.parquet(os.path.join(out, "shards"))
+    assert back.count() == sum(n for n, _ in expected.values())
+    # written rows carry the full document payload + curation columns
+    assert {"doc_id", "text", "source", "split", "n_tokens"} <= set(back.columns)
+    # shard contents are doc_id-sorted within each file (layout contract)
+    import pyarrow.parquet as pq
+
+    for split in expected:
+        d = os.path.join(out, "shards", f"split={split}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(d, f), columns=["doc_id"])[
+                    "doc_id"
+                ].to_pylist()
+                assert ids == sorted(ids)
+
+
 def test_contamination_check_flags_eval_overlap(spark):
     """A train doc sharing a full shingle with an eval doc must be flagged
     with ratio 1; disjoint docs report 0."""
