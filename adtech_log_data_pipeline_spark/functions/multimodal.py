@@ -64,6 +64,113 @@ def decode_media(payload: bytes, fake: bool = True) -> tuple[int, int, str]:
     return _fake_decode(payload)
 
 
+RESIZE_MAX_DIM = 256
+FRAME_SAMPLES = 8
+EMBED_DIMS = 8
+
+
+def resize_plan(blobs: DataFrame) -> DataFrame:
+    """Resize stage: decode each image's dimensions, compute the
+    fit-within-RESIZE_MAX_DIM target (aspect preserved, integer-exact
+    scaling — no float in the contract), and the resized byte estimate.
+    The actual pixel resample is the same stubbed seam as decode_media;
+    the Arrow batch plumbing, schema, and target-geometry math are real.
+    Output: (doc_id, width, height, target_w, target_h, est_bytes).
+    Map-only; blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "target_w": [],
+                "target_h": [],
+                "est_bytes": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, _fmt = decode_media(blob)
+                m = max(w, h)
+                if m <= RESIZE_MAX_DIM:
+                    tw, th = w, h
+                else:
+                    # integer-exact fit: floor(d * MAX / m), floored at 1
+                    tw = max(1, (w * RESIZE_MAX_DIM) // m)
+                    th = max(1, (h * RESIZE_MAX_DIM) // m)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+                out["est_bytes"].append(tw * th * 3)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, target_w int, target_h int,"
+            " est_bytes long"
+        ),
+    )
+
+
+def frame_sample_manifest(blobs: DataFrame) -> DataFrame:
+    """Frame-sampling stage for video-shaped blobs: derive the clip
+    duration from the payload (md5-derived fake, same seam as
+    decode_media) and emit FRAME_SAMPLES evenly-spaced sample timestamps
+    as exploded manifest rows — the work-list a GPU frame-extraction
+    stage consumes. Output: (doc_id, frame_idx, ts_ms, duration_ms).
+    Map-side generator: one input row fans out to FRAME_SAMPLES metadata
+    rows; the blob itself never leaves the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "duration_ms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                h = hashlib.md5(blob).hexdigest()
+                duration_ms = 1000 + int(h[10:16], 16) % 600_000
+                for i in range(FRAME_SAMPLES):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append((i * duration_ms) // FRAME_SAMPLES)
+                    out["duration_ms"].append(duration_ms)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        run, schema="doc_id long, frame_idx int, ts_ms long, duration_ms long"
+    )
+
+
+def image_embed(blobs: DataFrame) -> DataFrame:
+    """Feature-extraction stage: an EMBED_DIMS-dim embedding per blob in
+    integer micros (exact across engines; a real model would emit floats
+    — the float32-pinning pattern for that case lives in
+    operators/inference.py). The md5-derived fake stands in for the model
+    forward pass; the batch shape (blob in, fixed-width vector out) is
+    the real contract. Output: (doc_id, emb array<bigint>)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            embs = []
+            for blob in pdf["blob"]:
+                h = hashlib.md5(blob).hexdigest()
+                embs.append(
+                    [
+                        int(h[4 * j : 4 * j + 4], 16) % 2_000_001 - 1_000_000
+                        for j in range(EMBED_DIMS)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
+
+    return blobs.mapInPandas(run, schema="doc_id long, emb array<bigint>")
+
+
 def decode_image_metadata(blobs: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over (doc_id, blob):
     (doc_id, n_bytes, width, height, format). Map-only; the blob never

@@ -216,6 +216,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_metadata(with_blob_column(_docs(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: integer-exact fit-within-box target geometry."""
+    from ..functions.multimodal import resize_plan
+
+    return resize_plan(with_blob_column(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest: evenly-spaced sample timestamps."""
+    from ..functions.multimodal import frame_sample_manifest
+
+    return frame_sample_manifest(with_blob_column(_docs(spark, sf_dir)))
+
+
+def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: fixed-width integer-micro embedding per blob."""
+    from ..functions.multimodal import image_embed
+
+    return image_embed(with_blob_column(_docs(spark, sf_dir)))
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h windows with watermark, APPEND
     output (windows emit once, when the watermark passes their end; state
@@ -308,6 +329,9 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "winnowing": q_winnowing,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "frame_sample": q_frame_sample,
+    "image_embed": q_image_embed,
     "simhash_near_dup": q_simhash_near_dup,
     "vocab_topk": q_vocab_topk,
     "train_split": q_train_split,
@@ -717,6 +741,46 @@ SELECT doc_id,
 FROM documents
 """
 
+_ORACLE_MULTIMODAL_RESIZE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 448 AS INT) AS width,
+         CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 448 AS INT) AS height
+  FROM documents),
+f AS (
+  SELECT doc_id, width, height,
+         greatest(width, height) AS m,
+         CASE WHEN greatest(width, height) <= 256 THEN width
+              ELSE greatest(1, (width * 256) // greatest(width, height)) END AS target_w,
+         CASE WHEN greatest(width, height) <= 256 THEN height
+              ELSE greatest(1, (height * 256) // greatest(width, height)) END AS target_h
+  FROM d)
+SELECT doc_id, width, height,
+       CAST(target_w AS INT) AS target_w, CAST(target_h AS INT) AS target_h,
+       CAST(target_w * target_h * 3 AS BIGINT) AS est_bytes
+FROM f
+"""
+
+_ORACLE_FRAME_SAMPLE = """
+WITH d AS (
+  SELECT doc_id,
+         1000 + ('0x' || substr(md5(text), 11, 6))::BIGINT % 600000 AS duration_ms
+  FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       (i * duration_ms) // 8 AS ts_ms,
+       duration_ms
+FROM d, unnest(range(8)) AS t(i)
+"""
+
+_ORACLE_IMAGE_EMBED = """
+SELECT doc_id,
+       list_transform(generate_series(0, 7),
+         j -> ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT % 2000001
+              - 1000000) AS emb
+FROM documents
+"""
+
 def _oracle_simhash_near_dup() -> str:
     from ..functions.dedup import (
         BAND_BUCKET_CAP,
@@ -983,6 +1047,9 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "embedding_near_dup": _oracle_embedding_near_dup(),
     "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,
+    "multimodal_resize": _ORACLE_MULTIMODAL_RESIZE,
+    "frame_sample": _ORACLE_FRAME_SAMPLE,
+    "image_embed": _ORACLE_IMAGE_EMBED,
     "simhash_near_dup": _oracle_simhash_near_dup(),
     "vocab_topk": _ORACLE_VOCAB_TOPK,
     "train_split": _ORACLE_TRAIN_SPLIT,

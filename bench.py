@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "embedding_near_dup",
     "multimodal_meta",
+    "multimodal_resize",
+    "frame_sample",
+    "image_embed",
     "simhash_near_dup",
     "vocab_topk",
     "train_split",

@@ -139,6 +139,62 @@ def test_multimodal_metadata_matches_md5_formula(spark):
     assert out["format"] in ("png", "jpeg", "webp")
 
 
+def test_resize_plan_geometry_contract(spark):
+    """Images inside the box pass through unchanged; larger ones scale to
+    fit with integer floor-at-1 and preserve which side is longer."""
+    from adtech_log_data_pipeline_spark.functions.multimodal import (
+        RESIZE_MAX_DIM,
+        resize_plan,
+        with_blob_column,
+    )
+
+    texts = [f"payload number {i} with some variation" for i in range(40)]
+    rows = resize_plan(with_blob_column(docs(spark, texts))).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        m = max(r["width"], r["height"])
+        if m <= RESIZE_MAX_DIM:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+        else:
+            assert max(r["target_w"], r["target_h"]) <= RESIZE_MAX_DIM
+            assert r["target_w"] >= 1 and r["target_h"] >= 1
+            # aspect order preserved
+            assert (r["width"] >= r["height"]) == (r["target_w"] >= r["target_h"])
+        assert r["est_bytes"] == r["target_w"] * r["target_h"] * 3
+
+
+def test_frame_sample_manifest_shape(spark):
+    from adtech_log_data_pipeline_spark.functions.multimodal import (
+        FRAME_SAMPLES,
+        frame_sample_manifest,
+        with_blob_column,
+    )
+
+    out = frame_sample_manifest(with_blob_column(docs(spark, ["clip a", "clip b"])))
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["frame_idx"]))
+    assert len(rows) == 2 * FRAME_SAMPLES
+    for doc in (0, 1):
+        sub = [r for r in rows if r["doc_id"] == doc]
+        ts = [r["ts_ms"] for r in sub]
+        assert ts == sorted(ts) and ts[0] == 0
+        assert all(0 <= t < sub[0]["duration_ms"] for t in ts)
+
+
+def test_image_embed_fixed_width_deterministic(spark):
+    from adtech_log_data_pipeline_spark.functions.multimodal import (
+        EMBED_DIMS,
+        image_embed,
+        with_blob_column,
+    )
+
+    a = image_embed(with_blob_column(docs(spark, ["same text", "other"]))).collect()
+    b = image_embed(with_blob_column(docs(spark, ["same text", "other"]))).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    for r in a:
+        assert len(r["emb"]) == EMBED_DIMS
+        assert all(-1_000_000 <= x <= 1_000_000 for x in r["emb"])
+
+
 def test_dedup_clusters_transitive_grouping(spark):
     # a~b and b~c must land in one component labeled by the min doc_id,
     # even though a and c never share a band necessarily
