@@ -66,3 +66,65 @@ def test_duplication_doubles_counts_fixes_bounds(spark, rows):
         for (ab, af, al, ac), (bb, bf, bl, bc) in zip(db["apps"], dd["apps"]):
             assert (ab, af, al) == (bb, bf, bl)
             assert {k: 2 * v for k, v in ac} == dict(bc)
+
+
+# ---------------------------------------------------------------------------
+# sessionize interval-merge laws (streaming/sessionize.py::_merge_points)
+
+
+from adtech_log_data_pipeline_spark.streaming.sessionize import (  # noqa: E402
+    SESSION_GAP_MS,
+    _merge_points,
+)
+
+_ts_strategy = st.lists(
+    st.integers(min_value=0, max_value=10 * SESSION_GAP_MS),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _batch_sessionize(points):
+    """The batch reference: sort, split on gap > SESSION_GAP_MS."""
+    out = []
+    start = end = None
+    n = 0
+    for t in sorted(points):
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > SESSION_GAP_MS:
+            out.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = max(end, t), n + 1
+    out.append((start, end, n))
+    return sorted(out)
+
+
+@given(points=_ts_strategy, cuts=st.lists(st.integers(0, 39), max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_merge_points_batch_slicing_invariant(points, cuts):
+    """Folding the same points through _merge_points in ANY batch slicing
+    and ANY within-slice order yields exactly the batch sessionization —
+    the invariant that makes the streaming operator micro-batch-safe."""
+    bounds = sorted({c for c in cuts if c < len(points)})
+    slices, prev = [], 0
+    for b in bounds + [len(points)]:
+        if b > prev:
+            slices.append(points[prev:b])
+            prev = b
+    sessions = []
+    for s in slices:
+        sessions = _merge_points(sessions, s, SESSION_GAP_MS)
+    assert sorted(sessions) == _batch_sessionize(points)
+
+
+@given(points=_ts_strategy)
+@settings(max_examples=200, deadline=None)
+def test_merge_points_conserves_events_and_order(points):
+    sessions = _merge_points([], points, SESSION_GAP_MS)
+    assert sum(n for _, _, n in sessions) == len(points)
+    # sessions are disjoint, ordered, and separated by more than the gap
+    for (s1, e1, _), (s2, _, _) in zip(sessions, sessions[1:]):
+        assert s1 <= e1 < s2
+        assert s2 - e1 > SESSION_GAP_MS
