@@ -160,7 +160,9 @@ def _shingle_rows(documents: DataFrame) -> DataFrame:
     return long_docs.unionByName(short_docs)
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<string> of N_PERM minhashes). Permutation i is
     simulated by keying md5 with the permutation index: min(md5(i||#||s))
     over shingles — the standard seeded-hash MinHash construction.
@@ -168,8 +170,12 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     Shape: explode shingles -> one codegen HashAggregate with N_PERM min()
     columns -> re-assemble the array. Higher-order-function lambdas are
     interpreted row-at-a-time in Spark (no codegen) — the exploded
-    formulation is ~20x faster at sf0.1 for identical output."""
-    sh = _shingle_rows(documents).select(
+    formulation is ~20x faster at sf0.1 for identical output.
+
+    ``shingles`` lets a caller that already materialized the (doc_id, s)
+    relation share it (min over a multiset equals min over its support
+    set, so distinct vs raw shingle rows are interchangeable here)."""
+    sh = (shingles if shingles is not None else _shingle_rows(documents)).select(
         "doc_id",
         # 2 md5 evaluations per shingle feed all N_PERM permutations via the
         # standard tabulation family h_p(s) = (a + p*b) mod PRIME — 8x less
@@ -192,7 +198,9 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(
-    documents: DataFrame, bucket_cap: int = BAND_BUCKET_CAP
+    documents: DataFrame,
+    bucket_cap: int = BAND_BUCKET_CAP,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of 4 consecutive signature slots
     are near-dup candidates. Output: distinct (doc_a, doc_b) with
@@ -206,7 +214,7 @@ def minhash_candidates(
     # (doc, band): small at any corpus size (this is the artifact you'd
     # checkpoint in a 100 TB run too). Registered with functions/_cache.py
     # so harnesses release it after the query.
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(documents, shingles=shingles)
     r = N_PERM // N_BANDS
     wcap = Window.partitionBy("band", "key").orderBy("doc_id")
     bands = hold(
@@ -528,14 +536,17 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over distinct word-3-gram sets for candidate
     pairs (from minhash_candidates by default). Output:
     (doc_a, doc_b, inter_size, union_size, jaccard)."""
+    # distinct shingle ROWS materialize FIRST: they feed the Jaccard joins
+    # below AND (via shingles=) the MinHash signature pipeline, so the
+    # posexplode + window shingle construction runs once, not twice
+    ds = hold(_shingle_rows(documents).distinct(), eager=True)
     if candidates is None:
         # tiny pair relation consumed by two joins below — persist so the
         # band self-join behind it runs once
-        candidates = hold(minhash_candidates(documents), eager=True)
-    # join formulation: distinct shingle ROWS, intersection = equi-join count
-    # restricted to candidate pairs — no per-row array_intersect over big
-    # arrays, and every stage is a codegen hash agg/join
-    ds = hold(_shingle_rows(documents).distinct(), eager=True)
+        candidates = hold(minhash_candidates(documents, shingles=ds), eager=True)
+    # join formulation: intersection = equi-join count restricted to
+    # candidate pairs — no per-row array_intersect over big arrays, and
+    # every stage is a codegen hash agg/join
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sh"))
     inter = (
         candidates.join(
