@@ -204,7 +204,7 @@ def sessionize_bounded(
         _write_sentinel_file(sentinel_dir, sentinel_ms)
         _await_input_rows(q, expected_rows + 1)
         _await_watermark(q, sentinel_ms - delay_ms)
-        _await_sink_stable(spark, name)
+        _await_sink_stable(spark, name, q=q)
     finally:
         q.stop()
         q.awaitTermination()
@@ -215,12 +215,21 @@ _QUERY_SEQ_S = 0
 _WAIT_TIMEOUT_S = 180.0
 
 
+def _raise_if_failed(q) -> None:
+    """Surface a stream failure immediately instead of letting the poll
+    loops run out their timeout against a dead query."""
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+
 def _await_input_rows(q, n: int) -> None:
     """Poll until the query has consumed >= n input rows total."""
     import time
 
     t0 = time.time()
     while time.time() - t0 < _WAIT_TIMEOUT_S:
+        _raise_if_failed(q)
         if sum(p["numInputRows"] for p in q.recentProgress) >= n:
             return
         time.sleep(0.1)
@@ -235,6 +244,7 @@ def _await_watermark(q, wm_ms: int) -> None:
 
     t0 = time.time()
     while time.time() - t0 < _WAIT_TIMEOUT_S:
+        _raise_if_failed(q)
         for p in q.recentProgress:
             wm = p.get("eventTime", {}).get("watermark")
             if wm is not None:
@@ -247,13 +257,17 @@ def _await_watermark(q, wm_ms: int) -> None:
     raise TimeoutError(f"watermark never reached {wm_ms}")
 
 
-def _await_sink_stable(spark: SparkSession, name: str, quiet_s: float = 1.0) -> None:
+def _await_sink_stable(
+    spark: SparkSession, name: str, q=None, quiet_s: float = 1.0
+) -> None:
     """Poll until the memory sink's row count is unchanged for quiet_s."""
     import time
 
     t0 = time.time()
     last, last_change = -1, time.time()
     while time.time() - t0 < _WAIT_TIMEOUT_S:
+        if q is not None:
+            _raise_if_failed(q)
         cur = spark.table(name).count()
         if cur != last:
             last, last_change = cur, time.time()
