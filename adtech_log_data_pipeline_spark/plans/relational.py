@@ -267,6 +267,65 @@ def quiet_returners_sql(dialect: str) -> str:
         """
 
 
+def sliding_window_counts_sql(dialect: str) -> str:
+    """Sliding event-time windows IN BATCH (1h length, 15min slide): each
+    event lands in exactly 4 windows, generated map-side (explode/unnest —
+    no shuffle until the final hash agg). The window membership is the
+    identical integer floor arithmetic Spark's streaming window() uses,
+    stated explicitly so both dialects compute the same window starts."""
+    ts = _ms("ts", dialect)
+    if dialect == "spark":
+        gen = "LATERAL VIEW explode(sequence(0, 3)) g AS k"
+        idiv = "t div 900000"  # Spark spells integer division `div`
+    else:
+        gen = ", unnest(range(4)) AS g(k)"
+        idiv = "t // 900000"
+    return f"""
+        WITH e AS (SELECT {ts} AS t, event_type FROM events),
+        w AS (
+          SELECT (({idiv}) - k) * 900000 AS window_start_ms, event_type
+          FROM e {gen}
+        )
+        SELECT window_start_ms, event_type,
+               cast(count(*) as bigint) AS n_events
+        FROM w
+        GROUP BY window_start_ms, event_type
+        """
+
+
+def conversion_funnel_sql(dialect: str) -> str:
+    """Ordered conversion funnel: signup -> first click AFTER the signup ->
+    first purchase AFTER that click, per user; output is the stage
+    population counts. Each stage is a conditional min over the previous
+    stage's anchor — three hash aggregates and two broadcast-sized joins,
+    never a per-user sort of raw events."""
+    ts = _ms("ts", dialect)
+    return f"""
+        WITH e AS (SELECT user_id, event_type, {ts} AS t FROM events),
+        s AS (
+          SELECT user_id, min(CASE WHEN event_type = 'signup' THEN t END) AS t_signup
+          FROM e GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(t) AS t_click
+          FROM e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND s.t_signup IS NOT NULL
+                AND e.t > s.t_signup
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(t) AS t_purchase
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.t > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT
+          cast((SELECT count(*) FROM s WHERE t_signup IS NOT NULL) as bigint) AS n_signup,
+          cast((SELECT count(*) FROM c) as bigint) AS n_click_after_signup,
+          cast((SELECT count(*) FROM p) as bigint) AS n_purchase_after_click
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -284,4 +343,6 @@ RELATIONAL_SQL = {
     "monthly_revenue_trend": (monthly_revenue_trend_sql, ["orders"]),
     "brand_supplier_stats": (brand_supplier_stats_sql, ["part", "lineitem", "supplier"]),
     "quiet_returners": (quiet_returners_sql, ["orders", "lineitem"]),
+    "sliding_window_counts": (sliding_window_counts_sql, ["events"]),
+    "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

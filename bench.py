@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "monthly_revenue_trend",
     "brand_supplier_stats",
     "quiet_returners",
+    "sliding_window_counts",
+    "conversion_funnel",
 ]
 
 

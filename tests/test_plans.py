@@ -59,3 +59,37 @@ def test_whole_stage_codegen_covers_core_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen spans render as "*(n) HashAggregate..." in the final plan
     assert "*(" in plan and "isFinalPlan=true" in plan
+
+
+def test_sliding_window_counts_matches_native_window(spark):
+    """The explicit floor-arithmetic window generation (dialect-shared
+    with the oracle) must equal Spark's own sliding window() semantics."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ours = {
+        (r["window_start_ms"], r["event_type"]): r["n_events"]
+        for r in QUERIES["sliding_window_counts"](spark, sf).collect()
+    }
+    native = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert ours == native
+
+
+def test_conversion_funnel_is_monotone(spark):
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["conversion_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_signup"] >= row["n_click_after_signup"] >= row["n_purchase_after_click"]
+    assert row["n_signup"] > 0
