@@ -237,6 +237,16 @@ def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_embed(with_blob_column(_docs(spark, sf_dir)))
 
 
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h / 15min slide) with a 30-minute
+    watermark, APPEND output: every finalized overlapping window emits
+    once. Oracle = the batch sliding-window expansion restricted to
+    windows with end <= watermark."""
+    from ..streaming import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1h windows with watermark, APPEND
     output (windows emit once, when the watermark passes their end; state
@@ -347,6 +357,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "curated_corpus": q_curated_corpus,
     "stream_window_counts": q_stream_window_counts,
+    "stream_sliding_counts": q_stream_sliding_counts,
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
     "streaming_sessionize": q_streaming_sessionize,
@@ -613,6 +624,22 @@ agg AS (
 )
 -- append mode emits a window when the watermark (max event time - delay,
 -- ms precision) passes its END; eviction at equality is inclusive
+SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_STREAM_SLIDING = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+e AS (SELECT epoch_ms(ts) AS t, event_type FROM events),
+w AS (
+  SELECT ((t // 900000) - k) * 900000 AS window_start_ms, event_type
+  FROM e, unnest(range(4)) AS g(k)
+),
+agg AS (
+  SELECT window_start_ms, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM w GROUP BY window_start_ms, event_type
+)
+-- append mode: a window emits when the watermark passes its END
+-- (inclusive at equality, like _ORACLE_STREAM_WINDOW)
 SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
 """
 
@@ -1065,6 +1092,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "packing_plan": _ORACLE_PACKING,
     "tfidf_top_terms": _ORACLE_TFIDF,
     "stream_window_counts": _ORACLE_STREAM_WINDOW,
+    "stream_sliding_counts": _ORACLE_STREAM_SLIDING,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_attribution": _ORACLE_STREAM_ATTRIBUTION,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,

@@ -1,10 +1,18 @@
-from .windowed import stream_click_attribution, stream_dedup_keys, stream_window_counts, streaming_device_activity
-from .sessionize import streaming_sessionize
+from .windowed import (
+    stream_click_attribution,
+    stream_dedup_keys,
+    stream_sliding_counts,
+    stream_window_counts,
+    streaming_device_activity,
+)
+from .sessionize import sessionize_bounded, streaming_sessionize
 
 __all__ = [
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_window_counts",
+    "stream_sliding_counts",
     "streaming_device_activity",
+    "sessionize_bounded",
     "streaming_sessionize",
 ]

@@ -111,6 +111,30 @@ def stream_window_counts(
     )
 
 
+def stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes with a 30-minute watermark,
+    APPEND output — each event belongs to 4 overlapping windows, and each
+    window still emits exactly once when the watermark passes its end
+    (state per open window, evicted on finalization; the sliding factor
+    multiplies state width by overlap count, not by stream length)."""
+    agg = (
+        (events if events is not None else _events_stream(spark, sf_dir))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+    )
+
+
 def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 monoid streaming: per (user) device, incremental
     first/last/count/distinct-type maintained by the state store — the

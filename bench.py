@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "curated_corpus",
     "stream_window_counts",
+    "stream_sliding_counts",
     "stream_dedup",
     "stream_attribution",
     "streaming_sessionize",

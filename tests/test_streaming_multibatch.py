@@ -25,6 +25,7 @@ from adtech_log_data_pipeline_spark.streaming.sessionize import (
 from adtech_log_data_pipeline_spark.streaming.windowed import (
     stream_click_attribution,
     stream_dedup_keys,
+    stream_sliding_counts,
     stream_window_counts,
 )
 
@@ -169,6 +170,18 @@ def test_attribution_multibatch_equals_batch_join(spark, replay_dir):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
     )
     assert out.count() == expected.count()
+
+
+def test_sliding_counts_multibatch_equals_singlebatch(spark, replay_dir):
+    """Sliding windows spanning batch boundaries accumulate across batches
+    before finalizing — the emitted set is slicing-invariant for a
+    time-ordered replay."""
+    multi = stream_sliding_counts(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    single = stream_sliding_counts(spark, SF)
+    assert multi.count() == single.count()
+    assert multi.exceptAll(single).count() == 0
 
 
 def test_window_counts_multibatch_equals_singlebatch(spark, replay_dir):
