@@ -8,6 +8,9 @@ dispatches to BidLogJob or PredictionJob; SURVEY.md §3.1).
 
     python -m adtech_log_data_pipeline_spark --job prediction \\
         --sf-dir /root/testdata/sf0.01 --profiles /tmp/out --output /tmp/out2
+
+    python -m adtech_log_data_pipeline_spark --job export \\
+        --sf-dir /root/testdata/sf0.01 --output /tmp/shards
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adtech_log_data_pipeline_spark")
-    ap.add_argument("--job", choices=["bidlog", "prediction"], required=True)
+    ap.add_argument("--job", choices=["bidlog", "prediction", "export"], required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--output", required=True)
     ap.add_argument("--profiles", help="bidlog-job output dir (prediction job)")
@@ -58,6 +61,15 @@ def main(argv: list[str] | None = None) -> int:
             f" {res.app_profiles.count()} app profiles,"
             f" {res.suspicious.count()} suspicious -> {args.output}"
         )
+    elif args.job == "export":
+        from .functions.export import export_training_shards
+        from .sources.tables import load_table
+
+        manifest = export_training_shards(
+            load_table(spark, args.sf_dir, "documents"), args.output
+        )
+        rows = {r["split"]: r["n_docs"] for r in manifest.collect()}
+        print(f"export job done: {rows} -> {args.output}")
     else:
         if not args.profiles:
             ap.error("--profiles (bidlog-job output dir) is required for --job prediction")

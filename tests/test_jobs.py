@@ -67,3 +67,25 @@ def test_b64_codec_roundtrip_drops_malformed(spark, tmp_path):
         f.write("aGVsbG8=\n")  # valid base64, not valid JSON
     back = read_b64_json(spark, path, "os string, uuid string")
     assert {(r["os"], r["uuid"]) for r in back.collect()} == {("ANDROID", "U1"), ("IOS", "U2")}
+
+
+def test_export_job_cli_end_to_end(spark, tmp_path):
+    """--job export writes split-partitioned shards + manifest via the CLI
+    dispatch (reference Main.java job-dispatch parity for the sink side)."""
+    import os
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "shards_out")
+    rc = main(
+        ["--job", "export", "--sf-dir", "/root/testdata/sf0.001", "--output", out]
+    )
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "shards"))
+    back = spark.read.parquet(os.path.join(out, "shards"))
+    assert back.count() > 0
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
