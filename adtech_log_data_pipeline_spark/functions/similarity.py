@@ -323,6 +323,47 @@ def lsh_topk(
     )
 
 
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """Label-purity screen: each vector's squared distance to its label
+    centroid, ranked most-distant-first within the label — the screen
+    that surfaces mislabeled or degenerate embeddings before training.
+    Output: (vec_id, label, d2_micro, outlier_rank).
+
+    Determinism: element and centroid are quantized to integer micros
+    first (identical formulas to label_centroids), so the distance is
+    exact integer arithmetic — engine- and shuffle-order-independent
+    (64-dim micro distances peak ~2.6e14, far inside bigint).
+
+    Scale shape: the centroid relation is (labels x dims) — tiny — and
+    broadcasts onto the posexploded vectors; one (vec_id) hash agg
+    reduces back to one row per vector. The per-label ranking window
+    sorts label-sized partitions of 1-row-per-vector relations, not raw
+    vectors; an extreme single-label corpus would make it one sorted
+    partition (documented skew caveat, same class as packing_plan)."""
+    from pyspark.sql.window import Window
+
+    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    x = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "label", "dim", F.expr(q).alias("x_micro"))
+    cent = label_centroids(embeddings).select("label", "dim", "centroid_micro")
+    d = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(x_micro - centroid_micro) * (x_micro - centroid_micro)"
+                )
+            ).alias("d2_micro")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2_micro").desc(), "vec_id")
+    return d.withColumn(
+        "outlier_rank", F.row_number().over(w).cast("int")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of the embedding column, dimension-exploded —
     the embedding-QA pass of a training-data pipeline (cluster drift,

@@ -121,6 +121,14 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-purity screen: integer-exact distance to label centroid,
+    ranked within label."""
+    from ..functions.similarity import embedding_outliers
+
+    return embedding_outliers(_emb(spark, sf_dir))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify."""
     return embedding_near_dup_pairs(
@@ -337,6 +345,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_outliers": q_embedding_outliers,
     "winnowing": q_winnowing,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_resize": q_multimodal_resize,
@@ -963,6 +972,30 @@ def _oracle_pii_redact() -> str:
     )
 
 
+_ORACLE_EMBEDDING_OUTLIERS = """
+WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+m AS (SELECT vec_id, label, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_micro
+      FROM e),
+a AS (SELECT label, dim, CAST(sum(x_micro) AS BIGINT) AS sum_micro,
+             count(*) AS n
+      FROM m GROUP BY label, dim),
+c AS (SELECT label, dim,
+             CAST(floor(CAST(sum_micro AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_micro
+      FROM a),
+d AS (SELECT m.vec_id, m.label,
+             CAST(sum((m.x_micro - c.centroid_micro)
+                      * (m.x_micro - c.centroid_micro)) AS BIGINT) AS d2_micro
+      FROM m JOIN c ON m.label = c.label AND m.dim = c.dim
+      GROUP BY m.vec_id, m.label)
+SELECT vec_id, label, d2_micro,
+       CAST(row_number() OVER (PARTITION BY label
+                               ORDER BY d2_micro DESC, vec_id) AS INT) AS outlier_rank
+FROM d
+"""
+
 _ORACLE_LABEL_CENTROIDS = """
 WITH e AS (SELECT label, unnest(embedding) AS x,
                   unnest(range(len(embedding))) AS dim
@@ -1086,6 +1119,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "curated_corpus": _ORACLE_CURATED_CORPUS,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
+    "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
     "repetition_stats": _ORACLE_REPETITION,
     "length_percentiles": _ORACLE_LENGTH_PCT,
     "source_mix": _ORACLE_SOURCE_MIX,
