@@ -207,6 +207,42 @@ def stratified_sample(
     )
 
 
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Log2-bucketed token-length histogram per source — the corpus-shape
+    report read before choosing context length and packing strategy.
+    bucket = floor(log2(n_tokens)) stated as integer bit arithmetic
+    (length of the binary representation minus 1) so both engines bucket
+    identically with no float log. Map + one small hash agg; output:
+    (source, bucket, lo_tokens, n_docs, total_tokens)."""
+    d = documents.select(
+        "source", F.size(tokens_col()).alias("n_tokens")
+    ).select(
+        "source",
+        "n_tokens",
+        # floor(log2(x)) for x >= 1 == bit_length(x) - 1, via bin();
+        # degenerate n_tokens < 1 lands in bucket -1
+        F.when(F.col("n_tokens") < 1, F.lit(-1))
+        .otherwise(F.length(F.expr("bin(n_tokens)")) - 1)
+        .alias("bucket"),
+    )
+    return (
+        d.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.expr(
+                "cast(case when bucket < 0 then 0 else shiftleft(1L, bucket) end as bigint)"
+            ).alias("lo_tokens"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
 CURATE_MIN_TOKENS = 20
 
 

@@ -323,6 +323,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(_docs(spark, sf_dir))
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram per source."""
+    from ..functions.text import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: keep-best dedup x stratified
     sample x quality floor, with split assignment — fused single-scan
@@ -365,6 +372,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "contamination_check": q_contamination_check,
     "curated_corpus": q_curated_corpus,
+    "length_histogram": q_length_histogram,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_dedup": q_stream_dedup,
@@ -916,6 +924,20 @@ SELECT tot.doc_id, tot.n_shingles,
 FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
 """
 
+_ORACLE_LENGTH_HISTOGRAM = f"""
+WITH t AS (SELECT source, len({_TOKS}) AS n_tokens FROM documents),
+b AS (SELECT source, n_tokens,
+             CASE WHEN n_tokens < 1 THEN -1
+                  ELSE CAST(length(bin(n_tokens)) - 1 AS INT) END AS bucket
+      FROM t)
+SELECT source, bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0 ELSE (1::BIGINT << bucket) END AS BIGINT)
+         AS lo_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY source, bucket
+"""
+
 _ORACLE_CURATED_CORPUS = f"""
 WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
 r AS (SELECT source,
@@ -1117,6 +1139,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
     "contamination_check": _ORACLE_CONTAMINATION_CHECK,
     "curated_corpus": _ORACLE_CURATED_CORPUS,
+    "length_histogram": _ORACLE_LENGTH_HISTOGRAM,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

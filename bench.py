@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "tfidf_top_terms",
     "length_percentiles",
+    "length_histogram",
     "source_mix",
     "packing_plan",
     "dedup_clusters",
