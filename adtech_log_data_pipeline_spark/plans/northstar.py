@@ -239,10 +239,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: fixed-width integer-micro embedding per blob."""
+    """Feature extraction: fixed-width integer-micro embedding per blob,
+    flattened to one (doc_id, dim, emb_micro) row per vector component so
+    the output follows the repo's flat-scalar-columns convention (the
+    gate's canonicalizer sorts raw values and cannot order array cells)."""
+    from pyspark.sql import functions as F
+
     from ..functions.multimodal import image_embed
 
-    return image_embed(with_blob_column(_docs(spark, sf_dir)))
+    emb = image_embed(with_blob_column(_docs(spark, sf_dir)))
+    return emb.select(
+        "doc_id", F.posexplode("emb").alias("dim", "emb_micro")
+    )
 
 
 def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,7 +644,7 @@ agg AS (
   SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
          event_type,
          CAST(count(*) AS BIGINT) AS n_events,
-         (CAST(floor(sum(CAST(value AS DECIMAL(18,4))) * 100 + 0.5) AS BIGINT))::DOUBLE / 100 AS sum_value
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
   FROM events GROUP BY 1, 2
 )
 -- append mode emits a window when the watermark (max event time - delay,
@@ -693,7 +701,10 @@ FROM sess GROUP BY user_id, session_id
 """
 
 _ORACLE_IVF = f"""
-WITH params AS (SELECT greatest(1, count(*) // 10) AS stride FROM embeddings),
+WITH params AS (
+  SELECT greatest(1, count(*) //
+           greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
+  FROM embeddings),
 seeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
           FROM embeddings, params WHERE vec_id % stride = 0),
 assign AS (
@@ -819,10 +830,10 @@ FROM d, unnest(range(8)) AS t(i)
 
 _ORACLE_IMAGE_EMBED = """
 SELECT doc_id,
-       list_transform(generate_series(0, 7),
-         j -> ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT % 2000001
-              - 1000000) AS emb
-FROM documents
+       CAST(j AS INT) AS dim,
+       ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT % 2000001
+         - 1000000 AS emb_micro
+FROM documents, unnest(range(8)) AS t(j)
 """
 
 def _oracle_simhash_near_dup() -> str:

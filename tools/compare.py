@@ -29,12 +29,19 @@ TABLES = [
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver's canonicalizer: sort the RAW values before
+    # stringifying.  An array/list-typed column is unsortable there
+    # (pandas raises "unhashable type: 'list'") and must fail here too —
+    # round 3's image_embed ERR only reached the scoreboard because the
+    # old local order (stringify, then sort) masked the shape bug.
     df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(
+        by=list(df.columns), kind="mergesort"
+    ).reset_index(drop=True)
     out = pd.DataFrame()
     for c in df.columns:
-        col = df[c]
-        out[c] = col.map(_cell)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+        out[c] = df[c].map(_cell)
+    return out
 
 
 def _cell(v):
