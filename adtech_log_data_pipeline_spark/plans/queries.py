@@ -160,17 +160,72 @@ def _hygienic(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     return run
 
 
+_ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bidlog_validation": q_bidlog_validation,
+    "device_profiles_flat": q_device_profiles_flat,
+    "device_profile_summary": q_device_profile_summary,
+    "app_profiles_flat": q_app_profiles_flat,
+    "suspicious_ids": q_suspicious_ids,
+    "feature_inputs": q_feature_inputs,
+    "predictions": q_predictions,
+    **{name: _relational(name) for name in RELATIONAL_SQL},
+    **NORTHSTAR_QUERIES,
+}
+
+# The external gate checks the FIRST 50 entries of queries(), so ordering is
+# part of the contract: the least-proven queries must sort earliest. Round 3
+# left 11 queries (5 curation + 6 streaming) outside the window; they move
+# directly behind the 7 reference-parity headliners. The tail holds queries
+# with multiple prior green rows (rotate them back in if they ever change).
+_GATE_FIRST = [
+    "stratified_sample",
+    "dedup_keep_best",
+    "contamination_check",
+    "curated_corpus",
+    "length_histogram",
+    "stream_window_counts",
+    "stream_sliding_counts",
+    "stream_dedup",
+    "stream_attribution",
+    "streaming_sessionize",
+    "streaming_device_activity",
+]
+_GATE_LAST = [
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "multimodal_resize",
+    "frame_sample",
+    "train_split",
+    "pii_redact",
+    "repetition_stats",
+    "length_percentiles",
+    "source_mix",
+    "packing_plan",
+]
+_PARITY = [
+    "bidlog_validation",
+    "device_profiles_flat",
+    "device_profile_summary",
+    "app_profiles_flat",
+    "suspicious_ids",
+    "feature_inputs",
+    "predictions",
+]
+_ORDER = (
+    _PARITY
+    + _GATE_FIRST
+    + [
+        n
+        for n in _ALL_QUERIES
+        if n not in _PARITY and n not in _GATE_FIRST and n not in _GATE_LAST
+    ]
+    + _GATE_LAST
+)
+assert sorted(_ORDER) == sorted(_ALL_QUERIES), (
+    sorted(set(_ORDER) ^ set(_ALL_QUERIES))
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _hygienic(fn)
-    for name, fn in {
-        "bidlog_validation": q_bidlog_validation,
-        "device_profiles_flat": q_device_profiles_flat,
-        "device_profile_summary": q_device_profile_summary,
-        "app_profiles_flat": q_app_profiles_flat,
-        "suspicious_ids": q_suspicious_ids,
-        "feature_inputs": q_feature_inputs,
-        "predictions": q_predictions,
-        **{name: _relational(name) for name in RELATIONAL_SQL},
-        **NORTHSTAR_QUERIES,
-    }.items()
+    name: _hygienic(_ALL_QUERIES[name]) for name in _ORDER
 }
