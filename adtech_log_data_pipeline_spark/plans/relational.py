@@ -1,20 +1,29 @@
 """General analytics (TPC-H-style) query text, shared verbatim between the
 Spark SQL implementation and the DuckDB oracle — both dialects parse the
-same string; only epoch-ms extraction differs (unix_millis/epoch_ms).
+same string; only epoch-ms extraction and integer division differ
+(unix_millis/epoch_ms, div///).
 
 Float-determinism pattern: the synthetic money columns are exact 2-decimal
-values stored as doubles (verified: max deviation ~1e-9), so each FACTOR is
-cast to decimal before arithmetic. All accumulation then happens in exact
-decimal — immune to partial-aggregation order — with a single cast back to
-double at the end. Casting the per-row double PRODUCT instead would be
-wrong: Spark rounds via the shortest decimal representation while DuckDB
-rounds the true binary expansion, and 3-factor products land on 1e-4
-boundaries often enough to flip the last digit.
+values stored as doubles (verified: max deviation ~1e-9), so each factor is
+first snapped to an exact bigint in fixed-point units (cents for money,
+1e-2 for rates). All accumulation then happens in exact INTEGER arithmetic
+— immune to partial-aggregation order AND codegen-friendly (bigint sums
+stay inside WholeStageCodegen; wide-decimal sums fall out to
+ObjectHashAggregate with BigDecimal boxing, which cost round 3 a 3-6x
+regression on every revenue query). One final bigint->double divide, which
+IEEE rounds identically everywhere, converts back.
+
+Per-group overflow bounds (bigint max 9.2e18): 1-factor cent sums carry
+~1e7/row -> safe to ~9e11 rows per group; 2-factor revenue sums carry
+~1.05e9/row in 1e-4 units -> safe to ~8.8e9 rows per group (sf100 lineitem
+is ~6e8 rows, 14x headroom at the CUBE grand total). Only the 3-factor
+sum_charge product needs 1e-6 units (~1e11/row, unsafe past ~8e7 rows), so
+that one column keeps the exact-decimal accumulator.
 """
 
 from __future__ import annotations
 
-# exact-decimal building blocks (money has 2 decimals, rates 2 decimals)
+# exact-decimal building blocks for the 3-factor charge column only
 _PRICE = "cast(l_extendedprice as decimal(12,2))"
 _DISC = "(1 - cast(l_discount as decimal(8,4)))"
 _TAX = "(1 + cast(l_tax as decimal(8,4)))"
@@ -30,11 +39,38 @@ def _dsum(expr: str) -> str:
     full-scale decimal (mantissa > 2^53) straight to double differs by 1 ulp
     (BigDecimal correct rounding vs int128 divide). Here every step is exact
     integer arithmetic until one final bigint->double divide, which IEEE
-    rounds identically everywhere."""
+    rounds identically everywhere. SLOW PATH (ObjectHashAggregate): reserved
+    for the 3-factor product where bigint units would overflow per-group."""
     return f"(cast(cast(floor(sum({expr}) * 100 + 0.5) as bigint) as double) / 100)"
 
 
-REVENUE = _dsum(f"{_PRICE} * {_DISC}")
+def _cents(col: str) -> str:
+    """Exact bigint cents from a 2-decimal-exact double column (the *100
+    may be off by ~1e-7 in binary, so round via floor(x+0.5))."""
+    return f"cast(floor({col} * 100 + 0.5) as bigint)"
+
+
+def _idiv(dialect: str) -> str:
+    # integer division spelling: both truncate==floor for the nonnegative
+    # sums used here
+    return "div" if dialect == "spark" else "//"
+
+
+def _csum(col: str) -> str:
+    """1-factor money sum: accumulate exact bigint cents (codegen hash agg),
+    one final exact bigint->double divide. Bit-identical to _dsum on
+    2-decimal-exact inputs."""
+    return f"(cast(sum({_cents(col)}) as double) / 100)"
+
+
+def _revenue(dialect: str, p: str = "") -> str:
+    """2-factor revenue sum(price * (1-disc)) in exact 1e-4 bigint units,
+    then HALF_UP to cents: floor(S*100 + 0.5) == (S_e4 + 50) intdiv 100 for
+    the nonnegative sums here. Same quantization contract as _dsum."""
+    e4 = f"{_cents(p + 'l_extendedprice')} * (100 - {_cents(p + 'l_discount')})"
+    return (
+        f"(cast((sum({e4}) + 50) {_idiv(dialect)} 100 as double) / 100)"
+    )
 
 
 def _ms(expr: str, dialect: str) -> str:
@@ -47,12 +83,12 @@ def pricing_summary_sql(dialect: str) -> str:
     """TPC-H Q1-style pricing summary: scan -> filter -> 2-key hash agg."""
     return f"""
         SELECT l_returnflag, l_linestatus,
-               {_dsum('cast(l_quantity as decimal(12,2))')} AS sum_qty,
-               {_dsum(_PRICE)} AS sum_base_price,
-               {REVENUE} AS sum_disc_price,
+               {_csum('l_quantity')} AS sum_qty,
+               {_csum('l_extendedprice')} AS sum_base_price,
+               {_revenue(dialect)} AS sum_disc_price,
                {_dsum(f'{_PRICE} * {_DISC} * {_TAX}')} AS sum_charge,
-               {_dsum('cast(l_quantity as decimal(12,2))')} / count(*) AS avg_qty,
-               {_dsum(_PRICE)} / count(*) AS avg_price,
+               {_csum('l_quantity')} / count(*) AS avg_qty,
+               {_csum('l_extendedprice')} / count(*) AS avg_price,
                cast(count(*) as bigint) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -64,7 +100,7 @@ def top_revenue_orders_sql(dialect: str) -> str:
     """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
     return f"""
         SELECT o.o_orderkey,
-               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue,
+               {_revenue(dialect, 'l.')} AS revenue,
                {_ms('o.o_orderdate', dialect)} AS order_date_ms
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -81,7 +117,7 @@ def nation_revenue_sql(dialect: str) -> str:
     supplier-customer co-nationality."""
     return f"""
         SELECT n.n_name,
-               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue
+               {_revenue(dialect, 'l.')} AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -142,7 +178,7 @@ def revenue_cube_sql(dialect: str) -> str:
     return f"""
         SELECT l_returnflag, l_linestatus,
                grouping_id(l_returnflag, l_linestatus) AS gid,
-               {REVENUE} AS revenue,
+               {_revenue(dialect)} AS revenue,
                cast(count(*) as bigint) AS n_items
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -191,7 +227,7 @@ def returned_customers_sql(dialect: str) -> str:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
     return f"""
         SELECT c.c_custkey, c.c_name, n.n_name,
-               {REVENUE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue
+               {_revenue(dialect, 'l.')} AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -227,7 +263,7 @@ def monthly_revenue_trend_sql(dialect: str) -> str:
         WITH m AS (
           SELECT cast(year(o_orderdate) as int) AS y,
                  cast(month(o_orderdate) as int) AS mo,
-                 {_dsum('cast(o_totalprice as decimal(12,2))')} AS revenue
+                 {_csum('o_totalprice')} AS revenue
           FROM orders
           GROUP BY cast(year(o_orderdate) as int), cast(month(o_orderdate) as int))
         SELECT y, mo, revenue,

@@ -97,8 +97,11 @@ def stream_window_counts(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # exact bigint-cents accumulation (value is 2-decimal exact);
+            # stays in codegen, unlike a wide-decimal sum — see
+            # plans/relational.py module docstring for the full rationale
             F.expr(
-                "cast(cast(floor(sum(cast(value as decimal(18,4))) * 100 + 0.5) as bigint) as double) / 100"
+                "cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as double) / 100"
             ).alias("sum_value"),
         )
     )
