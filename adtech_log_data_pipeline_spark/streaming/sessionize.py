@@ -149,29 +149,48 @@ def sessionize_bounded(
     spark: SparkSession,
     ev: DataFrame,
     max_ts_ms: int,
-    expected_rows: int,
+    expected_rows: int | None = None,
     delay_ms: int = 60_000,
 ) -> DataFrame:
     """Sessionize a bounded replay stream ``ev`` (columns user_id, ts —
     ANY micro-batch slicing) to completion; the result equals batch
     sessionization.
 
-    End-of-input protocol: the query runs on a short processing-time
-    trigger; once every expected input row has been consumed
-    (``expected_rows``, known to bounded callers — e.g. parquet footer
-    count), the harness drops a far-future sentinel row into a second,
-    initially EMPTY file source union'd into the stream. Arriving strictly
-    after all real data, it advances the watermark past every real
-    ``end + gap`` without late-dropping anything, and the next micro-batch
-    fires every pending group timeout. This is Flink's end-of-input +inf
-    watermark restated with Spark primitives, and it is what makes the
-    bounded result slicing-invariant (the round-2 single-batch assumption
-    is gone). ``max_ts_ms`` is the replay's max event time (footer stats);
-    a sentinel misplaced BELOW it would late-drop data, which is why it is
-    derived, not hardcoded."""
+    End-of-input protocol, two ``availableNow`` phases over one checkpoint:
+
+      1. phase 1 drains every available real row (availableNow's contract —
+         no row-count polling, so arbitrarily many micro-batches are fine)
+         and leaves the watermark at ``max_real - delay``;
+      2. the harness then drops a far-future sentinel row into a second,
+         initially EMPTY file source union'd into the stream and restarts
+         the query from the same checkpoint (state + file offsets recover).
+         Arriving strictly after all real data, the sentinel advances the
+         watermark past every real ``end + gap`` without late-dropping
+         anything, and the trailing no-data micro-batch fires every pending
+         group timeout.
+
+    This is Flink's end-of-input +inf watermark restated with Spark
+    primitives, and it is what makes the bounded result slicing-invariant.
+    ``max_ts_ms`` is the replay's max event time (footer stats); a sentinel
+    misplaced BELOW it would late-drop data, which is why it is derived,
+    not hardcoded. ``expected_rows`` is kept for caller compatibility but
+    unused — availableNow subsumes the old consumed-row poll (whose
+    recentProgress accounting undercounted past 100 micro-batches).
+
+    The sink is a checkpointed parquet directory (exactly-once file sink;
+    the memory sink cannot recover across the phase-2 restart). The result
+    is materialized driver-side before the temp dirs are removed — the
+    same driver residency the memory sink had; a production deployment
+    points the sink at durable storage and skips the read-back."""
     global _QUERY_SEQ_S
+    _ = expected_rows
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
-    sentinel_dir = tempfile.mkdtemp(prefix="sessionize_sentinel_")
+    work = tempfile.mkdtemp(prefix="sessionize_run_")
+    sentinel_dir = os.path.join(work, "sentinel")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(sentinel_dir)
+    os.makedirs(out_dir)
     sent = (
         spark.readStream.schema("user_id long, ts timestamp_ntz")
         .parquet(sentinel_dir)
@@ -190,91 +209,37 @@ def sessionize_bounded(
         "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
     )
     _QUERY_SEQ_S += 1
-    name = f"sessionize_out_{os.getpid()}_{_QUERY_SEQ_S}"
-    q = (
-        sessionize_stream(events)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="100 milliseconds")
-        .start()
-    )
-    try:
-        _await_input_rows(q, expected_rows)
-        _write_sentinel_file(sentinel_dir, sentinel_ms)
-        _await_input_rows(q, expected_rows + 1)
-        _await_watermark(q, sentinel_ms - delay_ms)
-        _await_sink_stable(spark, name, q=q)
-    finally:
-        q.stop()
+    sessions = sessionize_stream(events)
+
+    def _run_phase() -> None:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
-    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER_ID)
+
+    try:
+        _run_phase()
+        _write_sentinel_file(sentinel_dir, sentinel_ms)
+        _run_phase()
+        result = (
+            spark.read.schema(OUTPUT_SCHEMA)
+            .parquet(out_dir)
+            .filter(F.col("user_id") != SENTINEL_USER_ID)
+        )
+        pdf = result.toPandas()
+        return spark.createDataFrame(pdf, schema=OUTPUT_SCHEMA)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 _QUERY_SEQ_S = 0
-_WAIT_TIMEOUT_S = 180.0
-
-
-def _raise_if_failed(q) -> None:
-    """Surface a stream failure immediately instead of letting the poll
-    loops run out their timeout against a dead query."""
-    exc = q.exception()
-    if exc is not None:
-        raise exc
-
-
-def _await_input_rows(q, n: int) -> None:
-    """Poll until the query has consumed >= n input rows total."""
-    import time
-
-    t0 = time.time()
-    while time.time() - t0 < _WAIT_TIMEOUT_S:
-        _raise_if_failed(q)
-        if sum(p["numInputRows"] for p in q.recentProgress) >= n:
-            return
-        time.sleep(0.1)
-    raise TimeoutError(f"stream consumed fewer than {n} rows")
-
-
-def _await_watermark(q, wm_ms: int) -> None:
-    """Poll until a COMPLETED batch reports watermark >= wm_ms — i.e. the
-    timeout-firing batch has run."""
-    import datetime as _dt
-    import time
-
-    t0 = time.time()
-    while time.time() - t0 < _WAIT_TIMEOUT_S:
-        _raise_if_failed(q)
-        for p in q.recentProgress:
-            wm = p.get("eventTime", {}).get("watermark")
-            if wm is not None:
-                cur = _dt.datetime.fromisoformat(
-                    wm.replace("Z", "+00:00")
-                ).timestamp() * 1000
-                if cur >= wm_ms:
-                    return
-        time.sleep(0.1)
-    raise TimeoutError(f"watermark never reached {wm_ms}")
-
-
-def _await_sink_stable(
-    spark: SparkSession, name: str, q=None, quiet_s: float = 1.0
-) -> None:
-    """Poll until the memory sink's row count is unchanged for quiet_s."""
-    import time
-
-    t0 = time.time()
-    last, last_change = -1, time.time()
-    while time.time() - t0 < _WAIT_TIMEOUT_S:
-        if q is not None:
-            _raise_if_failed(q)
-        cur = spark.table(name).count()
-        if cur != last:
-            last, last_change = cur, time.time()
-        elif time.time() - last_change >= quiet_s:
-            return
-        time.sleep(0.2)
-    raise TimeoutError("sink row count never stabilized")
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
