@@ -35,25 +35,31 @@ def export_training_shards(
 
         curated = curated_corpus(documents)
 
-    from ._cache import hold
+    from ._cache import hold, release_cached
 
     curated = hold(curated, eager=True)  # feeds both the write and the manifest
-    rows = documents.join(
-        curated.select("doc_id", "split", "n_tokens"), "doc_id"
-    )
-    (
-        rows.repartition("split")
-        .sortWithinPartitions("doc_id")
-        .write.partitionBy("split")
-        .mode("overwrite")
-        .parquet(os.path.join(out_dir, "shards"))
-    )
-    manifest = curated.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    manifest.coalesce(1).write.mode("overwrite").json(
-        os.path.join(out_dir, "manifest")
-    )
+    try:
+        rows = documents.join(
+            curated.select("doc_id", "split", "n_tokens"), "doc_id"
+        )
+        (
+            rows.repartition("split")
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("split")
+            .mode("overwrite")
+            .parquet(os.path.join(out_dir, "shards"))
+        )
+        manifest = curated.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        manifest.coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, "manifest")
+        )
+    finally:
+        # both consumers (shard write + manifest json) have executed; a
+        # long-lived session must not keep the curated relation cached
+        # (a later collect on the returned manifest just recomputes)
+        release_cached()
     return manifest

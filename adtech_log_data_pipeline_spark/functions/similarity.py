@@ -150,7 +150,7 @@ def brute_force_topk(
 
 
 def ivf_assignments(
-    embeddings: DataFrame, n_lists: int = 10, total: int | None = None
+    embeddings: DataFrame, n_lists: int | None = None, total: int | None = None
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest seed
     centroid. Seeds are a deterministic corpus sample (vec_id % stride == 0
@@ -158,11 +158,18 @@ def ivf_assignments(
     whole index oracle-reproducible. Centroids broadcast with precomputed
     norms; assignment is a map-side argmax, (vec_id, list_id). Pass
     ``total`` when the caller already knows the corpus size to skip the
-    count scan."""
+    count scan.
+
+    ``n_lists`` defaults to ``max(10, isqrt(total))`` — the classic IVF
+    balance point where per-list scan cost (~total/n_lists) matches the
+    centroid-probe cost (~n_lists), so the index keeps scaling instead of
+    degenerating to 10 giant lists on a 1e9-vector corpus."""
     from pyspark.sql.window import Window
 
     if total is None:
         total = embeddings.count()
+    if n_lists is None:
+        n_lists = default_n_lists(total)
     stride = max(1, total // n_lists)
     seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("list_id"),
@@ -186,11 +193,21 @@ def ivf_assignments(
     )
 
 
+def default_n_lists(total: int) -> int:
+    """Scaled IVF list count: max(10, isqrt(total)). Mirrored verbatim by
+    the DuckDB oracle (plans/northstar.py::_ORACLE_IVF) as
+    greatest(10, floor(sqrt(n + 0.5))) — the +0.5 makes the double sqrt
+    floor agree with integer isqrt for every n below 2^50."""
+    import math
+
+    return max(10, math.isqrt(total))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lists: int = 10,
+    n_lists: int | None = None,
     total: int | None = None,
 ) -> DataFrame:
     """IVF search: rank candidates only within the query's inverted list

@@ -59,15 +59,38 @@ def _base_images() -> np.ndarray:
     return _BASES
 
 
+MODEL_WEIGHTS_ENV = "SPARK_GRAFT_MODEL_WEIGHTS"
+
+
 def _model_weights() -> np.ndarray:
-    """Deterministic (784, 10) float64 weight matrix — loaded once per
-    Python worker process (module global ≡ the reference's @Setup load).
-    w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1]."""
+    """(784, 10) float64 weight matrix — loaded once per Python worker
+    process (module global ≡ the reference's @Setup SavedModel load,
+    Predictions.java:146-169).
+
+    Honest-inference seam: if ``$SPARK_GRAFT_MODEL_WEIGHTS`` points at a
+    ``.npy`` file holding a (784, 10) matrix, that trained model is used —
+    the env var reaches every executor via spark.executorEnv / cluster
+    conf, and the file path must be worker-visible (shared FS or
+    --files-shipped). Without it, a deterministic formula matrix stands in:
+    w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1] (the sandbox has
+    no TF; the batching/argmax/score contract is identical either way)."""
     global _MODEL
     if _MODEL is None:
-        i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
-        j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
-        _MODEL = ((i * 31 + j * 17) % 101 - 50) / 50.0
+        import os
+
+        path = os.environ.get(MODEL_WEIGHTS_ENV)
+        if path:
+            w = np.load(path)
+            if w.shape != (FEATURE_DIM, N_CLASSES):
+                raise ValueError(
+                    f"{MODEL_WEIGHTS_ENV} file {path!r} has shape {w.shape},"
+                    f" expected {(FEATURE_DIM, N_CLASSES)}"
+                )
+            _MODEL = w.astype(np.float64)
+        else:
+            i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
+            j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
+            _MODEL = ((i * 31 + j * 17) % 101 - 50) / 50.0
     return _MODEL
 
 

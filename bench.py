@@ -98,19 +98,27 @@ def main() -> None:
     # session, not the query
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
 
+    # best-of-2 per query: one pass is noisy at these runtimes (round-1 vs
+    # round-3 swings of 3-6x traced to cache-state luck, not plan changes);
+    # the min of two back-to-back cold-cache runs is attributable to the
+    # plan. Caches are cleared after every run, so neither run sees
+    # leftover persisted frames — "cold" means cache-cold, same-JVM.
     timings: dict[str, float] = {}
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries are independent: drop frames persisted inside operators so
-        # earlier queries' cache doesn't pressure later ones
-        from adtech_log_data_pipeline_spark.functions._cache import release_cached
-
-        release_cached()
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # queries are independent: drop frames persisted inside operators
+            # so earlier runs' cache doesn't pressure later ones
+            release_cached()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     # unpersist audit: a full bench session must end with ZERO cached RDDs
     # (a leaked persisted relation is executor memory lost for the rest of

@@ -46,13 +46,31 @@ def test_stratified_sample_caps_each_source(spark):
 
 
 def test_stratified_sample_membership_stable_under_corpus_growth(spark):
-    """A document's membership depends only on its own hash and its
-    source's rate — re-running on a superset with the same per-source
-    rate keeps the same members (reshuffle-/growth-proof, unlike rand())."""
+    """A document's membership depends only on its own hash and its OWN
+    source's rate — when a different source grows, every unchanged
+    source's kept set is identical (growth-/reshuffle-proof, unlike
+    rand()). Simulated by shrinking one source and comparing the other
+    sources' membership against the full-corpus sample."""
     docs = _docs(spark)
+    grown_src = docs.select(F.min("source")).first()[0]
+    # "before growth": the grown source had only its odd doc_ids
+    before = docs.filter(
+        (F.col("source") != grown_src) | (F.col("doc_id") % 2 == 1)
+    )
+
+    def kept_by_other_sources(d):
+        return {
+            (r["source"], r["doc_id"])
+            for r in stratified_sample(d, 10)
+            .filter(F.col("source") != grown_src)
+            .collect()
+        }
+
+    assert kept_by_other_sources(before) == kept_by_other_sources(docs)
+    # and the run itself is deterministic
     a = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
     b = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
-    assert a == b  # deterministic across runs
+    assert a == b
 
 
 def test_dedup_keep_best_one_keeper_per_group(spark):

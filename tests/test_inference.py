@@ -60,6 +60,37 @@ def test_predict_schema_and_determinism(spark):
     assert all(0 <= p <= 9 for p, _ in out1.values())
 
 
+def test_model_weights_env_seam(tmp_path, monkeypatch):
+    """$SPARK_GRAFT_MODEL_WEIGHTS loads a trained (784, 10) npy; a wrong
+    shape is rejected; unset falls back to the formula matrix."""
+    import adtech_log_data_pipeline_spark.operators.inference as inf
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((FEATURE_DIM, 10))
+    p = tmp_path / "w.npy"
+    np.save(p, w)
+    monkeypatch.setenv(inf.MODEL_WEIGHTS_ENV, str(p))
+    monkeypatch.setattr(inf, "_MODEL", None)
+    assert np.array_equal(inf._model_weights(), w)
+
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((3, 3)))
+    monkeypatch.setenv(inf.MODEL_WEIGHTS_ENV, str(bad))
+    monkeypatch.setattr(inf, "_MODEL", None)
+    import pytest
+
+    with pytest.raises(ValueError, match="shape"):
+        inf._model_weights()
+
+    monkeypatch.delenv(inf.MODEL_WEIGHTS_ENV)
+    monkeypatch.setattr(inf, "_MODEL", None)
+    formula = inf._model_weights()
+    assert formula.shape == (FEATURE_DIM, 10)
+    assert formula[0, 0] == ((0 * 31 + 0 * 17) % 101 - 50) / 50.0
+    # leave the module global back at the formula matrix for later tests
+    monkeypatch.setattr(inf, "_MODEL", None)
+
+
 def test_scores_match_numpy_reference(spark):
     rows = [fi_row()]
     df = spark.createDataFrame(rows, FI_SCHEMA)
