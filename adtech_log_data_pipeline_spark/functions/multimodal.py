@@ -145,6 +145,53 @@ def frame_sample_manifest(blobs: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_CHUNK_MS = 30_000
+
+
+def audio_chunk_manifest(blobs: DataFrame) -> DataFrame:
+    """Audio chunking stage: split each clip into fixed 30 s chunks — the
+    work-list an ASR/audio-embedding stage consumes. The clip duration
+    comes from the payload (md5-derived fake, same decode seam and formula
+    as frame_sample_manifest); everything AFTER the decode is declarative:
+    the per-chunk fan-out is a JVM-side sequence+explode over the tiny
+    (doc_id, duration_ms) relation, so the blob is read once in a map-only
+    Python stage and never shuffles, and the fan-out stays in codegen
+    (contrast frame_sample_manifest, which fans out inside Python — both
+    shapes are valid; this one keeps Python minimal).
+    Output: (doc_id, chunk_idx, chunk_start_ms, chunk_end_ms, duration_ms).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_ms": [
+                        1000 + int(hashlib.md5(b).hexdigest()[10:16], 16) % 600_000
+                        for b in pdf["blob"]
+                    ],
+                }
+            )
+
+    durations = blobs.mapInPandas(run, schema="doc_id long, duration_ms long")
+    c = AUDIO_CHUNK_MS
+    return durations.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(
+            F.expr(f"sequence(0L, (duration_ms + {c - 1}) div {c} - 1)")
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("k") * c).alias("chunk_start_ms"),
+        F.least(F.col("k") * c + c, F.col("duration_ms")).alias("chunk_end_ms"),
+        "duration_ms",
+    )
+
+
 def image_embed(blobs: DataFrame) -> DataFrame:
     """Feature-extraction stage: an EMBED_DIMS-dim embedding per blob in
     integer micros (exact across engines; a real model would emit floats

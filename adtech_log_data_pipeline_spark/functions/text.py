@@ -207,6 +207,128 @@ def stratified_sample(
     )
 
 
+MIX_BUDGET_PCT = 40  # token budget as % of corpus tokens
+
+
+def token_budget_mixture(
+    documents: DataFrame, budget_pct: int = MIX_BUDGET_PCT
+) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing knob stated in
+    TOKENS rather than documents: a total budget (``budget_pct`` percent of
+    corpus tokens) is split evenly across sources, each source keeps docs
+    by hash threshold at rate ≈ its share / its token mass (capped at
+    keep-everything). This is how a pretraining run targets "N billion
+    tokens, balanced across sources" when sources differ wildly in both
+    doc count and doc length — per-DOC stratification (stratified_sample)
+    over-weights long-doc sources.
+
+    Scale shape: one small per-source token aggregate + a 1-row corpus
+    total, both broadcast back onto a map-only filter — the corpus itself
+    never shuffles. Exact integer arithmetic end-to-end (rate in ppm,
+    ceil-divides); exact up to ~9e12 corpus tokens (share * 1e6 must fit a
+    bigint — switch the one multiply to decimal(38,0) beyond that).
+    Output: kept rows (doc_id, source, n_tokens, rate_ppm)."""
+    d = documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("tok_src"))
+    totals = per_src.agg(
+        F.sum("tok_src").alias("tok_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.least(
+                F.lit(SAMPLE_BUCKETS).cast("bigint"),
+                F.expr(
+                    f"(((tok_total * {budget_pct}) div 100 div n_sources)"
+                    f" * {SAMPLE_BUCKETS} + tok_src - 1) div tok_src"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 12), 16, 10)"
+        f" as bigint) % {SAMPLE_BUCKETS}"
+    )
+    return (
+        d.withColumn("bucket_ppm", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket_ppm") < F.col("rate_ppm"))
+        .select("doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"), "rate_ppm")
+    )
+
+
+def doc_quality_zipf(documents: DataFrame) -> DataFrame:
+    """Zipf-frequency quality score: the mean log2-bucket of each token's
+    CORPUS frequency — a KenLM-style "how typical is this text" signal
+    with no model file: gibberish/rare-token documents score low, natural
+    in-distribution text scores high. Integer-exact (bit-length instead of
+    float log, milli-units integer divide) so the DuckDB oracle matches
+    bit-for-bit.
+
+    Scale shape: explode -> one token hash agg (map-side combine carries
+    the Zipf head) -> join counts back onto the shared exploded relation
+    (held once) -> per-doc agg. The counts join keys on token, where the
+    Zipf head is exactly the skew AQE's skew-join split handles; with a
+    bounded vocabulary a broadcast of the counts relation removes that
+    shuffle entirely. Output: (doc_id, n_tokens, sum_log2, zipf_milli)."""
+    from ._cache import hold
+
+    tf = hold(
+        documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+    )
+    counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tf.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.length(F.expr("bin(cnt)"))).alias("sum_log2"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            F.col("sum_log2").cast("bigint").alias("sum_log2"),
+            F.expr("(sum_log2 * 1000) div n_tok").alias("zipf_milli"),
+        )
+    )
+
+
+def shingle_dup_rate(documents: DataFrame) -> DataFrame:
+    """Cross-document duplication diagnostic: for each document, the
+    fraction of its DISTINCT 3-gram shingles that also appear in at least
+    one other document — the RefinedWeb-style signal that separates
+    boilerplate/templated text (high rate) from original text, finer than
+    whole-doc dedup and cheaper than pairwise similarity.
+
+    Scale shape: shingle rows (codegen window form, shared via hold) ->
+    one shingle-frequency hash agg -> join back -> per-doc agg; shuffles
+    carry (doc_id, shingle-hash)-sized rows only. Integer-exact ppm.
+    Output: (doc_id, n_shingles, n_dup_shingles, dup_ppm)."""
+    from ._cache import hold
+    from .dedup import _shingle_rows
+
+    sh = hold(_shingle_rows(documents).distinct())
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("int").alias("n_shingles"),
+            F.col("n_dup").cast("bigint").alias("n_dup_shingles"),
+            F.expr(f"(n_dup * {SAMPLE_BUCKETS}) div n_sh").alias("dup_ppm"),
+        )
+    )
+
+
 def length_histogram(documents: DataFrame) -> DataFrame:
     """Log2-bucketed token-length histogram per source — the corpus-shape
     report read before choosing context length and packing strategy.

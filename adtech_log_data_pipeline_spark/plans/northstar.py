@@ -347,7 +347,42 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: an even per-source TOKEN budget,
+    hash-threshold membership (integer-exact)."""
+    from ..functions.text import token_budget_mixture
+
+    return token_budget_mixture(_docs(spark, sf_dir))
+
+
+def q_doc_quality_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-frequency quality score (mean log2 corpus-frequency bucket,
+    integer milli-units)."""
+    from ..functions.text import doc_quality_zipf
+
+    return doc_quality_zipf(_docs(spark, sf_dir))
+
+
+def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus shingle duplication rate (ppm)."""
+    from ..functions.text import shingle_dup_rate
+
+    return shingle_dup_rate(_docs(spark, sf_dir))
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking manifest: Python decode of clip duration only; the
+    per-chunk fan-out is a JVM-side sequence explode."""
+    from ..functions.multimodal import audio_chunk_manifest
+
+    return audio_chunk_manifest(with_blob_column(_docs(spark, sf_dir)))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_budget_mixture": q_token_budget_mixture,
+    "doc_quality_zipf": q_doc_quality_zipf,
+    "shingle_dup_rate": q_shingle_dup_rate,
+    "audio_chunks": q_audio_chunks,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -975,6 +1010,67 @@ FROM k JOIN r USING (source)
 WHERE rn = 1 AND bucket_ppm < rate_ppm AND n_tokens >= 20
 """
 
+_ORACLE_TOKEN_BUDGET_MIXTURE = f"""
+WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+s AS (SELECT source, sum(n_tokens) AS tok_src FROM d GROUP BY source),
+g AS (SELECT sum(tok_src) AS tok_total, count(*) AS n_sources FROM s),
+r AS (SELECT source,
+             least(1000000,
+                   (((tok_total * 40) // 100 // n_sources) * 1000000
+                    + tok_src - 1) // tok_src) AS rate_ppm
+      FROM s, g)
+SELECT d.doc_id, d.source, CAST(d.n_tokens AS INT) AS n_tokens,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+FROM d JOIN r USING (source)
+WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        % 1000000 < r.rate_ppm
+"""
+
+_ORACLE_DOC_QUALITY_ZIPF = f"""
+WITH tf AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY token),
+j AS (SELECT tf.doc_id, length(format('{{:b}}', c.cnt)) AS lb
+      FROM tf JOIN c USING (token))
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(lb) AS BIGINT) AS sum_log2,
+       CAST((sum(lb) * 1000) // count(*) AS BIGINT) AS zipf_milli
+FROM j GROUP BY doc_id
+"""
+
+_ORACLE_SHINGLE_DUP_RATE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         END AS shingles
+  FROM t),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shl),
+f AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+j AS (SELECT sh.doc_id, f.df FROM sh JOIN f USING (s))
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS dup_ppm
+FROM j GROUP BY doc_id
+"""
+
+_ORACLE_AUDIO_CHUNKS = """
+WITH d AS (
+  SELECT doc_id,
+         1000 + ('0x' || substr(md5(text), 11, 6))::BIGINT % 600000 AS duration_ms
+  FROM documents)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       k * 30000 AS chunk_start_ms,
+       least(k * 30000 + 30000, duration_ms) AS chunk_end_ms,
+       duration_ms
+FROM d, unnest(range((duration_ms + 29999) // 30000)) AS t(k)
+"""
+
 _ORACLE_TRAIN_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -1165,4 +1261,8 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "stream_attribution": _ORACLE_STREAM_ATTRIBUTION,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
+    "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
+    "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
+    "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
+    "audio_chunks": _ORACLE_AUDIO_CHUNKS,
 }

@@ -178,6 +178,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # directly behind the 7 reference-parity headliners. The tail holds queries
 # with multiple prior green rows (rotate them back in if they ever change).
 _GATE_FIRST = [
+    "token_budget_mixture",
+    "doc_quality_zipf",
+    "shingle_dup_rate",
+    "audio_chunks",
     "stratified_sample",
     "dedup_keep_best",
     "contamination_check",
@@ -191,6 +195,10 @@ _GATE_FIRST = [
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "winnowing",
+    "multimodal_meta",
+    "vocab_topk",
+    "label_centroids",
     "text_stats",
     "lang_id",
     "doc_fingerprints",

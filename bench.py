@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "contamination_check",
     "curated_corpus",
+    "token_budget_mixture",
+    "doc_quality_zipf",
+    "shingle_dup_rate",
+    "audio_chunks",
     "stream_window_counts",
     "stream_sliding_counts",
     "stream_dedup",

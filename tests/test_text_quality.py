@@ -1,0 +1,157 @@
+"""Semantic contracts for the round-4 curation/quality operators:
+token-budget mixture sampling, Zipf-frequency quality scoring, cross-doc
+shingle duplication rate, and the audio chunk manifest."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.functions.multimodal import (
+    AUDIO_CHUNK_MS,
+    audio_chunk_manifest,
+    with_blob_column,
+)
+from adtech_log_data_pipeline_spark.functions.text import (
+    doc_quality_zipf,
+    shingle_dup_rate,
+    token_budget_mixture,
+)
+from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_mixture_token_weighted(spark):
+    """A long-doc source and a many-doc source with the SAME token mass get
+    the SAME keep rate — the property per-doc stratification lacks."""
+    rows = (
+        # source a: 2 docs x 50 tokens = 100 tokens
+        [(i, " ".join(f"w{j}" for j in range(50)), "a") for i in range(2)]
+        # source b: 20 docs x 5 tokens = 100 tokens
+        + [(100 + i, "x y z q r", "b") for i in range(20)]
+    )
+    out = token_budget_mixture(_docs(spark, rows), budget_pct=50)
+    rates = {
+        r["source"]: r["rate_ppm"]
+        for r in out.select("source", "rate_ppm").distinct().collect()
+    }
+    # budget = 100 tokens, share = 50 per source, both sources hold 100
+    # tokens -> identical rate ceil(50/100 * 1e6) = 500000
+    assert rates.get("a") == rates.get("b") == 500_000 or (
+        # one source may have no kept docs by hash luck; rate must still be
+        # equal wherever it appears
+        len(set(rates.values())) <= 1
+    )
+
+
+def test_token_budget_mixture_small_corpus_keeps_everything(spark):
+    """budget_pct=100: every source's share covers its own mass only when
+    sources are balanced; with one source the rate caps at keep-all."""
+    rows = [(i, "a b c d", "only") for i in range(10)]
+    out = token_budget_mixture(_docs(spark, rows), budget_pct=100)
+    assert out.count() == 10
+    assert out.select("rate_ppm").distinct().collect()[0][0] == 1_000_000
+
+
+def test_token_budget_mixture_nested_under_rate_changes(spark):
+    """Unlike stratified_sample, the keep RATE here is global-budget-
+    dependent by design (another source growing grows the budget). The
+    hash-threshold contract still guarantees NESTING: per source, when the
+    rate moves, the kept set at the lower rate is a subset of the kept set
+    at the higher rate — no membership churn beyond the rate delta. Also
+    deterministic across runs."""
+    docs = load_table(spark, SF, "documents")
+    grown = docs.select(F.min("source")).first()[0]
+    before = docs.filter(
+        (F.col("source") != grown) | (F.col("doc_id") % 2 == 1)
+    )
+
+    def by_source(d):
+        out: dict[str, tuple[int, set]] = {}
+        for r in token_budget_mixture(d).collect():
+            rate, kept = out.setdefault(r["source"], (r["rate_ppm"], set()))
+            assert rate == r["rate_ppm"]
+            kept.add(r["doc_id"])
+        return out
+
+    a, b = by_source(before), by_source(docs)
+    for src in set(a) & set(b) - {grown}:
+        (ra, ka), (rb, kb) = a[src], b[src]
+        lo, hi = (ka, kb) if ra <= rb else (kb, ka)
+        assert lo <= hi, f"{src}: kept set not nested under rate change"
+
+    again = by_source(docs)
+    assert {s: (r, frozenset(k)) for s, (r, k) in b.items()} == {
+        s: (r, frozenset(k)) for s, (r, k) in again.items()
+    }
+
+
+def test_doc_quality_zipf_hand_computed(spark):
+    """Corpus: 'the' x3 occurrences (bucket len(bin(3))=2), 'rare' x1
+    (bucket 1). doc 0 = 'the the rare' -> sum 2+2+1=5, milli=(5*1000)//3."""
+    rows = [(0, "the the rare", "s"), (1, "the", "s")]
+    out = {r["doc_id"]: r for r in doc_quality_zipf(_docs(spark, rows)).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["sum_log2"] == 5
+    assert out[0]["zipf_milli"] == (5 * 1000) // 3
+    assert out[1]["sum_log2"] == 2  # 'the' appears 3x in corpus -> bucket 2
+    assert out[1]["zipf_milli"] == 2000
+
+
+def test_doc_quality_zipf_common_text_scores_higher(spark):
+    """A doc of corpus-common tokens outscores a doc of hapaxes."""
+    rows = [(i, "alpha beta gamma", "s") for i in range(9)] + [
+        (100, "alpha beta gamma", "s"),
+        (101, "qq ww ee", "s"),
+    ]
+    out = {r["doc_id"]: r["zipf_milli"] for r in doc_quality_zipf(_docs(spark, rows)).collect()}
+    assert out[100] > out[101]
+
+
+def test_shingle_dup_rate_shared_vs_unique(spark):
+    """Two identical docs: every shingle duplicated (ppm=1e6); a disjoint
+    doc: zero."""
+    shared = " ".join(f"s{j}" for j in range(10))
+    unique = " ".join(f"u{j}" for j in range(10))
+    rows = [(0, shared, "s"), (1, shared, "s"), (2, unique, "s")]
+    out = {r["doc_id"]: r for r in shingle_dup_rate(_docs(spark, rows)).collect()}
+    assert out[0]["dup_ppm"] == 1_000_000 and out[1]["dup_ppm"] == 1_000_000
+    assert out[2]["dup_ppm"] == 0
+    assert out[2]["n_shingles"] == 8  # 10 tokens -> 8 distinct 3-grams
+
+
+def test_shingle_dup_rate_counts_distinct_shingles(spark):
+    """Repeated shingles inside ONE doc are not duplication; a doc that
+    repeats itself but shares nothing cross-doc scores 0."""
+    rows = [(0, "a b c a b c a b c", "s"), (1, "x y z w", "s")]
+    out = {r["doc_id"]: r for r in shingle_dup_rate(_docs(spark, rows)).collect()}
+    assert out[0]["dup_ppm"] == 0
+    assert out[0]["n_shingles"] == 3  # distinct: 'a b c','b c a','c a b'
+
+
+def test_audio_chunks_tile_duration(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    out = audio_chunk_manifest(with_blob_column(docs))
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        h = hashlib.md5(src[doc_id].encode()).hexdigest()
+        duration = 1000 + int(h[10:16], 16) % 600_000
+        assert all(r["duration_ms"] == duration for r in chunks)
+        n = (duration + AUDIO_CHUNK_MS - 1) // AUDIO_CHUNK_MS
+        assert [r["chunk_idx"] for r in chunks] == list(range(n))
+        # chunks tile [0, duration): contiguous, last ends exactly at end
+        assert chunks[0]["chunk_start_ms"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["chunk_end_ms"] == b["chunk_start_ms"]
+        assert chunks[-1]["chunk_end_ms"] == duration
