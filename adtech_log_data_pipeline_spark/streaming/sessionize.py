@@ -212,15 +212,21 @@ def sessionize_bounded(
     sessions = sessionize_stream(events)
 
     def _run_phase() -> None:
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from .windowed import stream_partitions
+
+        # replay-sized state partitioning (see windowed.py rationale); the
+        # partition count bakes into the checkpoint at phase 1, phase 2
+        # recovers the same value
+        with stream_partitions(spark):
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         _run_phase()

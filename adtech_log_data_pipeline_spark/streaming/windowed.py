@@ -32,11 +32,35 @@ real sink; nothing here is memory-sink-specific except _run_to_memory.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _QUERY_SEQ = 0
+
+# State-store partition count for bounded replays. Streaming state
+# partitioning is fixed by spark.sql.shuffle.partitions at the query's
+# FIRST batch (baked into the checkpoint), and every micro-batch pays a
+# per-partition store open/commit — with the batch default of 32 on a
+# ~1M-row replay that fixed overhead dominates the actual work (measured
+# 3-6x on stream_dedup/attribution/sessionize). Production sizes this to
+# key cardinality x throughput; a bounded local replay sizes it small.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Temporarily pin spark.sql.shuffle.partitions for a stream start.
+    Session-wide conf, so the replay harnesses (which run serially) wrap
+    start..awaitTermination; restored in finally."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -49,15 +73,16 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     global _QUERY_SEQ
     _QUERY_SEQ += 1
     name = f"stream_out_{os.getpid()}_{_QUERY_SEQ}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with stream_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -79,6 +79,45 @@ def test_dedup_exact_is_single_agg_no_join(spark):
     assert "Join" not in plan
 
 
+def test_token_budget_mixture_rates_broadcast(spark):
+    """The per-source rate relation is tiny and must broadcast onto the
+    corpus filter — a SortMergeJoin here shuffles the whole corpus for a
+    20-row dimension."""
+    plan = _plan(spark, "token_budget_mixture", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the 1-row corpus-totals join is the only nested-loop product
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_revenue_sums_stay_in_codegen_hash_agg(spark):
+    """The bigint-cents accumulators must use HashAggregate (codegen), not
+    ObjectHashAggregate — the wide-decimal slow path this repo moved off
+    in round 4."""
+    for name in ("revenue_cube", "monthly_revenue_trend"):
+        plan = _plan(spark, name, mode="simple")
+        assert "ObjectHashAggregate" not in plan, name
+        assert "HashAggregate" in plan, name
+
+
+def test_zipf_and_shingle_paths_have_no_python(spark):
+    """doc_quality_zipf and shingle_dup_rate are pure JVM plans — no
+    Python evaluation nodes anywhere (the exploded/shingle relations are
+    codegen constructions)."""
+    for name in ("doc_quality_zipf", "shingle_dup_rate"):
+        plan = _plan(spark, name, mode="simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_audio_chunks_python_is_duration_decode_only(spark):
+    """audio_chunks runs exactly one Arrow-batched Python stage (the
+    duration decode); the chunk fan-out generator must be JVM-side."""
+    plan = _plan(spark, "audio_chunks", mode="simple")
+    assert plan.count("MapInPandas") == 1
+    assert "Generate explode" in plan or "Generate" in plan
+
+
 def test_parity_aggregates_do_partial_aggregation(spark):
     """Map-side partial aggregation (two HashAggregate levels around the
     exchange) must stay in place for the per-device profile aggregate —
