@@ -299,6 +299,14 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_click_attribution(spark, sf_dir)
 
 
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (broadcast customer dimension) + tumbling
+    windowed counts per market segment, APPEND output."""
+    from ..streaming import stream_enriched_counts
+
+    return stream_enriched_counts(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates — exact
     first/last/count/distinct-type counts maintained by the state store
@@ -420,6 +428,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
+    "stream_enriched_counts": q_stream_enriched_counts,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -684,6 +693,20 @@ agg AS (
 )
 -- append mode emits a window when the watermark (max event time - delay,
 -- ms precision) passes its END; eviction at equality is inclusive
+SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_STREAM_ENRICHED = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+agg AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', e.ts)) AS window_start_ms,
+         c.c_mktsegment AS mktsegment,
+         e.event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+-- append mode: a window emits once the watermark passes its end
 SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
 """
 
@@ -1261,6 +1284,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "stream_attribution": _ORACLE_STREAM_ATTRIBUTION,
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
+    "stream_enriched_counts": _ORACLE_STREAM_ENRICHED,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,

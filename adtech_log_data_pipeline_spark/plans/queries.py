@@ -191,10 +191,12 @@ _GATE_FIRST = [
     "stream_sliding_counts",
     "stream_dedup",
     "stream_attribution",
+    "stream_enriched_counts",
     "streaming_sessionize",
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "embedding_outliers",
     "winnowing",
     "multimodal_meta",
     "vocab_topk",

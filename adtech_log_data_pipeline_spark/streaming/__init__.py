@@ -1,6 +1,7 @@
 from .windowed import (
     stream_click_attribution,
     stream_dedup_keys,
+    stream_enriched_counts,
     stream_sliding_counts,
     stream_window_counts,
     streaming_device_activity,
@@ -10,6 +11,7 @@ from .sessionize import sessionize_bounded, streaming_sessionize
 __all__ = [
     "stream_click_attribution",
     "stream_dedup_keys",
+    "stream_enriched_counts",
     "stream_window_counts",
     "stream_sliding_counts",
     "streaming_device_activity",

@@ -163,6 +163,41 @@ def stream_sliding_counts(
     )
 
 
+def stream_enriched_counts(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Stream-STATIC join + windowed aggregation — the enrichment shape:
+    the watermarked event stream joins the static customer dimension
+    (broadcast — the engine re-evaluates the static side per micro-batch,
+    so a dimension refresh lands without restarting the query), then
+    tumbling 1-hour windows count events per (market segment, event type),
+    APPEND output with the same finalize-once/evict semantics as
+    stream_window_counts. State is bounded by open windows x (segment,
+    type) cardinality; the join itself adds NO state (static side is not
+    buffered stream state, unlike a stream-stream join).
+    Output: (window_start_ms, mktsegment, event_type, n_events)."""
+    from ..sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    agg = (
+        (events if events is not None else _events_stream(spark, sf_dir))
+        .withWatermark("ts", "30 minutes")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "mktsegment",
+        "event_type",
+        "n_events",
+    )
+
+
 def streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 monoid streaming: per (user) device, incremental
     first/last/count/distinct-type maintained by the state store — the

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "stream_sliding_counts",
     "stream_dedup",
     "stream_attribution",
+    "stream_enriched_counts",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

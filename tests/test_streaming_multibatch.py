@@ -25,6 +25,7 @@ from adtech_log_data_pipeline_spark.streaming.sessionize import (
 from adtech_log_data_pipeline_spark.streaming.windowed import (
     stream_click_attribution,
     stream_dedup_keys,
+    stream_enriched_counts,
     stream_sliding_counts,
     stream_window_counts,
 )
@@ -180,6 +181,18 @@ def test_sliding_counts_multibatch_equals_singlebatch(spark, replay_dir):
         spark, SF, events=_multibatch_stream(spark, replay_dir)
     )
     single = stream_sliding_counts(spark, SF)
+    assert multi.count() == single.count()
+    assert multi.exceptAll(single).count() == 0
+
+
+def test_enriched_counts_multibatch_equals_singlebatch(spark, replay_dir):
+    """The stream-static join re-evaluates the static dimension per
+    micro-batch; the emitted finalized-window set must still be
+    slicing-invariant (join adds no stream state)."""
+    multi = stream_enriched_counts(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    single = stream_enriched_counts(spark, SF)
     assert multi.count() == single.count()
     assert multi.exceptAll(single).count() == 0
 
