@@ -71,3 +71,39 @@ def write_json_text(df: DataFrame, path: str, single_file: bool = False) -> None
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    mode: str = "DROPMALFORMED",
+) -> DataFrame:
+    """Newline-delimited JSON source — the read side of write_json_text,
+    via Spark's native JSON reader (partitioned splittable text scan, JVM
+    parser, schema projection pushed into the parse).
+
+    ``mode`` maps the reference's malformed-row semantics onto Spark's
+    parse modes: DROPMALFORMED (default; rows that fail to parse vanish,
+    ≡ the try/catch-drop decode in ProtoUtils/Features.java:72-79),
+    PERMISSIVE (malformed rows survive as nulls with the raw line captured
+    in ``_corrupt_record`` — the quarantine-and-audit shape), or FAILFAST
+    (corruption is an error, ≡ the X1 tripwire posture). An explicit
+    schema is REQUIRED: schema inference is a second full scan of the
+    input — never acceptable at 100 TB."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if mode.upper() == "PERMISSIVE" and "_corrupt_record" not in schema.names:
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -69,6 +69,47 @@ def test_b64_codec_roundtrip_drops_malformed(spark, tmp_path):
     assert {(r["os"], r["uuid"]) for r in back.collect()} == {("ANDROID", "U1"), ("IOS", "U2")}
 
 
+def test_jsonl_roundtrip_and_malformed_modes(spark, tmp_path):
+    """read_jsonl is the read side of write_json_text: round-trip equality,
+    DROPMALFORMED silently drops corrupt lines, PERMISSIVE quarantines
+    them in _corrupt_record, FAILFAST raises."""
+    from adtech_log_data_pipeline_spark.sources.codecs import (
+        read_jsonl,
+        write_json_text,
+    )
+
+    df = spark.createDataFrame(
+        [("ANDROID", "U1", 3), ("IOS", "U2", 5)], "os string, uuid string, n long"
+    )
+    path = str(tmp_path / "jsonl")
+    write_json_text(df, path)
+    with open(f"{path}/part-malformed.txt", "w") as f:
+        f.write('{"os": "IOS", "uuid": "U3", "n": }\n')  # broken JSON
+        f.write("not json at all\n")
+
+    schema = "os string, uuid string, n long"
+    dropped = read_jsonl(spark, path, schema)  # DROPMALFORMED default
+    assert {(r["os"], r["uuid"], r["n"]) for r in dropped.collect()} == {
+        ("ANDROID", "U1", 3),
+        ("IOS", "U2", 5),
+    }
+
+    # Spark disallows querying ONLY _corrupt_record from the raw scan
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); its
+    # documented workaround is caching the parsed frame first
+    perm = read_jsonl(spark, path, schema, mode="PERMISSIVE").cache()
+    assert perm.count() == 4
+    corrupt = perm.filter("_corrupt_record IS NOT NULL")
+    assert corrupt.count() == 2
+    assert "not json at all" in {
+        r["_corrupt_record"] for r in corrupt.collect()
+    }
+
+    perm.unpersist()
+    with pytest.raises(Exception):
+        read_jsonl(spark, path, schema, mode="FAILFAST").collect()
+
+
 def test_export_job_cli_end_to_end(spark, tmp_path):
     """--job export writes split-partitioned shards + manifest via the CLI
     dispatch (reference Main.java job-dispatch parity for the sink side)."""
