@@ -11,6 +11,12 @@ dispatches to BidLogJob or PredictionJob; SURVEY.md §3.1).
 
     python -m adtech_log_data_pipeline_spark --job export \\
         --sf-dir /root/testdata/sf0.01 --output /tmp/shards
+
+    python -m adtech_log_data_pipeline_spark --job ingest \\
+        --input /data/incoming --output /data/table --checkpoint /data/ckpt
+
+    python -m adtech_log_data_pipeline_spark --job compact \\
+        --input /data/table/dt=2026-08-14 --output /data/compacted
 """
 
 from __future__ import annotations
@@ -21,10 +27,17 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adtech_log_data_pipeline_spark")
-    ap.add_argument("--job", choices=["bidlog", "prediction", "export"], required=True)
+    ap.add_argument(
+        "--job",
+        choices=["bidlog", "prediction", "export", "ingest", "compact"],
+        required=True,
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--output", required=True)
     ap.add_argument("--profiles", help="bidlog-job output dir (prediction job)")
+    ap.add_argument("--input", help="input directory (ingest/compact jobs)")
+    ap.add_argument("--checkpoint", help="checkpoint dir (ingest job)")
+    ap.add_argument("--schema", help="input DDL schema (ingest job, optional)")
     ap.add_argument("--master", default=None, help="spark master (default: local[*])")
     # suspicious thresholds (reference MyOptions.java defaults)
     ap.add_argument("--threshold-user", type=int, default=4)
@@ -70,6 +83,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = {r["split"]: r["n_docs"] for r in manifest.collect()}
         print(f"export job done: {rows} -> {args.output}")
+    elif args.job == "ingest":
+        if not args.input or not args.checkpoint:
+            ap.error("--input and --checkpoint are required for --job ingest")
+        from .jobs.maintenance import incremental_ingest
+
+        n = incremental_ingest(
+            spark, args.input, args.output, args.checkpoint, schema=args.schema
+        )
+        print(f"ingest done: {n} new rows -> {args.output}")
+    elif args.job == "compact":
+        if not args.input:
+            ap.error("--input is required for --job compact")
+        from .jobs.maintenance import compact_parquet
+
+        n = compact_parquet(spark, args.input, args.output)
+        print(f"compact done: {n} output partitions -> {args.output}")
     else:
         if not args.profiles:
             ap.error("--profiles (bidlog-job output dir) is required for --job prediction")

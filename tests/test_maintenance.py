@@ -1,0 +1,108 @@
+"""Maintenance jobs: incremental checkpointed ingest (exactly-once delta
+processing of a growing directory) and small-files compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.jobs.maintenance import (
+    compact_parquet,
+    incremental_ingest,
+)
+
+SCHEMA = "id long, v string"
+
+
+def _write_batch(spark, d, ids):
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in ids], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(d)
+
+
+def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, src, range(0, 5))
+    n1 = incremental_ingest(spark, src, out, ckpt, schema=SCHEMA)
+    assert n1 == 5
+    assert spark.read.parquet(out).count() == 5
+
+    # second invocation on an UNCHANGED directory is a no-op
+    n2 = incremental_ingest(spark, src, out, ckpt, schema=SCHEMA)
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == 5
+
+    # new arrivals: only the delta is read; output accretes exactly once
+    _write_batch(spark, src, range(5, 12))
+    n3 = incremental_ingest(spark, src, out, ckpt, schema=SCHEMA)
+    assert n3 == 7
+    back = spark.read.parquet(out)
+    assert back.count() == 12
+    assert {r["id"] for r in back.collect()} == set(range(12))
+
+
+def test_incremental_ingest_applies_transform(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, range(10))
+    incremental_ingest(
+        spark,
+        src,
+        out,
+        ckpt,
+        schema=SCHEMA,
+        transform=lambda df: df.filter(F.col("id") % 2 == 0),
+    )
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {0, 2, 4, 6, 8}
+
+
+def test_ingest_and_compact_cli(spark, tmp_path):
+    """--job ingest / --job compact dispatch through the CLI."""
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, range(6))
+    rc = main(
+        ["--job", "ingest", "--input", src, "--output", out,
+         "--checkpoint", ckpt, "--schema", SCHEMA]
+    )
+    assert rc == 0 and spark.read.parquet(out).count() == 6
+    comp = str(tmp_path / "comp")
+    rc = main(["--job", "compact", "--input", out, "--output", comp])
+    assert rc == 0 and spark.read.parquet(comp).count() == 6
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "compacted")
+    # 12 tiny files
+    for i in range(12):
+        _write_batch(spark, src, range(i * 10, i * 10 + 10))
+    n_in = sum(
+        1
+        for root, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    assert n_in >= 12
+    n_parts = compact_parquet(spark, src, out, sort_cols=["id"])
+    assert n_parts == 1  # tiny input -> one target-sized file
+    n_out = sum(
+        1
+        for root, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    assert n_out == 1
+    assert spark.read.parquet(out).count() == 120
+    # content identical to the input
+    assert (
+        spark.read.parquet(out).exceptAll(spark.read.parquet(src)).count() == 0
+    )
