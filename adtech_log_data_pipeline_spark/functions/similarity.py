@@ -340,6 +340,102 @@ def lsh_topk(
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    total: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, EXACT in
+    integer micros — the real clustering pass behind an IVF index (the
+    strided seeds ivf_assignments uses are exactly this algorithm's
+    initialization, i.e. iters=0).
+
+    Determinism across engines and shuffle orders: elements quantize to
+    integer micros first; assignment distances are exact bigint squared
+    sums (64-dim micro deltas peak ~2.6e14 — inside bigint); ties break to
+    the smallest centroid id via lexicographic min(struct); centroid
+    updates are one exactly-rounded double divide of an exact integer sum
+    (the label_centroids convention). The DuckDB oracle restates all
+    ``iters`` iterations as chained CTEs and matches bit-for-bit.
+
+    Scale shape per iteration: centroids are (k x dims) — tiny, broadcast;
+    assignment is a map-side join + one (vec_id, cid) hash agg + one
+    (vec_id) hash agg; the update is one (cid, dim) hash agg. The vectors
+    shuffle as micro rows only. The driver loop runs ``iters`` times
+    (bounded constant — it builds plans, moves no data); each iteration's
+    centroid relation is persisted to cut lineage growth. Empty clusters
+    keep their previous centroid with n_vecs = 0 (mirrored in the oracle
+    via LEFT JOIN + COALESCE).
+    Output: (cid, dim, n_vecs, centroid_micro) after ``iters`` updates."""
+    from ._cache import hold
+
+    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    x = hold(
+        embeddings.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select("vec_id", "dim", F.expr(q).alias("x_micro")),
+        eager=True,
+    )
+    if total is None:
+        total = embeddings.count()
+    stride = max(1, total // k)
+    cent = x.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        "dim",
+        F.lit(0).cast("bigint").alias("n_vecs"),
+        F.col("x_micro").alias("c_micro"),
+    )
+    for _ in range(iters):
+        d2 = (
+            x.join(F.broadcast(cent.select("cid", "dim", "c_micro")), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    F.expr("(x_micro - c_micro) * (x_micro - c_micro)")
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        upd = (
+            assign.join(x, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("x_micro").alias("sum_micro"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid",
+                "dim",
+                "n",
+                F.expr(
+                    "cast(floor(cast(sum_micro as double) / n + 0.5) as bigint)"
+                ).alias("new_micro"),
+            )
+        )
+        cent = hold(
+            cent.select("cid", "dim", F.col("c_micro").alias("prev"))
+            .join(upd, ["cid", "dim"], "left")
+            .select(
+                "cid",
+                "dim",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_vecs"),
+                F.coalesce(F.col("new_micro"), F.col("prev")).alias("c_micro"),
+            ),
+            eager=True,
+        )
+    return cent.select(
+        "cid", "dim", "n_vecs", F.col("c_micro").alias("centroid_micro")
+    )
+
+
 def embedding_outliers(embeddings: DataFrame) -> DataFrame:
     """Label-purity screen: each vector's squared distance to its label
     centroid, ranked most-distant-first within the label — the screen

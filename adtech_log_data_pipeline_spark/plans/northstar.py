@@ -214,6 +214,15 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(_emb(spark, sf_dir))
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-micro Lloyd's k-means (3 iterations, strided init)."""
+    from ..functions.similarity import kmeans_centroids
+
+    return kmeans_centroids(
+        _emb(spark, sf_dir), total=table_row_count(sf_dir, "embeddings")
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints."""
     return winnowing_fingerprints(_docs(spark, sf_dir))
@@ -414,6 +423,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
+    "kmeans_centroids": q_kmeans_centroids,
     "repetition_stats": q_repetition_stats,
     "length_percentiles": q_length_percentiles,
     "source_mix": q_source_mix,
@@ -1148,6 +1158,58 @@ SELECT vec_id, label, d2_micro,
 FROM d
 """
 
+def _oracle_kmeans() -> str:
+    """Chained-CTE restatement of ALL Lloyd iterations (see
+    functions/similarity.py::kmeans_centroids for the quantization and
+    tie-break conventions this mirrors)."""
+    from ..functions.similarity import KMEANS_ITERS, KMEANS_K
+
+    ctes = [
+        "t AS (SELECT count(*) AS n FROM embeddings)",
+        """x AS (
+  SELECT vec_id, CAST(dim AS INT) AS dim,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_micro
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings))""",
+        f"""c0 AS (
+  SELECT vec_id AS cid, dim, CAST(0 AS BIGINT) AS n_vecs, x_micro AS c_micro
+  FROM x, t WHERE vec_id % greatest(1, n // {KMEANS_K}) = 0)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        p = f"c{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+  SELECT x.vec_id, c.cid,
+         sum((x.x_micro - c.c_micro) * (x.x_micro - c.c_micro)) AS d2
+  FROM x JOIN {p} c USING (dim) GROUP BY x.vec_id, c.cid)"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, min({{'d2': d2, 'cid': cid}}).cid AS cid
+  FROM d{i} GROUP BY vec_id)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+  SELECT a.cid, x.dim, CAST(sum(x.x_micro) AS BIGINT) AS sum_micro,
+         count(*) AS n
+  FROM a{i} a JOIN x USING (vec_id) GROUP BY a.cid, x.dim)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.cid, p.dim,
+         CAST(coalesce(u.n, 0) AS BIGINT) AS n_vecs,
+         coalesce(CAST(floor(CAST(u.sum_micro AS DOUBLE) / u.n + 0.5)
+                       AS BIGINT), p.c_micro) AS c_micro
+  FROM {p} p LEFT JOIN u{i} u ON p.cid = u.cid AND p.dim = u.dim)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT cid, dim, n_vecs, c_micro AS centroid_micro FROM c{KMEANS_ITERS}"
+    )
+
+
 _ORACLE_LABEL_CENTROIDS = """
 WITH e AS (SELECT label, unnest(embedding) AS x,
                   unnest(range(len(embedding))) AS dim
@@ -1272,6 +1334,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "length_histogram": _ORACLE_LENGTH_HISTOGRAM,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
+    "kmeans_centroids": _oracle_kmeans(),
     "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
     "repetition_stats": _ORACLE_REPETITION,
     "length_percentiles": _ORACLE_LENGTH_PCT,

@@ -178,6 +178,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # directly behind the 7 reference-parity headliners. The tail holds queries
 # with multiple prior green rows (rotate them back in if they ever change).
 _GATE_FIRST = [
+    "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",
     "shingle_dup_rate",
@@ -196,6 +197,7 @@ _GATE_FIRST = [
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "quiet_returners",
     "embedding_outliers",
     "winnowing",
     "multimodal_meta",

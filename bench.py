@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "train_split",
     "pii_redact",
     "label_centroids",
+    "kmeans_centroids",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

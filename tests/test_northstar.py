@@ -356,6 +356,60 @@ def test_label_centroids_exact_micros(spark):
     assert out[(8, 0)]["n_vecs"] == 1
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    """Two well-separated blobs, k=2 strided init (one seed lands in
+    each): after 3 Lloyd iterations the centroids are the exact integer-
+    micro means of their blobs."""
+    from adtech_log_data_pipeline_spark.functions.similarity import kmeans_centroids
+
+    rows = (
+        # blob A around (0, 0): vec_ids 0..3
+        [(0, [0.0, 0.0]), (1, [0.2, 0.0]), (2, [0.0, 0.2]), (3, [0.2, 0.2])]
+        # blob B around (10, 10): vec_ids 4..7
+        + [(4, [10.0, 10.0]), (5, [10.2, 10.0]), (6, [10.0, 10.2]), (7, [10.2, 10.2])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_centroids(emb, k=2, iters=3, total=8)
+    got = {(r["cid"], r["dim"]): r for r in out.collect()}
+    # strided init: seeds vec_id % 4 == 0 -> cid 0 (blob A) and cid 4 (blob B)
+    assert {c for c, _ in got} == {0, 4}
+    assert got[(0, 0)]["n_vecs"] == 4 and got[(4, 0)]["n_vecs"] == 4
+    assert got[(0, 0)]["centroid_micro"] == 100_000  # mean(0, .2, 0, .2)
+    assert got[(4, 0)]["centroid_micro"] == 10_100_000
+    assert got[(4, 1)]["centroid_micro"] == 10_100_000
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    from adtech_log_data_pipeline_spark.functions.similarity import kmeans_centroids
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {
+        (r["cid"], r["dim"]): (r["n_vecs"], r["centroid_micro"])
+        for r in kmeans_centroids(emb).collect()
+    }
+    b = {
+        (r["cid"], r["dim"]): (r["n_vecs"], r["centroid_micro"])
+        for r in kmeans_centroids(emb.repartition(13)).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A seed with no members after assignment survives with n_vecs=0 and
+    its previous coordinates (no NULLs, no dropped cluster rows)."""
+    from adtech_log_data_pipeline_spark.functions.similarity import kmeans_centroids
+
+    # seeds are vec_id 0 and 2 (stride 2); every point is nearest seed 0's
+    # position except seed 2 itself, which is also closer to the dense blob
+    rows = [(0, [0.0]), (1, [0.1]), (2, [0.2]), (3, [0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cid"]: r for r in kmeans_centroids(emb, k=2, iters=2, total=4).collect()}
+    assert set(out) == {0, 2}
+    # cluster 2 empties on iteration 2 at the latest; its centroid row stays
+    assert all(r["centroid_micro"] is not None for r in out.values())
+
+
 def test_repetition_stats_duplicate_detection(spark):
     from adtech_log_data_pipeline_spark.functions.text import repetition_stats
 
