@@ -35,6 +35,8 @@ LSH_TARGET_BUCKET = 64
 # beyond the cap (deterministic keep-rule: smallest vec_ids) is dropped
 # from PAIR GENERATION only; at the default no real bucket reaches it.
 NEAR_DUP_BUCKET_CAP = 1000
+KMEANS_K = 8
+KMEANS_ITERS = 3
 
 _DOT = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 
@@ -149,8 +151,35 @@ def brute_force_topk(
     )
 
 
+def kmeans_seed_vectors(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    total: int | None = None,
+) -> DataFrame:
+    """Reassemble kmeans_centroids output into the (list_id, a, na) seed
+    shape ivf_assignments consumes — the trained-centroid upgrade over the
+    strided sample. The reassembly is one tiny (k-row) JVM aggregation
+    (sorted collect over dims), never a driver collect."""
+    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total)
+    vecs = (
+        cent.groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, centroid_micro))),"
+                " s -> cast(s.centroid_micro as double) / 1000000)"
+            ).alias("a")
+        )
+        .select(F.col("cid").alias("list_id"), "a", _norm("a").alias("na"))
+    )
+    return vecs
+
+
 def ivf_assignments(
-    embeddings: DataFrame, n_lists: int | None = None, total: int | None = None
+    embeddings: DataFrame,
+    n_lists: int | None = None,
+    total: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest seed
     centroid. Seeds are a deterministic corpus sample (vec_id % stride == 0
@@ -163,19 +192,25 @@ def ivf_assignments(
     ``n_lists`` defaults to ``max(10, isqrt(total))`` — the classic IVF
     balance point where per-list scan cost (~total/n_lists) matches the
     centroid-probe cost (~n_lists), so the index keeps scaling instead of
-    degenerating to 10 giant lists on a 1e9-vector corpus."""
+    degenerating to 10 giant lists on a 1e9-vector corpus.
+
+    ``seeds`` overrides the strided sample with an external centroid
+    relation (list_id, a array<double>, na) — e.g. kmeans_seed_vectors for
+    trained centroids (better-balanced lists, higher recall at the same
+    probe budget)."""
     from pyspark.sql.window import Window
 
-    if total is None:
-        total = embeddings.count()
-    if n_lists is None:
-        n_lists = default_n_lists(total)
-    stride = max(1, total // n_lists)
-    seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("list_id"),
-        F.col("embedding").alias("a"),
-        _norm("embedding").alias("na"),
-    )
+    if seeds is None:
+        if total is None:
+            total = embeddings.count()
+        if n_lists is None:
+            n_lists = default_n_lists(total)
+        stride = max(1, total // n_lists)
+        seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("a"),
+            _norm("embedding").alias("na"),
+        )
     scored = (
         embeddings.select(
             F.col("vec_id"),
@@ -209,6 +244,7 @@ def ivf_topk(
     k: int = 5,
     n_lists: int | None = None,
     total: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank candidates only within the query's inverted list
     (n_probes=1). Same output shape as brute_force_topk; at scale the
@@ -221,7 +257,10 @@ def ivf_topk(
 
     from ._cache import hold
 
-    assign = hold(ivf_assignments(embeddings, n_lists, total=total), eager=True)
+    assign = hold(
+        ivf_assignments(embeddings, n_lists, total=total, seeds=seeds),
+        eager=True,
+    )
     corpus = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b"),
@@ -302,9 +341,15 @@ def lsh_topk(
     k: int = 5,
     total: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket. Same
-    output shape as brute_force_topk; recall < 1 by construction. The
-    signature relation feeds both the corpus and the query joins —
+    """Approximate top-k with MULTI-PROBE: each query ranks candidates in
+    its own bucket plus every bucket at Hamming distance 1 (the standard
+    sign-LSH recall fix — a near neighbor that disagrees on exactly one
+    hyperplane is still found). Probe count is 1 + bits, so the scan
+    fraction stays (1 + bits) / 2^bits — shrinking as the corpus (and
+    bits) grow. Probing explodes the QUERY side only (queries are the
+    small side, broadcast); corpus vectors still carry exactly one bucket.
+    Same output shape as brute_force_topk; recall < 1 by construction.
+    The signature relation feeds both the corpus and the query joins —
     persisted once via functions/_cache.py. Pass ``total`` (known corpus
     size, e.g. from parquet footer metadata) to skip the count job."""
     from pyspark.sql.window import Window
@@ -312,18 +357,34 @@ def lsh_topk(
     from ._cache import hold
 
     n = embeddings.count() if total is None else total
-    sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
+    bits = lsh_bits(n)
+    sigs = hold(lsh_signatures(embeddings, bits=bits), eager=True)
     corpus = embeddings.join(sigs, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b"),
         _norm("embedding").alias("nb"),
         "bucket",
     )
-    q = queries.join(sigs, queries.query_id == sigs.vec_id).select(
-        "query_id",
-        F.col("qvec").alias("a"),
-        _norm("qvec").alias("na"),
-        "bucket",
+    q = (
+        queries.join(sigs, queries.query_id == sigs.vec_id)
+        .select(
+            "query_id",
+            F.col("qvec").alias("a"),
+            _norm("qvec").alias("na"),
+            "bucket",
+        )
+        .select(
+            "query_id",
+            "a",
+            "na",
+            F.explode(
+                F.expr(
+                    "concat(array(bucket),"
+                    f" transform(sequence(0, {bits - 1}),"
+                    " i -> cast(bucket ^ shiftleft(1, i) as int)))"
+                )
+            ).alias("bucket"),
+        )
     )
     scored = (
         corpus.join(F.broadcast(q), "bucket")
@@ -338,10 +399,6 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim_r6")
     )
-
-
-KMEANS_K = 8
-KMEANS_ITERS = 3
 
 
 def kmeans_centroids(

@@ -657,14 +657,19 @@ def _oracle_similarity_lsh_topk() -> str:
 WITH {_sigs_cte()},
 q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS a, s.bucket
       FROM embeddings e JOIN sigs s USING (vec_id) WHERE e.vec_id < {N_QUERY_VECS}),
+-- multi-probe: own bucket (j = 0) plus every Hamming-distance-1 bucket
+qp AS (SELECT query_id, a,
+              CAST(xor(bucket, CASE WHEN j = 0 THEN 0
+                                    ELSE (1 << (j - 1)) END) AS INT) AS bucket
+       FROM q, lshp, unnest(range(bits + 1)) AS t(j)),
 c AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS b, s.bucket
       FROM embeddings e JOIN sigs s USING (vec_id)),
 scored AS (
-  SELECT q.query_id, c.neighbor_id,
-         round(list_dot_product(q.a, c.b)
-               / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
+  SELECT qp.query_id, c.neighbor_id,
+         round(list_dot_product(qp.a, c.b)
+               / (sqrt(list_dot_product(qp.a, qp.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
            AS cos_sim_r6
-  FROM q JOIN c USING (bucket) WHERE c.neighbor_id <> q.query_id
+  FROM qp JOIN c USING (bucket) WHERE c.neighbor_id <> qp.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,81 @@
+"""ANN quality gates: the approximate similarity paths must not just be
+oracle-consistent — they must actually FIND neighbors. Recall@5 of each
+approximate index is measured against brute-force ground truth on the
+sf0.001 embeddings; floors are pinned well below observed values so a
+genuine index regression (broken bucketing, degenerate assignment) fails
+loudly while hash-family tweaks do not."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.functions._cache import release_cached
+from adtech_log_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_seed_vectors,
+    lsh_topk,
+)
+from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 5
+N_QUERIES = 10
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _queries(spark):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+def _topk_sets(rows):
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(spark, approx_rows):
+    truth = _topk_sets(brute_force_topk(_emb(spark), _queries(spark), k=K).collect())
+    approx = _topk_sets(approx_rows)
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    return hits / (len(truth) * K)
+
+
+def test_lsh_recall_floor(spark):
+    """Multi-probe sign-LSH measures 0.24 here (near-uniform synthetic
+    directions are sign-LSH's worst case; single-probe measured 0.06).
+    Floor 0.15: a regression to single-probe or broken probing fails."""
+    r = _recall(spark, lsh_topk(_emb(spark), _queries(spark), k=K).collect())
+    release_cached()
+    assert r >= 0.15, f"LSH recall@5 collapsed: {r}"
+
+
+def test_ivf_recall_floor(spark):
+    total = _emb(spark).count()
+    r = _recall(
+        spark, ivf_topk(_emb(spark), _queries(spark), k=K, total=total).collect()
+    )
+    release_cached()
+    assert r >= 0.3, f"IVF recall@5 collapsed: {r}"
+
+
+def test_kmeans_seeded_ivf_recall_floor(spark):
+    """Trained centroids through the seeds override: same probe budget,
+    recall must clear the same floor (and the plumbing must produce a full
+    result set)."""
+    emb = _emb(spark)
+    total = emb.count()
+    seeds = kmeans_seed_vectors(emb, total=total)
+    rows = ivf_topk(emb, _queries(spark), k=K, seeds=seeds).collect()
+    r = _recall(spark, rows)
+    release_cached()
+    assert len(_topk_sets(rows)) == N_QUERIES
+    assert r >= 0.3, f"kmeans-seeded IVF recall@5 collapsed: {r}"
