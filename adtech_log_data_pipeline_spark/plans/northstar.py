@@ -316,6 +316,14 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enriched_counts(spark, sf_dir)
 
 
+def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed upsert in UPDATE mode: latest event + running
+    count per user maintained as a merged state table."""
+    from ..streaming import stream_upsert_latest
+
+    return stream_upsert_latest(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates — exact
     first/last/count/distinct-type counts maintained by the state store
@@ -439,6 +447,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
     "stream_enriched_counts": q_stream_enriched_counts,
+    "stream_upsert_latest": q_stream_upsert_latest,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -709,6 +718,19 @@ agg AS (
 -- append mode emits a window when the watermark (max event time - delay,
 -- ms precision) passes its END; eviction at equality is inclusive
 SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_STREAM_UPSERT = """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC,
+                                     event_type DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, ts_ms AS last_ts_ms, event_id AS last_event_id,
+       event_type AS last_event_type, CAST(n_events AS BIGINT) AS n_events
+FROM r WHERE rn = 1
 """
 
 _ORACLE_STREAM_ENRICHED = """
@@ -1353,6 +1375,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
     "stream_enriched_counts": _ORACLE_STREAM_ENRICHED,
+    "stream_upsert_latest": _ORACLE_STREAM_UPSERT,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,

@@ -193,10 +193,12 @@ _GATE_FIRST = [
     "stream_dedup",
     "stream_attribution",
     "stream_enriched_counts",
+    "stream_upsert_latest",
     "streaming_sessionize",
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "sliding_window_counts",
     "quiet_returners",
     "embedding_outliers",
     "winnowing",

@@ -7,6 +7,7 @@ from .windowed import (
     streaming_device_activity,
 )
 from .sessionize import sessionize_bounded, streaming_sessionize
+from .upsert import stream_upsert_latest
 
 __all__ = [
     "stream_click_attribution",
@@ -17,4 +18,5 @@ __all__ = [
     "streaming_device_activity",
     "sessionize_bounded",
     "streaming_sessionize",
+    "stream_upsert_latest",
 ]

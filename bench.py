@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "stream_dedup",
     "stream_attribution",
     "stream_enriched_counts",
+    "stream_upsert_latest",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

@@ -197,6 +197,37 @@ def test_enriched_counts_multibatch_equals_singlebatch(spark, replay_dir):
     assert multi.exceptAll(single).count() == 0
 
 
+def test_upsert_latest_multibatch_merges_across_batches(spark, replay_dir):
+    """foreachBatch upsert over a 4-batch replay: keys updated in later
+    batches must overwrite their earlier state rows (cumulative counts,
+    latest event), and untouched keys must survive — final state equals
+    the batch latest-per-user query."""
+    from adtech_log_data_pipeline_spark.streaming import stream_upsert_latest
+
+    out = stream_upsert_latest(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    got = {
+        r["user_id"]: (r["last_ts_ms"], r["last_event_id"], r["n_events"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    rows = ev.collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: (-1, -1, 0))
+    for r in rows:
+        last_ms, last_id, n = agg[r["user_id"]]
+        cand = (r["ms"], r["event_id"])
+        agg[r["user_id"]] = (
+            *max((last_ms, last_id), cand),
+            n + 1,
+        )
+    assert got == dict(agg)
+
+
 def test_window_counts_multibatch_equals_singlebatch(spark, replay_dir):
     """The emitted finalized-window set is micro-batch-slicing-invariant
     for a time-ordered replay (windows straddling a batch boundary only
