@@ -329,6 +329,61 @@ def shingle_dup_rate(documents: DataFrame) -> DataFrame:
     )
 
 
+def cross_source_overlap(documents: DataFrame) -> DataFrame:
+    """Source-pair contamination matrix: for every pair of sources, how
+    many distinct 3-gram shingles they share, plus each side's shingle
+    vocabulary size and the pair's Jaccard in ppm — the diagnostic that
+    finds mirrored/scraped-from-each-other sources BEFORE per-doc dedup
+    spends compute on them.
+
+    Scale shape: distinct (source, shingle) rows (one hash agg), then a
+    self-join keyed on shingle — safe from blow-up because each shingle
+    joins at most n_sources rows per side (sources, not documents, are
+    the join multiplicity), then one (source_a, source_b) hash agg.
+    Broadcast per-source totals close it out. Integer-exact ppm.
+    Output: (source_a, source_b, shared_shingles, a_shingles, b_shingles,
+    jaccard_ppm) for source_a < source_b."""
+    from ._cache import hold
+    from .dedup import _shingle_rows
+
+    sh = hold(
+        _shingle_rows(documents)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("a_shingles")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("b_shingles")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "a_shingles",
+            "b_shingles",
+            F.expr(
+                f"(shared_shingles * {SAMPLE_BUCKETS})"
+                " div (a_shingles + b_shingles - shared_shingles)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 def length_histogram(documents: DataFrame) -> DataFrame:
     """Log2-bucketed token-length histogram per source — the corpus-shape
     report read before choosing context length and packing strategy.

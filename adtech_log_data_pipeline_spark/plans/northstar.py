@@ -395,6 +395,13 @@ def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_dup_rate(_docs(spark, sf_dir))
 
 
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shared-shingle contamination matrix (Jaccard ppm)."""
+    from ..functions.text import cross_source_overlap
+
+    return cross_source_overlap(_docs(spark, sf_dir))
+
+
 def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio chunking manifest: Python decode of clip duration only; the
     per-chunk fan-out is a JVM-side sequence explode."""
@@ -407,6 +414,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
     "shingle_dup_rate": q_shingle_dup_rate,
+    "cross_source_overlap": q_cross_source_overlap,
     "audio_chunks": q_audio_chunks,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1118,6 +1126,33 @@ SELECT doc_id,
 FROM j GROUP BY doc_id
 """
 
+_ORACLE_CROSS_SOURCE_OVERLAP = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+shl AS (
+  SELECT source,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         END AS shingles
+  FROM t),
+sh AS (SELECT DISTINCT source, unnest(shingles) AS s FROM shl),
+tot AS (SELECT source, count(*) AS n_shingles FROM sh GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.source_a, p.source_b, p.shared_shingles,
+       CAST(ta.n_shingles AS BIGINT) AS a_shingles,
+       CAST(tb.n_shingles AS BIGINT) AS b_shingles,
+       CAST((p.shared_shingles * 1000000)
+            // (ta.n_shingles + tb.n_shingles - p.shared_shingles)
+            AS BIGINT) AS jaccard_ppm
+FROM p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+"""
+
 _ORACLE_AUDIO_CHUNKS = """
 WITH d AS (
   SELECT doc_id,
@@ -1379,5 +1414,6 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
+    "cross_source_overlap": _ORACLE_CROSS_SOURCE_OVERLAP,
     "audio_chunks": _ORACLE_AUDIO_CHUNKS,
 }

@@ -182,6 +182,7 @@ _GATE_FIRST = [
     "token_budget_mixture",
     "doc_quality_zipf",
     "shingle_dup_rate",
+    "cross_source_overlap",
     "audio_chunks",
     "stratified_sample",
     "dedup_keep_best",
@@ -198,6 +199,7 @@ _GATE_FIRST = [
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "conversion_funnel",
     "sliding_window_counts",
     "quiet_returners",
     "embedding_outliers",

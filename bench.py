@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "contamination_check",
     "curated_corpus",
+    "cross_source_overlap",
     "token_budget_mixture",
     "doc_quality_zipf",
     "shingle_dup_rate",

@@ -128,3 +128,72 @@ def test_merge_points_conserves_events_and_order(points):
     for (s1, e1, _), (s2, _, _) in zip(sessions, sessions[1:]):
         assert s1 <= e1 < s2
         assert s2 - e1 > SESSION_GAP_MS
+
+
+# --- round-4 curation operator laws ----------------------------------------
+
+_corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["srcA", "srcB", "srcC"]),
+        st.lists(
+            st.sampled_from(["w%d" % i for i in range(12)]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, " ".join(ws), src) for i, (src, ws) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus_strategy)
+def test_token_budget_mixture_nesting_law(spark, rows):
+    """For ANY corpus: per source, the kept set at a smaller budget is a
+    subset of the kept set at a larger budget (hash-threshold nesting),
+    and every rate is in (0, 1e6]."""
+    from adtech_log_data_pipeline_spark.functions.text import token_budget_mixture
+
+    docs = _corpus_df(spark, rows)
+    by_rate = {}
+    for pct in (20, 80):
+        out = token_budget_mixture(docs, budget_pct=pct).collect()
+        kept = {}
+        for r in out:
+            assert 0 < r["rate_ppm"] <= 1_000_000
+            kept.setdefault(r["source"], set()).add(r["doc_id"])
+        by_rate[pct] = kept
+    for src, small in by_rate[20].items():
+        assert small <= by_rate[80].get(src, set())
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus_strategy)
+def test_shingle_dup_rate_duplication_law(spark, rows):
+    """Appending an exact copy of every document forces dup_ppm to 1e6 on
+    ALL rows (every distinct shingle now appears in >= 2 docs), and
+    dup_ppm is always within [0, 1e6]."""
+    from adtech_log_data_pipeline_spark.functions.text import shingle_dup_rate
+
+    docs = _corpus_df(spark, rows)
+    base = shingle_dup_rate(docs).collect()
+    assert all(0 <= r["dup_ppm"] <= 1_000_000 for r in base)
+
+    doubled_rows = [
+        (i, " ".join(ws), src) for i, (src, ws) in enumerate(rows)
+    ]
+    doubled_rows += [
+        (1000 + i, t, s) for (i, t, s) in doubled_rows
+    ]
+    doubled = spark.createDataFrame(
+        doubled_rows, "doc_id long, text string, source string"
+    )
+    out = shingle_dup_rate(doubled).collect()
+    assert all(r["dup_ppm"] == 1_000_000 for r in out)

@@ -135,6 +135,42 @@ def test_shingle_dup_rate_counts_distinct_shingles(spark):
     assert out[0]["n_shingles"] == 3  # distinct: 'a b c','b c a','c a b'
 
 
+def test_cross_source_overlap_matrix(spark):
+    """Sources a/b share their one shingle set exactly (jaccard 1e6);
+    source c is disjoint from both (no pair row emitted)."""
+    from adtech_log_data_pipeline_spark.functions.text import cross_source_overlap
+
+    shared = "one two three four"  # shingles: {one two three, two three four}
+    rows = [
+        (0, shared, "a"),
+        (1, shared, "b"),
+        (2, "five six seven eight", "c"),
+    ]
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_overlap(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {("a", "b")}
+    ab = out[("a", "b")]
+    assert ab["shared_shingles"] == 2
+    assert ab["a_shingles"] == 2 and ab["b_shingles"] == 2
+    assert ab["jaccard_ppm"] == 1_000_000
+
+
+def test_cross_source_overlap_partial(spark):
+    from adtech_log_data_pipeline_spark.functions.text import cross_source_overlap
+
+    rows = [
+        (0, "x y z w", "a"),   # shingles {x y z, y z w}
+        (1, "x y z", "b"),     # shingles {x y z}
+    ]
+    out = cross_source_overlap(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared 1, union 2 -> 500000 ppm
+    assert r["shared_shingles"] == 1 and r["jaccard_ppm"] == 500_000
+
+
 def test_audio_chunks_tile_duration(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     out = audio_chunk_manifest(with_blob_column(docs))
