@@ -49,3 +49,22 @@ def release_cached() -> None:
             df.unpersist()
         except Exception:
             pass
+
+
+def registry_mark() -> int:
+    """Current registry position — pair with release_cached_from for a
+    SCOPED release that frees only frames an operator registered itself,
+    leaving a composing caller's held frames cached."""
+    return len(_HELD)
+
+
+def release_cached_from(mark: int) -> None:
+    """Unpersist and deregister only the frames registered at or after
+    ``mark`` (from registry_mark)."""
+    global _HELD
+    mine, _HELD = _HELD[mark:], _HELD[:mark]
+    for df in mine:
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -30,12 +30,15 @@ def export_training_shards(
     return the manifest DataFrame (split, n_docs, n_tokens, n_sources).
 
     ``curated`` defaults to functions.text.curated_corpus(documents)."""
+    from ._cache import hold, registry_mark, release_cached_from
+
+    # mark BEFORE building the default curated plan: any frames
+    # curated_corpus holds internally belong to this export's scope
+    mark = registry_mark()
     if curated is None:
         from .text import curated_corpus
 
         curated = curated_corpus(documents)
-
-    from ._cache import hold, release_cached
 
     curated = hold(curated, eager=True)  # feeds both the write and the manifest
     try:
@@ -60,6 +63,8 @@ def export_training_shards(
     finally:
         # both consumers (shard write + manifest json) have executed; a
         # long-lived session must not keep the curated relation cached
-        # (a later collect on the returned manifest just recomputes)
-        release_cached()
+        # (a later collect on the returned manifest just recomputes).
+        # SCOPED release: only frames this export registered — a caller
+        # composing export inside a larger pipeline keeps its own cache.
+        release_cached_from(mark)
     return manifest

@@ -49,16 +49,25 @@ def incremental_ingest(
     stream = spark.readStream.schema(schema_struct).parquet(in_dir)
     if transform is not None:
         stream = transform(stream)
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+    # recentProgress is a bounded buffer (default 100 entries) — a backlog
+    # arriving as more micro-batches than that would undercount the
+    # returned row total. Raise the retention for the duration of the run.
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    old_prog = spark.conf.get(prog_key, "100")
+    spark.conf.set(prog_key, "100000")
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+    finally:
+        spark.conf.set(prog_key, old_prog)
 
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~one HDFS/object-store block
@@ -79,11 +88,20 @@ def compact_parquet(
 
     At 100 TB this runs per partition-directory (e.g. per dt=) rather than
     over the whole table root; the sizing logic is identical."""
+    # size via the Hadoop FileSystem API so any scheme Spark can read
+    # (hdfs://, s3a://, file:) sizes correctly — a local os.walk would
+    # silently return 0 bytes for remote paths and collapse the rewrite
+    # to a single partition
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
     total = 0
-    for root, _dirs, files in os.walk(in_dir):
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                total += os.path.getsize(os.path.join(root, f))
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            total += st.getLen()
     n_parts = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     df: DataFrame = spark.read.parquet(in_dir)
     out = df.repartition(n_parts)

@@ -90,7 +90,14 @@ def read_jsonl(
     in ``_corrupt_record`` — the quarantine-and-audit shape), or FAILFAST
     (corruption is an error, ≡ the X1 tripwire posture). An explicit
     schema is REQUIRED: schema inference is a second full scan of the
-    input — never acceptable at 100 TB."""
+    input — never acceptable at 100 TB.
+
+    PERMISSIVE caveat (Spark restriction, not this reader's): a query
+    that references ONLY ``_corrupt_record`` from the raw scan raises
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — ``.cache()``
+    the returned frame (Spark's documented workaround) before
+    quarantine-only audits like
+    ``df.filter("_corrupt_record IS NOT NULL").select("_corrupt_record")``."""
     if isinstance(schema, str):
         from pyspark.sql.types import _parse_datatype_string
 

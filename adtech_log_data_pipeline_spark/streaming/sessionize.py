@@ -149,7 +149,6 @@ def sessionize_bounded(
     spark: SparkSession,
     ev: DataFrame,
     max_ts_ms: int,
-    expected_rows: int | None = None,
     delay_ms: int = 60_000,
 ) -> DataFrame:
     """Sessionize a bounded replay stream ``ev`` (columns user_id, ts —
@@ -173,9 +172,9 @@ def sessionize_bounded(
     primitives, and it is what makes the bounded result slicing-invariant.
     ``max_ts_ms`` is the replay's max event time (footer stats); a sentinel
     misplaced BELOW it would late-drop data, which is why it is derived,
-    not hardcoded. ``expected_rows`` is kept for caller compatibility but
-    unused — availableNow subsumes the old consumed-row poll (whose
-    recentProgress accounting undercounted past 100 micro-batches).
+    not hardcoded. (The old consumed-row poll and its expected_rows
+    parameter are gone — availableNow subsumes them, and the poll's
+    recentProgress accounting undercounted past 100 micro-batches.)
 
     The sink is a checkpointed parquet directory (exactly-once file sink;
     the memory sink cannot recover across the phase-2 restart). The result
@@ -183,7 +182,6 @@ def sessionize_bounded(
     same driver residency the memory sink had; a production deployment
     points the sink at durable storage and skips the read-back."""
     global _QUERY_SEQ_S
-    _ = expected_rows
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
     work = tempfile.mkdtemp(prefix="sessionize_run_")
     sentinel_dir = os.path.join(work, "sentinel")
@@ -251,12 +249,11 @@ _QUERY_SEQ_S = 0
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful sessionizer over the replayed events table and
     return the materialized sessions (equals batch sessionization)."""
-    from ..sources.tables import table_row_count, table_ts_max_ms
+    from ..sources.tables import table_ts_max_ms
     from .windowed import _events_stream
 
     return sessionize_bounded(
         spark,
         _events_stream(spark, sf_dir),
         table_ts_max_ms(sf_dir, "events"),
-        expected_rows=table_row_count(sf_dir, "events"),
     )

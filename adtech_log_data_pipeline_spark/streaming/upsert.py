@@ -45,6 +45,7 @@ def _merge_batch(state_dir: str) -> "callable":
         # "key not found: user_id#N"), and the landed relation has clean
         # batch lineage. Fully executor-side — no driver materialization.
         tmp = f"{state_dir}.batch-{batch_id}"
+        nxt = f"{state_dir}.next-{batch_id}"
         batch_df.write.mode("overwrite").parquet(tmp)
         try:
             batch = spark.read.schema(STATE_SCHEMA).parquet(tmp)
@@ -57,13 +58,18 @@ def _merge_batch(state_dir: str) -> "callable":
                 ).unionByName(batch)
             else:
                 merged = batch
-            # materialize before overwriting the directory being read
-            out = merged.cache()
-            out.count()
-            out.write.mode("overwrite").parquet(state_dir)
-            out.unpersist()
+            # write the NEW state beside the old one, then swap — never
+            # overwrite the directory the merge plan is still reading (a
+            # recomputed partition after cache eviction would otherwise
+            # re-scan a half-deleted input). A failed batch before the
+            # swap leaves the old state intact and is simply re-run from
+            # the checkpoint.
+            merged.write.mode("overwrite").parquet(nxt)
+            shutil.rmtree(state_dir, ignore_errors=True)
+            os.rename(nxt, state_dir)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(nxt, ignore_errors=True)
 
     return merge
 

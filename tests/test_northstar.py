@@ -397,17 +397,25 @@ def test_kmeans_deterministic_under_repartition(spark):
 
 def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     """A seed with no members after assignment survives with n_vecs=0 and
-    its previous coordinates (no NULLs, no dropped cluster rows)."""
+    its previous coordinates (no NULLs, no dropped cluster rows). Seeds 0
+    and 2 COINCIDE (same value), so every point — including vec 2 itself —
+    ties and breaks to the smaller cid 0: cluster 2 is empty from
+    iteration 1 and must ride through on the COALESCE(prev) branch."""
     from adtech_log_data_pipeline_spark.functions.similarity import kmeans_centroids
 
-    # seeds are vec_id 0 and 2 (stride 2); every point is nearest seed 0's
-    # position except seed 2 itself, which is also closer to the dense blob
-    rows = [(0, [0.0]), (1, [0.1]), (2, [0.2]), (3, [0.1])]
+    rows = [(0, [0.1]), (1, [0.1]), (2, [0.1]), (3, [0.5])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = {r["cid"]: r for r in kmeans_centroids(emb, k=2, iters=2, total=4).collect()}
+    # iters=1: every point ties between the coincident seeds and goes to
+    # cid 0 — cluster 2 is empty THIS iteration (a second iteration would
+    # let the moved c0 centroid hand the 0.1 points back to c2)
+    out = {r["cid"]: r for r in kmeans_centroids(emb, k=2, iters=1, total=4).collect()}
     assert set(out) == {0, 2}
-    # cluster 2 empties on iteration 2 at the latest; its centroid row stays
-    assert all(r["centroid_micro"] is not None for r in out.values())
+    assert out[0]["n_vecs"] == 4
+    assert out[2]["n_vecs"] == 0
+    # the empty cluster keeps its seed coordinates exactly
+    assert out[2]["centroid_micro"] == 100_000
+    # the live cluster is the exact mean: (0.1*3 + 0.5)/4 = 0.2
+    assert out[0]["centroid_micro"] == 200_000
 
 
 def test_repetition_stats_duplicate_detection(spark):

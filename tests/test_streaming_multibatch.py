@@ -101,7 +101,6 @@ def test_sessionize_multibatch_equals_batch(spark, replay_dir):
         spark,
         _multibatch_stream(spark, replay_dir),
         max_ms,
-        expected_rows=ev.count(),
     )
     got = {
         (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
