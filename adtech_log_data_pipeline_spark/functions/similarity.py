@@ -198,8 +198,6 @@ def ivf_assignments(
     relation (list_id, a array<double>, na) — e.g. kmeans_seed_vectors for
     trained centroids (better-balanced lists, higher recall at the same
     probe budget)."""
-    from pyspark.sql.window import Window
-
     if seeds is None:
         if total is None:
             total = embeddings.count()
@@ -220,11 +218,19 @@ def ivf_assignments(
         .crossJoin(F.broadcast(seeds))
         .select("vec_id", "list_id", _cosine_r6().alias("sim"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("list_id"))
+    # argmax as a lexicographic-max HASH aggregate, not a window: same
+    # result (best sim, tie -> smallest list_id, encoded by negating the
+    # id inside the struct), but a map-side-combining aggregation instead
+    # of a full (vec_id)-partitioned sort of the vec x lists relation —
+    # the relation whose size is the flat quantizer's real cost at scale
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "list_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nl")).alias("list_id"))
     )
 
 

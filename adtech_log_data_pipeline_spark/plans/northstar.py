@@ -316,6 +316,13 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enriched_counts(spark, sf_dir)
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window sessions (30-min gap) in append mode."""
+    from ..streaming import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
 def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert in UPDATE mode: latest event + running
     count per user maintained as a merged state table."""
@@ -456,6 +463,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_attribution": q_stream_attribution,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
+    "stream_session_windows": q_stream_session_windows,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -726,6 +734,31 @@ agg AS (
 -- append mode emits a window when the watermark (max event time - delay,
 -- ms precision) passes its END; eviction at equality is inclusive
 SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_STREAM_SESSION_WINDOWS = """
+WITH wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+gaps AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t,
+         CASE WHEN epoch_ms(ts)
+                   - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts), event_id)
+                   >= 1800000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps),
+-- native session windows are half-open [t, t+gap): events exactly gap
+-- apart do NOT merge (>= above), and the emitted end is last_event + gap
+agg AS (
+  SELECT user_id, min(t) AS session_start_ms,
+         max(t) + 1800000 AS session_end_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid)
+SELECT agg.* FROM agg, wm WHERE agg.session_end_ms <= wm.wm_ms
 """
 
 _ORACLE_STREAM_UPSERT = """
@@ -1411,6 +1444,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
     "stream_enriched_counts": _ORACLE_STREAM_ENRICHED,
     "stream_upsert_latest": _ORACLE_STREAM_UPSERT,
+    "stream_session_windows": _ORACLE_STREAM_SESSION_WINDOWS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,

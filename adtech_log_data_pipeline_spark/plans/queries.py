@@ -195,10 +195,12 @@ _GATE_FIRST = [
     "stream_attribution",
     "stream_enriched_counts",
     "stream_upsert_latest",
+    "stream_session_windows",
     "streaming_sessionize",
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "monthly_revenue_trend",
     "conversion_funnel",
     "sliding_window_counts",
     "quiet_returners",

@@ -2,6 +2,7 @@ from .windowed import (
     stream_click_attribution,
     stream_dedup_keys,
     stream_enriched_counts,
+    stream_session_windows,
     stream_sliding_counts,
     stream_window_counts,
     streaming_device_activity,
@@ -13,6 +14,7 @@ __all__ = [
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_enriched_counts",
+    "stream_session_windows",
     "stream_window_counts",
     "stream_sliding_counts",
     "streaming_device_activity",

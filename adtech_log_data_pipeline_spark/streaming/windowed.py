@@ -163,6 +163,35 @@ def stream_sliding_counts(
     )
 
 
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Spark's NATIVE session windows (F.session_window, 30-minute gap) per
+    user with a 30-minute watermark, APPEND output — the built-in sibling
+    of the custom applyInPandasWithState sessionizer (streaming/
+    sessionize.py). Engine semantics: an event's window is [t, t + gap);
+    overlapping windows merge, so a session's end is last_event + gap and
+    two events exactly gap apart do NOT merge (half-open boundary — the
+    custom operator merges at <= gap; both conventions are stated in their
+    oracles). A session emits once the watermark passes its end and its
+    state is evicted — bounded by open sessions, not stream length.
+    Output: (user_id, session_start_ms, session_end_ms, n_events), where
+    session_end_ms = last event + gap per the engine's window shape."""
+    agg = (
+        (events if events is not None else _events_stream(spark, sf_dir))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+        "n_events",
+    )
+
+
 def stream_enriched_counts(
     spark: SparkSession, sf_dir: str, events: DataFrame | None = None
 ) -> DataFrame:

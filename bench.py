@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "stream_attribution",
     "stream_enriched_counts",
     "stream_upsert_latest",
+    "stream_session_windows",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

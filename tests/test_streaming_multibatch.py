@@ -196,6 +196,50 @@ def test_enriched_counts_multibatch_equals_singlebatch(spark, replay_dir):
     assert multi.exceptAll(single).count() == 0
 
 
+def test_session_windows_multibatch_equals_singlebatch(spark, replay_dir):
+    """Native session windows spanning batch boundaries merge in state
+    before finalizing — the emitted set is slicing-invariant for a
+    time-ordered replay."""
+    from adtech_log_data_pipeline_spark.streaming import stream_session_windows
+
+    multi = stream_session_windows(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    single = stream_session_windows(spark, SF)
+    assert multi.count() == single.count()
+    assert multi.exceptAll(single).count() == 0
+
+
+def test_native_session_windows_agree_with_custom_sessionizer(spark):
+    """The built-in F.session_window operator and the custom
+    applyInPandasWithState sessionizer must describe the SAME sessions:
+    every native finalized session, converted from its [start, last+gap)
+    window shape back to (start, last_event), appears in the custom
+    operator's full output with the same event count. (The native set is
+    a subset: it emits only watermark-finalized sessions and splits at
+    exactly-gap boundaries the custom operator merges.)"""
+    from adtech_log_data_pipeline_spark.streaming import (
+        stream_session_windows,
+        streaming_sessionize,
+    )
+    from adtech_log_data_pipeline_spark.streaming.sessionize import SESSION_GAP_MS
+
+    native = stream_session_windows(spark, SF).collect()
+    custom = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"]): r["n_events"]
+        for r in streaming_sessionize(spark, SF).collect()
+    }
+    assert native
+    for r in native:
+        key = (
+            r["user_id"],
+            r["session_start_ms"],
+            r["session_end_ms"] - SESSION_GAP_MS,
+        )
+        assert key in custom, f"native session {key} missing from custom output"
+        assert custom[key] == r["n_events"]
+
+
 def test_upsert_latest_multibatch_merges_across_batches(spark, replay_dir):
     """foreachBatch upsert over a 4-batch replay: keys updated in later
     batches must overwrite their earlier state rows (cumulative counts,
