@@ -29,7 +29,11 @@ def export_training_shards(
     """Write curated documents to ``out_dir`` partitioned by split and
     return the manifest DataFrame (split, n_docs, n_tokens, n_sources).
 
-    ``curated`` defaults to functions.text.curated_corpus(documents)."""
+    ``curated`` defaults to functions.text.curated_corpus(documents); a
+    caller-supplied ``curated`` is used AS GIVEN — its persistence is the
+    caller's decision, and export never unpersists it (unpersist is not
+    reference-counted, so releasing a shared frame would silently drop a
+    composing pipeline's cache)."""
     from ._cache import hold, registry_mark, release_cached_from
 
     # mark BEFORE building the default curated plan: any frames
@@ -38,9 +42,8 @@ def export_training_shards(
     if curated is None:
         from .text import curated_corpus
 
-        curated = curated_corpus(documents)
-
-    curated = hold(curated, eager=True)  # feeds both the write and the manifest
+        # export owns this frame: persist it for the two consumers below
+        curated = hold(curated_corpus(documents), eager=True)
     try:
         rows = documents.join(
             curated.select("doc_id", "split", "n_tokens"), "doc_id"
@@ -62,9 +65,10 @@ def export_training_shards(
         )
     finally:
         # both consumers (shard write + manifest json) have executed; a
-        # long-lived session must not keep the curated relation cached
+        # long-lived session must not keep export-owned relations cached
         # (a later collect on the returned manifest just recomputes).
-        # SCOPED release: only frames this export registered — a caller
-        # composing export inside a larger pipeline keeps its own cache.
+        # SCOPED release: only frames registered since the mark — i.e.
+        # export's own default-curated chain; a caller-supplied frame was
+        # never registered here and stays cached.
         release_cached_from(mark)
     return manifest

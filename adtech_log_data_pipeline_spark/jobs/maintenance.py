@@ -21,7 +21,6 @@ row-group locality.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,12 +48,35 @@ def incremental_ingest(
     stream = spark.readStream.schema(schema_struct).parquet(in_dir)
     if transform is not None:
         stream = transform(stream)
-    # recentProgress is a bounded buffer (default 100 entries) — a backlog
-    # arriving as more micro-batches than that would undercount the
-    # returned row total. Raise the retention for the duration of the run.
-    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
-    old_prog = spark.conf.get(prog_key, "100")
-    spark.conf.set(prog_key, "100000")
+    # Count consumed rows via a StreamingQueryListener: O(1) memory at any
+    # backlog depth. q.recentProgress is a bounded buffer (default 100
+    # entries) and would undercount a >100-micro-batch backlog.
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _RowCounter(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.by_query: dict[str, int] = {}
+            self.terminated: set[str] = set()
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            self.by_query[str(p.id)] = (
+                self.by_query.get(str(p.id), 0) + int(p.numInputRows)
+            )
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated.add(str(event.id))
+
+    counter = _RowCounter()
+    spark.streams.addListener(counter)
     try:
         q = (
             stream.writeStream.outputMode("append")
@@ -65,9 +87,15 @@ def incremental_ingest(
             .start()
         )
         q.awaitTermination()
-        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+        # listener events are delivered asynchronously: wait for this
+        # query's terminate event so every progress update has landed
+        qid = str(q.id)
+        deadline = time.time() + 60
+        while qid not in counter.terminated and time.time() < deadline:
+            time.sleep(0.05)
+        return counter.by_query.get(qid, 0)
     finally:
-        spark.conf.set(prog_key, old_prog)
+        spark.streams.removeListener(counter)
 
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~one HDFS/object-store block

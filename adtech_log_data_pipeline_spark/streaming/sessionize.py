@@ -181,7 +181,6 @@ def sessionize_bounded(
     is materialized driver-side before the temp dirs are removed — the
     same driver residency the memory sink had; a production deployment
     points the sink at durable storage and skips the read-back."""
-    global _QUERY_SEQ_S
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
     work = tempfile.mkdtemp(prefix="sessionize_run_")
     sentinel_dir = os.path.join(work, "sentinel")
@@ -206,7 +205,6 @@ def sessionize_bounded(
     events = ev.withWatermark("ts", f"{delay_ms // 1000} seconds").select(
         "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
     )
-    _QUERY_SEQ_S += 1
     sessions = sessionize_stream(events)
 
     def _run_phase() -> None:
@@ -243,7 +241,6 @@ def sessionize_bounded(
         shutil.rmtree(work, ignore_errors=True)
 
 
-_QUERY_SEQ_S = 0
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

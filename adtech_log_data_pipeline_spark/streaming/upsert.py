@@ -46,6 +46,15 @@ def _merge_batch(state_dir: str) -> "callable":
         # batch lineage. Fully executor-side — no driver materialization.
         tmp = f"{state_dir}.batch-{batch_id}"
         nxt = f"{state_dir}.next-{batch_id}"
+        old = f"{state_dir}.old-{batch_id}"
+        # crash recovery for a re-run of this same batch id: if the prior
+        # attempt died mid-swap, either the old state sits aside (restore
+        # it) or both old and new exist (the swap completed; drop old)
+        if os.path.isdir(old):
+            if os.path.isdir(state_dir):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, state_dir)
         batch_df.write.mode("overwrite").parquet(tmp)
         try:
             batch = spark.read.schema(STATE_SCHEMA).parquet(tmp)
@@ -61,12 +70,16 @@ def _merge_batch(state_dir: str) -> "callable":
             # write the NEW state beside the old one, then swap — never
             # overwrite the directory the merge plan is still reading (a
             # recomputed partition after cache eviction would otherwise
-            # re-scan a half-deleted input). A failed batch before the
-            # swap leaves the old state intact and is simply re-run from
-            # the checkpoint.
+            # re-scan a half-deleted input). Swap order keeps a complete
+            # state directory on disk at every instant: old is renamed
+            # ASIDE (recoverable), new renamed in, then old deleted — a
+            # crash at any point leaves either the old or the new state
+            # present, and the checkpoint re-runs the interrupted batch.
             merged.write.mode("overwrite").parquet(nxt)
-            shutil.rmtree(state_dir, ignore_errors=True)
+            if os.path.isdir(state_dir):
+                os.rename(state_dir, old)
             os.rename(nxt, state_dir)
+            shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(nxt, ignore_errors=True)

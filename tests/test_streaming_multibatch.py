@@ -218,19 +218,38 @@ def test_native_session_windows_agree_with_custom_sessionizer(spark):
     operator's full output with the same event count. (The native set is
     a subset: it emits only watermark-finalized sessions and splits at
     exactly-gap boundaries the custom operator merges.)"""
+    from collections import defaultdict
+
     from adtech_log_data_pipeline_spark.streaming import (
         stream_session_windows,
         streaming_sessionize,
     )
     from adtech_log_data_pipeline_spark.streaming.sessionize import SESSION_GAP_MS
 
+    # The subset property breaks (by design) for a user whose consecutive
+    # events sit EXACTLY one gap apart — native splits there, custom
+    # merges. Exclude such users explicitly rather than relying on the
+    # fixture happening to contain none.
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF, "events").select(
+        "user_id", F.unix_millis("ts").alias("ms")
+    ).collect():
+        by_user[r["user_id"]].append(r["ms"])
+    boundary_users = {
+        u
+        for u, ts in by_user.items()
+        if any(b - a == SESSION_GAP_MS for a, b in zip(sorted(ts), sorted(ts)[1:]))
+    }
+
     native = stream_session_windows(spark, SF).collect()
     custom = {
         (r["user_id"], r["session_start_ms"], r["session_end_ms"]): r["n_events"]
         for r in streaming_sessionize(spark, SF).collect()
     }
-    assert native
+    checked = 0
     for r in native:
+        if r["user_id"] in boundary_users:
+            continue
         key = (
             r["user_id"],
             r["session_start_ms"],
@@ -238,6 +257,8 @@ def test_native_session_windows_agree_with_custom_sessionizer(spark):
         )
         assert key in custom, f"native session {key} missing from custom output"
         assert custom[key] == r["n_events"]
+        checked += 1
+    assert checked > 0
 
 
 def test_upsert_latest_multibatch_merges_across_batches(spark, replay_dir):
