@@ -316,6 +316,14 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enriched_counts(spark, sf_dir)
 
 
+def q_streaming_spend_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-session spend (transformWithStateInPandas when
+    the env can run it, applyInPandasWithState twin otherwise)."""
+    from ..streaming import streaming_spend_sessions
+
+    return streaming_spend_sessions(spark, sf_dir)
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window sessions (30-min gap) in append mode."""
     from ..streaming import stream_session_windows
@@ -464,6 +472,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
+    "streaming_spend_sessions": q_streaming_spend_sessions,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
 }
@@ -734,6 +743,26 @@ agg AS (
 -- append mode emits a window when the watermark (max event time - delay,
 -- ms precision) passes its END; eviction at equality is inclusive
 SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
+"""
+
+_ORACLE_SPEND_SESSIONS = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id) > 1800000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM p),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps)
+SELECT user_id, min(t) AS session_start_ms, max(t) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS spend_cents
+FROM sess GROUP BY user_id, sid
 """
 
 _ORACLE_STREAM_SESSION_WINDOWS = """
@@ -1445,6 +1474,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "stream_enriched_counts": _ORACLE_STREAM_ENRICHED,
     "stream_upsert_latest": _ORACLE_STREAM_UPSERT,
     "stream_session_windows": _ORACLE_STREAM_SESSION_WINDOWS,
+    "streaming_spend_sessions": _ORACLE_SPEND_SESSIONS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,

@@ -196,10 +196,12 @@ _GATE_FIRST = [
     "stream_enriched_counts",
     "stream_upsert_latest",
     "stream_session_windows",
+    "streaming_spend_sessions",
     "streaming_sessionize",
     "streaming_device_activity",
 ]
 _GATE_LAST = [
+    "customer_order_distribution",
     "monthly_revenue_trend",
     "conversion_funnel",
     "sliding_window_counts",

@@ -8,6 +8,7 @@ from .windowed import (
     streaming_device_activity,
 )
 from .sessionize import sessionize_bounded, streaming_sessionize
+from .spend import streaming_spend_sessions
 from .upsert import stream_upsert_latest
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "streaming_device_activity",
     "sessionize_bounded",
     "streaming_sessionize",
+    "streaming_spend_sessions",
     "stream_upsert_latest",
 ]

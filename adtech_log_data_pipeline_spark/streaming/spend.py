@@ -1,0 +1,289 @@
+"""Session spend profiles on ``transformWithStateInPandas`` — Spark 4's
+NEW arbitrary-stateful API (StatefulProcessor: typed ListState/ValueState
+handles + explicit timers), the successor surface to
+``applyInPandasWithState`` the custom sessionizer uses. Implementing one
+operator on each shows both extension surfaces; TWS is where new stateful
+operators should land (state schema evolution, multiple typed state
+variables, first-class timers).
+
+Semantics: per user, PURCHASE events fold into activity sessions split on
+a 30-minute inactivity gap (identical interval-merge laws to
+streaming/sessionize.py — merge at <= gap), accumulating the purchase
+count and exact bigint-cents spend. A session emits once the event-time
+watermark passes ``session_end + gap`` (no surviving purchase can extend
+it) and leaves state; expired TIMERS re-invoke idle users so sessions
+finalize without new data.
+
+Scale: state per user is the open-session interval list (typically one
+4-long tuple); timers and state are engine-managed per key. Map-side
+shapes identical to the sessionize operator.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+from .sessionize import SENTINEL_USER_ID, SESSION_GAP_MS
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start_ms long, session_end_ms long,"
+    " n_purchases long, spend_cents long"
+)
+_STATE_SCHEMA = "start long, end long, n long, spend long"
+_COLS = [
+    "user_id",
+    "session_start_ms",
+    "session_end_ms",
+    "n_purchases",
+    "spend_cents",
+]
+
+
+def _merge_spend(
+    sessions: list[tuple[int, int, int, int]], points
+) -> list[tuple[int, int, int, int]]:
+    """Fold (ts_ms, cents) points into the (start, end, n, spend) interval
+    list — the sessionize merge law extended with a summed measure."""
+    gap = SESSION_GAP_MS
+    merged: list[tuple[int, int, int, int]] = []
+    items = sorted(sessions + [(int(t), int(t), 1, int(c)) for t, c in points])
+    for s in items:
+        if merged and s[0] - merged[-1][1] <= gap:
+            last = merged[-1]
+            merged[-1] = (
+                last[0],
+                max(last[1], s[1]),
+                last[2] + s[2],
+                last[3] + s[3],
+            )
+        else:
+            merged.append(s)
+    return merged
+
+
+class _SpendSessions(StatefulProcessor):
+    """StatefulProcessor: ListState of open session intervals per user,
+    watermark-driven finalization from both input and expired timers."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getListState("sessions", _STATE_SCHEMA)
+
+    def _emit_and_store(
+        self, user_id: int, sessions: list, wm: int
+    ) -> pd.DataFrame:
+        gap = SESSION_GAP_MS
+        done = [s for s in sessions if s[1] + gap < wm]
+        open_ = [s for s in sessions if s[1] + gap >= wm]
+        if open_:
+            self._state.put([tuple(s) for s in open_])
+            # re-invoke once the watermark can finalize the earliest open
+            # session (strictly beyond the current watermark)
+            self._handle.registerTimer(
+                max(min(s[1] for s in open_) + gap, wm) + 1
+            )
+        else:
+            self._state.clear()
+        return pd.DataFrame(
+            [(user_id, s, e, n, c) for (s, e, n, c) in done], columns=_COLS
+        )
+
+    def _load(self) -> list:
+        return [tuple(v) for v in self._state.get()] if self._state.exists() else []
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        sessions = self._load()
+        pts: list[tuple[int, int]] = []
+        for pdf in rows:
+            pts.extend(zip(pdf["ts_ms"], pdf["cents"]))
+        sessions = _merge_spend(sessions, pts)
+        yield self._emit_and_store(
+            user_id, sessions, timerValues.getCurrentWatermarkInMs()
+        )
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        yield self._emit_and_store(
+            user_id, self._load(), timerValues.getCurrentWatermarkInMs()
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas runs a separate Python state-server
+    worker whose wire protocol needs google.protobuf; without it the
+    worker crashes at runtime (XXKST). Capability-check the import here
+    (driver and workers share this environment in local mode; on a
+    cluster ship protobuf with the Python env)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _spend_group_legacy(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _SpendSessions — identical merge and
+    finalization laws, GroupState instead of typed state handles."""
+    (user_id,) = key
+    gap = SESSION_GAP_MS
+    sessions = (
+        [tuple(t) for t in zip(*state.get)] if state.exists else []
+    )
+    if not state.hasTimedOut:
+        pts: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            pts.extend(zip(pdf["ts_ms"], pdf["cents"]))
+        sessions = _merge_spend(sessions, pts)
+    wm = state.getCurrentWatermarkMs()
+    done = [s for s in sessions if s[1] + gap < wm]
+    open_ = [s for s in sessions if s[1] + gap >= wm]
+    if open_:
+        state.update(tuple([list(col) for col in zip(*open_)]))
+        state.setTimeoutTimestamp(max(min(s[1] for s in open_) + gap, wm) + 1)
+    elif state.exists:
+        state.remove()
+    yield pd.DataFrame(
+        [(user_id, s, e, n, c) for (s, e, n, c) in done], columns=_COLS
+    )
+
+
+def spend_sessions_stream(purchases: DataFrame) -> DataFrame:
+    """Build the stateful spend sessionizer over a watermarked purchases
+    frame with columns (user_id, ts, ts_ms, cents). Routes to the new
+    transformWithStateInPandas surface when the environment can run it,
+    else to an applyInPandasWithState twin with identical semantics (the
+    bounded-replay result is bit-identical either way — both are checked
+    against the same oracle)."""
+    if tws_available():
+        return purchases.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_SpendSessions(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return purchases.groupBy("user_id").applyInPandasWithState(
+        _spend_group_legacy,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=(
+            "starts array<long>, ends array<long>,"
+            " ns array<long>, spends array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _write_sentinel(d: str, sentinel_ts_ms: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([SENTINEL_USER_ID], type=pa.int64()),
+            "ts": pa.array([sentinel_ts_ms * 1_000], type=pa.timestamp("us")),
+            "value": pa.array([0.0], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "sentinel.parquet"))
+
+
+def spend_sessions_bounded(
+    spark: SparkSession,
+    purchases: DataFrame,
+    max_ts_ms: int,
+    delay_ms: int = 60_000,
+) -> DataFrame:
+    """Run the TWS spend sessionizer over a bounded purchase replay to
+    completion (result equals the batch sessionization the oracle states).
+    Same end-of-input protocol as sessionize_bounded: two availableNow
+    phases over one checkpoint with a far-future sentinel dropped between
+    them to drive the final watermark past every ``end + gap``."""
+    import shutil
+
+    sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
+    work = tempfile.mkdtemp(prefix="spend_run_")
+    sentinel_dir = os.path.join(work, "sentinel")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(sentinel_dir)
+    os.makedirs(out_dir)
+    sent = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+        .parquet(sentinel_dir)
+        .select(
+            "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "value"
+        )
+    )
+    ev = purchases.select("user_id", "ts", "value").unionByName(sent)
+    events = ev.withWatermark("ts", f"{delay_ms // 1000} seconds").select(
+        "user_id",
+        "ts",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    stream = spend_sessions_stream(events)
+
+    def _run_phase() -> None:
+        from .windowed import stream_partitions
+
+        with stream_partitions(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    try:
+        _run_phase()
+        _write_sentinel(sentinel_dir, sentinel_ms)
+        _run_phase()
+        result = (
+            spark.read.schema(OUTPUT_SCHEMA)
+            .parquet(out_dir)
+            .filter(F.col("user_id") != SENTINEL_USER_ID)
+        )
+        pdf = result.toPandas()
+        return spark.createDataFrame(pdf, schema=OUTPUT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_spend_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-session spend profiles over the replayed events
+    table (purchase rows only; equals batch sessionization + cents sum)."""
+    from ..sources.tables import table_ts_max_ms
+    from .windowed import _events_stream
+
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    return spend_sessions_bounded(
+        spark, purchases, table_ts_max_ms(sf_dir, "events")
+    )

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "stream_enriched_counts",
     "stream_upsert_latest",
     "stream_session_windows",
+    "streaming_spend_sessions",
     "streaming_sessionize",
     "streaming_device_activity",
     "revenue_cube",

@@ -108,3 +108,38 @@ def test_stream_attribution_equals_batch_interval_join(spark):
     assert out.agg(F.sum("lag_ms")).collect()[0][0] == expected.select(
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag")
     ).agg(F.sum("lag")).collect()[0][0]
+
+
+def test_merge_spend_conserves_counts_and_cents():
+    """The spend interval-merge law: any fold order conserves the point
+    count and the total cents, and sessions stay gap-separated."""
+    from adtech_log_data_pipeline_spark.streaming.sessionize import SESSION_GAP_MS
+    from adtech_log_data_pipeline_spark.streaming.spend import _merge_spend
+
+    pts = [(0, 10), (1000, 20), (SESSION_GAP_MS + 2000, 5), (500, 7)]
+    a = _merge_spend([], pts)
+    # incremental fold in two chunks equals one-shot fold
+    b = _merge_spend(_merge_spend([], pts[:2]), pts[2:])
+    assert a == b
+    assert sum(n for _, _, n, _ in a) == 4
+    assert sum(c for _, _, _, c in a) == 42
+    for (s1, e1, _, _), (s2, _, _, _) in zip(a, a[1:]):
+        assert s2 - e1 > SESSION_GAP_MS
+
+
+def test_spend_stream_routes_by_capability(spark):
+    """The operator prefers transformWithStateInPandas and falls back to
+    applyInPandasWithState when the TWS state protocol cannot run (no
+    protobuf in this env) — both produce the gated, oracle-checked
+    result."""
+    from adtech_log_data_pipeline_spark.streaming.spend import tws_available
+
+    import importlib.util
+
+    try:
+        # find_spec of a dotted name imports the parent package, which
+        # itself raises when absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    assert tws_available() == has_protobuf

@@ -261,6 +261,57 @@ def test_native_session_windows_agree_with_custom_sessionizer(spark):
     assert checked > 0
 
 
+def test_spend_sessions_multibatch_equals_batch(spark, replay_dir):
+    """Purchase sessions split across micro-batch boundaries accumulate
+    their spend in state before finalizing — the bounded result equals
+    batch sessionization with exact cents sums (either stateful surface:
+    transformWithStateInPandas where runnable, its applyInPandasWithState
+    twin otherwise)."""
+    from adtech_log_data_pipeline_spark.streaming.sessionize import SESSION_GAP_MS
+    from adtech_log_data_pipeline_spark.streaming.spend import (
+        spend_sessions_bounded,
+    )
+
+    ev = load_table(spark, SF, "events")
+    purchases = _multibatch_stream(spark, replay_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    out = spend_sessions_bounded(spark, purchases, max_ms)
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"]): (
+            r["n_purchases"],
+            r["spend_cents"],
+        )
+        for r in out.collect()
+    }
+
+    rows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ms"], r["cents"]))
+    exp = {}
+    for u, pts in by_user.items():
+        start = end = None
+        n = spend = 0
+        for t, c in sorted(pts):
+            if start is None:
+                start, end, n, spend = t, t, 1, c
+            elif t - end > SESSION_GAP_MS:
+                exp[(u, start, end)] = (n, spend)
+                start, end, n, spend = t, t, 1, c
+            else:
+                end, n, spend = max(end, t), n + 1, spend + c
+        exp[(u, start, end)] = (n, spend)
+    assert got == exp
+
+
 def test_upsert_latest_multibatch_merges_across_batches(spark, replay_dir):
     """foreachBatch upsert over a 4-batch replay: keys updated in later
     batches must overwrite their earlier state rows (cumulative counts,
