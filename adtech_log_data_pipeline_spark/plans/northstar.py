@@ -748,7 +748,7 @@ SELECT agg.* FROM agg, wm WHERE agg.window_start_ms + 3600000 <= wm.wm_ms
 _ORACLE_SPEND_SESSIONS = """
 WITH p AS (
   SELECT user_id, event_id, epoch_ms(ts) AS t,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS cents
   FROM events WHERE event_type = 'purchase'),
 gaps AS (
   SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id

@@ -1,0 +1,83 @@
+"""Shared bounded-replay runner for watermark/timer-driven stateful
+operators — the end-of-input protocol lives HERE, once:
+
+  1. phase 1 (availableNow over a checkpointed parquet sink) drains every
+     available real row and leaves the watermark at ``max_real - delay``;
+  2. the caller-supplied sentinel writer drops one far-future row into an
+     initially EMPTY file source the caller union'd into its stream, and
+     phase 2 restarts from the same checkpoint — state and file offsets
+     recover, the sentinel advances the watermark past every pending
+     finalization point, and the trailing no-data micro-batch fires the
+     remaining timers.
+
+This is Flink's end-of-input +inf watermark restated with Spark
+primitives; it makes the bounded result micro-batch-slicing-invariant.
+Both stateful sessionizers (sessionize.py, spend.py) route through this
+module so a protocol fix lands in one place.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def make_replay_dirs(prefix: str) -> tuple[str, str, str, str]:
+    """(work, sentinel_dir, out_dir, ckpt_dir) under one temp root."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    sentinel_dir = os.path.join(work, "sentinel")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(sentinel_dir)
+    os.makedirs(out_dir)
+    return work, sentinel_dir, out_dir, ckpt_dir
+
+
+def run_two_phase(
+    spark: SparkSession,
+    stream: DataFrame,
+    output_schema: str,
+    work: str,
+    out_dir: str,
+    ckpt_dir: str,
+    write_sentinel: Callable[[], None],
+    result_filter: F.Column | None = None,
+) -> DataFrame:
+    """Execute ``stream`` (already union'd with the caller's empty
+    sentinel source and watermarked) to completion via the two-phase
+    protocol, then return the materialized result. The parquet sink is
+    checkpointed (exactly-once; a memory sink cannot recover across the
+    phase-2 restart); the result is materialized driver-side before the
+    temp dirs are removed — the same driver residency a memory sink has;
+    production points the sink at durable storage and skips the
+    read-back."""
+    from .windowed import stream_partitions
+
+    def _run_phase() -> None:
+        with stream_partitions(spark):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    try:
+        _run_phase()
+        write_sentinel()
+        _run_phase()
+        result = spark.read.schema(output_schema).parquet(out_dir)
+        if result_filter is not None:
+            result = result.filter(result_filter)
+        pdf = result.toPandas()
+        return spark.createDataFrame(pdf, schema=output_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

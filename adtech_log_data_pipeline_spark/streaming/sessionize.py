@@ -33,7 +33,6 @@ finalization. No collect, no driver loops; the sentinel is one row.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -153,41 +152,16 @@ def sessionize_bounded(
 ) -> DataFrame:
     """Sessionize a bounded replay stream ``ev`` (columns user_id, ts —
     ANY micro-batch slicing) to completion; the result equals batch
-    sessionization.
+    sessionization. The end-of-input protocol (two availableNow phases
+    over one checkpoint with a far-future sentinel between them) lives in
+    ``streaming/_replay.py`` — see that module for the full rationale.
+    ``max_ts_ms`` is the replay's max event time (footer stats); a
+    sentinel misplaced BELOW it would late-drop data, which is why it is
+    derived, not hardcoded."""
+    from ._replay import make_replay_dirs, run_two_phase
 
-    End-of-input protocol, two ``availableNow`` phases over one checkpoint:
-
-      1. phase 1 drains every available real row (availableNow's contract —
-         no row-count polling, so arbitrarily many micro-batches are fine)
-         and leaves the watermark at ``max_real - delay``;
-      2. the harness then drops a far-future sentinel row into a second,
-         initially EMPTY file source union'd into the stream and restarts
-         the query from the same checkpoint (state + file offsets recover).
-         Arriving strictly after all real data, the sentinel advances the
-         watermark past every real ``end + gap`` without late-dropping
-         anything, and the trailing no-data micro-batch fires every pending
-         group timeout.
-
-    This is Flink's end-of-input +inf watermark restated with Spark
-    primitives, and it is what makes the bounded result slicing-invariant.
-    ``max_ts_ms`` is the replay's max event time (footer stats); a sentinel
-    misplaced BELOW it would late-drop data, which is why it is derived,
-    not hardcoded. (The old consumed-row poll and its expected_rows
-    parameter are gone — availableNow subsumes them, and the poll's
-    recentProgress accounting undercounted past 100 micro-batches.)
-
-    The sink is a checkpointed parquet directory (exactly-once file sink;
-    the memory sink cannot recover across the phase-2 restart). The result
-    is materialized driver-side before the temp dirs are removed — the
-    same driver residency the memory sink had; a production deployment
-    points the sink at durable storage and skips the read-back."""
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
-    work = tempfile.mkdtemp(prefix="sessionize_run_")
-    sentinel_dir = os.path.join(work, "sentinel")
-    out_dir = os.path.join(work, "out")
-    ckpt_dir = os.path.join(work, "ckpt")
-    os.makedirs(sentinel_dir)
-    os.makedirs(out_dir)
+    work, sentinel_dir, out_dir, ckpt_dir = make_replay_dirs("sessionize_run_")
     sent = (
         spark.readStream.schema("user_id long, ts timestamp_ntz")
         .parquet(sentinel_dir)
@@ -205,40 +179,16 @@ def sessionize_bounded(
     events = ev.withWatermark("ts", f"{delay_ms // 1000} seconds").select(
         "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
     )
-    sessions = sessionize_stream(events)
-
-    def _run_phase() -> None:
-        from .windowed import stream_partitions
-
-        # replay-sized state partitioning (see windowed.py rationale); the
-        # partition count bakes into the checkpoint at phase 1, phase 2
-        # recovers the same value
-        with stream_partitions(spark):
-            q = (
-                sessions.writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", out_dir)
-                .option("checkpointLocation", ckpt_dir)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-    try:
-        _run_phase()
-        _write_sentinel_file(sentinel_dir, sentinel_ms)
-        _run_phase()
-        result = (
-            spark.read.schema(OUTPUT_SCHEMA)
-            .parquet(out_dir)
-            .filter(F.col("user_id") != SENTINEL_USER_ID)
-        )
-        pdf = result.toPandas()
-        return spark.createDataFrame(pdf, schema=OUTPUT_SCHEMA)
-    finally:
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
+    return run_two_phase(
+        spark,
+        sessionize_stream(events),
+        OUTPUT_SCHEMA,
+        work,
+        out_dir,
+        ckpt_dir,
+        write_sentinel=lambda: _write_sentinel_file(sentinel_dir, sentinel_ms),
+        result_filter=F.col("user_id") != SENTINEL_USER_ID,
+    )
 
 
 

@@ -128,18 +128,118 @@ def test_merge_spend_conserves_counts_and_cents():
 
 
 def test_spend_stream_routes_by_capability(spark):
-    """The operator prefers transformWithStateInPandas and falls back to
-    applyInPandasWithState when the TWS state protocol cannot run (no
-    protobuf in this env) — both produce the gated, oracle-checked
-    result."""
-    from adtech_log_data_pipeline_spark.streaming.spend import tws_available
+    """The routing must put the matching stateful operator in the PLAN:
+    FlatMapGroupsInPandasWithState when protobuf is absent (this env),
+    TransformWithState* where it exists — asserted on the analyzed plan of
+    the actually-built stream, not on the capability probe alone."""
+    from pyspark.sql import functions as F
 
-    import importlib.util
+    from adtech_log_data_pipeline_spark.streaming.spend import (
+        spend_sessions_stream,
+        tws_available,
+    )
 
-    try:
-        # find_spec of a dotted name imports the parent package, which
-        # itself raises when absent
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        has_protobuf = False
-    assert tws_available() == has_protobuf
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.col("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "1 minute")
+        .select(
+            "user_id",
+            "ts",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.lit(1).cast("bigint").alias("cents"),
+        )
+    )
+    plan = spend_sessions_stream(rate)._jdf.queryExecution().analyzed().toString()
+    if tws_available():
+        assert "TransformWithState" in plan
+    else:
+        assert "FlatMapGroupsInPandasWithState" in plan
+        assert "TransformWithState" not in plan
+
+
+def test_tws_processor_logic_with_mock_handle():
+    """Pin the _SpendSessions StatefulProcessor logic without the TWS
+    runtime (no protobuf in this env): drive handleInputRows /
+    handleExpiredTimer with a mock handle+state and assert merge,
+    watermark finalization, timer hygiene (exactly one live timer), and
+    state eviction."""
+    from adtech_log_data_pipeline_spark.streaming.sessionize import SESSION_GAP_MS
+    from adtech_log_data_pipeline_spark.streaming.spend import _SpendSessions
+
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.rows: list | None = None
+
+        def exists(self):
+            return self.rows is not None
+
+        def get(self):
+            return iter(self.rows)
+
+        def put(self, rows):
+            self.rows = list(rows)
+
+        def clear(self):
+            self.rows = None
+
+    class FakeHandle:
+        def __init__(self, state):
+            self._s = state
+            self.timers: set[int] = set()
+
+        def getListState(self, name, schema):
+            return self._s
+
+        def registerTimer(self, ts):
+            self.timers.add(ts)
+
+        def deleteTimer(self, ts):
+            self.timers.discard(ts)
+
+        def listTimers(self):
+            return iter(list(self.timers))
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    state = FakeState()
+    handle = FakeHandle(state)
+    proc = _SpendSessions()
+    proc.init(handle)
+
+    # batch 1: two points in one session, watermark far behind -> no emit,
+    # state holds the merged open session, exactly one timer registered
+    rows = iter([pd.DataFrame({"ts_ms": [1000, 2000], "cents": [5, 7]})])
+    out1 = pd.concat(list(proc.handleInputRows((42,), rows, FakeTimerValues(0))))
+    assert len(out1) == 0
+    assert state.rows == [(1000, 2000, 2, 12)]
+    assert len(handle.timers) == 1
+
+    # batch 2: a point one-gap-later merges (<= gap law); still open; the
+    # OLD timer was deleted before the new registration
+    t2 = 2000 + SESSION_GAP_MS
+    rows = iter([pd.DataFrame({"ts_ms": [t2], "cents": [3]})])
+    out2 = pd.concat(list(proc.handleInputRows((42,), rows, FakeTimerValues(0))))
+    assert len(out2) == 0
+    assert state.rows == [(1000, t2, 3, 15)]
+    assert len(handle.timers) == 1
+
+    # expired timer with the watermark past end+gap: session emits with
+    # exact cents, state evicted, no timer re-armed
+    wm = t2 + SESSION_GAP_MS + 1
+    out3 = pd.concat(
+        list(proc.handleExpiredTimer((42,), FakeTimerValues(wm), None))
+    )
+    assert out3.values.tolist() == [[42, 1000, t2, 3, 15]]
+    assert state.rows is None
+    assert len(handle.timers) == 0
