@@ -93,3 +93,15 @@ def test_conversion_funnel_is_monotone(spark):
     row = QUERIES["conversion_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_signup"] >= row["n_click_after_signup"] >= row["n_purchase_after_click"]
     assert row["n_signup"] > 0
+
+
+def test_bench_and_gate_cover_every_declared_query():
+    """bench.py and the oracle dict must stay in lockstep with the query
+    registry — a query added without a bench entry silently vanishes from
+    BENCH_r{N}.json, and one without an oracle drops to a rows-only gate."""
+    import bench
+    import __spark_entry__ as entry_mod
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    assert sorted(bench.BENCH_QUERIES) == sorted(QUERIES)
+    assert sorted(entry_mod.oracle_sql()) == sorted(QUERIES)
