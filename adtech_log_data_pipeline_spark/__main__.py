@@ -17,6 +17,10 @@ dispatches to BidLogJob or PredictionJob; SURVEY.md §3.1).
 
     python -m adtech_log_data_pipeline_spark --job compact \\
         --input /data/table/dt=2026-08-14 --output /data/compacted
+
+    python -m adtech_log_data_pipeline_spark --job bucketize \\
+        --input /data/lineitem --output /data/bkt/lineitem \\
+        --table bkt_lineitem --bucket-cols l_orderkey --n-buckets 256
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adtech_log_data_pipeline_spark")
     ap.add_argument(
         "--job",
-        choices=["bidlog", "prediction", "export", "ingest", "compact"],
+        choices=["bidlog", "prediction", "export", "ingest", "compact", "bucketize"],
         required=True,
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -38,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", help="input directory (ingest/compact jobs)")
     ap.add_argument("--checkpoint", help="checkpoint dir (ingest job)")
     ap.add_argument("--schema", help="input DDL schema (ingest job, optional)")
+    ap.add_argument("--table", help="catalog table name (bucketize job)")
+    ap.add_argument(
+        "--bucket-cols", help="comma-separated bucket key columns (bucketize job)"
+    )
+    ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--master", default=None, help="spark master (default: local[*])")
     # suspicious thresholds (reference MyOptions.java defaults)
     ap.add_argument("--threshold-user", type=int, default=4)
@@ -99,6 +108,22 @@ def main(argv: list[str] | None = None) -> int:
 
         n = compact_parquet(spark, args.input, args.output)
         print(f"compact done: {n} output partitions -> {args.output}")
+    elif args.job == "bucketize":
+        if not args.input or not args.table or not args.bucket_cols:
+            ap.error(
+                "--input, --table and --bucket-cols are required for --job bucketize"
+            )
+        from .jobs.maintenance import bucketize_table
+
+        cols = [c.strip() for c in args.bucket_cols.split(",") if c.strip()]
+        bucketize_table(
+            spark, args.input, args.table, cols,
+            n_buckets=args.n_buckets, path=args.output,
+        )
+        print(
+            f"bucketize done: {args.table} ({args.n_buckets} buckets on"
+            f" {cols}) -> {args.output}"
+        )
     else:
         if not args.profiles:
             ap.error("--profiles (bidlog-job output dir) is required for --job prediction")

@@ -98,6 +98,45 @@ def incremental_ingest(
         spark.streams.removeListener(counter)
 
 
+def bucketize_table(
+    spark: SparkSession,
+    in_path: str,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Rewrite a parquet directory as a bucketed, bucket-sorted catalog
+    table so every later equi-join or aggregation on ``bucket_cols`` is
+    shuffle-free (Spark's hash-bucket layout satisfies the join's
+    HashPartitioning requirement at plan time — EnsureRequirements inserts
+    no Exchange).
+
+    This is the co-located-join maintenance pass for fact-to-fact joins
+    too big to broadcast: at 100 TB, orders⋈lineitem on orderkey shuffles
+    BOTH tables on every query unless they are pre-bucketed on the key;
+    bucketing pays the shuffle once at write time and amortizes it over
+    every subsequent query. Both sides must use the SAME bucket count (or
+    an integer multiple, with bucket coalescing enabled) for the
+    co-location to hold.
+
+    ``sort_cols`` (default: the bucket columns) orders rows inside each
+    bucket file, which also removes the per-partition Sort from
+    sort-merge joins when each bucket holds a single file.
+    """
+    df: DataFrame = spark.read.parquet(in_path)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~one HDFS/object-store block
 
 

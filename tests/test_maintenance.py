@@ -106,3 +106,51 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert (
         spark.read.parquet(out).exceptAll(spark.read.parquet(src)).count() == 0
     )
+
+
+def test_bucketized_join_plans_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count must
+    sort-merge join with NO Exchange on either side — the co-located-join
+    contract that makes repeated fact-to-fact joins affordable at 100 TB.
+    Also checks the bucket-pruned result matches the plain-parquet join."""
+    from adtech_log_data_pipeline_spark.jobs.maintenance import bucketize_table
+
+    sf = "/root/testdata/sf0.001"
+    bucketize_table(
+        spark, f"{sf}/orders.parquet", "bkt_orders", ["o_orderkey"],
+        n_buckets=4, path=str(tmp_path / "bkt_orders"),
+    )
+    bucketize_table(
+        spark, f"{sf}/lineitem.parquet", "bkt_lineitem", ["l_orderkey"],
+        n_buckets=4, path=str(tmp_path / "bkt_lineitem"),
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force the sort-merge path (broadcast would trivially avoid the
+        # shuffle at THIS scale but not at fact-to-fact scale)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_lineitem").join(
+                spark.table("bkt_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("simple")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, plan
+            # same rows as the unbucketed formulation
+            plain = spark.read.parquet(f"{sf}/lineitem.parquet").join(
+                spark.read.parquet(f"{sf}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            assert joined.count() == plain.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
