@@ -571,3 +571,119 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "cast(floor(cast(sum_micro as double) / n_vecs + 0.5) as bigint)"
         ).alias("centroid_micro"),
     )
+
+
+SEMANTIC_DUP_THRESHOLD = 0.3  # same scale convention as embedding_near_dup
+# Degenerate-cluster guard, same rule as NEAR_DUP_BUCKET_CAP: pair
+# generation inside one cluster is capped (keep-rule: smallest vec_ids);
+# vectors past the cap are still assigned + kept, just never compared.
+SEMANTIC_CLUSTER_CAP = 1000
+
+
+def kmeans_assignments(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Lloyd's assignment step against a FINISHED centroid relation:
+    (vec_id, cid) with exact integer-micro squared distances and the
+    smallest-cid tiebreak (identical conventions to the in-loop step of
+    kmeans_centroids).
+
+    Scale shape: centroids are (k x dims) — broadcast; the vectors move
+    as micro rows through two hash aggregations keyed (vec_id, cid) then
+    (vec_id). No vector self-join anywhere."""
+    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    x = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.expr(q).alias("x_micro"))
+    d2 = (
+        x.join(
+            F.broadcast(
+                centroids.select(
+                    "cid", "dim", F.col("centroid_micro").alias("c_micro")
+                )
+            ),
+            "dim",
+        )
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(F.expr("(x_micro - c_micro) * (x_micro - c_micro)")).alias("d2")
+        )
+    )
+    return (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    total: int | None = None,
+    cluster_cap: int = SEMANTIC_CLUSTER_CAP,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public): cluster
+    the embeddings with exact integer-micro k-means, compare pairs ONLY
+    within a cluster, and drop every vector whose cosine to a smaller-id
+    cluster-mate reaches ``threshold`` (greedy keep-smallest-id — one
+    deterministic representative per duplicate neighborhood; the keep
+    decision uses ALL earlier vectors, matching the one-pass convention of
+    dedup.py's keep-rules).
+
+    Scale shape: the k-means pass is the kmeans_centroids plan (broadcast
+    centroids, hash aggs); pair generation is cluster-local and capped at
+    ``cluster_cap`` rows per cluster, so the worst case is O(k * cap^2)
+    pairs — never the O(n^2) cross product. At 100 TB, k scales with the
+    corpus (like IVF's sqrt(n) lists) to hold cluster sizes flat.
+
+    Output: (vec_id, cid, kept) for EVERY input vector."""
+    from pyspark.sql.window import Window
+
+    from ._cache import hold
+
+    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total)
+    assign = kmeans_assignments(embeddings, cent)
+    tagged = hold(
+        embeddings.join(assign, "vec_id").select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            _norm("embedding").alias("nv"),
+            "cid",
+        ),
+        eager=True,
+    )
+    wcap = Window.partitionBy("cid").orderBy("vec_id")
+    capped = (
+        tagged.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= cluster_cap)
+        .drop("rn")
+    )
+    left = capped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("a"),
+        F.col("nv").alias("na"),
+        "cid",
+    )
+    right = capped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("b"),
+        F.col("nv").alias("nb"),
+        "cid",
+    )
+    dropped = (
+        left.join(right, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine_r6() >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        tagged.join(
+            dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cid",
+            (~F.coalesce(F.col("is_dup"), F.lit(False))).alias("kept"),
+        )
+    )

@@ -223,6 +223,16 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: k-means clusters, cluster-local
+    cosine near-dup drop, keep-smallest-id."""
+    from ..functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), total=table_row_count(sf_dir, "embeddings")
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints."""
     return winnowing_fingerprints(_docs(spark, sf_dir))
@@ -455,6 +465,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
+    "semantic_dedup": q_semantic_dedup,
     "repetition_stats": q_repetition_stats,
     "length_percentiles": q_length_percentiles,
     "source_mix": q_source_mix,
@@ -1282,10 +1293,12 @@ SELECT vec_id, label, d2_micro,
 FROM d
 """
 
-def _oracle_kmeans() -> str:
+def _kmeans_ctes() -> list[str]:
     """Chained-CTE restatement of ALL Lloyd iterations (see
     functions/similarity.py::kmeans_centroids for the quantization and
-    tie-break conventions this mirrors)."""
+    tie-break conventions this mirrors). Shared by the kmeans_centroids
+    and semantic_dedup oracles; the final centroid relation is
+    ``c{KMEANS_ITERS}``."""
     from ..functions.similarity import KMEANS_ITERS, KMEANS_K
 
     ctes = [
@@ -1327,10 +1340,68 @@ def _oracle_kmeans() -> str:
                        AS BIGINT), p.c_micro) AS c_micro
   FROM {p} p LEFT JOIN u{i} u ON p.cid = u.cid AND p.dim = u.dim)"""
         )
+    return ctes
+
+
+def _oracle_kmeans() -> str:
+    from ..functions.similarity import KMEANS_ITERS
+
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f"\nSELECT cid, dim, n_vecs, c_micro AS centroid_micro FROM c{KMEANS_ITERS}"
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    """kmeans CTE chain + one final assignment + capped cluster-local pair
+    join (functions/similarity.py::semantic_dedup conventions: r6-rounded
+    cosine, smallest-cid assignment tiebreak, keep-smallest-id)."""
+    from ..functions.similarity import (
+        KMEANS_ITERS,
+        SEMANTIC_CLUSTER_CAP,
+        SEMANTIC_DUP_THRESHOLD,
+    )
+
+    ctes = _kmeans_ctes()
+    last = f"c{KMEANS_ITERS}"
+    ctes.append(
+        f"""dF AS (
+  SELECT x.vec_id, c.cid,
+         sum((x.x_micro - c.c_micro) * (x.x_micro - c.c_micro)) AS d2
+  FROM x JOIN {last} c USING (dim) GROUP BY x.vec_id, c.cid)"""
+    )
+    ctes.append(
+        """aF AS (
+  SELECT vec_id, min({'d2': d2, 'cid': cid}).cid AS cid
+  FROM dF GROUP BY vec_id)"""
+    )
+    ctes.append(
+        """tg AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, a.cid
+  FROM embeddings e JOIN aF a USING (vec_id))"""
+    )
+    ctes.append(
+        f"""cp AS (
+  SELECT * FROM tg
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id)
+          <= {SEMANTIC_CLUSTER_CAP})"""
+    )
+    ctes.append(
+        f"""dr AS (
+  SELECT DISTINCT b.vec_id
+  FROM cp a JOIN cp b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {SEMANTIC_DUP_THRESHOLD})"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT cid, dim, n_vecs, c_micro AS centroid_micro FROM c{KMEANS_ITERS}"
+        + """
+SELECT tg.vec_id, tg.cid, (dr.vec_id IS NULL) AS kept
+FROM tg LEFT JOIN dr ON tg.vec_id = dr.vec_id"""
     )
 
 
@@ -1459,6 +1530,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "kmeans_centroids": _oracle_kmeans(),
+    "semantic_dedup": _oracle_semantic_dedup(),
     "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
     "repetition_stats": _ORACLE_REPETITION,
     "length_percentiles": _ORACLE_LENGTH_PCT,

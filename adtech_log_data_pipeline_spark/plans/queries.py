@@ -178,6 +178,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # directly behind the 7 reference-parity headliners. The tail holds queries
 # with multiple prior green rows (rotate them back in if they ever change).
 _GATE_FIRST = [
+    "semantic_dedup",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "label_centroids",
     "kmeans_centroids",
+    "semantic_dedup",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

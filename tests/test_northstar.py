@@ -506,3 +506,50 @@ def test_packing_plan_contiguous_fill(spark):
     assert (out[2]["cum_before"], out[2]["pack_id"], out[2]["pack_offset"]) == (5, 1, 1)
     # sources pack independently
     assert (out[3]["cum_before"], out[3]["pack_id"]) == (0, 0)
+
+
+def test_semantic_dedup_drops_within_cluster_keeps_across(spark):
+    """Two separated blobs: near-identical vectors inside one blob prune
+    to the smallest vec_id; vectors in different clusters are never
+    compared even if (anti-)parallel. kept covers EVERY input row."""
+    from adtech_log_data_pipeline_spark.functions.similarity import semantic_dedup
+
+    rows = (
+        # blob A: 0/1/2 mutually cosine≈1 (scaled copies), 3 orthogonal-ish
+        [(0, [1.0, 0.01]), (1, [2.0, 0.02]), (2, [0.5, 0.005]), (3, [0.01, 1.0])]
+        # blob B far away: 4/5 parallel to blob A members but own cluster
+        + [(4, [100.0, 1.0]), (5, [200.0, 2.0]), (6, [100.0, 120.0]), (7, [101.0, 1.01])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in semantic_dedup(emb, threshold=0.95, k=2, iters=3, total=8).collect()
+    }
+    assert len(out) == 8
+    # strided seeds 0 and 4 -> blobs assign to their own centroid
+    cids = {v[0] for v in out.values()}
+    assert cids == {0, 4}
+    # within blob A: 0 kept (smallest), 1 and 2 dropped (cos=1 to 0)
+    assert out[0][1] is True and out[1][1] is False and out[2][1] is False
+    assert out[3][1] is True  # orthogonal to its cluster-mates
+    # within blob B: 4 kept; 5 and 7 are near-parallel to 4 -> dropped
+    assert out[4][1] is True and out[5][1] is False and out[7][1] is False
+    assert out[6][1] is True
+
+
+def test_semantic_dedup_cluster_cap_bounds_pairs_not_membership(spark):
+    """Vectors past the cluster cap are still assigned and KEPT (never
+    compared) — the degenerate-cluster guard drops comparisons, not rows."""
+    from adtech_log_data_pipeline_spark.functions.similarity import semantic_dedup
+
+    # 6 identical vectors -> one cluster; cap=3 means only ids 0,1,2 join
+    # pair generation: 0 kept, 1-2 dropped, 3-5 kept-by-cap
+    rows = [(i, [1.0, 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            emb, threshold=0.9, k=1, iters=1, total=6, cluster_cap=3
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: True, 5: True}
