@@ -866,3 +866,66 @@ def packing_plan(documents: DataFrame, ctx: int = PACK_CTX_TOKENS) -> DataFrame:
         F.floor(F.col("cum_before") / ctx).cast("bigint").alias("pack_id"),
         (F.col("cum_before") % ctx).cast("bigint").alias("pack_offset"),
     )
+
+
+# Context-window chunking defaults: 64-token chunks with a 16-token
+# overlap (stride 48) — the shape every RAG/pretraining chunker uses,
+# scaled down to the synthetic corpus' doc lengths.
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def doc_chunks(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Token-aware overlapping document chunking: split each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens - overlap``
+    so adjacent chunks share ``overlap`` tokens of context; the last chunk
+    may be shorter. Chunk count is exact integer math —
+    max(1, ceildiv(n - overlap, stride)) — so every doc (including empty)
+    emits at least one chunk and no chunk is fully contained in the
+    previous one.
+
+    Scale shape: one corpus scan, a JVM-side sequence fan-out (Generate,
+    no shuffle, no Python), and per-chunk slices of the already-built
+    token array — the chunk text never materializes, only its md5
+    fingerprint and token count leave the operator.
+
+    Output: (doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_hash).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    t = documents.select(
+        "doc_id", tokens_col().alias("toks")
+    ).withColumn("n", F.size("toks"))
+    k = F.expr(
+        f"greatest(1L, cast((n - {overlap} + {stride} - 1) as bigint) div {stride})"
+    )
+    chunks = (
+        t.withColumn("k", k)
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.expr("sequence(0L, k - 1)")).alias("chunk_id", "_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("_s") * stride).cast("bigint").alias("chunk_start"),
+            F.expr(
+                f"slice(toks, cast(_s as int) * {stride} + 1, {chunk_tokens})"
+            ).alias("chunk"),
+        )
+    )
+    # chr(31) array-joining convention shared with vocab_hash (oracle:
+    # array_to_string(..., chr(31)))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws("\u001f", "chunk").cast("binary")).alias("chunk_hash"),
+    )

@@ -223,6 +223,13 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware overlapping context-window chunking of the corpus."""
+    from ..functions.text import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning: k-means clusters, cluster-local
     cosine near-dup drop, keep-smallest-id."""
@@ -466,6 +473,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
     "semantic_dedup": q_semantic_dedup,
+    "doc_chunks": q_doc_chunks,
     "repetition_stats": q_repetition_stats,
     "length_percentiles": q_length_percentiles,
     "source_mix": q_source_mix,
@@ -1239,6 +1247,28 @@ SELECT doc_id,
 FROM d, unnest(range((duration_ms + 29999) // 30000)) AS t(k)
 """
 
+def _oracle_doc_chunks() -> str:
+    """functions/text.py::doc_chunks restated: same exact-integer chunk
+    count, same 1-based slice bounds, same chr(31) fingerprint."""
+    from ..functions.text import CHUNK_OVERLAP, CHUNK_TOKENS
+
+    st = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             greatest(1, (len(toks) - {CHUNK_OVERLAP} + {st} - 1) // {st}) AS k
+      FROM t)
+SELECT doc_id,
+       CAST(u.i AS INT) AS chunk_id,
+       CAST(u.i * {st} AS BIGINT) AS chunk_start,
+       CAST(len(toks[u.i * {st} + 1 : u.i * {st} + {CHUNK_TOKENS}]) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[u.i * {st} + 1 : u.i * {st} + {CHUNK_TOKENS}],
+                           chr(31))) AS chunk_hash
+FROM s, unnest(range(k)) AS u(i)
+"""
+
+
 _ORACLE_TRAIN_SPLIT = """
 WITH b AS (
   SELECT doc_id,
@@ -1531,6 +1561,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
     "kmeans_centroids": _oracle_kmeans(),
     "semantic_dedup": _oracle_semantic_dedup(),
+    "doc_chunks": _oracle_doc_chunks(),
     "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
     "repetition_stats": _ORACLE_REPETITION,
     "length_percentiles": _ORACLE_LENGTH_PCT,

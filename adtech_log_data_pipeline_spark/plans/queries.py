@@ -179,6 +179,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # with multiple prior green rows (rotate them back in if they ever change).
 _GATE_FIRST = [
     "semantic_dedup",
+    "doc_chunks",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "kmeans_centroids",
     "semantic_dedup",
+    "doc_chunks",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

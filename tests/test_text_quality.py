@@ -191,3 +191,47 @@ def test_audio_chunks_tile_duration(spark):
         for a, b in zip(chunks, chunks[1:]):
             assert a["chunk_end_ms"] == b["chunk_start_ms"]
         assert chunks[-1]["chunk_end_ms"] == duration
+
+
+def test_doc_chunks_overlap_and_counts(spark):
+    """150 tokens, chunk=64, overlap=16 (stride 48): 3 chunks starting at
+    0/48/96; adjacent chunks share exactly 16 tokens; last is short."""
+    from adtech_log_data_pipeline_spark.functions.text import doc_chunks
+
+    text = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        doc_chunks(docs).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [(r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"]) for r in rows] == [
+        (0, 0, 64),
+        (1, 48, 64),
+        (2, 96, 54),
+    ]
+    # overlap: chunk 1 starts at token 48, chunk 0 covers 0..63 -> 16 shared
+    assert rows[0]["chunk_start"] + 64 - rows[1]["chunk_start"] == 16
+
+
+def test_doc_chunks_short_and_empty_docs_emit_one_chunk(spark):
+    from adtech_log_data_pipeline_spark.functions.text import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in doc_chunks(docs).collect()}
+    assert len(rows) == 2
+    assert rows[1]["chunk_id"] == 0 and rows[1]["n_chunk_tokens"] == 3
+    # empty text tokenizes to [''] (split convention) -> one 1-token chunk
+    assert rows[2]["chunk_id"] == 0 and rows[2]["n_chunk_tokens"] == 1
+
+
+def test_doc_chunks_no_trailing_contained_chunk(spark):
+    """n=70 with stride 48: ceildiv(70-16, 48) = 2 chunks — the second
+    covers 48..69; a third would be fully inside the second."""
+    from adtech_log_data_pipeline_spark.functions.text import doc_chunks
+
+    text = " ".join(f"w{i}" for i in range(70))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = doc_chunks(docs).collect()
+    assert len(rows) == 2
+    assert {r["n_chunk_tokens"] for r in rows} == {64, 22}
