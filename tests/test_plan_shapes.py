@@ -125,3 +125,24 @@ def test_parity_aggregates_do_partial_aggregation(spark):
     plan = _plan(spark, "device_profile_summary", mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_doc_chunks_is_jvm_only_generate(spark):
+    """doc_chunks is one scan + JVM sequence fan-out: no Python nodes, no
+    join, no shuffle exchange anywhere (map-only at any scale)."""
+    plan = _plan(spark, "doc_chunks", mode="simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
+    """semantic_dedup's distance joins broadcast the (k x dims) centroid
+    relation; the only pair join is cluster-keyed — no cartesian product
+    may appear anywhere in the plan."""
+    plan = _plan(spark, "semantic_dedup", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
