@@ -51,8 +51,14 @@ def _cosine_r6() -> F.Column:
     """round(dot(a, b) / (na * nb), 6) with the norms ALREADY projected on
     each side (columns na/nb) — the per-pair lambda work is one dot, not
     three array folds (the norms would otherwise be recomputed once per
-    PAIR instead of once per vector)."""
-    return F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+    PAIR instead of once per vector).
+
+    A zero-norm vector has no defined cosine: the denominator is
+    NULL-guarded so the result is NULL (DuckDB's own x/0 answer —
+    engine parity holds even on degenerate corpora) instead of an ANSI
+    DIVIDE_BY_ZERO error; threshold filters then drop the pair and
+    DESC rankings sort it last on both engines."""
+    return F.round(F.expr(_DOT) / F.expr("nullif(na * nb, 0D)"), 6)
 
 
 def lsh_bits(n: int) -> int:

@@ -197,3 +197,70 @@ def test_shingle_dup_rate_duplication_law(spark, rows):
     )
     out = shingle_dup_rate(doubled).collect()
     assert all(r["dup_ppm"] == 1_000_000 for r in out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus_strategy, chunk=st.integers(3, 10), overlap=st.integers(0, 2))
+def test_doc_chunks_coverage_law(spark, rows, chunk, overlap):
+    """For ANY corpus and any (chunk, overlap) with stride > 0: chunk
+    token counts tile the document exactly — sum(n_chunk_tokens) equals
+    n + overlap * (k - 1) — chunk_starts advance by the stride, and the
+    final chunk reaches the last token."""
+    from adtech_log_data_pipeline_spark.functions.text import doc_chunks, tokens_col
+
+    docs = _corpus_df(spark, rows)
+    import pyspark.sql.functions as F
+
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.size(tokens_col()).alias("n")).collect()
+    }
+    stride = chunk - overlap
+    out = {}
+    for r in doc_chunks(docs, chunk_tokens=chunk, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert set(out) == set(n_by_doc)
+    for doc_id, chunks in out.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = n_by_doc[doc_id]
+        k = len(chunks)
+        assert [c["chunk_start"] for c in chunks] == [i * stride for i in range(k)]
+        assert sum(c["n_chunk_tokens"] for c in chunks) == n + overlap * (k - 1)
+        last = chunks[-1]
+        assert last["chunk_start"] + last["n_chunk_tokens"] == n
+        # no chunk fully contained in its predecessor
+        assert all(c["n_chunk_tokens"] > overlap for c in chunks[:-1]) or k == 1
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=3, max_size=3
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    seed=st.integers(0, 3),
+)
+def test_semantic_dedup_partitioning_invariance(spark, vecs, seed):
+    """kept/cid assignments are identical under any input partitioning
+    (integer-micro distances + r6 cosine leave no room for shuffle-order
+    effects)."""
+    from adtech_log_data_pipeline_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    n = len(vecs)
+    a = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in semantic_dedup(emb, k=2, iters=2, total=n).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in semantic_dedup(
+            emb.repartition(3 + seed), k=2, iters=2, total=n
+        ).collect()
+    }
+    assert a == b and len(a) == n
