@@ -180,6 +180,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_FIRST = [
     "semantic_dedup",
     "doc_chunks",
+    "discounted_revenue",
+    "small_quantity_revenue",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -362,6 +362,41 @@ def conversion_funnel_sql(dialect: str) -> str:
         """
 
 
+def discounted_revenue_sql(dialect: str) -> str:
+    """TPC-H Q19 shape: a disjunction of conjunctive bands across a join —
+    exercises OR-of-ANDs predicate handling (the part-only clauses
+    evaluate on the build side, the mixed part+lineitem clauses post-join)
+    with the exact-cents revenue contract on the surviving sliver."""
+    return f"""
+        SELECT cast(count(*) as bigint) AS n_items,
+               {_revenue(dialect, 'l.')} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+
+
+def small_quantity_revenue_sql(dialect: str) -> str:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery — line items
+    under half their part's average order quantity, rolled up per brand.
+    Both engines decorrelate this to a per-part aggregate joined back to
+    the fact; the avg is one double divide of exact small-integer sums,
+    so the comparison is deterministic under any aggregation order."""
+    return f"""
+        SELECT p.p_brand, cast(count(*) as bigint) AS n_small,
+               {_csum('l.l_extendedprice')} AS total_price
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -380,5 +415,7 @@ RELATIONAL_SQL = {
     "brand_supplier_stats": (brand_supplier_stats_sql, ["part", "lineitem", "supplier"]),
     "quiet_returners": (quiet_returners_sql, ["orders", "lineitem"]),
     "sliding_window_counts": (sliding_window_counts_sql, ["events"]),
+    "discounted_revenue": (discounted_revenue_sql, ["lineitem", "part"]),
+    "small_quantity_revenue": (small_quantity_revenue_sql, ["lineitem", "part"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

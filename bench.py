@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "kmeans_centroids",
     "semantic_dedup",
     "doc_chunks",
+    "discounted_revenue",
+    "small_quantity_revenue",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",
