@@ -182,6 +182,7 @@ _GATE_FIRST = [
     "doc_chunks",
     "discounted_revenue",
     "small_quantity_revenue",
+    "waiting_suppliers",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -397,6 +397,31 @@ def small_quantity_revenue_sql(dialect: str) -> str:
         """
 
 
+def waiting_suppliers_sql(dialect: str) -> str:
+    """TPC-H Q21 shape: double correlation — EXISTS (another supplier also
+    touched the order) AND NOT EXISTS (any OTHER supplier shipped late) on
+    the same fact, i.e. suppliers solely responsible for an order's
+    lateness. Planners turn this into a semi join plus a null-tolerant
+    anti join against two differently-filtered reads of lineitem; "late"
+    is shipdate > orderdate + 60 days (this schema has no
+    receipt/commit dates)."""
+    return """
+        SELECT s.s_name, cast(count(*) as bigint) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -417,5 +442,6 @@ RELATIONAL_SQL = {
     "sliding_window_counts": (sliding_window_counts_sql, ["events"]),
     "discounted_revenue": (discounted_revenue_sql, ["lineitem", "part"]),
     "small_quantity_revenue": (small_quantity_revenue_sql, ["lineitem", "part"]),
+    "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

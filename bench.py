@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "discounted_revenue",
     "small_quantity_revenue",
+    "waiting_suppliers",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",
