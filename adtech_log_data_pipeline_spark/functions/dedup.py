@@ -197,23 +197,22 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
+def minhash_band_rows(
     documents: DataFrame,
     bucket_cap: int = BAND_BUCKET_CAP,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of 4 consecutive signature slots
-    are near-dup candidates. Output: distinct (doc_a, doc_b) with
-    doc_a < doc_b. The self-join shuffles on the band hash — bucket sizes,
-    not the corpus, drive the cost, so bucket membership is capped at
-    `bucket_cap` (smallest doc_ids kept) to bound the worst case."""
+    """The capped (doc_id, band, key) band-bucket membership relation —
+    the LSH *index* a 100 TB deployment persists between ingests (here
+    persisted for the duration of the query via functions/_cache.py).
+    Bucket membership beyond ``bucket_cap`` (keep-rule: smallest doc_ids)
+    is dropped so a degenerate corpus bounds pair generation at
+    O(cap^2) per bucket. Eagerly materialized: every consumer joins it
+    at least twice, and without upfront materialization the join sides
+    race to populate the cache and each recomputes the signature
+    pipeline."""
     from pyspark.sql.window import Window
 
-    # persist: the band relation is consumed twice (self-join) — without it
-    # the whole shingle+signature pipeline runs once PER SIDE. One row per
-    # (doc, band): small at any corpus size (this is the artifact you'd
-    # checkpoint in a 100 TB run too). Registered with functions/_cache.py
-    # so harnesses release it after the query.
     sigs = minhash_signatures(documents, shingles=shingles)
     r = N_PERM // N_BANDS
     wcap = Window.partitionBy("band", "key").orderBy("doc_id")
@@ -234,11 +233,21 @@ def minhash_candidates(
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
         .drop("rn"),
-        # eager: both sides of the self-join scan this in one job — without
-        # upfront materialization they race to populate the cache and each
-        # recomputes the signature pipeline
         eager=True,
     )
+    return bands
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    bucket_cap: int = BAND_BUCKET_CAP,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of 4 consecutive signature slots
+    are near-dup candidates. Output: distinct (doc_a, doc_b) with
+    doc_a < doc_b. The self-join shuffles on the band hash — bucket sizes,
+    not the corpus, drive the cost (see minhash_band_rows for the cap)."""
+    bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=shingles)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -531,15 +540,24 @@ def dedup_clusters(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, candidates: DataFrame | None = None, threshold: float = 0.0
+    documents: DataFrame,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.0,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word-3-gram sets for candidate
     pairs (from minhash_candidates by default). Output:
-    (doc_a, doc_b, inter_size, union_size, jaccard)."""
+    (doc_a, doc_b, inter_size, union_size, jaccard). ``shingles`` lets a
+    caller that already materialized the DISTINCT (doc_id, s) relation
+    share it."""
     # distinct shingle ROWS materialize FIRST: they feed the Jaccard joins
     # below AND (via shingles=) the MinHash signature pipeline, so the
     # posexplode + window shingle construction runs once, not twice
-    ds = hold(_shingle_rows(documents).distinct(), eager=True)
+    ds = (
+        shingles
+        if shingles is not None
+        else hold(_shingle_rows(documents).distinct(), eager=True)
+    )
     if candidates is None:
         # tiny pair relation consumed by two joins below — persist so the
         # band self-join behind it runs once
@@ -575,3 +593,70 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+# The "daily batch" split for incremental ingest dedup: docs whose id
+# lands in the slot are the INCOMING batch, everything else is the
+# EXISTING corpus — deterministic and scale-invariant.
+INCOMING_MOD = 10
+INCOMING_SLOT = 7
+INCOMING_DUP_THRESHOLD = 0.5
+
+
+def dedup_incoming(
+    documents: DataFrame,
+    threshold: float = INCOMING_DUP_THRESHOLD,
+    mod: int = INCOMING_MOD,
+    slot: int = INCOMING_SLOT,
+    bucket_cap: int = BAND_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental ingest dedup: screen an INCOMING batch against the
+    EXISTING corpus only — the pair join is incoming x existing (no
+    incoming-incoming, no existing-existing), which is the nightly-ingest
+    shape: at 100 TB the existing side's band index (minhash_band_rows) is
+    a precomputed artifact and each run touches only the buckets the new
+    batch hashes into, so cost scales with the BATCH, not the corpus.
+
+    A batch doc is a duplicate when its exact shingle-set Jaccard to some
+    existing candidate reaches ``threshold``; the reported match is the
+    best one (highest Jaccard, smallest doc_id tiebreak).
+
+    Output: one row per incoming doc —
+    (doc_id, is_dup, match_doc, jaccard) with NULL match columns for
+    fresh docs."""
+    from pyspark.sql.window import Window
+
+    ds = hold(_shingle_rows(documents).distinct(), eager=True)
+    bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=ds)
+    is_in = (F.col("doc_id") % mod) == slot
+    bi = bands.filter(is_in).select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    be = bands.filter(~is_in).select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    pairs = bi.join(be, ["band", "key"]).select("doc_a", "doc_b").distinct()
+    j = ngram_jaccard_pairs(
+        documents, candidates=pairs, threshold=threshold, shingles=ds
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), "doc_b")
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("match_doc"),
+            "jaccard",
+        )
+    )
+    return (
+        documents.filter(is_in)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("match_doc").isNotNull().alias("is_dup"),
+            "match_doc",
+            "jaccard",
+        )
+    )

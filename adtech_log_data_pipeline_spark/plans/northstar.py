@@ -79,6 +79,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir))
 
 
+def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: batch (doc_id % 10 == 7) screened against
+    the existing corpus via the band index, Jaccard-verified best match."""
+    from ..functions.dedup import dedup_incoming
+
+    return dedup_incoming(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures."""
     return simhash(_docs(spark, sf_dir))
@@ -453,6 +461,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_incoming": q_dedup_incoming,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -618,6 +627,43 @@ cand AS (
 )"""
 
 _ORACLE_DEDUP_MINHASH = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM cand"
+
+
+def _oracle_dedup_incoming() -> str:
+    """functions/dedup.py::dedup_incoming restated on the shared minhash
+    CTE chain: incoming x existing band join, exact Jaccard >= threshold,
+    best match by (jaccard DESC, doc_id)."""
+    from ..functions.dedup import (
+        INCOMING_DUP_THRESHOLD,
+        INCOMING_MOD,
+        INCOMING_SLOT,
+    )
+
+    return f"""
+WITH {_MINHASH_CTES},
+ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+ip AS (
+  SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM bands i JOIN bands e ON i.band = e.band AND i.key = e.key
+  WHERE i.doc_id % {INCOMING_MOD} = {INCOMING_SLOT}
+    AND e.doc_id % {INCOMING_MOD} <> {INCOMING_SLOT}),
+j AS (
+  SELECT ip.doc_a, ip.doc_b,
+         len(list_intersect(a.sh, b.sh))
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM ip JOIN ds a ON a.doc_id = ip.doc_a
+          JOIN ds b ON b.doc_id = ip.doc_b),
+best AS (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b) AS rn
+  FROM j WHERE jaccard >= {INCOMING_DUP_THRESHOLD})
+SELECT d.doc_id, (b.doc_a IS NOT NULL) AS is_dup,
+       b.doc_b AS match_doc, b.jaccard
+FROM documents d
+LEFT JOIN best b ON b.doc_a = d.doc_id AND b.rn = 1
+WHERE d.doc_id % {INCOMING_MOD} = {INCOMING_SLOT}
+"""
 
 _ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_MINHASH_CTES},
@@ -1540,6 +1586,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _oracle_dedup_simhash(),
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+    "dedup_incoming": _oracle_dedup_incoming(),
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,

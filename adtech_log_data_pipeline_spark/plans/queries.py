@@ -186,6 +186,7 @@ _GATE_FIRST = [
     "discounted_revenue",
     "small_quantity_revenue",
     "waiting_suppliers",
+    "dedup_incoming",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "discounted_revenue",
     "small_quantity_revenue",
     "waiting_suppliers",
+    "dedup_incoming",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

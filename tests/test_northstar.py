@@ -553,3 +553,26 @@ def test_semantic_dedup_cluster_cap_bounds_pairs_not_membership(spark):
         ).collect()
     }
     assert out == {0: True, 1: False, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_dedup_incoming_matches_existing_only(spark):
+    """Incoming docs (id%10==7) match EXISTING corpus docs only: two
+    identical incoming docs never match each other; the best match wins
+    with the smallest-id tiebreak; fresh docs report NULL match."""
+    from adtech_log_data_pipeline_spark.functions.dedup import dedup_incoming
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, dup_text, "a"),           # existing: exact dup source
+        (2, dup_text, "a"),           # existing: same text, larger id
+        (7, dup_text, "a"),           # incoming: dups 1 and 2 -> match 1
+        (17, dup_text, "a"),          # incoming: identical to 7 but must
+                                      # still match EXISTING 1, not 7
+        (27, "totally different words here nothing shared at all ok", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dedup_incoming(docs).collect()}
+    assert set(out) == {7, 17, 27}
+    assert out[7]["is_dup"] and out[7]["match_doc"] == 1 and out[7]["jaccard"] == 1.0
+    assert out[17]["is_dup"] and out[17]["match_doc"] == 1
+    assert not out[27]["is_dup"] and out[27]["match_doc"] is None
