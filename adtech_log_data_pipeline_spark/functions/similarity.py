@@ -418,6 +418,7 @@ def kmeans_centroids(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     total: int | None = None,
+    micro_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column, EXACT in
     integer micros — the real clustering pass behind an IVF index (the
@@ -443,11 +444,11 @@ def kmeans_centroids(
     Output: (cid, dim, n_vecs, centroid_micro) after ``iters`` updates."""
     from ._cache import hold
 
-    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
-    x = hold(
-        embeddings.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select("vec_id", "dim", F.expr(q).alias("x_micro")),
-        eager=True,
+    # ``micro_rows`` lets a caller that already materialized the exploded
+    # (vec_id, dim, x_micro) relation share it (semantic_dedup reuses it
+    # for the final assignment pass)
+    x = micro_rows if micro_rows is not None else hold(
+        micro_vec_rows(embeddings), eager=True
     )
     if total is None:
         total = embeddings.count()
@@ -586,7 +587,21 @@ SEMANTIC_DUP_THRESHOLD = 0.3  # same scale convention as embedding_near_dup
 SEMANTIC_CLUSTER_CAP = 1000
 
 
-def kmeans_assignments(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def micro_vec_rows(embeddings: DataFrame) -> DataFrame:
+    """Exploded exact integer-micro vector rows (vec_id, dim, x_micro) —
+    the shared input relation of every k-means pass (floor(x*1e6 + 0.5),
+    identical formula in the oracle)."""
+    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    return embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.expr(q).alias("x_micro"))
+
+
+def kmeans_assignments(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    micro_rows: DataFrame | None = None,
+) -> DataFrame:
     """Lloyd's assignment step against a FINISHED centroid relation:
     (vec_id, cid) with exact integer-micro squared distances and the
     smallest-cid tiebreak (identical conventions to the in-loop step of
@@ -595,10 +610,7 @@ def kmeans_assignments(embeddings: DataFrame, centroids: DataFrame) -> DataFrame
     Scale shape: centroids are (k x dims) — broadcast; the vectors move
     as micro rows through two hash aggregations keyed (vec_id, cid) then
     (vec_id). No vector self-join anywhere."""
-    q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
-    x = embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    ).select("vec_id", "dim", F.expr(q).alias("x_micro"))
+    x = micro_rows if micro_rows is not None else micro_vec_rows(embeddings)
     d2 = (
         x.join(
             F.broadcast(
@@ -647,8 +659,9 @@ def semantic_dedup(
 
     from ._cache import hold
 
-    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total)
-    assign = kmeans_assignments(embeddings, cent)
+    x = hold(micro_vec_rows(embeddings), eager=True)
+    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total, micro_rows=x)
+    assign = kmeans_assignments(embeddings, cent, micro_rows=x)
     tagged = hold(
         embeddings.join(assign, "vec_id").select(
             "vec_id",
