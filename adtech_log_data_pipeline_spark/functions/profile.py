@@ -1,0 +1,59 @@
+"""Table profiling — the per-batch data-quality report an ingest pipeline
+runs before admitting data (null fractions, exact cardinalities, value /
+length bounds per column). The declared `table_profile` query instantiates
+it over `documents`; the operator itself is schema-driven and runs on any
+DataFrame.
+
+Scale shape: ONE aggregation pass over the table produces every metric
+(Spark expands multi-countDistinct via a single Expand + hash agg — the
+rows scan once); the per-column unpivot is a row-generator over the 1-row
+aggregate. At 100 TB swap the exact countDistinct for
+approx_count_distinct (operators/approx.py shows the pattern) — exact
+distinct counts are the one metric whose state grows with cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column quality metrics:
+    (col, n_rows, n_nulls, n_distinct, min_val, max_val) — for numeric
+    columns min/max of the VALUE, for strings min/max of the LENGTH
+    (length bounds are collation-free, so the report is engine-portable),
+    all as bigint."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns if columns is not None else list(fields)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        t = fields[c]
+        if isinstance(t, NumericType):
+            lo, hi = F.min(c), F.max(c)
+        elif isinstance(t, StringType):
+            lo, hi = F.min(F.length(c)), F.max(F.length(c))
+        else:
+            raise TypeError(f"unsupported column type for profile: {c}: {t}")
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            lo.cast("bigint").alias(f"__lo_{c}"),
+            hi.cast("bigint").alias(f"__hi_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__lo_{c}").alias("min_val"),
+                F.col(f"__hi_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("m")).select("m.*")

@@ -79,6 +79,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ingest-QA profile of the documents table (nulls, exact
+    cardinalities, value/length bounds)."""
+    from ..functions.profile import table_profile
+
+    return table_profile(_docs(spark, sf_dir))
+
+
 def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: batch (doc_id % 10 == 7) screened against
     the existing corpus via the band index, Jaccard-verified best match."""
@@ -462,6 +470,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_incoming": q_dedup_incoming,
+    "table_profile": q_table_profile,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1587,6 +1596,28 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "dedup_simhash": _oracle_dedup_simhash(),
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),
+    "table_profile": """
+SELECT 'doc_id' AS col, count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS BIGINT) AS min_val, CAST(max(doc_id) AS BIGINT) AS max_val
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+       CAST(min(length(text)) AS BIGINT), CAST(max(length(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       CAST(min(length(lang)) AS BIGINT), CAST(max(length(lang)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       CAST(min(length(source)) AS BIGINT), CAST(max(length(source)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
+FROM documents
+""",
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,

@@ -187,6 +187,7 @@ _GATE_FIRST = [
     "small_quantity_revenue",
     "waiting_suppliers",
     "dedup_incoming",
+    "table_profile",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

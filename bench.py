@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "waiting_suppliers",
     "dedup_incoming",
+    "table_profile",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

@@ -235,3 +235,29 @@ def test_doc_chunks_no_trailing_contained_chunk(spark):
     rows = doc_chunks(docs).collect()
     assert len(rows) == 2
     assert {r["n_chunk_tokens"] for r in rows} == {64, 22}
+
+
+def test_table_profile_metrics(spark):
+    """Null counts, exact cardinalities, numeric value bounds, string
+    LENGTH bounds — one row per column, unsupported types rejected."""
+    import pytest
+
+    from adtech_log_data_pipeline_spark.functions.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "ab", 10.5), (2, None, 3.25), (2, "xyzw", None)],
+        "id long, s string, v double",
+    )
+    out = {r["col"]: r for r in table_profile(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 2
+    assert out["id"]["min_val"] == 1 and out["id"]["max_val"] == 2
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_val"] == 2 and out["s"]["max_val"] == 4  # lengths
+    assert out["v"]["n_nulls"] == 1
+    assert out["v"]["min_val"] == 3 and out["v"]["max_val"] == 10  # bigint cast
+
+    arr = spark.createDataFrame([(1, [1, 2])], "id long, a array<int>")
+    with pytest.raises(TypeError):
+        table_profile(arr)
