@@ -21,6 +21,8 @@ CACHED_QUERIES = [
     "embedding_near_dup",
     "dedup_minhash",
     "ngram_jaccard",
+    "semantic_dedup",
+    "dedup_incoming",
 ]
 
 
