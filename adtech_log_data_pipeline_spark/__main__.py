@@ -33,7 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="adtech_log_data_pipeline_spark")
     ap.add_argument(
         "--job",
-        choices=["bidlog", "prediction", "export", "ingest", "compact", "bucketize"],
+        choices=[
+            "bidlog", "prediction", "export", "ingest", "compact",
+            "bucketize", "profile",
+        ],
         required=True,
     )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -124,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
             f"bucketize done: {args.table} ({args.n_buckets} buckets on"
             f" {cols}) -> {args.output}"
         )
+    elif args.job == "profile":
+        if not args.input:
+            ap.error("--input is required for --job profile")
+        from .functions.profile import table_profile
+
+        prof = table_profile(spark.read.parquet(args.input))
+        prof.coalesce(1).write.mode("overwrite").json(args.output)
+        print(f"profile done: {prof.count()} columns -> {args.output}")
     else:
         if not args.profiles:
             ap.error("--profiles (bidlog-job output dir) is required for --job prediction")

@@ -154,3 +154,22 @@ def test_bucketized_join_plans_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_profile_cli(spark, tmp_path):
+    """--job profile writes the per-column QA report as JSON."""
+    import json
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pout")
+    _write_batch(spark, src, range(8))
+    rc = main(["--job", "profile", "--input", src, "--output", out])
+    assert rc == 0
+    rows = []
+    for p in (tmp_path / "pout").glob("part-*.json"):
+        rows += [json.loads(l) for l in p.read_text().splitlines()]
+    by_col = {r["col"]: r for r in rows}
+    assert set(by_col) == {"id", "v"}
+    assert by_col["id"]["n_rows"] == 8 and by_col["id"]["n_distinct"] == 8
