@@ -929,3 +929,69 @@ def doc_chunks(
         F.size("chunk").alias("n_chunk_tokens"),
         F.md5(F.concat_ws("\u001f", "chunk").cast("binary")).alias("chunk_hash"),
     )
+
+
+TEMPERATURE_BUDGET_PCT = 40  # expected kept-token mass, % of corpus
+
+
+def temperature_mix(
+    documents: DataFrame, budget_pct: int = TEMPERATURE_BUDGET_PCT
+) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5 exponentiated
+    smoothing, the multilingual-corpus reweighting rule): each source's
+    share of the token budget is proportional to sqrt(its token mass)
+    instead of its token mass, so small sources are up-weighted and huge
+    sources down-weighted — the standard fix for a head-heavy corpus
+    where proportional sampling starves the tail.
+
+    Determinism across engines: sqrt of a bigint-as-double is a single
+    correctly-rounded IEEE op, quantized to milli-units BEFORE the
+    normalizing sum so the sum is exact integer arithmetic (a double
+    sum over sources would be order-dependent under shuffles). Exact
+    while budget * q_milli fits a bigint — corpora to ~4e10 tokens;
+    switch the two products to decimal(38,0) beyond that.
+
+    Scale shape: identical to token_budget_mixture — per-source
+    aggregate + 1-row total broadcast onto a map-only filter; the corpus
+    never shuffles.
+    Output: kept rows (doc_id, source, n_tokens, rate_ppm)."""
+    d = documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("tok_src"))
+    q = per_src.select(
+        "source",
+        "tok_src",
+        F.expr(
+            "cast(floor(sqrt(cast(tok_src as double)) * 1000 + 0.5) as bigint)"
+        ).alias("q_milli"),
+    )
+    totals = q.agg(
+        F.sum("q_milli").alias("s_milli"),
+        F.sum("tok_src").alias("tok_total"),
+    )
+    rates = q.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("bigint"),
+            F.expr(
+                f"((((tok_total * {budget_pct}) div 100 * q_milli) div s_milli)"
+                f" * {SAMPLE_BUCKETS} + tok_src - 1) div tok_src"
+            ),
+        ).alias("rate_ppm"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('temp:', cast(doc_id as string))), 1, 12), 16, 10)"
+        f" as bigint) % {SAMPLE_BUCKETS}"
+    )
+    return (
+        d.withColumn("bucket_ppm", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket_ppm") < F.col("rate_ppm"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "rate_ppm",
+        )
+    )

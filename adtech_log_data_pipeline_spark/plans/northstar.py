@@ -79,6 +79,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir))
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture sampling — sqrt-share source
+    reweighting under a token budget."""
+    from ..functions.text import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir))
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column ingest-QA profile of the documents table (nulls, exact
     cardinalities, value/length bounds)."""
@@ -471,6 +479,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_incoming": q_dedup_incoming,
     "table_profile": q_table_profile,
+    "temperature_mix": q_temperature_mix,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1230,6 +1239,32 @@ WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
         % 1000000 < r.rate_ppm
 """
 
+def _oracle_temperature_mix() -> str:
+    """functions/text.py::temperature_mix restated: sqrt quantized to
+    exact milli-units before the normalizing integer sum."""
+    from ..functions.text import TEMPERATURE_BUDGET_PCT
+
+    return f"""
+WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+s AS (SELECT source, sum(n_tokens) AS tok_src FROM d GROUP BY source),
+q AS (SELECT source, tok_src,
+             CAST(floor(sqrt(CAST(tok_src AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS q_milli
+      FROM s),
+g AS (SELECT sum(q_milli) AS s_milli, sum(tok_src) AS tok_total FROM q),
+r AS (SELECT source,
+             least(1000000,
+                   ((((tok_total * {TEMPERATURE_BUDGET_PCT}) // 100 * q_milli)
+                     // s_milli) * 1000000 + tok_src - 1) // tok_src) AS rate_ppm
+      FROM q, g)
+SELECT d.doc_id, d.source, CAST(d.n_tokens AS INT) AS n_tokens,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+FROM d JOIN r USING (source)
+WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        % 1000000 < r.rate_ppm
+"""
+
+
 _ORACLE_DOC_QUALITY_ZIPF = f"""
 WITH tf AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
 c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY token),
@@ -1596,6 +1631,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "dedup_simhash": _oracle_dedup_simhash(),
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),
+    "temperature_mix": _oracle_temperature_mix(),
     "table_profile": """
 SELECT 'doc_id' AS col, count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,
        count(DISTINCT doc_id) AS n_distinct,

@@ -188,6 +188,7 @@ _GATE_FIRST = [
     "waiting_suppliers",
     "dedup_incoming",
     "table_profile",
+    "temperature_mix",
     "kmeans_centroids",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "waiting_suppliers",
     "dedup_incoming",
     "table_profile",
+    "temperature_mix",
     "embedding_outliers",
     "repetition_stats",
     "tfidf_top_terms",

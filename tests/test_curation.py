@@ -187,3 +187,34 @@ def test_contamination_check_flags_eval_overlap(spark):
     assert out[1]["n_contaminated"] == out[1]["n_shingles"]
     assert out[1]["contamination_r6"] == 1.0
     assert out[2]["n_contaminated"] == 0
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=0.5: a source with 1/100 the token mass gets ~10x the keep
+    RATE of the big source (sqrt reweighting), and the rate law is exact:
+    rate = ceil(target_tokens * 1e6 / tok_src) with
+    target ∝ sqrt-share."""
+    import math
+
+    from adtech_log_data_pipeline_spark.functions.text import temperature_mix
+
+    rows = (
+        # big: 100 docs x 100 tokens = 10_000 tokens
+        [(i, " ".join(f"w{j}" for j in range(100)), "big") for i in range(100)]
+        # small: 10 docs x 10 tokens = 100 tokens
+        + [(1000 + i, " ".join(f"s{j}" for j in range(10)), "small") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = temperature_mix(docs, budget_pct=10).collect()
+    rates = {r["source"]: r["rate_ppm"] for r in out}
+    assert set(rates) == {"big", "small"}
+    # exact restatement of the integer formula
+    q_big = math.floor(math.sqrt(10_000) * 1000 + 0.5)
+    q_small = math.floor(math.sqrt(100) * 1000 + 0.5)
+    s = q_big + q_small
+    budget = 10_100 * 10 // 100
+    exp_big = min(10**6, ((budget * q_big // s) * 10**6 + 10_000 - 1) // 10_000)
+    exp_small = min(10**6, ((budget * q_small // s) * 10**6 + 100 - 1) // 100)
+    assert rates["big"] == exp_big and rates["small"] == exp_small
+    # the point of the temperature: small source rate ~10x the big one
+    assert 8 < rates["small"] / rates["big"] < 12
