@@ -196,3 +196,40 @@ def test_auto_decode_routes_by_capability(spark):
     assert len(out) == 1 and out[0]["uuid"] == "A"
     # capability probe itself must be callable either way (no raise)
     assert have_spark_protobuf(spark) in (True, False)
+
+
+from hypothesis import given, settings
+import hypothesis.strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(buf=st.binary(max_size=60))
+def test_decoder_is_total_over_arbitrary_bytes(buf):
+    """The malformed-drop contract of the Spark path: ANY byte string
+    either decodes to a dict or raises WireError — no other exception
+    type may escape (an IndexError/UnicodeError here would fail whole
+    Arrow batches instead of dropping one row)."""
+    try:
+        out = decode_message(buf, DEVICE_PROFILE)
+    except WireError:
+        return
+    assert isinstance(out, dict)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    bundle=st.text(max_size=12),
+    user_count=st.integers(-(2**31), 2**31 - 1),
+    counts=st.dictionaries(
+        st.integers(0, 22), st.integers(-(2**31), 2**31 - 1), max_size=4
+    ),
+)
+def test_app_profile_roundtrip_law(bundle, user_count, counts):
+    """encode -> decode is the identity for every valid AppProfile,
+    including negative counts (10-byte varints) and unicode bundles."""
+    msg = {
+        "bundle": bundle,
+        "user_count": user_count,
+        "user_count_per_exchange": counts,
+    }
+    assert decode_message(encode_message(msg, APP_PROFILE), APP_PROFILE) == msg
