@@ -105,3 +105,19 @@ def test_bench_and_gate_cover_every_declared_query():
 
     assert sorted(bench.BENCH_QUERIES) == sorted(QUERIES)
     assert sorted(entry_mod.oracle_sql()) == sorted(QUERIES)
+
+
+def test_gate_window_holds_least_proven_queries():
+    """The external driver gates the FIRST 50 queries() entries: every
+    parity query and every _GATE_FIRST entry (the never-yet-gated or
+    once-red queries) must sit inside that window."""
+    from adtech_log_data_pipeline_spark.plans.queries import (
+        QUERIES,
+        _GATE_FIRST,
+        _PARITY,
+    )
+
+    window = set(list(QUERIES)[:50])
+    assert set(_PARITY) <= window
+    missing = set(_GATE_FIRST) - window
+    assert not missing, f"queries pushed out of the driver gate window: {missing}"
