@@ -99,6 +99,12 @@ def iter_tfrecords(stream: io.BufferedIOBase, verify_crc: bool = True) -> Iterat
         (len_crc,) = _struct.unpack_from("<I", header, 8)
         if verify_crc and masked_crc32c(header[:8]) != len_crc:
             raise TFRecordError("length CRC mismatch")
+        # A corrupt header can declare any 64-bit length; bound it BEFORE
+        # read() so the lenient (verify_crc=False) path raises TFRecordError
+        # instead of OverflowError / a giant allocation. 1 GiB is far above
+        # any real record and far below anything read() could satisfy here.
+        if length > (1 << 30):
+            raise TFRecordError(f"unreasonable record length {length}")
         payload = stream.read(length)
         if len(payload) < length:
             raise TFRecordError("truncated payload")

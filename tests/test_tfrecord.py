@@ -109,3 +109,44 @@ def test_read_tfrecord_uncompressed_and_gzip_agree(spark, tmp_path):
     # gzip layer really is gzip (interop: any TFRecord reader can open it)
     with gzip.open(tmp_path / "a.tfrecord.gz", "rb") as f:
         assert list(iter_tfrecords(f)) == payloads
+
+
+from hypothesis import given, settings
+import hypothesis.strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(buf=st.binary(max_size=64))
+def test_tfrecord_reader_is_total_over_arbitrary_bytes(buf):
+    """Framing totality: ANY byte stream either yields records or raises
+    TFRecordError — no struct/index errors escape (the Spark path relies
+    on this to drop corrupt FILES, not crash executors)."""
+    import io
+
+    from adtech_log_data_pipeline_spark.sources.tfrecord import (
+        TFRecordError,
+        iter_tfrecords,
+    )
+
+    for verify in (True, False):
+        try:
+            out = list(iter_tfrecords(io.BytesIO(buf), verify))
+        except TFRecordError:
+            continue
+        assert all(isinstance(r, bytes) for r in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads=st.lists(st.binary(max_size=40), max_size=6))
+def test_tfrecord_frame_roundtrip_law(payloads):
+    """frame -> iterate is the identity for any payload list (incl. empty
+    payloads and the empty stream)."""
+    import io
+
+    from adtech_log_data_pipeline_spark.sources.tfrecord import (
+        _frame_record,
+        iter_tfrecords,
+    )
+
+    buf = b"".join(_frame_record(p) for p in payloads)
+    assert list(iter_tfrecords(io.BytesIO(buf))) == payloads
