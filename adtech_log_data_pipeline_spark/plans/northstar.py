@@ -349,6 +349,15 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_click_attribution(spark, sf_dir)
 
 
+def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: unconverted purchases emit
+    NULL click columns once the watermark proves no match can arrive
+    (two-phase end-of-input sentinel, one per side)."""
+    from ..streaming.windowed import stream_attribution_outer
+
+    return stream_attribution_outer(spark, sf_dir)
+
+
 def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (broadcast customer dimension) + tumbling
     windowed counts per market segment, APPEND output."""
@@ -515,6 +524,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_counts": q_stream_sliding_counts,
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
+    "stream_attribution_outer": q_stream_attribution_outer,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -1686,6 +1696,15 @@ FROM documents
     "stream_sliding_counts": _ORACLE_STREAM_SLIDING,
     "stream_dedup": _ORACLE_STREAM_DEDUP,
     "stream_attribution": _ORACLE_STREAM_ATTRIBUTION,
+    "stream_attribution_outer": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+""",
     "streaming_sessionize": _ORACLE_STREAM_SESSIONS,
     "streaming_device_activity": _ORACLE_STREAM_DEVICE_ACTIVITY,
     "stream_enriched_counts": _ORACLE_STREAM_ENRICHED,

@@ -342,3 +342,116 @@ def stream_click_attribution(
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
     )
     return _run_to_memory(joined, "append")
+
+
+def stream_attribution_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    max_ts_ms: int | None = None,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — attribution that also
+    reports the UNCONVERTED purchases: every purchase emits, either once
+    per qualifying click (as matches arrive) or exactly once with NULL
+    click columns after the watermark proves no qualifying click can
+    still arrive. The NULL-side emission is the capability the inner join
+    (stream_click_attribution) never exercises: the engine holds each
+    unmatched purchase in state until watermark > its join upper bound.
+
+    A drained file source alone never delivers that final watermark for
+    the trailing purchases, so this routes through the two-phase
+    end-of-input sentinel protocol (streaming/_replay.py) with one
+    far-future sentinel row PER SIDE — each side's watermark operator
+    needs its own advancing event under the default min-watermark policy.
+
+    Output: (purchase_id, click_id, user_id, lag_ms) with NULL
+    click_id/lag_ms for unconverted purchases; equals the batch LEFT JOIN
+    under any micro-batch slicing."""
+    import os as _os
+
+    from ..sources.tables import table_ts_max_ms
+    from ._replay import make_replay_dirs, run_two_phase
+    from .sessionize import SENTINEL_USER_ID
+
+    delay_s = 60
+    if max_ts_ms is None:
+        max_ts_ms = table_ts_max_ms(sf_dir, "events")
+    sentinel_ms = (
+        max_ts_ms + ATTRIBUTION_WINDOW_MIN * 60_000 + delay_s * 1000 + 3_600_000
+    )
+    work, sentinel_dir, out_dir, ckpt_dir = make_replay_dirs("attr_outer_")
+
+    def write_sentinel() -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], type=pa.int64()),
+                "user_id": pa.array([SENTINEL_USER_ID] * 2, type=pa.int64()),
+                "event_type": pa.array(["purchase", "click"]),
+                "ts": pa.array([sentinel_ms * 1_000] * 2, type=pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, _os.path.join(sentinel_dir, "sentinel.parquet"))
+
+    sent = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp_ntz"
+        )
+        .parquet(sentinel_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+        )
+    )
+    ev = (
+        (events if events is not None else _events_stream(spark, sf_dir))
+        .select("event_id", "user_id", "event_type", "ts")
+        .unionByName(sent)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{delay_s} seconds")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{delay_s} seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
+    )
+    return run_two_phase(
+        spark,
+        joined,
+        "purchase_id long, click_id long, user_id long, lag_ms long",
+        work,
+        out_dir,
+        ckpt_dir,
+        write_sentinel=write_sentinel,
+        result_filter=F.col("user_id") != SENTINEL_USER_ID,
+    )

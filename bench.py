@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "stream_sliding_counts",
     "stream_dedup",
     "stream_attribution",
+    "stream_attribution_outer",
     "stream_enriched_counts",
     "stream_upsert_latest",
     "stream_session_windows",

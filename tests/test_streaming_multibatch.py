@@ -353,3 +353,44 @@ def test_window_counts_multibatch_equals_singlebatch(spark, replay_dir):
     single = stream_window_counts(spark, SF)
     assert multi.count() == single.count()
     assert multi.exceptAll(single).count() == 0
+
+
+def test_attribution_outer_multibatch_equals_batch_left_join(spark, replay_dir):
+    """LEFT OUTER interval join under multi-batch replay: matched pairs
+    crossing batch boundaries still join, and every unconverted purchase
+    emits EXACTLY ONE null-click row once the sentinel watermark proves no
+    match can arrive — the full multiset equals the batch LEFT JOIN."""
+    from adtech_log_data_pipeline_spark.streaming.windowed import (
+        stream_attribution_outer,
+    )
+
+    ev = load_table(spark, SF, "events")
+    max_ts_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    out = stream_attribution_outer(
+        spark,
+        SF,
+        events=_multibatch_stream(spark, replay_dir),
+        max_ts_ms=max_ts_ms,
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
+    )
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
