@@ -130,3 +130,35 @@ def test_export_job_cli_end_to_end(spark, tmp_path):
         "val",
         "test",
     }
+
+
+def test_read_jsonl_fuzzed_garbage_lines(spark, tmp_path):
+    """Totality of the JSONL postures over garbage input: DROPMALFORMED
+    keeps exactly the valid rows, PERMISSIVE quarantines every bad line
+    with its raw text, FAILFAST raises — for lines that are invalid JSON,
+    wrong-typed, truncated, or raw bytes."""
+    import pytest
+
+    lines = [
+        '{"id": 1, "v": "ok"}',
+        "{not json",
+        '{"id": "not-an-int", "v": "x"}',
+        '{"id": 3',
+        "\x00\x01garbage\xff",
+        '{"id": 2, "v": "also ok"}',
+    ]
+    p = tmp_path / "fuzz.jsonl"
+    p.write_text("\n".join(lines), encoding="utf-8", errors="ignore")
+    from adtech_log_data_pipeline_spark.sources.codecs import read_jsonl
+
+    schema = "id long, v string"
+    kept = read_jsonl(spark, str(p), schema, mode="DROPMALFORMED").collect()
+    assert sorted((r["id"], r["v"]) for r in kept) == [(1, "ok"), (2, "also ok")]
+
+    perm = read_jsonl(spark, str(p), schema, mode="PERMISSIVE").cache()
+    bad = perm.filter("_corrupt_record IS NOT NULL").count()
+    assert bad == len(lines) - 2
+    perm.unpersist()
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()

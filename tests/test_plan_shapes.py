@@ -146,3 +146,31 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
     plan = _plan(spark, "semantic_dedup", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_rates_broadcast(spark):
+    """The per-source rate relation broadcasts onto the corpus filter —
+    same contract as token_budget_mixture."""
+    plan = _plan(spark, "temperature_mix", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_dedup_incoming_no_cartesian_single_python_free(spark):
+    """Incoming-batch dedup: band-bucket equi-joins only — no cartesian
+    product, no Python nodes anywhere."""
+    plan = _plan(spark, "dedup_incoming", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_table_profile_is_single_scan_no_join(spark):
+    """The profile computes every metric in one aggregation pass — any
+    join or repeated scan means the implementation regressed to
+    per-column passes."""
+    plan = _plan(spark, "table_profile", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
