@@ -264,3 +264,76 @@ def test_semantic_dedup_partitioning_invariance(spark, vecs, seed):
         ).collect()
     }
     assert a == b and len(a) == n
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus_strategy)
+def test_temperature_mix_budget_nesting_law(spark, rows):
+    """Like the token-budget law: per source, the kept set at a smaller
+    temperature budget nests inside the larger one (target tokens are
+    monotone in the budget; hash thresholds preserve monotonicity)."""
+    from adtech_log_data_pipeline_spark.functions.text import temperature_mix
+
+    docs = _corpus_df(spark, rows)
+    kept = {}
+    for pct in (20, 80):
+        by_src = {}
+        for r in temperature_mix(docs, budget_pct=pct).collect():
+            assert 0 < r["rate_ppm"] <= 1_000_000
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        kept[pct] = by_src
+    for src, small in kept[20].items():
+        assert small <= kept[80].get(src, set())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_corpus_strategy)
+def test_dedup_incoming_verdict_laws(spark, rows):
+    """For ANY corpus: every incoming doc (id%10==7) emits exactly one
+    verdict row; a dup's match is always an EXISTING doc with jaccard at
+    or above the threshold; fresh docs carry NULL match columns."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        INCOMING_DUP_THRESHOLD,
+        dedup_incoming,
+    )
+
+    docs = _corpus_df(spark, rows)
+    incoming = {r[0] for r in docs.select("doc_id").collect() if r[0] % 10 == 7}
+    out = dedup_incoming(docs).collect()
+    assert {r["doc_id"] for r in out} == incoming and len(out) == len(incoming)
+    for r in out:
+        if r["is_dup"]:
+            assert r["match_doc"] % 10 != 7
+            assert r["jaccard"] >= INCOMING_DUP_THRESHOLD
+        else:
+            assert r["match_doc"] is None and r["jaccard"] is None
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(-1000, 1000) | st.none(),
+            st.text(max_size=6) | st.none(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_table_profile_matches_python_truth(spark, vals):
+    """Profile metrics equal the Python-computed truth for any frame."""
+    from adtech_log_data_pipeline_spark.functions.profile import table_profile
+
+    df = spark.createDataFrame(vals, "n long, s string")
+    out = {r["col"]: r for r in table_profile(df).collect()}
+    ns = [v for v, _ in vals if v is not None]
+    ss = [s for _, s in vals if s is not None]
+    assert out["n"]["n_rows"] == len(vals)
+    assert out["n"]["n_nulls"] == len(vals) - len(ns)
+    assert out["n"]["n_distinct"] == len(set(ns))
+    assert out["n"]["min_val"] == (min(ns) if ns else None)
+    assert out["n"]["max_val"] == (max(ns) if ns else None)
+    assert out["s"]["n_nulls"] == len(vals) - len(ss)
+    assert out["s"]["n_distinct"] == len(set(ss))
+    assert out["s"]["min_val"] == (min(len(s) for s in ss) if ss else None)
+    assert out["s"]["max_val"] == (max(len(s) for s in ss) if ss else None)
