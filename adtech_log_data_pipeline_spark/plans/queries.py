@@ -186,6 +186,7 @@ _GATE_FIRST = [
     "discounted_revenue",
     "small_quantity_revenue",
     "waiting_suppliers",
+    "revenue_rollup",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",

@@ -422,6 +422,25 @@ def waiting_suppliers_sql(dialect: str) -> str:
         """
 
 
+def revenue_rollup_sql(dialect: str) -> str:
+    """ROLLUP over the (year, month) time hierarchy: month rows, year
+    subtotals, and the grand total from ONE aggregation pass — the
+    partial-hierarchy grouping-sets shape (CUBE's asymmetric sibling;
+    revenue_cube covers the full lattice). grouping_id disambiguates
+    subtotal rows from genuine NULL groups."""
+    return f"""
+        SELECT cast(year(o_orderdate) as int) AS y,
+               cast(month(o_orderdate) as int) AS mo,
+               grouping_id(cast(year(o_orderdate) as int),
+                           cast(month(o_orderdate) as int)) AS gid,
+               {_csum('o_totalprice')} AS revenue,
+               cast(count(*) as bigint) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (cast(year(o_orderdate) as int),
+                         cast(month(o_orderdate) as int))
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -443,5 +462,6 @@ RELATIONAL_SQL = {
     "discounted_revenue": (discounted_revenue_sql, ["lineitem", "part"]),
     "small_quantity_revenue": (small_quantity_revenue_sql, ["lineitem", "part"]),
     "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
+    "revenue_rollup": (revenue_rollup_sql, ["orders"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

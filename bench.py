@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "discounted_revenue",
     "small_quantity_revenue",
     "waiting_suppliers",
+    "revenue_rollup",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",
