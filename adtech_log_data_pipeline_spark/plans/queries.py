@@ -187,6 +187,7 @@ _GATE_FIRST = [
     "small_quantity_revenue",
     "waiting_suppliers",
     "revenue_rollup",
+    "repeat_customers",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",

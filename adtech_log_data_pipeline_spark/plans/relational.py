@@ -441,6 +441,20 @@ def revenue_rollup_sql(dialect: str) -> str:
         """
 
 
+def repeat_customers_sql(dialect: str) -> str:
+    """Set-op shape (INTERSECT): customers active in BOTH 1995 and 1996 —
+    the distinct-set intersection semantics that complete the set-operator
+    family (quiet_returners covers EXCEPT). Planners rewrite this as a
+    distinct + left-semi join; neither year's scan materializes a distinct
+    set driver-side."""
+    return """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -463,5 +477,6 @@ RELATIONAL_SQL = {
     "small_quantity_revenue": (small_quantity_revenue_sql, ["lineitem", "part"]),
     "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
     "revenue_rollup": (revenue_rollup_sql, ["orders"]),
+    "repeat_customers": (repeat_customers_sql, ["orders"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

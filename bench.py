@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "waiting_suppliers",
     "revenue_rollup",
+    "repeat_customers",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",
