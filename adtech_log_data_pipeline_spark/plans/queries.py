@@ -188,6 +188,7 @@ _GATE_FIRST = [
     "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
+    "top_parts_per_brand",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",

@@ -455,6 +455,27 @@ def repeat_customers_sql(dialect: str) -> str:
         """
 
 
+def top_parts_per_brand_sql(dialect: str) -> str:
+    """Grouped top-k with TIES: the 3 highest-revenue rank VALUES per
+    brand via dense_rank — tied parts all surface (row_number top-k, the
+    top_orders_per_customer shape, would arbitrarily break them). Revenue
+    is exact integer cents so rank ties are genuine value ties, not float
+    artifacts."""
+    return f"""
+        WITH pr AS (
+          SELECT p.p_brand, p.p_partkey,
+                 {_revenue(dialect, 'l.')} AS revenue
+          FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, p.p_partkey)
+        SELECT p_brand, p_partkey, revenue,
+               cast(r as int) AS rnk
+        FROM (SELECT *, dense_rank() OVER (PARTITION BY p_brand
+                                           ORDER BY revenue DESC) AS r
+              FROM pr)
+        WHERE r <= 3
+        """
+
+
 RELATIONAL_SQL = {
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
@@ -478,5 +499,6 @@ RELATIONAL_SQL = {
     "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
     "revenue_rollup": (revenue_rollup_sql, ["orders"]),
     "repeat_customers": (repeat_customers_sql, ["orders"]),
+    "top_parts_per_brand": (top_parts_per_brand_sql, ["part", "lineitem"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
 }

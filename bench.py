@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
+    "top_parts_per_brand",
     "dedup_incoming",
     "table_profile",
     "temperature_mix",
