@@ -42,3 +42,41 @@ def salted_count_distinct(
         .agg(F.countDistinct(*value_cols).alias("_partial"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(alias))
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join for a too-big-to-broadcast build side with hot
+    keys: fact rows get a random-ish salt derived from the WHOLE row hash
+    (deterministic, no rand() — rerun-stable), the dim side replicates
+    once per salt, and the join keys on (key, salt) so one hot key spreads
+    over ``n_salts`` reducers instead of funneling into one.
+
+    Use when AQE's skew-join split can't help: AQE splits oversized
+    PARTITIONS after the shuffle, but a single key whose hash bucket
+    exceeds every split threshold (or a sort-merge join disabled by AQE
+    constraints) still hot-spots. Cost: the dim side shuffles n_salts x
+    its size — only worth it for dimension tables well under the fact's
+    hot-key mass. `how` supports inner/left (the salted dim is a pure
+    replication, so multiplicity is preserved exactly).
+
+    Equivalence to the plain join is test-checked for every `how`."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    fact_cols = [c for c in facts.columns]
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact_cols]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt)
+    d = dim.crossJoin(
+        F.broadcast(
+            facts.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")

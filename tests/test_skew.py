@@ -32,3 +32,28 @@ def test_salted_multi_column_values(spark):
         for r in salted_count_distinct(df, ["key"], ["os", "uid"], n_salts=4).collect()
     }
     assert out == {"k": 5, "k2": 1}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join (row multiset) for inner and left,
+    including unmatched fact keys and duplicate dim rows."""
+    from adtech_log_data_pipeline_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        # hot key 'a' dominates; 'c' has no dim match
+        [("a", i) for i in range(200)] + [("b", 1), ("c", 2), ("b", 3)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("a", "A1"), ("a", "A2"), ("b", "B")], "k string, label string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, "k", n_salts=7, how=how)
+        want = facts.join(dim, "k", how)
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "k", how="full")
