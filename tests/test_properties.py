@@ -337,3 +337,35 @@ def test_table_profile_matches_python_truth(spark, vals):
     assert out["s"]["n_distinct"] == len(set(ss))
     assert out["s"]["min_val"] == (min(len(s) for s in ss) if ss else None)
     assert out["s"]["max_val"] == (max(len(s) for s in ss) if ss else None)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62) | st.none(),
+            st.text(max_size=12) | st.none(),  # incl. newlines, quotes, unicode
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_b64_codec_roundtrip_law(spark, rows, tmp_path_factory):
+    """write_b64_text -> read_b64_json is the identity for ANY rows except
+    all-null ones (which serialize to {} and are dropped by the
+    default-instance filter, the documented F7 semantics) — newlines and
+    quotes in text values must survive the line-oriented sink."""
+    from adtech_log_data_pipeline_spark.sources.codecs import (
+        read_b64_json,
+        write_b64_text,
+    )
+
+    d = str(tmp_path_factory.mktemp("b64rt"))
+    df = spark.createDataFrame(rows, "id long, t string")
+    write_b64_text(df, d)
+    back = read_b64_json(spark, d, "id long, t string")
+    from collections import Counter
+
+    got = Counter((r["id"], r["t"]) for r in back.collect())
+    want = Counter((i, t) for i, t in rows if not (i is None and t is None))
+    assert got == want
