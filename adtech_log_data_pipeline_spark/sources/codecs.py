@@ -27,8 +27,21 @@ from pyspark.sql.types import StructType
 
 def encode_b64_json(df: DataFrame) -> DataFrame:
     """All columns -> one Base64(JSON) text column named `value`
-    (the shape TextIO expects — reference IOUtils.encodeB64AndWrite)."""
-    return df.select(F.base64(F.to_json(F.struct(*df.columns)).cast("binary")).alias("value"))
+    (the shape TextIO expects — reference IOUtils.encodeB64AndWrite).
+
+    Spark's base64() MIME-chunks at 76 chars with CRLF (found by the
+    codec roundtrip fuzz law: any payload past ~57 JSON bytes split
+    across text-sink lines and was dropped on read as two malformed
+    rows). Strip the intra-value line breaks so one record is one line —
+    decoders ignore the removed whitespace, so the encoding is still
+    standard base64."""
+    return df.select(
+        F.regexp_replace(
+            F.base64(F.to_json(F.struct(*df.columns)).cast("binary")),
+            "[\\r\\n]",
+            "",
+        ).alias("value")
+    )
 
 
 def write_b64_text(df: DataFrame, path: str, single_file: bool = False) -> None:

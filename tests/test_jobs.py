@@ -162,3 +162,18 @@ def test_read_jsonl_fuzzed_garbage_lines(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_b64_codec_long_payload_single_line(spark, tmp_path):
+    """Regression: Spark's base64() MIME-chunks at 76 chars with CRLF —
+    a long record must still land as ONE text line and round-trip (it
+    used to split into two malformed lines and vanish on read)."""
+    long_text = "word " * 100
+    df = spark.createDataFrame([(1, long_text)], "id long, t string")
+    path = str(tmp_path / "b64long")
+    write_b64_text(df, path)
+    lines = spark.read.text(path).collect()
+    assert len(lines) == 1
+    assert "\r" not in lines[0]["value"]
+    back = read_b64_json(spark, path, "id long, t string").collect()
+    assert len(back) == 1 and back[0]["t"] == long_text
