@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "bidlog", "prediction", "export", "ingest", "compact",
-            "bucketize", "profile",
+            "bucketize", "profile", "rangesort",
         ],
         required=True,
     )
@@ -126,6 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"bucketize done: {args.table} ({args.n_buckets} buckets on"
             f" {cols}) -> {args.output}"
+        )
+    elif args.job == "rangesort":
+        if not args.input or not args.bucket_cols:
+            ap.error("--input and --bucket-cols are required for --job rangesort")
+        from .jobs.maintenance import range_sort_table
+
+        cols = [c.strip() for c in args.bucket_cols.split(",") if c.strip()]
+        n = range_sort_table(spark, args.input, args.output, cols)
+        print(
+            f"rangesort done: {n} range-partitioned sorted files on"
+            f" {cols} -> {args.output}"
         )
     elif args.job == "profile":
         if not args.input:

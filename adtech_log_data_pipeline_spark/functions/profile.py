@@ -16,29 +16,52 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    MapType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
 def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Per-column quality metrics:
-    (col, n_rows, n_nulls, n_distinct, min_val, max_val) — for numeric
-    columns min/max of the VALUE, for strings min/max of the LENGTH
-    (length bounds are collation-free, so the report is engine-portable),
-    all as bigint."""
+    (col, n_rows, n_nulls, n_distinct, min_val, max_val), all bigint.
+    Bounds by type: numeric/boolean -> value; string -> LENGTH (length
+    bounds are collation-free, so the report is engine-portable); date ->
+    epoch days; timestamp -> epoch millis. Any other type (array, struct,
+    binary, map) still gets null/cardinality metrics with NULL bounds
+    (maps are not comparable in Spark, so their n_distinct is NULL
+    too) — no column type fails the profile."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else list(fields)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         t = fields[c]
+        distinct: Column = F.countDistinct(c)
         if isinstance(t, NumericType):
             lo, hi = F.min(c), F.max(c)
         elif isinstance(t, StringType):
             lo, hi = F.min(F.length(c)), F.max(F.length(c))
+        elif isinstance(t, BooleanType):
+            v = F.col(c).cast("bigint")
+            lo, hi = F.min(v), F.max(v)
+        elif isinstance(t, DateType):
+            v = F.datediff(F.col(c), F.lit("1970-01-01"))
+            lo, hi = F.min(v), F.max(v)
+        elif isinstance(t, (TimestampType, TimestampNTZType)):
+            v = F.unix_millis(F.col(c).cast("timestamp"))
+            lo, hi = F.min(v), F.max(v)
         else:
-            raise TypeError(f"unsupported column type for profile: {c}: {t}")
+            lo, hi = F.lit(None), F.lit(None)
+            if isinstance(t, MapType):
+                distinct = F.lit(None).cast("bigint")
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            distinct.alias(f"__nd_{c}"),
             lo.cast("bigint").alias(f"__lo_{c}"),
             hi.cast("bigint").alias(f"__hi_{c}"),
         ]

@@ -213,30 +213,41 @@ def ivf_assignments(
         seeds = embeddings.filter(F.col("vec_id") % stride == 0).select(
             F.col("vec_id").alias("list_id"),
             F.col("embedding").alias("a"),
-            _norm("embedding").alias("na"),
         )
-    scored = (
-        embeddings.select(
-            F.col("vec_id"),
-            F.col("embedding").alias("b"),
-            _norm("embedding").alias("nb"),
-        )
-        .crossJoin(F.broadcast(seeds))
-        .select("vec_id", "list_id", _cosine_r6().alias("sim"))
+    # The flat quantizer IS the assignment cost (n_vecs x n_lists
+    # cosines). A crossJoin + higher-order-function cosine pays an
+    # interpreted lambda per element; one Arrow-batched float64 matmul
+    # per batch against the closure-broadcast (n_lists x dim) centroid
+    # matrix is the lsh_signatures pattern and ~10x cheaper. Centroids
+    # are k rows (k ~ isqrt(n): 16 MB of float64 at n=1e9, dim=64) —
+    # the standard broadcast size for an IVF coarse quantizer. Rounding
+    # to 1e-6 before the argmax keeps a summation-order ulp vs the
+    # sequential DuckDB oracle from ever flipping an assignment; ties
+    # break to the smallest list_id (seed rows sorted by list_id, and
+    # np.argmax returns the FIRST max).
+    seed_rows = sorted(
+        seeds.select("list_id", "a").collect(), key=lambda r: r[0]
     )
-    # argmax as a lexicographic-max HASH aggregate, not a window: same
-    # result (best sim, tie -> smallest list_id, encoded by negating the
-    # id inside the struct), but a map-side-combining aggregation instead
-    # of a full (vec_id)-partitioned sort of the vec x lists relation —
-    # the relation whose size is the flat quantizer's real cost at scale
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("sim"), (-F.col("list_id")).alias("nl"))
-            ).alias("m")
-        )
-        .select("vec_id", (-F.col("m.nl")).alias("list_id"))
+    list_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
+    smat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
+    snorm = np.sqrt((smat * smat).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def nearest_list(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        xnorm = np.sqrt((x * x).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((x @ smat.T) / np.outer(xnorm, snorm), 6)
+        # zero-norm vectors: cosine is NULL in both engines; DuckDB's
+        # DESC sort puts NULLs last, so the pick falls to the smallest
+        # list_id — -inf under argmax reproduces that
+        sims = np.nan_to_num(sims, nan=-np.inf)
+        return pd.Series(list_ids[np.argmax(sims, axis=1)])
+
+    return embeddings.select(
+        "vec_id", nearest_list(F.col("embedding")).alias("list_id")
     )
 
 
@@ -248,6 +259,19 @@ def default_n_lists(total: int) -> int:
     import math
 
     return max(10, math.isqrt(total))
+
+
+def default_kmeans_k(total: int) -> int:
+    """Scaled cluster count for semantic_dedup: max(KMEANS_K,
+    isqrt(total) // 4) — k grows with the corpus so mean cluster size
+    grows only as ~4*sqrt(n) and the capped cluster-local pair join keeps
+    covering a constant FRACTION of each cluster instead of collapsing to
+    8 fixed clusters (at 1e9 vectors a fixed k=8 with cap 1000 would
+    compare ~8k vectors total). Mirrored by the DuckDB oracle as
+    greatest(KMEANS_K, CAST(floor(sqrt(n + 0.5)) AS BIGINT) // 4)."""
+    import math
+
+    return max(KMEANS_K, math.isqrt(total) // 4)
 
 
 def ivf_topk(
@@ -635,7 +659,7 @@ def kmeans_assignments(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_DUP_THRESHOLD,
-    k: int = KMEANS_K,
+    k: int | None = None,
     iters: int = KMEANS_ITERS,
     total: int | None = None,
     cluster_cap: int = SEMANTIC_CLUSTER_CAP,
@@ -651,14 +675,20 @@ def semantic_dedup(
     Scale shape: the k-means pass is the kmeans_centroids plan (broadcast
     centroids, hash aggs); pair generation is cluster-local and capped at
     ``cluster_cap`` rows per cluster, so the worst case is O(k * cap^2)
-    pairs — never the O(n^2) cross product. At 100 TB, k scales with the
-    corpus (like IVF's sqrt(n) lists) to hold cluster sizes flat.
+    pairs — never the O(n^2) cross product. The DEFAULT k scales with the
+    corpus via ``default_kmeans_k`` (like IVF's sqrt(n) lists) to hold
+    cluster sizes ~flat; a fixed k would silently collapse coverage at
+    scale.
 
     Output: (vec_id, cid, kept) for EVERY input vector."""
     from pyspark.sql.window import Window
 
     from ._cache import hold
 
+    if total is None:
+        total = embeddings.count()
+    if k is None:
+        k = default_kmeans_k(total)
     x = hold(micro_vec_rows(embeddings), eager=True)
     cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total, micro_rows=x)
     assign = kmeans_assignments(embeddings, cent, micro_rows=x)

@@ -176,3 +176,45 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(out_dir)
     return n_parts
+
+
+def range_sort_table(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    sort_cols: list[str],
+    n_partitions: int | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite a table GLOBALLY range-partitioned + sorted on
+    ``sort_cols`` — the zone-map layout: every output file covers a
+    disjoint key range, so a point/range predicate on the sort key prunes
+    to ~one file via parquet row-group min/max stats (and a later merge
+    join on the key needs no sort).
+
+    Scale shape: repartitionByRange samples the key distribution
+    (reservoir per partition — no full scan) to pick balanced split
+    points, then one range-shuffle + per-partition sort; contrast
+    compact_parquet, which keeps arrival order and only sorts WITHIN
+    partitions. Partition count defaults to the same on-disk-bytes
+    sizing as compaction. Returns the partition count."""
+    if n_partitions is None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(in_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)
+        total = 0
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                total += st.getLen()
+        n_partitions = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df: DataFrame = spark.read.parquet(in_dir)
+    (
+        df.repartitionByRange(n_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n_partitions

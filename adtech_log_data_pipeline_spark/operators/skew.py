@@ -80,3 +80,59 @@ def salted_join(
     )
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 5
+) -> DataFrame:
+    """Hot-key diagnosis — the report you run BEFORE choosing a salting
+    or AQE strategy for a 100 TB join/aggregation: the top-N heaviest
+    keys with their row share and their load factor versus a perfectly
+    uniform key distribution.
+
+    Output (rank, key, n_rows, share_ppm, skew_vs_mean_r6):
+      - share_ppm: exact integer floor of rows*1e6/total;
+      - skew_vs_mean_r6: n_rows / (total / n_keys) — "this key carries
+        Nx the average key's load". Computed as double(n_rows) * n_keys
+        / total: the int->double conversions are exact below 2^53 and
+        the multiply+divide is the same two-IEEE-op sequence in both
+        engines (an int64 product would overflow at ~1e9 keys x 1e9
+        rows).
+
+    Scale shape: one hash aggregation keyed on the (possibly skewed!)
+    key — safe because count is algebraic, partial-aggregated map-side;
+    the top-N is TakeOrdered (limit + sort pushed into a per-partition
+    heap, no global sort shuffle); totals ride a broadcast 1-row
+    aggregate. Rows with a NULL key component are excluded."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    rows = df
+    for c in key_cols:
+        rows = rows.filter(F.col(c).isNotNull())
+    counts = rows.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    from ..functions._cache import hold
+
+    counts = hold(counts, eager=True)
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), "key").limit(top_n)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), "key")
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "key",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("total"),
+                6,
+            ).alias("skew_vs_mean_r6"),
+        )
+    )

@@ -475,7 +475,42 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_manifest(with_blob_column(_docs(spark, sf_dir)))
 
 
+def q_kmv_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event_type — the mergeable,
+    cross-engine-reproducible alternative to approx_count_distinct."""
+    from ..functions.sketch import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass admission gate over documents."""
+    from ..functions.expectations import DOCUMENT_RULES, run_expectations
+
+    return run_expectations(_docs(spark, sf_dir), DOCUMENT_RULES)
+
+
+def q_quarantined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations quarantine over documents (map-only)."""
+    from ..functions.expectations import QUARANTINE_RULES, enforce_expectations
+
+    return enforce_expectations(_docs(spark, sf_dir), QUARANTINE_RULES, ["doc_id"])
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis over the events stream's user_id."""
+    from ..operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), ["user_id"])
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmv_user_distinct": q_kmv_user_distinct,
+    "quality_expectations": q_quality_expectations,
+    "quarantined_docs": q_quarantined_docs,
+    "key_skew_report": q_key_skew_report,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
     "shingle_dup_rate": q_shingle_dup_rate,
@@ -1423,14 +1458,18 @@ SELECT vec_id, label, d2_micro,
 FROM d
 """
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes(k_sql: str | None = None) -> list[str]:
     """Chained-CTE restatement of ALL Lloyd iterations (see
     functions/similarity.py::kmeans_centroids for the quantization and
     tie-break conventions this mirrors). Shared by the kmeans_centroids
     and semantic_dedup oracles; the final centroid relation is
-    ``c{KMEANS_ITERS}``."""
+    ``c{KMEANS_ITERS}``. ``k_sql`` is a SQL expression for the cluster
+    count (may reference ``n`` from the t CTE); defaults to the fixed
+    KMEANS_K."""
     from ..functions.similarity import KMEANS_ITERS, KMEANS_K
 
+    if k_sql is None:
+        k_sql = str(KMEANS_K)
     ctes = [
         "t AS (SELECT count(*) AS n FROM embeddings)",
         """x AS (
@@ -1441,7 +1480,7 @@ def _kmeans_ctes() -> list[str]:
         FROM embeddings))""",
         f"""c0 AS (
   SELECT vec_id AS cid, dim, CAST(0 AS BIGINT) AS n_vecs, x_micro AS c_micro
-  FROM x, t WHERE vec_id % greatest(1, n // {KMEANS_K}) = 0)""",
+  FROM x, t WHERE vec_id % greatest(1, n // ({k_sql})) = 0)""",
     ]
     for i in range(1, KMEANS_ITERS + 1):
         p = f"c{i - 1}"
@@ -1489,11 +1528,19 @@ def _oracle_semantic_dedup() -> str:
     cosine, smallest-cid assignment tiebreak, keep-smallest-id)."""
     from ..functions.similarity import (
         KMEANS_ITERS,
+        KMEANS_K,
         SEMANTIC_CLUSTER_CAP,
         SEMANTIC_DUP_THRESHOLD,
     )
 
-    ctes = _kmeans_ctes()
+    # mirror functions/similarity.py::default_kmeans_k — k scales with
+    # the corpus (floor(sqrt(n+0.5)) == isqrt(n) for n < 2^50)
+    ctes = _kmeans_ctes(
+        k_sql=(
+            f"greatest({KMEANS_K},"
+            " CAST(floor(sqrt(n + 0.5)) AS BIGINT) // 4)"
+        )
+    )
     last = f"c{KMEANS_ITERS}"
     ctes.append(
         f"""dF AS (
@@ -1631,7 +1678,124 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
 """
 
 
+def _oracle_kmv() -> str:
+    """functions/sketch.py::kmv_distinct conventions: 48-bit md5-prefix
+    hash, k smallest distinct hashes, (k-1)/h_k estimator."""
+    from ..functions.sketch import HASH_SPACE, KMV_K
+
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d)
+SELECT event_type,
+       CAST(count(*) AS INT) AS n_kept,
+       max(h) AS kth_hash,
+       round(CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {KMV_K - 1}.0 / (CAST(max(h) AS DOUBLE) / {HASH_SPACE!r})
+             END, 6) AS est_distinct
+FROM r WHERE rn <= {KMV_K}
+GROUP BY event_type
+"""
+
+
+def _oracle_expectations() -> str:
+    """Rule-by-rule SQL restatement of
+    functions/expectations.py::DOCUMENT_RULES (independent evidence:
+    plain conditional counts per rule, unioned)."""
+    rows = [
+        # (rule, column, kind, numerator, denominator, threshold)
+        ("doc_id_present", "doc_id", "not_null",
+         "count(doc_id)", "count(*)", 1.0),
+        ("doc_id_unique", "doc_id", "unique",
+         "count(DISTINCT doc_id)", "count(doc_id)", 1.0),
+        ("text_present", "text", "not_null",
+         "count(text)", "count(*)", 1.0),
+        ("text_nonblank", "text", "matches",
+         r"sum(CASE WHEN text IS NULL THEN 0"
+         r" WHEN regexp_matches(text, '\S') THEN 1 ELSE 0 END)",
+         "count(text)", 1.0),
+        ("lang_known", "lang", "in_set",
+         "sum(CASE WHEN lang IS NULL THEN 0 WHEN lang IN"
+         " ('en','de','fr','es','zh') THEN 1 ELSE 0 END)",
+         "count(lang)", 0.99),
+        ("n_chars_min", "n_chars", "min_value",
+         "sum(CASE WHEN n_chars IS NULL THEN 0"
+         " WHEN n_chars >= 1.0 THEN 1 ELSE 0 END)",
+         "count(n_chars)", 1.0),
+        ("n_chars_max", "n_chars", "max_value",
+         "sum(CASE WHEN n_chars IS NULL THEN 0"
+         " WHEN n_chars <= 100000.0 THEN 1 ELSE 0 END)",
+         "count(n_chars)", 0.999),
+        ("source_format", "source", "matches",
+         "sum(CASE WHEN source IS NULL THEN 0"
+         " WHEN regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)",
+         "count(source)", 1.0),
+    ]
+    parts = [
+        f"""SELECT '{name}' AS rule, '{col}' AS "column", '{kind}' AS kind,
+       round(CASE WHEN {den} = 0 THEN 1.0
+                  ELSE {num} / CAST({den} AS DOUBLE) END, 6) AS metric_r6,
+       round({thr!r}::DOUBLE, 6) AS threshold_r6
+FROM documents"""
+        for name, col, kind, num, den, thr in rows
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        f"WITH m AS (\n{union}\n)\n"
+        'SELECT rule, "column", kind, metric_r6, threshold_r6,\n'
+        "       metric_r6 >= threshold_r6 AS passed FROM m"
+    )
+
+
+def _oracle_quarantine() -> str:
+    """Row-by-row restatement of QUARANTINE_RULES: NULL passes every
+    conformance rule; failed_rules joins names in declaration order."""
+    checks = [
+        ("doc_id_present", "doc_id IS NOT NULL"),
+        ("text_present", "text IS NOT NULL"),
+        ("min_chars_100", "n_chars IS NULL OR n_chars >= 100.0"),
+        ("core_lang", "lang IS NULL OR lang IN ('en','de','fr')"),
+        ("even_source",
+         "source IS NULL OR regexp_matches(source, '^src[0-9]*[02468]$')"),
+    ]
+    tag_list = ", ".join(
+        f"CASE WHEN NOT ({ok}) THEN '{name}' ELSE NULL END"
+        for name, ok in checks
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter([{tag_list}], x -> x IS NOT NULL) AS failed
+  FROM documents)
+SELECT doc_id, CAST(len(failed) AS INT) AS n_failed,
+       array_to_string(failed, ',') AS failed_rules
+FROM t WHERE len(failed) > 0
+"""
+
+
+_ORACLE_KEY_SKEW = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+r AS (SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+      FROM c)
+SELECT CAST(rank AS INT) AS rank, key, n_rows,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+       round(CAST(n_rows AS DOUBLE) * n_keys / total, 6) AS skew_vs_mean_r6
+FROM r, t WHERE rank <= 5
+"""
+
+
 NORTHSTAR_ORACLES: dict[str, str] = {
+    "kmv_user_distinct": _oracle_kmv(),
+    "quality_expectations": _oracle_expectations(),
+    "quarantined_docs": _oracle_quarantine(),
+    "key_skew_report": _ORACLE_KEY_SKEW,
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id": _oracle_lang_id(),
     "doc_fingerprints": _ORACLE_FINGERPRINTS,

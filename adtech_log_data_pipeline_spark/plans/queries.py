@@ -178,8 +178,16 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # directly behind the 7 reference-parity headliners. The tail holds queries
 # with multiple prior green rows (rotate them back in if they ever change).
 _GATE_FIRST = [
-    # image_embed: red in r3 (output-shape), fixed this round — it MUST sit
-    # inside the 50-entry driver window to earn its green row
+    # round-5 NEW queries — never gated, so they sort first
+    "kmv_user_distinct",
+    "quality_expectations",
+    "scd2_intervals",
+    "key_skew_report",
+    "rolling_user_features",
+    "quarantined_docs",
+    # stream_attribution_outer's round-4 ERR (vanilla-session NaN
+    # materialization) is fixed this round — it stays inside the window
+    # (it sits in the streaming block below) until it earns a green row.
     "image_embed",
     "semantic_dedup",
     "doc_chunks",

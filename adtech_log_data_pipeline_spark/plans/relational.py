@@ -159,6 +159,84 @@ def sessionized_events_sql(dialect: str) -> str:
         """
 
 
+def scd2_intervals_sql(dialect: str) -> str:
+    """SCD2 change-history build: collapse each user's event stream into
+    type-2 validity intervals — a new version starts whenever the
+    event_type CHANGES (gaps-and-islands via lag + conditional running
+    sum; contrast sessionized_events, whose islands are time-gaps).
+    valid_to_ms is the next version's valid_from_ms, NULL on the open
+    (current) version. Ordering is fully deterministic — (ts_ms,
+    event_id) — so version numbering is stable under any shuffle.
+
+    Scale shape: both windows partition by user_id — ONE shuffle keyed
+    on the entity, reused across lag, running sum, the interval
+    aggregate and the lead; no self-join (the naive SCD2 build joins
+    each row to its successor)."""
+    ts = _ms("ts", dialect)
+    return f"""
+        WITH chg AS (
+          SELECT user_id, event_type, event_id, {ts} AS ts_ms,
+                 CASE WHEN lag(event_type)
+                           OVER (PARTITION BY user_id ORDER BY {ts}, event_id)
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS is_change
+          FROM events
+        ),
+        ver AS (
+          SELECT user_id, event_type, ts_ms,
+                 sum(is_change) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS version
+          FROM chg
+        ),
+        iv AS (
+          SELECT user_id, event_type, cast(version AS INT) AS version,
+                 cast(min(ts_ms) AS BIGINT) AS valid_from_ms,
+                 cast(count(*) AS BIGINT) AS n_events
+          FROM ver GROUP BY user_id, event_type, version
+        )
+        SELECT user_id, event_type, version, valid_from_ms,
+               lead(valid_from_ms) OVER (PARTITION BY user_id
+                                         ORDER BY version) AS valid_to_ms,
+               n_events
+        FROM iv
+        """
+
+
+def rolling_user_features_sql(dialect: str) -> str:
+    """Per-event rolling training features: for every event, the count
+    and spend of the SAME user's events in the preceding hour
+    (value-based RANGE frame, current-timestamp peers excluded so the
+    result is invariant to within-timestamp ordering) plus the
+    time-since-previous-event lag. The classic leakage-safe feature
+    shape: each row sees strictly-earlier data only.
+
+    Scale shape: all three windows partition by user_id — one shuffle
+    keyed on the entity; the RANGE frame is a sliding two-pointer over
+    each partition (no self-join, no per-row re-scan). Spend accumulates
+    in exact bigint cents."""
+    ts = _ms("ts", dialect)
+    cents = _cents("value")
+    frame = (
+        "PARTITION BY user_id ORDER BY ts_ms"
+        " RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_id, {ts} AS ts_ms, {cents} AS v_cents
+          FROM events
+        )
+        SELECT user_id, event_id, ts_ms,
+               cast(count(*) OVER ({frame}) AS BIGINT) AS n_prev_1h,
+               cast(coalesce(sum(v_cents) OVER ({frame}), 0) AS BIGINT)
+                 AS cents_prev_1h,
+               ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id)
+                 AS ms_since_prev
+        FROM e
+        """
+
+
 def top_orders_per_customer_sql(dialect: str) -> str:
     """Top-K per group via ranked window, deterministic tiebreak."""
     return """
@@ -484,6 +562,8 @@ RELATIONAL_SQL = {
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
     ),
     "sessionized_events": (sessionized_events_sql, ["events"]),
+    "scd2_intervals": (scd2_intervals_sql, ["events"]),
+    "rolling_user_features": (rolling_user_features_sql, ["events"]),
     "top_orders_per_customer": (top_orders_per_customer_sql, ["orders"]),
     "revenue_cube": (revenue_cube_sql, ["lineitem"]),
     "asof_last_signup": (asof_last_signup_sql, ["events"]),

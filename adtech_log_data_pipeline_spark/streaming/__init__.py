@@ -1,4 +1,5 @@
 from .windowed import (
+    stream_attribution_outer,
     stream_click_attribution,
     stream_dedup_keys,
     stream_enriched_counts,
@@ -12,6 +13,7 @@ from .spend import streaming_spend_sessions
 from .upsert import stream_upsert_latest
 
 __all__ = [
+    "stream_attribution_outer",
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_enriched_counts",

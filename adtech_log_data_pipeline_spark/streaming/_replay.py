@@ -77,7 +77,11 @@ def run_two_phase(
         result = spark.read.schema(output_schema).parquet(out_dir)
         if result_filter is not None:
             result = result.filter(result_filter)
-        pdf = result.toPandas()
-        return spark.createDataFrame(pdf, schema=output_schema)
+        # Materialize via Row objects, NOT a pandas round-trip: pandas
+        # widens nullable long columns to float64 NaN, and on a vanilla
+        # (Arrow-off) SparkSession createDataFrame's row verifier rejects
+        # NaN for LongType. Rows preserve None exactly on any session.
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=output_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -144,8 +144,11 @@ def stream_upsert_latest(
             q.awaitTermination()
         result = spark.read.schema(STATE_SCHEMA).parquet(state_dir)
         if own_dir:
-            pdf = result.toPandas()
-            return spark.createDataFrame(pdf, schema=STATE_SCHEMA)
+            # Row-based materialization (not toPandas): pandas turns NULL
+            # long columns into float64 NaN, which the vanilla (Arrow-off)
+            # session's createDataFrame verifier rejects. Rows keep None.
+            rows = result.collect()
+            return spark.createDataFrame(rows, schema=STATE_SCHEMA)
         return result
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

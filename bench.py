@@ -17,6 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "kmv_user_distinct",
+    "quality_expectations",
+    "scd2_intervals",
+    "key_skew_report",
+    "rolling_user_features",
+    "quarantined_docs",
     "bidlog_validation",
     "device_profiles_flat",
     "device_profile_summary",
@@ -156,6 +162,28 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    # The driver records only a fixed-size stdout TAIL; the full per-query
+    # line above overflows it at 80+ queries (round 4 recorded
+    # "parsed: null"). Print a compact totals trailer LAST so the tail
+    # always holds one parseable JSON line.
+    parity7 = [
+        "bidlog_validation", "device_profiles_flat", "device_profile_summary",
+        "app_profiles_flat", "suspicious_ids", "feature_inputs", "predictions",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "totals",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "parity7": round(
+                    sum(timings.get(q, 0.0) for q in parity7), 3
+                ),
                 "sf": float(sf) if sf else None,
             }
         )

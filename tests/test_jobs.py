@@ -177,3 +177,42 @@ def test_b64_codec_long_payload_single_line(spark, tmp_path):
     assert "\r" not in lines[0]["value"]
     back = read_b64_json(spark, path, "id long, t string").collect()
     assert len(back) == 1 and back[0]["t"] == long_text
+
+
+def test_bigquery_sink_routing(spark, tmp_path):
+    """S6 sink seam (jobs2/PredictionJob.java:128-137): route to the
+    bigquery DataSource when present AND a table is named; parquet+JSON
+    fallback otherwise. No live BigQuery anywhere — the connector is
+    absent in this container, and the available path is injected."""
+    from adtech_log_data_pipeline_spark.jobs.prediction_job import (
+        bigquery_available,
+        sink_predictions,
+    )
+
+    preds = spark.createDataFrame(
+        [("android", "AD-1", 3, 0.5)],
+        "os string, uuid string, prediction int, score double",
+    )
+    # this container has no spark-bigquery connector on the classpath
+    assert bigquery_available(spark) is False
+
+    out = tmp_path / "sink"
+    assert sink_predictions(preds, str(out), bq_table="proj.ds.t") == "parquet"
+    assert (out / "predictions").exists()
+
+    written = []
+    chosen = sink_predictions(
+        preds,
+        str(tmp_path / "unused"),
+        bq_table="proj.ds.t",
+        _bq_write=lambda df, table: written.append((df.count(), table)),
+    )
+    assert chosen == "bigquery"
+    assert written == [(1, "proj.ds.t")]
+    assert not (tmp_path / "unused").exists()  # BQ path skips the fallback
+
+    # no table named -> parquet regardless of availability
+    assert (
+        sink_predictions(preds, str(tmp_path / "p2"), _bq_write=lambda *a: None)
+        == "parquet"
+    )

@@ -173,3 +173,44 @@ def test_profile_cli(spark, tmp_path):
     by_col = {r["col"]: r for r in rows}
     assert set(by_col) == {"id", "v"}
     assert by_col["id"]["n_rows"] == 8 and by_col["id"]["n_distinct"] == 8
+
+
+def test_range_sort_table_disjoint_sorted_files(spark, tmp_path):
+    """Zone-map layout law: output files hold disjoint, internally
+    sorted key ranges (so min/max row-group stats prune point lookups),
+    and the plan is a RangePartitioning exchange + in-partition sort."""
+    import glob
+
+    from adtech_log_data_pipeline_spark.jobs.maintenance import range_sort_table
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10000, 1, 8).selectExpr(
+        "cast(hash(id) % 1000 as long) as k", "id as payload"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    n = range_sort_table(spark, src, out, ["k"], n_partitions=4)
+    assert n == 4
+
+    plan = (
+        spark.read.parquet(src)
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+    ranges = []
+    total = 0
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        pdf = spark.read.parquet(f).select("k").toPandas()
+        if len(pdf) == 0:
+            continue
+        ks = pdf["k"].tolist()
+        assert ks == sorted(ks)  # sorted within file
+        ranges.append((ks[0], ks[-1]))
+        total += len(ks)
+    assert total == 10000
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint key ranges across files

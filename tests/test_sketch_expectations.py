@@ -1,0 +1,174 @@
+"""KMV sketch laws, expectations-rule semantics, SCD2 interval laws."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values: the sketch kept every hash, so the
+    estimate IS the exact distinct count."""
+    from adtech_log_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(30)],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in kmv_distinct(df, "v", ["g"], k=64).collect()}
+    assert out["a"]["n_kept"] == 7 and out["a"]["est_distinct"] == 7.0
+    assert out["b"]["n_kept"] == 3 and out["b"]["est_distinct"] == 3.0
+
+
+def test_kmv_estimator_accuracy_and_duplicate_invariance(spark):
+    """Above k the (k-1)/h_k estimator must land within ~3 standard
+    errors (1/sqrt(k)) of truth, and duplicates must not move it."""
+    from adtech_log_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], "g string, v long")
+    est = kmv_distinct(df, "v", ["g"], k=256).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 3 / (256 ** 0.5)
+
+    dup = spark.createDataFrame(
+        [("g", i % n) for i in range(3 * n)], "g string, v long"
+    )
+    est_dup = kmv_distinct(dup, "v", ["g"], k=256).collect()[0]["est_distinct"]
+    assert est_dup == est
+
+
+def test_kmv_merge_law(spark):
+    """Mergeability: the sketch of a union equals re-sketching the union
+    of the two halves' kept hashes (k smallest of combined k-smallest
+    sets == k smallest of the union, since each half's kept set contains
+    its k smallest)."""
+    from adtech_log_data_pipeline_spark.functions.sketch import (
+        KMV_K,
+        kmv_distinct,
+    )
+
+    a = spark.createDataFrame([("g", i) for i in range(500)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(300, 900)], "g string, v long"
+    )
+    merged = kmv_distinct(a.unionByName(b), "v", ["g"], k=KMV_K).collect()[0]
+    direct = kmv_distinct(
+        spark.createDataFrame([("g", i) for i in range(900)], "g string, v long"),
+        "v",
+        ["g"],
+        k=KMV_K,
+    ).collect()[0]
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_kmv_ignores_nulls(spark):
+    from adtech_log_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2), ("g", None)], "g string, v long"
+    )
+    row = kmv_distinct(df, "v", ["g"]).collect()[0]
+    assert row["n_kept"] == 2 and row["est_distinct"] == 2.0
+
+
+def test_expectations_rule_semantics(spark):
+    """Each rule kind: nulls count against not_null only; conformance
+    rules are fractions over NON-null rows; unique is distinct/count."""
+    from adtech_log_data_pipeline_spark.functions.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10.0, "ok"),
+            (2, "xx", 20.0, None),
+            (2, None, -5.0, "ok"),
+            (4, "en", 30.0, "bad!"),
+        ],
+        "id long, lang string, v double, s string",
+    )
+    rules = [
+        Expectation("id_nn", "id", "not_null"),
+        Expectation("id_uq", "id", "unique", threshold=0.8),
+        Expectation("lang_set", "lang", "in_set", values=("en", "de")),
+        Expectation("v_min", "v", "min_value", bound=0.0, threshold=0.7),
+        Expectation("s_re", "s", "matches", pattern=r"^[a-z]+$"),
+    ]
+    out = {r["rule"]: r for r in run_expectations(df, rules).collect()}
+    assert out["id_nn"]["metric_r6"] == 1.0 and out["id_nn"]["passed"]
+    assert out["id_uq"]["metric_r6"] == 0.75 and not out["id_uq"]["passed"]
+    # lang: 3 non-null, 2 in set
+    assert out["lang_set"]["metric_r6"] == round(2 / 3, 6)
+    assert out["v_min"]["metric_r6"] == 0.75 and out["v_min"]["passed"]
+    # s: 3 non-null, 2 match
+    assert out["s_re"]["metric_r6"] == round(2 / 3, 6)
+    assert not out["s_re"]["passed"]
+
+
+def test_expectations_empty_frame_vacuous_pass(spark):
+    from adtech_log_data_pipeline_spark.functions.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame([], "id long")
+    out = run_expectations(
+        df, [Expectation("id_nn", "id", "not_null")]
+    ).collect()
+    assert out[0]["metric_r6"] == 1.0 and out[0]["passed"]
+
+
+def test_scd2_intervals_laws(spark):
+    """Intervals tile each user's history: n_events conserve, versions
+    are 1..V dense, valid_to == next version's valid_from (NULL only on
+    the last), and adjacent intervals change event_type."""
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    out = QUERIES["scd2_intervals"](spark, SF).collect()
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    total = load_table(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in out) == total
+
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert a["event_type"] != b["event_type"]
+        assert rows[-1]["valid_to_ms"] is None
+
+
+def test_enforce_expectations_quarantine(spark):
+    """Row-level enforcement: NULLs pass conformance rules (not_null
+    indicts them), failed_rules preserves declaration order, clean rows
+    are absent, unique is skipped."""
+    from adtech_log_data_pipeline_spark.functions.expectations import (
+        Expectation,
+        enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 200.0),
+            (2, "xx", 50.0),
+            (3, None, None),
+            (None, "en", 300.0),
+        ],
+        "id long, lang string, n double",
+    )
+    rules = [
+        Expectation("id_nn", "id", "not_null"),
+        Expectation("id_uq", "id", "unique"),  # table-level: skipped
+        Expectation("lang_set", "lang", "in_set", values=("en", "de")),
+        Expectation("n_min", "n", "min_value", bound=100.0),
+    ]
+    out = {r["id"]: r for r in enforce_expectations(df, rules, ["id"]).collect()}
+    assert 1 not in out  # clean
+    assert out[2]["failed_rules"] == "lang_set,n_min" and out[2]["n_failed"] == 2
+    assert 3 not in out  # NULL lang/n pass conformance rules
+    assert out[None]["failed_rules"] == "id_nn"

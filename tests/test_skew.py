@@ -57,3 +57,38 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(facts, dim, "k", how="full")
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    from adtech_log_data_pipeline_spark.operators.skew import skew_report
+
+    rows = (
+        [("hot", i) for i in range(60)]
+        + [("warm", i) for i in range(30)]
+        + [("a", 1), ("b", 1), ("c", 1), ("d", 1), ("e", 1), (None, 1)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = skew_report(df, ["k"], top_n=3).collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in out] == [
+        (1, "hot", 60),
+        (2, "warm", 30),
+        (3, "a", 1),
+    ]
+    # 95 non-null rows over 7 keys: hot carries 60*7/95 = 4.42x the mean
+    hot = out[0]
+    assert hot["share_ppm"] == 60 * 1000000 // 95
+    assert hot["skew_vs_mean_r6"] == round(60 * 7 / 95, 6)
+    # deterministic tiebreak at equal counts: key ascending
+    assert out[2]["key"] == "a"
+
+
+def test_skew_report_top_n_avoids_global_sort(spark):
+    """The top-N must plan as TakeOrdered (per-partition heaps), not a
+    full global Sort+Exchange of the key-count relation."""
+    from adtech_log_data_pipeline_spark.operators.skew import skew_report
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    df = spark.range(0, 1000).selectExpr("cast(id % 97 as string) as k", "id as v")
+    plan = skew_report(df, ["k"], top_n=5)._jdf.queryExecution().executedPlan().toString()
+    release_cached()
+    assert "TakeOrderedAndProject" in plan

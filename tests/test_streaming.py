@@ -243,3 +243,29 @@ def test_tws_processor_logic_with_mock_handle():
     assert out3.values.tolist() == [[42, 1000, t2, 3, 15]]
     assert state.rows is None
     assert len(handle.timers) == 0
+
+
+def test_outer_attribution_nulls_survive_arrow_off(spark):
+    """Round-4 driver regression: the replay runner materialized results
+    via toPandas() -> createDataFrame(pdf), which turns NULL long columns
+    into float64 NaN — fatal on a vanilla (Arrow-off) session where
+    createDataFrame's row verifier rejects NaN for LongType. Pin the fix:
+    with Arrow disabled, the LEFT OUTER join's NULL click_id/lag_ms rows
+    must materialize as real NULLs."""
+    from adtech_log_data_pipeline_spark.streaming import (
+        stream_attribution_outer,
+    )
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        out = stream_attribution_outer(spark, SF)
+        rows = out.collect()
+    finally:
+        spark.conf.set(key, prior)
+    unmatched = [r for r in rows if r["click_id"] is None]
+    assert unmatched, "outer join must emit NULL-side rows"
+    assert all(r["lag_ms"] is None for r in unmatched)
+    matched = [r for r in rows if r["click_id"] is not None]
+    assert all(isinstance(r["lag_ms"], int) for r in matched)

@@ -6,7 +6,13 @@ compares row count, column names, and an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified). Queries with no
 oracle get a rows-only check. Usage:
 
-    python tools/compare.py [sf_dir] [query ...]
+    python tools/compare.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a PLAIN SparkSession (no engine configs at all) —
+the driver's documented environment. Round 4's only red row
+(stream_attribution_outer) passed locally under ``get_spark()`` (Arrow
+on) but crashed on the driver's vanilla session; this mode reproduces
+config-dependent failures before submission.
 """
 
 from __future__ import annotations
@@ -69,13 +75,29 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv = [a for a in argv if a != "--vanilla"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
-    from adtech_log_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-compare")
+    if vanilla:
+        # the driver's environment: a bare builder, zero engine configs —
+        # no Arrow, no AQE overrides, no timezone pin, default memory
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("oracle-compare-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from adtech_log_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-compare")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
