@@ -65,8 +65,26 @@ def kmv_distinct(
         .select(*group_cols, kmv_hash(col, salt).alias("h"))
         .distinct()
     )
+    return kmv_report(kmv_keep(d, group_cols, k), group_cols, k)
+
+
+def kmv_keep(hashes: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """The sketch STATE: the k smallest distinct hashes per group from a
+    (group_cols..., h) relation. Idempotent and mergeable — kmv_keep over
+    a union of kept states equals kmv_keep over the union of the raw
+    hash relations (each state contains its side's k smallest)."""
     w = Window.partitionBy(*group_cols).orderBy("h")
-    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        hashes.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_report(kept: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """Estimator over a kept-hash state: (group..., n_kept, kth_hash,
+    est_distinct)."""
     return kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("n_kept"),
         F.max("h").alias("kth_hash"),

@@ -381,6 +381,14 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)
 
 
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained KMV distinct-user sketch: k-row-per-group
+    state, idempotent merge — bit-identical to the batch sketch."""
+    from ..streaming import stream_kmv_distinct
+
+    return stream_kmv_distinct(spark, sf_dir)
+
+
 def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert in UPDATE mode: latest event + running
     count per user maintained as a merged state table."""
@@ -511,6 +519,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_expectations": q_quality_expectations,
     "quarantined_docs": q_quarantined_docs,
     "key_skew_report": q_key_skew_report,
+    "stream_kmv_distinct": q_stream_kmv_distinct,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
     "shingle_dup_rate": q_shingle_dup_rate,
@@ -1796,6 +1805,10 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "quality_expectations": _oracle_expectations(),
     "quarantined_docs": _oracle_quarantine(),
     "key_skew_report": _ORACLE_KEY_SKEW,
+    # the streaming sketch's oracle IS the batch sketch's SQL: the
+    # foreachBatch merge is idempotent/associative, so any slicing of the
+    # stream must land on the same state
+    "stream_kmv_distinct": _oracle_kmv(),
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id": _oracle_lang_id(),
     "doc_fingerprints": _ORACLE_FINGERPRINTS,

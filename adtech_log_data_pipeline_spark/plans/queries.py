@@ -185,6 +185,9 @@ _GATE_FIRST = [
     "key_skew_report",
     "rolling_user_features",
     "quarantined_docs",
+    "retention_cohorts",
+    "hourly_activity",
+    "stream_kmv_distinct",
     # stream_attribution_outer's round-4 ERR (vanilla-session NaN
     # materialization) is fixed this round — it stays inside the window
     # (it sits in the streaming block below) until it earns a green row.

@@ -237,6 +237,54 @@ def rolling_user_features_sql(dialect: str) -> str:
         """
 
 
+def retention_cohorts_sql(dialect: str) -> str:
+    """Weekly retention triangle: users grouped by first-activity epoch
+    week (cohort), counted as retained in every later week they appear.
+    All bucketing is exact integer division on epoch millis — no date
+    functions, no timezone or calendar-week engine differences.
+
+    Scale shape: first-event time comes from an unbounded min() window
+    over the user partition — NOT a self-join back onto an aggregate
+    (the join form costs 4 exchanges; this costs 2: the (user, cohort,
+    week) DISTINCT reuses the window's user_id hash partitioning because
+    user_id is a subset of its grouping keys, leaving only the tiny
+    final (cohort, week) aggregation shuffle)."""
+    ts = _ms("ts", dialect)
+    d = _idiv(dialect)
+    wk = 604800000  # 7 * 24 * 3600 * 1000
+    return f"""
+        WITH e AS (
+          SELECT user_id, {ts} AS ts_ms,
+                 min({ts}) OVER (PARTITION BY user_id) AS first_ms
+          FROM events
+        ),
+        a AS (
+          SELECT DISTINCT user_id,
+                 cast(first_ms {d} {wk} AS BIGINT) AS cohort_week,
+                 cast((ts_ms - first_ms) {d} {wk} AS BIGINT) AS week_k
+          FROM e
+        )
+        SELECT cohort_week, week_k, cast(count(*) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_week, week_k
+        """
+
+
+def hourly_activity_sql(dialect: str) -> str:
+    """Hour-of-day x event-type activity heatmap with exact bigint-cents
+    spend. Hour comes from integer epoch-milli arithmetic ((ms div 1h)
+    mod 24) — UTC by construction, identical in every engine."""
+    ts = _ms("ts", dialect)
+    d = _idiv(dialect)
+    return f"""
+        SELECT cast(({ts} {d} 3600000) % 24 AS INT) AS hour_utc,
+               event_type,
+               cast(count(*) AS BIGINT) AS n_events,
+               {_csum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        """
+
+
 def top_orders_per_customer_sql(dialect: str) -> str:
     """Top-K per group via ranked window, deterministic tiebreak."""
     return """
@@ -564,6 +612,8 @@ RELATIONAL_SQL = {
     "sessionized_events": (sessionized_events_sql, ["events"]),
     "scd2_intervals": (scd2_intervals_sql, ["events"]),
     "rolling_user_features": (rolling_user_features_sql, ["events"]),
+    "retention_cohorts": (retention_cohorts_sql, ["events"]),
+    "hourly_activity": (hourly_activity_sql, ["events"]),
     "top_orders_per_customer": (top_orders_per_customer_sql, ["orders"]),
     "revenue_cube": (revenue_cube_sql, ["lineitem"]),
     "asof_last_signup": (asof_last_signup_sql, ["events"]),

@@ -11,9 +11,11 @@ from .windowed import (
 from .sessionize import sessionize_bounded, streaming_sessionize
 from .spend import streaming_spend_sessions
 from .upsert import stream_upsert_latest
+from .sketch_stream import stream_kmv_distinct
 
 __all__ = [
     "stream_attribution_outer",
+    "stream_kmv_distinct",
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_enriched_counts",

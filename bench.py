@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     "key_skew_report",
     "rolling_user_features",
     "quarantined_docs",
+    "retention_cohorts",
+    "hourly_activity",
+    "stream_kmv_distinct",
     "bidlog_validation",
     "device_profiles_flat",
     "device_profile_summary",

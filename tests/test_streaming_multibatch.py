@@ -394,3 +394,23 @@ def test_attribution_outer_multibatch_equals_batch_left_join(spark, replay_dir):
     )
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_kmv_sketch_multibatch_equals_batch(spark, replay_dir):
+    """The foreachBatch KMV merge is idempotent/associative: a 4-batch
+    replay must produce the EXACT batch-sketch state and estimates (no
+    watermark contract needed — the merge is order-insensitive)."""
+    from adtech_log_data_pipeline_spark.functions.sketch import kmv_distinct
+    from adtech_log_data_pipeline_spark.streaming.sketch_stream import (
+        stream_kmv_distinct,
+    )
+
+    out = stream_kmv_distinct(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    ).collect()
+    expected = {
+        tuple(r) for r in kmv_distinct(
+            load_table(spark, SF, "events"), "user_id", ["event_type"]
+        ).collect()
+    }
+    assert {tuple(r) for r in out} == expected
