@@ -457,47 +457,44 @@ def kmeans_centroids(
     (the label_centroids convention). The DuckDB oracle restates all
     ``iters`` iterations as chained CTEs and matches bit-for-bit.
 
-    Scale shape per iteration: centroids are (k x dims) — tiny, broadcast;
-    assignment is a map-side join + one (vec_id, cid) hash agg + one
-    (vec_id) hash agg; the update is one (cid, dim) hash agg. The vectors
-    shuffle as micro rows only. The driver loop runs ``iters`` times
-    (bounded constant — it builds plans, moves no data); each iteration's
-    centroid relation is persisted to cut lineage growth. Empty clusters
-    keep their previous centroid with n_vecs = 0 (mirrored in the oracle
-    via LEFT JOIN + COALESCE).
+    Scale shape per iteration: centroids are (k x dims) int64 —
+    closure-broadcast, NOT a join relation; assignment is a map-side
+    Arrow matmul (_assign_to_centroids — exact int64 d2, no join, no
+    shuffle); the update is assignment joined to the shared micro-row
+    relation on vec_id and one (cid, dim) hash agg, whose k*dims result
+    is collected driver-side (the centroids live on the driver between
+    iterations — they are the broadcast payload either way). One shuffle
+    per iteration total. Empty clusters keep their previous centroid
+    with n_vecs = 0 (mirrored in the oracle via LEFT JOIN + COALESCE).
     Output: (cid, dim, n_vecs, centroid_micro) after ``iters`` updates."""
     from ._cache import hold
 
     # ``micro_rows`` lets a caller that already materialized the exploded
     # (vec_id, dim, x_micro) relation share it (semantic_dedup reuses it
-    # for the final assignment pass)
+    # for its quality screens); the update aggregation consumes it
     x = micro_rows if micro_rows is not None else hold(
         micro_vec_rows(embeddings), eager=True
     )
     if total is None:
         total = embeddings.count()
     stride = max(1, total // k)
-    cent = x.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"),
-        "dim",
-        F.lit(0).cast("bigint").alias("n_vecs"),
-        F.col("x_micro").alias("c_micro"),
+    seed_rows = (
+        x.filter(F.col("vec_id") % stride == 0)
+        .select(F.col("vec_id").alias("cid"), "dim", F.col("x_micro"))
+        .collect()
     )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in seed_rows:
+        by_cid.setdefault(r[0], {})[r[1]] = r[2]
+    cids = np.array(sorted(by_cid), dtype=np.int64)
+    cmat = np.array(
+        [[by_cid[c][d] for d in sorted(by_cid[c])] for c in cids],
+        dtype=np.int64,
+    )
+    n_vecs = np.zeros(len(cids), dtype=np.int64)
+    dim_index = {d: j for j, d in enumerate(sorted(by_cid[cids[0]]))}
     for _ in range(iters):
-        d2 = (
-            x.join(F.broadcast(cent.select("cid", "dim", "c_micro")), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    F.expr("(x_micro - c_micro) * (x_micro - c_micro)")
-                ).alias("d2")
-            )
-        )
-        assign = (
-            d2.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"))
-        )
+        assign = _assign_to_centroids(embeddings, cids, cmat)
         upd = (
             assign.join(x, "vec_id")
             .groupBy("cid", "dim")
@@ -505,28 +502,28 @@ def kmeans_centroids(
                 F.sum("x_micro").alias("sum_micro"),
                 F.count(F.lit(1)).alias("n"),
             )
-            .select(
-                "cid",
-                "dim",
-                "n",
-                F.expr(
-                    "cast(floor(cast(sum_micro as double) / n + 0.5) as bigint)"
-                ).alias("new_micro"),
+            .collect()
+        )
+        # centroid update on the driver: k*dims values — the same data
+        # that broadcasts next iteration. floor(double(sum)/n + 0.5) is
+        # the oracle's exact quantization, one IEEE divide per cell.
+        n_vecs = np.zeros(len(cids), dtype=np.int64)
+        new_cmat = cmat.copy()  # empty clusters keep previous centroid
+        cid_index = {int(c): i for i, c in enumerate(cids)}
+        for r in upd:
+            i, j = cid_index[r["cid"]], dim_index[r["dim"]]
+            n_vecs[i] = r["n"]
+            new_cmat[i, j] = int(
+                np.floor(float(r["sum_micro"]) / r["n"] + 0.5)
             )
-        )
-        cent = hold(
-            cent.select("cid", "dim", F.col("c_micro").alias("prev"))
-            .join(upd, ["cid", "dim"], "left")
-            .select(
-                "cid",
-                "dim",
-                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_vecs"),
-                F.coalesce(F.col("new_micro"), F.col("prev")).alias("c_micro"),
-            ),
-            eager=True,
-        )
-    return cent.select(
-        "cid", "dim", "n_vecs", F.col("c_micro").alias("centroid_micro")
+        cmat = new_cmat
+    out = [
+        (int(c), int(d), int(n_vecs[i]), int(cmat[i, j]))
+        for i, c in enumerate(cids)
+        for d, j in dim_index.items()
+    ]
+    return embeddings.sparkSession.createDataFrame(
+        out, "cid long, dim int, n_vecs bigint, centroid_micro bigint"
     )
 
 
@@ -621,6 +618,54 @@ def micro_vec_rows(embeddings: DataFrame) -> DataFrame:
     ).select("vec_id", "dim", F.expr(q).alias("x_micro"))
 
 
+def _micro_matrix(emb: pd.Series) -> np.ndarray:
+    """Exact int64 micro quantization of an embedding batch — the same
+    IEEE ops as micro_vec_rows' SQL (floor(double(x) * 1e6 + 0.5))."""
+    x = np.stack(emb.to_numpy()).astype(np.float64)
+    return np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+
+
+def _assign_to_centroids(
+    embeddings: DataFrame, cids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    """Exact-int64 Lloyd assignment as a map-side Arrow matmul:
+    d2 = |x|^2 - 2 x.c + |c|^2 per (vector, centroid), all in int64
+    (micro magnitudes ~1e6, 64 dims -> |d2| <= ~2.6e14, far inside
+    int64; the cross term via an int64 matmul is exact, unlike float).
+    Ties break to the smallest cid: ``cids`` is sorted ascending and
+    np.argmin returns the FIRST minimum — the same (d2, cid)
+    lexicographic-min rule the DuckDB oracle states."""
+    sc2 = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        x = _micro_matrix(emb)
+        d2 = (x * x).sum(axis=1)[:, None] - 2 * (x @ cmat.T) + sc2[None, :]
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    return embeddings.select(
+        "vec_id", nearest(F.col("embedding")).alias("cid")
+    )
+
+
+def _centroid_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a (cid, dim, centroid_micro) relation into (cids sorted
+    ascending, k x dims int64 matrix) — k*dims values, the broadcast
+    payload of every assignment pass."""
+    rows = centroids.select("cid", "dim", "centroid_micro").collect()
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r[0], {})[r[1]] = r[2]
+    cids = np.array(sorted(by_cid), dtype=np.int64)
+    cmat = np.array(
+        [[by_cid[c][d] for d in sorted(by_cid[c])] for c in cids],
+        dtype=np.int64,
+    )
+    return cids, cmat
+
+
 def kmeans_assignments(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -631,29 +676,12 @@ def kmeans_assignments(
     smallest-cid tiebreak (identical conventions to the in-loop step of
     kmeans_centroids).
 
-    Scale shape: centroids are (k x dims) — broadcast; the vectors move
-    as micro rows through two hash aggregations keyed (vec_id, cid) then
-    (vec_id). No vector self-join anywhere."""
-    x = micro_rows if micro_rows is not None else micro_vec_rows(embeddings)
-    d2 = (
-        x.join(
-            F.broadcast(
-                centroids.select(
-                    "cid", "dim", F.col("centroid_micro").alias("c_micro")
-                )
-            ),
-            "dim",
-        )
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum(F.expr("(x_micro - c_micro) * (x_micro - c_micro)")).alias("d2")
-        )
-    )
-    return (
-        d2.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cid"))
-    )
+    Scale shape: centroids are (k x dims) int64 — closure-broadcast; the
+    assignment is one map-side Arrow matmul per batch
+    (_assign_to_centroids), no join, no shuffle, and exact."""
+    _ = micro_rows  # kept for API compatibility; matmul path needs vectors
+    cids, cmat = _centroid_arrays(centroids)
+    return _assign_to_centroids(embeddings, cids, cmat)
 
 
 def semantic_dedup(
@@ -707,24 +735,34 @@ def semantic_dedup(
         .filter(F.col("rn") <= cluster_cap)
         .drop("rn")
     )
-    left = capped.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("a"),
-        F.col("nv").alias("na"),
-        "cid",
-    )
-    right = capped.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("b"),
-        F.col("nv").alias("nb"),
-        "cid",
-    )
-    dropped = (
-        left.join(right, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine_r6() >= threshold)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
+
+    # Cluster-local pair comparison as ONE Gram matrix per cluster
+    # (applyInPandas): a self-join with a higher-order-function cosine
+    # pays an interpreted lambda per (pair, dim) — O(cap^2 * d) lambda
+    # calls per cluster; the float64 matmul computes the same cap x cap
+    # sim block vectorized. The 1e-6 rounding before the threshold test
+    # keeps a summation-order ulp vs the sequential DuckDB oracle from
+    # flipping a verdict (the lsh_signatures / ivf_assignments bet). A
+    # vec_id is dropped when ANY smaller cluster-mate reaches the
+    # threshold (strict upper triangle); zero-norm rows yield NULL
+    # cosine in both engines — never a duplicate verdict (NaN -> -inf).
+    thr = float(threshold)
+
+    def _gram_drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((x @ x.T) / np.outer(norms, norms), 6)
+        sims = np.nan_to_num(sims, nan=-np.inf)
+        hit = np.triu(sims >= thr, k=1).any(axis=0)
+        return pd.DataFrame({"vec_id": ids[hit].astype("int64")})
+
+    dropped = capped.select("cid", "vec_id", "v").groupBy("cid").applyInPandas(
+        _gram_drops, schema="vec_id long"
     )
     return (
         tagged.join(
