@@ -172,3 +172,80 @@ def test_enforce_expectations_quarantine(spark):
     assert out[2]["failed_rules"] == "lang_set,n_min" and out[2]["n_failed"] == 2
     assert 3 not in out  # NULL lang/n pass conformance rules
     assert out[None]["failed_rules"] == "id_nn"
+
+
+def test_kmv_partitioning_invariance_fuzz(spark):
+    """Monoid law under physical partitioning: the sketch over any
+    repartitioning/duplication of the input is identical (hypothesis over
+    random multisets, folded through 1-partition and 16-partition runs)."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from adtech_log_data_pipeline_spark.functions.sketch import kmv_distinct
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(st.integers(0, 200), min_size=1, max_size=60),
+        k=st.sampled_from([4, 16]),
+    )
+    def law(vals, k):
+        rows = [("g", v) for v in vals]
+        one = spark.createDataFrame(rows, "g string, v long").coalesce(1)
+        many = spark.createDataFrame(rows * 2, "g string, v long").repartition(16)
+        a = kmv_distinct(one, "v", ["g"], k=k).collect()[0]
+        b = kmv_distinct(many, "v", ["g"], k=k).collect()[0]
+        assert (a["n_kept"], a["kth_hash"], a["est_distinct"]) == (
+            b["n_kept"], b["kth_hash"], b["est_distinct"],
+        )
+        if len(set(vals)) < k:
+            assert a["est_distinct"] == float(len(set(vals)))
+
+    law()
+
+
+def test_expectations_match_python_truth_fuzz(spark):
+    """Aggregate metrics vs a straight Python recomputation on random
+    frames (nulls included), and quarantine consistency: a row fails
+    not_null exactly when the column is null, and the aggregate
+    not-null metric equals 1 - failing_fraction."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    from adtech_log_data_pipeline_spark.functions.expectations import (
+        Expectation,
+        enforce_expectations,
+        run_expectations,
+    )
+
+    cell = st.one_of(st.none(), st.integers(-5, 15))
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vals=st.lists(st.tuples(st.integers(0, 9), cell), min_size=1, max_size=40))
+    def law(vals):
+        rows = [(i, v) for i, (i_, v) in zip(range(len(vals)), vals)]
+        df = spark.createDataFrame(rows, "rid long, v long")
+        rules = [
+            Expectation("v_nn", "v", "not_null"),
+            Expectation("v_min", "v", "min_value", bound=0.0, threshold=0.5),
+        ]
+        out = {r["rule"]: r for r in run_expectations(df, rules).collect()}
+        n = len(rows)
+        nn = sum(1 for _, v in rows if v is not None)
+        ok_min = sum(1 for _, v in rows if v is not None and v >= 0)
+        assert out["v_nn"]["metric_r6"] == round(nn / n, 6)
+        assert out["v_min"]["metric_r6"] == (
+            round(ok_min / nn, 6) if nn else 1.0
+        )
+        q = {r["rid"]: r for r in enforce_expectations(df, rules, ["rid"]).collect()}
+        for rid, v in rows:
+            fails = []
+            if v is None:
+                fails.append("v_nn")
+            elif v < 0:
+                fails.append("v_min")
+            if fails:
+                assert q[rid]["failed_rules"] == ",".join(fails)
+            else:
+                assert rid not in q
+
+    law()
