@@ -24,6 +24,8 @@ from .multimodal import (
     with_blob_column,
 )
 from .export import export_training_shards
+from .sketch import kmv_distinct, kmv_keep, kmv_report
+from .expectations import Expectation, enforce_expectations, run_expectations
 
 __all__ = [
     "tokens_col",
@@ -48,4 +50,10 @@ __all__ = [
     "frame_sample_manifest",
     "image_embed",
     "export_training_shards",
+    "kmv_distinct",
+    "kmv_keep",
+    "kmv_report",
+    "Expectation",
+    "run_expectations",
+    "enforce_expectations",
 ]

@@ -27,9 +27,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def scratch_dir(prefix: str) -> str:
+    """Scratch root for bounded-replay state/checkpoint/sink files —
+    all deleted when the replay returns, so DURABILITY IS NOT REQUIRED
+    and a RAM filesystem is the right medium: the two-phase protocol's
+    cost is dominated by many small fsync-heavy state-store and
+    checkpoint files. Prefers /dev/shm when present (override with
+    $SPARK_GRAFT_STREAM_SCRATCH; any path works). Production streams
+    point checkpointLocation at durable storage instead — this helper
+    is only ever used for harness-owned temporaries."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def make_replay_dirs(prefix: str) -> tuple[str, str, str, str]:
     """(work, sentinel_dir, out_dir, ckpt_dir) under one temp root."""
-    work = tempfile.mkdtemp(prefix=prefix)
+    work = scratch_dir(prefix)
     sentinel_dir = os.path.join(work, "sentinel")
     out_dir = os.path.join(work, "out")
     ckpt_dir = os.path.join(work, "ckpt")

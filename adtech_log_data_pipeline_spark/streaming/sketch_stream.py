@@ -81,18 +81,18 @@ def stream_kmv_distinct(
     to the batch kmv_distinct over the same rows (merge idempotence) —
     the DuckDB oracle is literally the batch query's."""
     import shutil
-    import tempfile
 
+    from ._replay import scratch_dir
     from .windowed import _events_stream, stream_partitions
 
     own_dir = state_dir is None
     if own_dir:
-        state_dir = os.path.join(tempfile.mkdtemp(prefix="kmv_state_"), "state")
+        state_dir = os.path.join(scratch_dir("kmv_state_"), "state")
     src = events if events is not None else _events_stream(spark, sf_dir)
     hashes = src.filter(F.col("user_id").isNotNull()).select(
         "event_type", kmv_hash("user_id").alias("h")
     )
-    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    ckpt = scratch_dir("kmv_ckpt_")
     try:
         with stream_partitions(spark):
             q = (

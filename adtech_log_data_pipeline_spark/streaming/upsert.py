@@ -102,15 +102,13 @@ def stream_upsert_latest(
     unique tiebreak), so a bounded replay equals the batch query the
     DuckDB oracle states."""
     import shutil
-    import tempfile
 
+    from ._replay import scratch_dir
     from .windowed import _events_stream, stream_partitions
 
     own_dir = state_dir is None
     if own_dir:
-        state_dir = os.path.join(
-            tempfile.mkdtemp(prefix="upsert_state_"), "state"
-        )
+        state_dir = os.path.join(scratch_dir("upsert_state_"), "state")
     agg = (
         (events if events is not None else _events_stream(spark, sf_dir))
         .select(
@@ -131,7 +129,7 @@ def stream_upsert_latest(
             "n_events",
         )
     )
-    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    ckpt = scratch_dir("upsert_ckpt_")
     try:
         with stream_partitions(spark):
             q = (
