@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         choices=[
             "bidlog", "prediction", "export", "ingest", "compact",
-            "bucketize", "profile", "rangesort",
+            "bucketize", "profile", "rangesort", "zorder", "diff",
         ],
         required=True,
     )
@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--profiles", help="bidlog-job output dir (prediction job)")
     ap.add_argument("--input", help="input directory (ingest/compact jobs)")
+    ap.add_argument("--against", help="old snapshot directory (diff job)")
     ap.add_argument("--checkpoint", help="checkpoint dir (ingest job)")
     ap.add_argument("--schema", help="input DDL schema (ingest job, optional)")
     ap.add_argument("--table", help="catalog table name (bucketize job)")
@@ -127,6 +128,33 @@ def main(argv: list[str] | None = None) -> int:
             f"bucketize done: {args.table} ({args.n_buckets} buckets on"
             f" {cols}) -> {args.output}"
         )
+    elif args.job == "zorder":
+        cols = [c.strip() for c in (args.bucket_cols or "").split(",") if c.strip()]
+        if not args.input or len(cols) != 2:
+            ap.error(
+                "--input and --bucket-cols x,y (exactly two) are required"
+                " for --job zorder"
+            )
+        from .jobs.maintenance import zorder_table
+
+        n = zorder_table(spark, args.input, args.output, cols[0], cols[1])
+        print(f"zorder done: {n} Z-ordered files on {cols} -> {args.output}")
+    elif args.job == "diff":
+        if not args.input or not args.against or not args.bucket_cols:
+            ap.error(
+                "--input (new), --against (old) and --bucket-cols (keys) are"
+                " required for --job diff"
+            )
+        from pyspark.sql import functions as F
+
+        from .jobs.maintenance import snapshot_diff
+
+        cols = [c.strip() for c in args.bucket_cols.split(",") if c.strip()]
+        d = snapshot_diff(spark, args.against, args.input, cols)
+        d.write.mode("overwrite").parquet(args.output)
+        counts = {r["status"]: r["n"] for r in
+                  d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(f"diff done: {counts} -> {args.output}")
     elif args.job == "rangesort":
         if not args.input or not args.bucket_cols:
             ap.error("--input and --bucket-cols are required for --job rangesort")

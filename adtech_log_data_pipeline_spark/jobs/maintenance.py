@@ -23,6 +23,7 @@ from __future__ import annotations
 
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def incremental_ingest(
@@ -218,3 +219,96 @@ def range_sort_table(
         .parquet(out_dir)
     )
     return n_partitions
+
+
+def zorder_key(col_x: str, col_y: str):
+    """Morton/Z-order key of two non-negative 31-bit int columns: bits of
+    x and y interleaved into one bigint (x in even positions). Sorting on
+    this key gives MULTI-dimensional file locality — each range-sorted
+    output file covers a small rectangle in (x, y), so parquet min/max
+    stats prune predicates on EITHER column (the Delta/Iceberg
+    OPTIMIZE ZORDER layout, built from five mask-shift spreading steps —
+    pure JVM bit arithmetic, codegen-friendly, no UDF). NULL in either
+    column yields a NULL key (sorts first, together)."""
+    from pyspark.sql import functions as F
+
+    def spread(c: str) -> str:
+        # spread 32 -> 64 bits: classic magic-mask sequence
+        v = f"(cast({c} as bigint) & 4294967295)"
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            v = f"((({v}) | shiftleft(({v}), {shift})) & {mask})"
+        return v
+
+    return F.expr(f"({spread(col_x)}) | shiftleft(({spread(col_y)}), 1)")
+
+
+def zorder_table(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    n_partitions: int = 8,
+) -> int:
+    """Rewrite a table Z-ordered on two columns: range-partition + sort on
+    the interleaved key, then drop it — the written files carry tight
+    min/max rectangles on BOTH columns. Returns the partition count."""
+    df: DataFrame = spark.read.parquet(in_dir)
+    (
+        df.withColumn("__z", zorder_key(col_x, col_y))
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n_partitions
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    old_dir: str,
+    new_dir: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Key-level diff of two parquet snapshots:
+    (key_cols..., status in {added, removed, changed}) — the audit a
+    nightly-rebuild pipeline runs before promoting a new table version.
+
+    Scale shape: each side collapses to (keys, fingerprint) MAP-SIDE —
+    the md5 of the canonical JSON of the sorted non-key columns — so
+    wide rows never shuffle; the full-outer join is the single co-keyed
+    shuffle. Identical rows produce no output (the common case streams
+    through the join and is filtered without materializing)."""
+    old = spark.read.parquet(old_dir)
+    new = spark.read.parquet(new_dir)
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    non_key = sorted(c for c in new.columns if c not in key_cols)
+
+    def fingerprint(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.md5(F.to_json(F.struct(*non_key))).alias(alias),
+        )
+
+    j = fingerprint(old, "__ho").join(
+        fingerprint(new, "__hn"), key_cols, "full_outer"
+    )
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
