@@ -995,3 +995,44 @@ def temperature_mix(
             "rate_ppm",
         )
     )
+
+
+OOV_VOCAB_K = 50
+
+
+def oov_rate(documents: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
+    """Vocabulary coverage per source: the fraction of token OCCURRENCES
+    falling outside the global top-``vocab_k`` vocabulary — the
+    tokenizer-coverage screen run before committing a vocab to a
+    training run. Output: (source, n_tokens, n_oov, oov_ppm), ppm as
+    exact integer floor.
+
+    Scale shape: one token hash agg builds the vocabulary (top-k via
+    TakeOrdered, deterministic count-desc/token-asc tiebreak); the
+    membership test is a BROADCAST left join of the token stream against
+    the k-row vocab, then a per-source count agg — the corpus never
+    shuffles on the token."""
+    toks = documents.select("source", F.explode(tokens_col()).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        )
+    )

@@ -514,11 +514,20 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(load_table(spark, sf_dir, "events"), ["user_id"])
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage screen: per-source out-of-vocabulary rate
+    against the global top-50 vocabulary."""
+    from ..functions.text import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_user_distinct": q_kmv_user_distinct,
     "quality_expectations": q_quality_expectations,
     "quarantined_docs": q_quarantined_docs,
     "key_skew_report": q_key_skew_report,
+    "oov_rate": q_oov_rate,
     "stream_kmv_distinct": q_stream_kmv_distinct,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
@@ -1809,6 +1818,19 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     # foreachBatch merge is idempotent/associative, so any slicing of the
     # stream must land on the same state
     "stream_kmv_distinct": _oracle_kmv(),
+    "oov_rate": f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+v AS (SELECT token FROM (
+        SELECT token, count(*) AS tc,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM tok GROUP BY token) WHERE rn <= 50),
+j AS (SELECT t.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN v ON t.token = v.token)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+FROM j GROUP BY source
+""",
     "text_stats": _ORACLE_TEXT_STATS,
     "lang_id": _oracle_lang_id(),
     "doc_fingerprints": _ORACLE_FINGERPRINTS,

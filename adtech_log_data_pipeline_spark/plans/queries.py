@@ -188,6 +188,7 @@ _GATE_FIRST = [
     "retention_cohorts",
     "hourly_activity",
     "stream_kmv_distinct",
+    "oov_rate",
     # stream_attribution_outer's round-4 ERR (vanilla-session NaN
     # materialization) is fixed this round — it stays inside the window
     # (it sits in the streaming block below) until it earns a green row.
@@ -223,8 +224,9 @@ _GATE_FIRST = [
     "stream_upsert_latest",
     "stream_session_windows",
     "streaming_spend_sessions",
-    "streaming_sessionize",
-    "streaming_device_activity",
+    # streaming_sessionize / streaming_device_activity earned green rows
+    # in round 4 and rotate out of the window to make room for the
+    # round-5 never-gated queries (they re-enter if they ever change)
 ]
 _GATE_LAST = [
     "customer_order_distribution",

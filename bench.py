@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "hourly_activity",
     "stream_kmv_distinct",
+    "oov_rate",
     "bidlog_validation",
     "device_profiles_flat",
     "device_profile_summary",
