@@ -174,3 +174,43 @@ def test_table_profile_is_single_scan_no_join(spark):
     plan = _plan(spark, "table_profile", mode="simple")
     assert "Join" not in plan
     assert plan.count("FileScan") <= 1 or plan.count("Scan parquet") <= 1
+
+
+def test_oov_rate_vocab_broadcast_no_token_shuffle_join(spark):
+    """The vocab membership test must be a broadcast join (k rows) — a
+    SortMergeJoin here means the whole token stream shuffled on the
+    token just to test membership."""
+    plan = _plan(spark, "oov_rate", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_sketch_single_window_no_join(spark):
+    """KMV is distinct + one per-group window + one agg: no join should
+    appear anywhere in the plan."""
+    plan = _plan(spark, "kmv_user_distinct", mode="simple")
+    assert "Join" not in plan
+
+
+def test_quarantine_is_map_only(spark):
+    """Row-level enforcement is pure column expressions over one scan:
+    no exchange, no join, no aggregate."""
+    plan = _plan(spark, "quarantined_docs", mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan.replace("HashAggregate", "")
+    assert "HashAggregate" not in plan
+
+
+def test_rolling_features_single_user_shuffle(spark):
+    """All three windows share the user_id partitioning: exactly one
+    Exchange in the plan."""
+    plan = _plan(spark, "rolling_user_features", mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_retention_cohorts_two_exchanges(spark):
+    """Window min + distinct reuse one user_id shuffle; only the tiny
+    final (cohort, week) aggregation adds a second."""
+    plan = _plan(spark, "retention_cohorts", mode="simple")
+    assert plan.count("Exchange") <= 2
