@@ -3,11 +3,12 @@ with typed metadata (BASELINE.json north star).
 
 The Spark-side machinery is REAL and tested: binary columns flow through
 Arrow into `mapInPandas` batches, the decode UDF sees `bytes` objects, and
-the output schema is typed metadata. The actual media decode is STUBBED —
-this container has no image/audio libraries — behind `decode_media`,
-which raises NotImplementedError for real formats and provides a
-deterministic md5-derived fake for the synthetic corpus (so the pipeline
-is end-to-end testable and oracle-checkable).
+the output schema is typed metadata. Decode is sniff-then-dispatch: PNG
+and WAV payloads decode for REAL via the pure-stdlib codecs in
+sources/media.py (zlib/struct/wave — no PIL/ffmpeg needed); other bytes
+(including the synthetic text-blob corpus) use a deterministic
+md5-derived fake so the pipeline stays end-to-end oracle-checkable.
+JPEG/WebP/video containers remain out of scope without an image library.
 
 At 100 TB: binary payloads dominate row size, so these stages must be
 map-only (they are), partition counts must track bytes not rows
@@ -55,11 +56,22 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_media(payload: bytes, fake: bool = True) -> tuple[int, int, str]:
-    """Decode entry point. Real decode (PIL/ffmpeg) is unavailable in this
-    environment — the seam is here."""
+    """Decode entry point: sniff-then-dispatch. A real PNG payload
+    decodes for REAL (pure-stdlib codec, sources/media.py — no PIL
+    needed); anything else uses the deterministic md5 fake so the
+    synthetic text-blob corpus stays oracle-checkable. ``fake=False``
+    demands a real decode and raises ValueError on unknown bytes (the
+    posture for a production image table, where silent fakes would
+    poison the pipeline)."""
+    from ..sources.media import decode_png, is_png
+
+    if is_png(payload):
+        meta = decode_png(payload)
+        return meta["width"], meta["height"], "png"
     if not fake:
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg; not available in this build"
+        raise ValueError(
+            "payload is not a supported real format (PNG); JPEG/WebP need"
+            " an image library not present in this build"
         )
     return _fake_decode(payload)
 
@@ -161,6 +173,15 @@ def audio_chunk_manifest(blobs: DataFrame) -> DataFrame:
     Output: (doc_id, chunk_idx, chunk_start_ms, chunk_end_ms, duration_ms).
     """
 
+    def _duration_ms(b: bytes) -> int:
+        # sniff-then-dispatch, like decode_media: a real WAV reports its
+        # true duration (pure-stdlib parse), anything else the md5 fake
+        from ..sources.media import decode_wav, is_wav
+
+        if is_wav(b):
+            return decode_wav(b)["duration_ms"]
+        return 1000 + int(hashlib.md5(b).hexdigest()[10:16], 16) % 600_000
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -168,10 +189,7 @@ def audio_chunk_manifest(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "duration_ms": [
-                        1000 + int(hashlib.md5(b).hexdigest()[10:16], 16) % 600_000
-                        for b in pdf["blob"]
-                    ],
+                    "duration_ms": [_duration_ms(b) for b in pdf["blob"]],
                 }
             )
 
