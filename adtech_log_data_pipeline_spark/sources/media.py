@@ -165,3 +165,30 @@ def decode_wav(payload: bytes) -> dict:
         "duration_ms": (n * 1000) // rate if rate else 0,
         "mean_abs": mean_abs,
     }
+
+
+def resize_png(payload: bytes, max_dim: int) -> bytes:
+    """Real nearest-neighbor resample of a PNG to fit within
+    ``max_dim`` (aspect preserved, integer-exact geometry — the same
+    floor((d * MAX) / m) contract as functions/multimodal.py::
+    resize_plan). Deterministic: source index = (i * src) // dst."""
+    meta = decode_png(payload)
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    m = max(w, h)
+    if m <= max_dim:
+        return payload
+    tw = max(1, (w * max_dim) // m)
+    th = max(1, (h * max_dim) // m)
+    src = meta["pixels"]
+    out = bytearray(tw * th * ch)
+    for ty in range(th):
+        sy = (ty * h) // th
+        row = sy * w * ch
+        orow = ty * tw * ch
+        for tx in range(tw):
+            sx = (tx * w) // tw
+            out[orow + tx * ch : orow + (tx + 1) * ch] = src[
+                row + sx * ch : row + (sx + 1) * ch
+            ]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    return encode_png(tw, th, bytes(out), color_type=color_type)

@@ -128,3 +128,43 @@ def test_spark_metadata_and_audio_paths_use_real_codecs(spark):
     assert len(chunks) == 3  # 65 s -> 30+30+5
     assert all(r["duration_ms"] == 65_000 for r in chunks)
     assert chunks[-1]["chunk_end_ms"] == 65_000
+
+
+def test_png_roundtrip_fuzz():
+    """Random dims/pixels/color types survive encode -> decode exactly."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31),
+    )
+    def law(w, h, ct, seed):
+        from adtech_log_data_pipeline_spark.sources.media import _CHANNELS
+
+        ch = _CHANNELS[ct]
+        pixels = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(w * h * ch))
+        meta = decode_png(encode_png(w, h, pixels, color_type=ct))
+        assert meta["pixels"] == pixels and meta["channels"] == ch
+
+    law()
+
+
+def test_resize_png_real_resample():
+    from adtech_log_data_pipeline_spark.sources.media import resize_png
+
+    # 100x40 gradient: resize to fit 50 -> 50x20
+    w, h = 100, 40
+    pixels = bytes((x % 256) for y in range(h) for x in range(w) for _ in range(3))
+    big = encode_png(w, h, pixels, color_type=2)
+    small = decode_png(resize_png(big, 50))
+    assert (small["width"], small["height"]) == (50, 20)
+    # nearest-neighbor law: target pixel (tx, ty) == source ((tx*w)//tw, (ty*h)//th)
+    for tx in (0, 13, 49):
+        sx = (tx * w) // 50
+        assert small["pixels"][3 * tx] == sx % 256
+    # already-fitting image passes through byte-identical
+    assert resize_png(small_png := encode_png(8, 8, bytes(8 * 8 * 3)), 50) == small_png
