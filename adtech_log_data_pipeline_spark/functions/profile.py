@@ -27,7 +27,11 @@ from pyspark.sql.types import (
 )
 
 
-def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
     """Per-column quality metrics:
     (col, n_rows, n_nulls, n_distinct, min_val, max_val), all bigint.
     Bounds by type: numeric/boolean -> value; string -> LENGTH (length
@@ -35,13 +39,20 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     epoch days; timestamp -> epoch millis. Any other type (array, struct,
     binary, map) still gets null/cardinality metrics with NULL bounds
     (maps are not comparable in Spark, so their n_distinct is NULL
-    too) — no column type fails the profile."""
+    too) — no column type fails the profile.
+
+    ``approx_distinct=True`` swaps the exact countDistinct (whose agg
+    state grows with cardinality) for HyperLogL++ — the 100 TB posture;
+    approx results are engine-specific, so the oracle-gated query keeps
+    the exact default (same tradeoff as operators/approx.py)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = columns if columns is not None else list(fields)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         t = fields[c]
-        distinct: Column = F.countDistinct(c)
+        distinct: Column = (
+            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        )
         if isinstance(t, NumericType):
             lo, hi = F.min(c), F.max(c)
         elif isinstance(t, StringType):

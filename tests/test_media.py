@@ -168,3 +168,21 @@ def test_resize_png_real_resample():
         assert small["pixels"][3 * tx] == sx % 256
     # already-fitting image passes through byte-identical
     assert resize_png(small_png := encode_png(8, 8, bytes(8 * 8 * 3)), 50) == small_png
+
+
+def test_resize_images_spark_stage(spark):
+    from adtech_log_data_pipeline_spark.functions.multimodal import resize_images
+    from adtech_log_data_pipeline_spark.sources.media import decode_png
+
+    big = encode_png(300, 120, bytes(300 * 120 * 3), color_type=2)
+    small = encode_png(16, 16, bytes(16 * 16 * 3), color_type=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(small)), (3, bytearray(b"text blob"))],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, max_dim=100).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["resized"]) == (100, 40, True)
+    meta = decode_png(bytes(out[1]["blob"]))
+    assert (meta["width"], meta["height"]) == (100, 40)
+    assert out[2]["resized"] is False and out[2]["width"] == 16
+    assert out[3]["width"] == -1 and bytes(out[3]["blob"]) == b"text blob"

@@ -292,3 +292,18 @@ def test_table_profile_handles_every_column_type(spark):
             spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
         )
         assert prof.count() > 0
+
+
+def test_table_profile_approx_distinct_mode(spark):
+    """approx_distinct=True swaps exact countDistinct for HLL++: same
+    report shape, estimates within HLL's default 5% rsd."""
+    from adtech_log_data_pipeline_spark.functions.profile import table_profile
+
+    df = spark.range(0, 5000).selectExpr("id", "cast(id % 137 as string) as s")
+    exact = {r["col"]: r for r in table_profile(df).collect()}
+    approx = {r["col"]: r for r in table_profile(df, approx_distinct=True).collect()}
+    assert set(approx) == set(exact)
+    for c in exact:
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(2, 0.1 * e)
+        assert approx[c]["min_val"] == exact[c]["min_val"]
