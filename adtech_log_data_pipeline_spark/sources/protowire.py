@@ -67,7 +67,10 @@ class WireError(ValueError):
 class Field:
     number: int
     name: str
-    kind: str  # int32|int64|enum|string|double|message|map_i32_i32
+    # int32|int64|enum|string|double|message|map_i32_i32|bytes|
+    # packed_int64|packed_float|map_str_msg (the last four exist for
+    # tf.train.Example — sources/tfexample.py)
+    kind: str
     repeated: bool = False
     message: "Spec | None" = None
 
@@ -84,12 +87,14 @@ class Spec:
     def default(self) -> dict[str, Any]:
         out: dict[str, Any] = {}
         for f in self.fields:
-            if f.repeated:
+            if f.repeated or f.kind in ("packed_int64", "packed_float"):
                 out[f.name] = []
-            elif f.kind == "map_i32_i32":
+            elif f.kind in ("map_i32_i32", "map_str_msg"):
                 out[f.name] = {}
             elif f.kind == "message":
                 out[f.name] = None
+            elif f.kind == "bytes":
+                out[f.name] = b""
             elif f.kind in ("string",):
                 out[f.name] = ""
             elif f.kind == "double":
@@ -189,6 +194,14 @@ _MAP_ENTRY = Spec("MapEntry", (
 ))
 
 
+def _str_msg_entry(value_spec: "Spec") -> "Spec":
+    """Synthetic entry spec for a map<string, Message> field."""
+    return Spec("StrMsgEntry", (
+        Field(1, "key", "string"),
+        Field(2, "value", "message", message=value_spec),
+    ))
+
+
 # ---------------------------------------------------------------------------
 # wire primitives
 
@@ -281,6 +294,16 @@ def decode_message(buf: bytes, spec: Spec) -> dict[str, Any]:
                 raise WireError("truncated double")
             msg[f.name] = _struct.unpack_from("<d", buf, pos)[0]
             pos += 8
+        elif f.kind == "packed_int64" and wt == _WIRE_VARINT:
+            # unpacked element of a packed-able field (proto3 parsers
+            # accept both encodings)
+            raw, pos = _read_varint(buf, pos)
+            msg[f.name].append(_signed64(raw))
+        elif f.kind == "packed_float" and wt == _WIRE_I32:
+            if pos + 4 > len(buf):
+                raise WireError("truncated float")
+            msg[f.name].append(_struct.unpack_from("<f", buf, pos)[0])
+            pos += 4
         elif wt != _WIRE_LEN:
             raise WireError(f"{spec.name}.{f.name}: expected length-delimited")
         else:
@@ -294,8 +317,27 @@ def decode_message(buf: bytes, spec: Spec) -> dict[str, Any]:
                     msg[f.name] = payload.decode("utf-8")
                 except UnicodeDecodeError as e:
                     raise WireError("invalid UTF-8") from e
+            elif f.kind == "bytes":
+                if f.repeated:
+                    msg[f.name].append(payload)
+                else:
+                    msg[f.name] = payload
+            elif f.kind == "packed_int64":
+                p = 0
+                while p < len(payload):
+                    raw, p = _read_varint(payload, p)
+                    msg[f.name].append(_signed64(raw))
+            elif f.kind == "packed_float":
+                if len(payload) % 4:
+                    raise WireError("packed float payload not 4-aligned")
+                msg[f.name].extend(
+                    _struct.unpack(f"<{len(payload) // 4}f", payload)
+                )
             elif f.kind == "map_i32_i32":
                 entry = decode_message(payload, _MAP_ENTRY)
+                msg[f.name][entry["key"]] = entry["value"]
+            elif f.kind == "map_str_msg":
+                entry = decode_message(payload, _str_msg_entry(f.message))
                 msg[f.name][entry["key"]] = entry["value"]
             elif f.kind == "message":
                 sub = decode_message(payload, f.message)
@@ -329,9 +371,35 @@ def encode_message(msg: dict[str, Any], spec: Spec) -> bytes:
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, len(raw))
                 out += raw
+        elif f.kind == "bytes":
+            raws = v if f.repeated else ([v] if v else [])
+            for raw in raws:
+                _write_varint(out, f.number << 3 | _WIRE_LEN)
+                _write_varint(out, len(raw))
+                out += bytes(raw)
+        elif f.kind == "packed_int64":
+            if v:
+                body = bytearray()
+                for x in v:
+                    _write_varint(body, int(x))
+                _write_varint(out, f.number << 3 | _WIRE_LEN)
+                _write_varint(out, len(body))
+                out += body
+        elif f.kind == "packed_float":
+            if v:
+                _write_varint(out, f.number << 3 | _WIRE_LEN)
+                _write_varint(out, 4 * len(v))
+                out += _struct.pack(f"<{len(v)}f", *v)
         elif f.kind == "map_i32_i32":
             for k in sorted(v or {}):
                 entry = encode_message({"key": k, "value": v[k]}, _MAP_ENTRY)
+                _write_varint(out, f.number << 3 | _WIRE_LEN)
+                _write_varint(out, len(entry))
+                out += entry
+        elif f.kind == "map_str_msg":
+            entry_spec = _str_msg_entry(f.message)
+            for k in sorted(v or {}):
+                entry = encode_message({"key": k, "value": v[k]}, entry_spec)
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, len(entry))
                 out += entry
