@@ -34,8 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--job",
         choices=[
-            "bidlog", "prediction", "export", "ingest", "compact",
-            "bucketize", "profile", "rangesort", "zorder", "diff",
+            "bidlog", "prediction", "export", "export-tfrecord", "ingest",
+            "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
         ],
         required=True,
     )
@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         rows = {r["split"]: r["n_docs"] for r in manifest.collect()}
         print(f"export job done: {rows} -> {args.output}")
+    elif args.job == "export-tfrecord":
+        from .sources.tables import load_table
+        from .sources.tfexample import export_tfrecord_examples
+
+        n = export_tfrecord_examples(
+            load_table(spark, args.sf_dir, "documents"), args.output
+        )
+        print(f"export-tfrecord done: {n} tf.train.Examples -> {args.output}")
     elif args.job == "ingest":
         if not args.input or not args.checkpoint:
             ap.error("--input and --checkpoint are required for --job ingest")
