@@ -389,6 +389,14 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_kmv_distinct(spark, sf_dir)
 
 
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter split: per-micro-batch row-level admission
+    gate, idempotent per-batch sinks — batch-identical quarantine table."""
+    from ..streaming import stream_quarantine
+
+    return stream_quarantine(spark, sf_dir)
+
+
 def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert in UPDATE mode: latest event + running
     count per user maintained as a merged state table."""
@@ -529,6 +537,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": q_key_skew_report,
     "oov_rate": q_oov_rate,
     "stream_kmv_distinct": q_stream_kmv_distinct,
+    "stream_quarantine": q_stream_quarantine,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
     "shingle_dup_rate": q_shingle_dup_rate,
@@ -1818,6 +1827,24 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     # foreachBatch merge is idempotent/associative, so any slicing of the
     # stream must land on the same state
     "stream_kmv_distinct": _oracle_kmv(),
+    # streaming/quarantine.py::EVENT_RULES restated row-by-row (the
+    # split is stateless/map-only, so the stream equals the batch gate)
+    "stream_quarantine": """
+WITH t AS (
+  SELECT event_id,
+         list_filter([
+           CASE WHEN NOT (user_id IS NOT NULL) THEN 'user_present' ELSE NULL END,
+           CASE WHEN NOT (event_type IS NULL OR event_type IN
+                          ('click','view','purchase','signup'))
+                THEN 'known_type' ELSE NULL END,
+           CASE WHEN NOT (value IS NULL OR value >= 0.5)
+                THEN 'value_min' ELSE NULL END
+         ], x -> x IS NOT NULL) AS failed
+  FROM events)
+SELECT event_id, CAST(len(failed) AS INT) AS n_failed,
+       array_to_string(failed, ',') AS failed_rules
+FROM t WHERE len(failed) > 0
+""",
     "oov_rate": f"""
 WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
 v AS (SELECT token FROM (

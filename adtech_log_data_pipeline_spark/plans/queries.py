@@ -189,6 +189,7 @@ _GATE_FIRST = [
     "hourly_activity",
     "stream_kmv_distinct",
     "oov_rate",
+    "stream_quarantine",
     # stream_attribution_outer's round-4 ERR (vanilla-session NaN
     # materialization) is fixed this round — it stays inside the window
     # (it sits in the streaming block below) until it earns a green row.

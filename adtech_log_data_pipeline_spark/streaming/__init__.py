@@ -12,10 +12,12 @@ from .sessionize import sessionize_bounded, streaming_sessionize
 from .spend import streaming_spend_sessions
 from .upsert import stream_upsert_latest
 from .sketch_stream import stream_kmv_distinct
+from .quarantine import stream_quarantine
 
 __all__ = [
     "stream_attribution_outer",
     "stream_kmv_distinct",
+    "stream_quarantine",
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_enriched_counts",

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "hourly_activity",
     "stream_kmv_distinct",
     "oov_rate",
+    "stream_quarantine",
     "bidlog_validation",
     "device_profiles_flat",
     "device_profile_summary",

@@ -414,3 +414,24 @@ def test_kmv_sketch_multibatch_equals_batch(spark, replay_dir):
         ).collect()
     }
     assert {tuple(r) for r in out} == expected
+
+
+def test_quarantine_multibatch_equals_batch(spark, replay_dir):
+    """Stateless map-only split: a 4-batch replay's quarantine table must
+    equal the batch enforcement exactly (per-batch idempotent sinks)."""
+    from adtech_log_data_pipeline_spark.functions.expectations import (
+        enforce_expectations,
+    )
+    from adtech_log_data_pipeline_spark.streaming.quarantine import (
+        EVENT_RULES,
+        stream_quarantine,
+    )
+
+    out = stream_quarantine(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    ).collect()
+    expected = enforce_expectations(
+        load_table(spark, SF, "events"), EVENT_RULES, ["event_id"]
+    ).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in expected}
+    assert len(out) > 0
