@@ -269,3 +269,21 @@ def test_outer_attribution_nulls_survive_arrow_off(spark):
     assert all(r["lag_ms"] is None for r in unmatched)
     matched = [r for r in rows if r["click_id"] is not None]
     assert all(isinstance(r["lag_ms"], int) for r in matched)
+
+
+def test_scratch_dir_env_override(tmp_path, monkeypatch):
+    """SPARK_GRAFT_STREAM_SCRATCH redirects bounded-replay scratch; the
+    default prefers /dev/shm when present."""
+    import os
+
+    from adtech_log_data_pipeline_spark.streaming._replay import scratch_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", str(tmp_path))
+    d = scratch_dir("t_")
+    assert d.startswith(str(tmp_path))
+    os.rmdir(d)
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH")
+    d = scratch_dir("t_")
+    assert d.startswith("/dev/shm") == os.path.isdir("/dev/shm")
+    os.rmdir(d)
