@@ -121,3 +121,44 @@ def test_gate_window_holds_least_proven_queries():
     assert set(_PARITY) <= window
     missing = set(_GATE_FIRST) - window
     assert not missing, f"queries pushed out of the driver gate window: {missing}"
+
+
+def test_rolling_features_frame_semantics(spark):
+    """Hand-computed RANGE-frame law: the 1h window covers strictly
+    earlier events only ([t-3600000, t-1]); same-timestamp peers are
+    excluded; cents accumulate exactly."""
+    import datetime as dt
+
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        rolling_user_features_sql,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, base, 1.50, "click"),                              # t=0
+        (2, 7, base + dt.timedelta(minutes=10), 2.25, "view"),    # t=10m
+        (3, 7, base + dt.timedelta(minutes=10), 4.00, "view"),    # same ts
+        (4, 7, base + dt.timedelta(minutes=65), 8.00, "buy"),     # t=65m
+        (5, 9, base + dt.timedelta(minutes=5), 1.00, "click"),    # other user
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, event_type string"
+    ).createOrReplaceTempView("events")
+    try:
+        out = {
+            r["event_id"]: r
+            for r in spark.sql(rolling_user_features_sql("spark")).collect()
+        }
+        assert out[1]["n_prev_1h"] == 0 and out[1]["cents_prev_1h"] == 0
+        assert out[1]["ms_since_prev"] is None
+        # events 2 and 3 share a timestamp: each sees only event 1
+        for eid in (2, 3):
+            assert out[eid]["n_prev_1h"] == 1
+            assert out[eid]["cents_prev_1h"] == 150
+        # event 4 at 65m: events 2,3 (10m) are inside [5m, 65m); 1 is not
+        assert out[4]["n_prev_1h"] == 2
+        assert out[4]["cents_prev_1h"] == 225 + 400
+        assert out[4]["ms_since_prev"] == 55 * 60 * 1000
+        assert out[5]["n_prev_1h"] == 0  # user isolation
+    finally:
+        spark.catalog.dropTempView("events")
