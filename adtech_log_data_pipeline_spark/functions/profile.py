@@ -63,8 +63,29 @@ def table_profile(
         elif isinstance(t, DateType):
             v = F.datediff(F.col(c), F.lit("1970-01-01"))
             lo, hi = F.min(v), F.max(v)
-        elif isinstance(t, (TimestampType, TimestampNTZType)):
-            v = F.unix_millis(F.col(c).cast("timestamp"))
+        elif isinstance(t, TimestampType):
+            # zoned timestamp: an absolute instant — unix_millis is
+            # already engine/host-portable
+            v = F.unix_millis(F.col(c))
+            lo, hi = F.min(v), F.max(v)
+        elif isinstance(t, TimestampNTZType):
+            # NTZ: NEVER route through cast('timestamp') (that reads
+            # spark.sql.session.timeZone — the vanilla driver session has
+            # no timezone pin). Epoch millis from the LOCAL datetime
+            # fields: to_date/hour/minute/extract(second) on NTZ read the
+            # stored fields directly, timezone-free. extract(second)
+            # carries the fractional part (decimal), so floor(sec*1000)
+            # is the full millis-within-minute.
+            v = (
+                F.datediff(F.to_date(F.col(c)), F.lit("1970-01-01")).cast("bigint")
+                * 86400000
+                + F.hour(F.col(c)).cast("bigint") * 3600000
+                + F.minute(F.col(c)).cast("bigint") * 60000
+                + F.floor(
+                    F.expr(f"extract(second from `{c}`)").cast("decimal(18,6)")
+                    * 1000
+                ).cast("bigint")
+            )
             lo, hi = F.min(v), F.max(v)
         else:
             lo, hi = F.lit(None), F.lit(None)

@@ -486,6 +486,12 @@ def kmeans_centroids(
     by_cid: dict[int, dict[int, int]] = {}
     for r in seed_rows:
         by_cid.setdefault(r[0], {})[r[1]] = r[2]
+    if not by_cid:
+        # empty input (or total=0): no seeds exist — return an empty
+        # centroid relation instead of crashing on cids[0]
+        return embeddings.sparkSession.createDataFrame(
+            [], "cid long, dim int, n_vecs bigint, centroid_micro bigint"
+        )
     cids = np.array(sorted(by_cid), dtype=np.int64)
     cmat = np.array(
         [[by_cid[c][d] for d in sorted(by_cid[c])] for c in cids],
@@ -658,6 +664,11 @@ def _centroid_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     by_cid: dict[int, dict[int, int]] = {}
     for r in rows:
         by_cid.setdefault(r[0], {})[r[1]] = r[2]
+    if not by_cid:
+        # empty centroid relation (empty corpus): 0 x 0 matrix keeps the
+        # eager |c|^2 precompute shape-valid; the assignment UDF only ever
+        # sees empty batches in this case
+        return np.array([], dtype=np.int64), np.zeros((0, 0), dtype=np.int64)
     cids = np.array(sorted(by_cid), dtype=np.int64)
     cmat = np.array(
         [[by_cid[c][d] for d in sorted(by_cid[c])] for c in cids],

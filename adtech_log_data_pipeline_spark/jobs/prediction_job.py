@@ -40,13 +40,17 @@ def sink_predictions(
     bq_table: str | None = None,
     _bq_write=None,
 ) -> str:
-    """Route the predictions frame to its sink; returns the sink chosen
-    ("bigquery" or "parquet"). BigQuery is used when a table is named
-    (arg or $SPARK_GRAFT_BQ_TABLE) AND the connector is present —
-    mirroring jobs2/PredictionJob.java:128-137's WRITE_TRUNCATE
-    disposition via mode("overwrite"). ``_bq_write`` injects the write
-    call for tests (no live BigQuery in any test environment)."""
+    """Route the predictions frame to its sinks; returns the sinks chosen
+    ("bigquery+parquet", "bigquery", or "parquet"). BigQuery is used when
+    a table is named (arg or $SPARK_GRAFT_BQ_TABLE) AND the connector is
+    present — mirroring jobs2/PredictionJob.java:128-137's WRITE_TRUNCATE
+    disposition via mode("overwrite"). The local parquet + JSON artifacts
+    are ALWAYS written when ``output_dir`` is given — the BigQuery route
+    is additive, so an env var alone can never divert the job's expected
+    local outputs. ``_bq_write`` injects the write call for tests (no
+    live BigQuery in any test environment)."""
     bq_table = bq_table or os.environ.get("SPARK_GRAFT_BQ_TABLE")
+    sinks = []
     if bq_table and (
         _bq_write is not None or bigquery_available(preds.sparkSession)
     ):
@@ -57,11 +61,14 @@ def sink_predictions(
             .save()
         )
         write(preds, bq_table)
-        return "bigquery"
+        sinks.append("bigquery")
     if output_dir:
         preds.write.mode("overwrite").parquet(os.path.join(output_dir, "predictions"))
         write_json_text(preds, os.path.join(output_dir, "predictions_json"))
-    return "parquet"
+        sinks.append("parquet")
+    elif not sinks:
+        sinks.append("parquet")  # no-op fallback label (nothing written)
+    return "+".join(sinks)
 
 
 def run_prediction_job(

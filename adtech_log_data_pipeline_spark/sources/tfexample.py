@@ -113,9 +113,14 @@ def export_tfrecord_examples(
 
     framed = documents.select(*DOC_FEATURES).mapInPandas(
         encode, schema="payload binary"
-    )
-    n = framed.count()
-    write_tfrecord_partitioned(framed, out_dir, compress=compress)
+    ).persist()
+    try:
+        # persist first: count() + the shard write otherwise run the full
+        # mapInPandas encode twice (doubling the export's CPU cost)
+        n = framed.count()
+        write_tfrecord_partitioned(framed, out_dir, compress=compress)
+    finally:
+        framed.unpersist()
     return n
 
 

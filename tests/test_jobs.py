@@ -203,13 +203,20 @@ def test_bigquery_sink_routing(spark, tmp_path):
     written = []
     chosen = sink_predictions(
         preds,
-        str(tmp_path / "unused"),
+        str(tmp_path / "both"),
         bq_table="proj.ds.t",
         _bq_write=lambda df, table: written.append((df.count(), table)),
     )
-    assert chosen == "bigquery"
+    assert chosen == "bigquery+parquet"
     assert written == [(1, "proj.ds.t")]
-    assert not (tmp_path / "unused").exists()  # BQ path skips the fallback
+    # the BQ route is additive: local artifacts still land when asked for
+    assert (tmp_path / "both" / "predictions").exists()
+
+    # BQ only (no output_dir) -> nothing local, routed to bigquery alone
+    assert (
+        sink_predictions(preds, None, bq_table="proj.ds.t", _bq_write=lambda *a: None)
+        == "bigquery"
+    )
 
     # no table named -> parquet regardless of availability
     assert (

@@ -576,3 +576,24 @@ def test_dedup_incoming_matches_existing_only(spark):
     assert out[7]["is_dup"] and out[7]["match_doc"] == 1 and out[7]["jaccard"] == 1.0
     assert out[17]["is_dup"] and out[17]["match_doc"] == 1
     assert not out[27]["is_dup"] and out[27]["match_doc"] is None
+
+
+def test_kmeans_and_semantic_dedup_empty_input(spark):
+    """Empty embeddings: kmeans_centroids returns an empty centroid
+    relation (round-5 advice: the strided seed collect crashed on
+    cids[0]) and semantic_dedup — which routes every input through it —
+    returns an empty verdict frame, no crash."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        kmeans_assignments,
+        kmeans_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cent = kmeans_centroids(emb)
+    assert cent.columns == ["cid", "dim", "n_vecs", "centroid_micro"]
+    assert cent.count() == 0
+    assert kmeans_assignments(emb, cent).count() == 0
+    out = semantic_dedup(emb)
+    assert out.columns == ["vec_id", "cid", "kept"]
+    assert out.count() == 0

@@ -307,3 +307,29 @@ def test_table_profile_approx_distinct_mode(spark):
         e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
         assert abs(a - e) <= max(2, 0.1 * e)
         assert approx[c]["min_val"] == exact[c]["min_val"]
+
+
+def test_table_profile_ntz_bounds_are_timezone_free(spark):
+    """TimestampNTZ bounds must not depend on spark.sql.session.timeZone
+    (round-5 advice: the cast('timestamp') route did — the vanilla driver
+    session has no timezone pin). Epoch millis come from the stored local
+    fields: identical under any session zone, and exact to the milli."""
+    from adtech_log_data_pipeline_spark.functions.profile import table_profile
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (timestamp_ntz'1970-01-02 03:04:05.678'),"
+        " (timestamp_ntz'1970-01-05 00:00:00'), (CAST(NULL AS timestamp_ntz))"
+        " AS t(tns)"
+    )
+    expect_min = 86400000 + 3 * 3600000 + 4 * 60000 + 5678
+    expect_max = 4 * 86400000
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        bounds = []
+        for tz in ("UTC", "Asia/Kathmandu", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = table_profile(df).collect()[0]
+            bounds.append((row["min_val"], row["max_val"], row["n_nulls"]))
+        assert bounds == [(expect_min, expect_max, 1)] * 3
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
