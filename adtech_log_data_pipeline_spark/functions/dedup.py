@@ -197,6 +197,28 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_rows_raw(
+    documents: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
+    """UNCAPPED (doc_id, band, key) band-bucket membership — the raw LSH
+    index relation before the degenerate-bucket cap. Shared by the capped
+    index (minhash_band_rows) and the cap audit (band_cap_audit)."""
+    sigs = minhash_signatures(documents, shingles=shingles)
+    r = N_PERM // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {N_BANDS - 1}),
+                          b -> struct(b AS band,
+                                      md5(cast(concat_ws('|', transform(slice(sig, b * {r} + 1, {r}), x -> cast(x as string))) as binary)) AS key))
+                """
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def minhash_band_rows(
     documents: DataFrame,
     bucket_cap: int = BAND_BUCKET_CAP,
@@ -207,29 +229,16 @@ def minhash_band_rows(
     persisted for the duration of the query via functions/_cache.py).
     Bucket membership beyond ``bucket_cap`` (keep-rule: smallest doc_ids)
     is dropped so a degenerate corpus bounds pair generation at
-    O(cap^2) per bucket. Eagerly materialized: every consumer joins it
-    at least twice, and without upfront materialization the join sides
-    race to populate the cache and each recomputes the signature
-    pipeline."""
+    O(cap^2) per bucket; HOW MUCH each band dropped is observable via
+    band_cap_audit (the "no silent caps" rule). Eagerly materialized:
+    every consumer joins it at least twice, and without upfront
+    materialization the join sides race to populate the cache and each
+    recomputes the signature pipeline."""
     from pyspark.sql.window import Window
 
-    sigs = minhash_signatures(documents, shingles=shingles)
-    r = N_PERM // N_BANDS
     wcap = Window.partitionBy("band", "key").orderBy("doc_id")
     bands = hold(
-        sigs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {N_BANDS - 1}),
-                              b -> struct(b AS band,
-                                          md5(cast(concat_ws('|', transform(slice(sig, b * {r} + 1, {r}), x -> cast(x as string))) as binary)) AS key))
-                    """
-                )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.key")
+        _minhash_band_rows_raw(documents, shingles=shingles)
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
         .drop("rn"),
@@ -364,6 +373,74 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", assemble.cast("bigint").alias("simhash64"))
 
 
+def _simhash_piece_rows_raw(documents: DataFrame) -> DataFrame:
+    """UNCAPPED (doc_id, simhash64, piece, pval) piece-bucket membership —
+    the raw banding relation before the degenerate-bucket cap. Shared by
+    simhash_near_dup and the cap audit (band_cap_audit)."""
+    return simhash64(documents).select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.expr(
+                f"""
+                transform(sequence(0, {SIMHASH64_PIECES - 1}),
+                          p -> struct(p AS piece,
+                                      (shiftright(simhash64, p * {_PIECE_BITS}) & {_PIECE_MASK}) AS pval))
+                """
+            )
+        ).alias("pk"),
+    ).select("doc_id", "simhash64", "pk.piece", "pk.pval")
+
+
+def band_cap_audit(
+    documents: DataFrame,
+    bucket_cap: int = BAND_BUCKET_CAP,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Cap-pressure audit over BOTH banding schemes — the "no silent caps"
+    rule (the reference's tripwire philosophy, D/CorruptedDataException:
+    fail loud, never silently degrade): bucket membership beyond
+    ``bucket_cap`` is dropped by minhash_band_rows / simhash_near_dup,
+    and THIS relation reports exactly how much, per band.
+
+    Output: one row per (scheme, band) —
+    (scheme, band, n_buckets, n_capped_buckets, n_members, n_dropped,
+    max_bucket). On an honest corpus n_capped_buckets = n_dropped = 0;
+    on a boilerplate-heavy 100 TB crawl a non-zero n_dropped is the
+    signal that near-dup recall is being truncated and the cap (or the
+    shingling) needs attention.
+
+    Scale shape: two (band, key) hash aggs + two tiny per-band rollups —
+    the same single shuffle the banding join itself pays; no pair
+    generation anywhere."""
+    cap = F.lit(bucket_cap)
+
+    def per_band(rows: DataFrame, band_col: str, key_col: str, scheme: str) -> DataFrame:
+        per_bucket = rows.groupBy(band_col, key_col).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return per_bucket.groupBy(F.col(band_col).cast("int").alias("band")).agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias(
+                "n_capped_buckets"
+            ),
+            F.sum("n").alias("n_members"),
+            F.sum(F.greatest(F.col("n") - cap, F.lit(0))).alias("n_dropped"),
+            F.max("n").cast("int").alias("max_bucket"),
+        ).select(F.lit(scheme).alias("scheme"), "*")
+
+    mh = per_band(
+        _minhash_band_rows_raw(documents, shingles=shingles),
+        "band",
+        "key",
+        "minhash_band",
+    )
+    sh = per_band(
+        _simhash_piece_rows_raw(documents), "piece", "pval", "simhash_piece"
+    )
+    return mh.unionByName(sh)
+
+
 def simhash_near_dup(
     documents: DataFrame, max_hamming: int = 3, bucket_cap: int = BAND_BUCKET_CAP
 ) -> DataFrame:
@@ -383,22 +460,9 @@ def simhash_near_dup(
     # the signature rides along in the piece relation, so the verify is a
     # single bit_count inside the bucket join — no join-back to the
     # signature table. Persisted: it feeds BOTH sides of the self-join.
+    # Drops past ``bucket_cap`` are observable via band_cap_audit.
     pieces = hold(
-        simhash64(documents)
-        .select(
-            "doc_id",
-            "simhash64",
-            F.explode(
-                F.expr(
-                    f"""
-                    transform(sequence(0, {SIMHASH64_PIECES - 1}),
-                              p -> struct(p AS piece,
-                                          (shiftright(simhash64, p * {_PIECE_BITS}) & {_PIECE_MASK}) AS pval))
-                    """
-                )
-            ).alias("pk"),
-        )
-        .select("doc_id", "simhash64", "pk.piece", "pk.pval")
+        _simhash_piece_rows_raw(documents)
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
         .drop("rn"),

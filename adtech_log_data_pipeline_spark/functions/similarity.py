@@ -785,3 +785,45 @@ def semantic_dedup(
             (~F.coalesce(F.col("is_dup"), F.lit(False))).alias("kept"),
         )
     )
+
+
+def semantic_dedup_cap_audit(
+    embeddings: DataFrame,
+    k: int | None = None,
+    iters: int = KMEANS_ITERS,
+    total: int | None = None,
+    cluster_cap: int = SEMANTIC_CLUSTER_CAP,
+) -> DataFrame:
+    """Cluster-cap pressure audit for semantic_dedup — the "no silent
+    caps" rule: vectors beyond ``cluster_cap`` per cluster are excluded
+    from the pairwise comparison (they can still be DROPPED as dups of a
+    capped member, but never trigger drops themselves), and THIS relation
+    reports how many, per cluster.
+
+    Output: one row per k-means cluster —
+    (cid, n_members, n_kept, n_dropped). On a well-spread corpus with the
+    scaled default k every n_dropped is 0; a non-zero total says the
+    dedup's comparison coverage is being truncated (raise the cap, raise
+    k, or pre-split the cluster).
+
+    Scale shape: identical k-means/assignment plan to semantic_dedup
+    (broadcast centroids, map-side Arrow matmul) followed by ONE cid
+    hash agg — no pair generation, no Gram matrices."""
+    from ._cache import hold
+
+    if total is None:
+        total = embeddings.count()
+    if k is None:
+        k = default_kmeans_k(total)
+    x = hold(micro_vec_rows(embeddings), eager=True)
+    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total, micro_rows=x)
+    assign = kmeans_assignments(embeddings, cent, micro_rows=x)
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.least(F.count(F.lit(1)), F.lit(cluster_cap).cast("bigint")).alias(
+            "n_kept"
+        ),
+        F.greatest(
+            F.count(F.lit(1)) - F.lit(cluster_cap).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n_dropped"),
+    )

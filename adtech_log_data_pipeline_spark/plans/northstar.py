@@ -108,6 +108,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band cap-pressure audit over the minhash band and simhash
+    piece bucket relations (the "no silent caps" rule)."""
+    from ..functions.dedup import band_cap_audit
+
+    return band_cap_audit(_docs(spark, sf_dir))
+
+
+def q_semantic_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cap-pressure audit for semantic_dedup's cluster_cap."""
+    from ..functions.similarity import semantic_dedup_cap_audit
+
+    return semantic_dedup_cap_audit(_emb(spark, sf_dir))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup candidate graph (iterative
     min-label propagation; oracle: DuckDB recursive CTE)."""
@@ -552,6 +567,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "temperature_mix": q_temperature_mix,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_cap_audit": q_dedup_cap_audit,
+    "semantic_cap_audit": q_semantic_cap_audit,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
@@ -702,12 +719,14 @@ sig AS (
                 i -> (ha[i] + p * hb[i]) % 4294967291))) AS sig
   FROM hh
 ),
+bands_raw AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
+                                            x -> CAST(x AS STRING)), '|')) AS key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
 bands AS (
-  SELECT doc_id, band, key FROM (
-    SELECT doc_id, b.band,
-           md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
-                                              x -> CAST(x AS STRING)), '|')) AS key
-    FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b)
+  SELECT doc_id, band, key FROM bands_raw
   QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id) <= 500
 ),
 cand AS (
@@ -1156,9 +1175,13 @@ SELECT doc_id,
 FROM documents, unnest(range(8)) AS t(j)
 """
 
-def _oracle_simhash_near_dup() -> str:
+def _simhash64_pk_ctes() -> str:
+    """Shared CTE chain ``tok -> h -> v -> s -> p -> pk`` deriving the
+    UNCAPPED 60-bit SimHash piece-bucket relation (mirrors
+    functions/dedup.py::_simhash_piece_rows_raw). Used by the
+    simhash_near_dup oracle (which caps it) and the cap audit (which
+    measures the cap's pressure)."""
     from ..functions.dedup import (
-        BAND_BUCKET_CAP,
         SIMHASH64_BITS,
         SIMHASH64_PIECES,
         _PIECE_BITS,
@@ -1172,14 +1195,20 @@ def _oracle_simhash_near_dup() -> str:
         f"(CASE WHEN s{b} * 2 >= cnt THEN {1 << b} ELSE 0 END)"
         for b in range(SIMHASH64_BITS)
     )
-    return f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    return f"""tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
 v AS (SELECT doc_id, count(*) AS cnt, {votes} FROM h GROUP BY doc_id),
 s AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS sig FROM v),
 p AS (SELECT doc_id, sig, unnest(range({SIMHASH64_PIECES})) AS piece FROM s),
 pk AS (SELECT doc_id, sig, piece,
-              (sig >> (piece * {_PIECE_BITS})) & {_PIECE_MASK} AS pval FROM p),
+              (sig >> (piece * {_PIECE_BITS})) & {_PIECE_MASK} AS pval FROM p)"""
+
+
+def _oracle_simhash_near_dup() -> str:
+    from ..functions.dedup import BAND_BUCKET_CAP
+
+    return f"""
+WITH {_simhash64_pk_ctes()},
 pc AS (SELECT * FROM (
          SELECT doc_id, sig, piece, pval,
                 row_number() OVER (PARTITION BY piece, pval ORDER BY doc_id) AS rn
@@ -1191,6 +1220,76 @@ cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
+
+
+def _oracle_dedup_cap_audit() -> str:
+    """functions/dedup.py::band_cap_audit restated: per-band bucket-size
+    rollups over the UNCAPPED minhash band and simhash piece relations
+    (bands_raw from the shared minhash chain; pk from the shared simhash
+    chain)."""
+    from ..functions.dedup import BAND_BUCKET_CAP
+
+    cap = BAND_BUCKET_CAP
+    roll = (
+        "CAST(count(*) AS BIGINT) AS n_buckets,\n"
+        f"       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,\n"
+        "       CAST(sum(n) AS BIGINT) AS n_members,\n"
+        f"       CAST(sum(greatest(n - {cap}, 0)) AS BIGINT) AS n_dropped,\n"
+        "       CAST(max(n) AS INT) AS max_bucket"
+    )
+    return f"""
+WITH {_MINHASH_CTES},
+{_simhash64_pk_ctes()},
+mb AS (SELECT band, key, count(*) AS n FROM bands_raw GROUP BY band, key),
+sp AS (SELECT piece, pval, count(*) AS n FROM pk GROUP BY piece, pval)
+SELECT 'minhash_band' AS scheme, CAST(band AS INT) AS band,
+       {roll}
+FROM mb GROUP BY band
+UNION ALL
+SELECT 'simhash_piece' AS scheme, CAST(piece AS INT) AS band,
+       {roll}
+FROM sp GROUP BY piece
+"""
+
+
+def _oracle_semantic_cap_audit() -> str:
+    """functions/similarity.py::semantic_dedup_cap_audit restated: the
+    semantic_dedup k-means + final-assignment chain, rolled up to
+    per-cluster membership vs SEMANTIC_CLUSTER_CAP."""
+    from ..functions.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        SEMANTIC_CLUSTER_CAP,
+    )
+
+    ctes = _kmeans_ctes(
+        k_sql=(
+            f"greatest({KMEANS_K},"
+            " CAST(floor(sqrt(n + 0.5)) AS BIGINT) // 4)"
+        )
+    )
+    last = f"c{KMEANS_ITERS}"
+    ctes.append(
+        f"""dF AS (
+  SELECT x.vec_id, c.cid,
+         sum((x.x_micro - c.c_micro) * (x.x_micro - c.c_micro)) AS d2
+  FROM x JOIN {last} c USING (dim) GROUP BY x.vec_id, c.cid)"""
+    )
+    ctes.append(
+        """aF AS (
+  SELECT vec_id, min({'d2': d2, 'cid': cid}).cid AS cid
+  FROM dF GROUP BY vec_id)"""
+    )
+    cap = SEMANTIC_CLUSTER_CAP
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(least(count(*), {cap}) AS BIGINT) AS n_kept,
+       CAST(greatest(count(*) - {cap}, 0) AS BIGINT) AS n_dropped
+FROM aF GROUP BY cid"""
+    )
 
 
 _ORACLE_VOCAB_TOPK = f"""
@@ -1865,6 +1964,8 @@ FROM j GROUP BY source
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _oracle_dedup_simhash(),
+    "dedup_cap_audit": _oracle_dedup_cap_audit(),
+    "semantic_cap_audit": _oracle_semantic_cap_audit(),
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),
     "temperature_mix": _oracle_temperature_mix(),

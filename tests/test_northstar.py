@@ -597,3 +597,74 @@ def test_kmeans_and_semantic_dedup_empty_input(spark):
     out = semantic_dedup(emb)
     assert out.columns == ["vec_id", "cid", "kept"]
     assert out.count() == 0
+
+
+def test_band_cap_audit_reports_degenerate_drops(spark):
+    """The "no silent caps" rule: a degenerate corpus (every doc
+    identical — the boilerplate-heavy-crawl worst case) drives every doc
+    into ONE bucket per band in both banding schemes; the audit must
+    report the over-cap membership rather than silently truncating
+    recall. Cross-law: the capped index relation sizes must equal
+    n_members - n_dropped from the audit."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        N_BANDS,
+        SIMHASH64_PIECES,
+        band_cap_audit,
+        minhash_band_rows,
+        simhash_near_dup,
+    )
+
+    n, cap = 25, 10
+    docs = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated verbatim here", "web")
+         for i in range(n)],
+        "doc_id long, text string, source string",
+    )
+    rows = band_cap_audit(docs, bucket_cap=cap).collect()
+    assert len(rows) == N_BANDS + SIMHASH64_PIECES
+    for r in rows:
+        assert r["n_buckets"] == 1
+        assert r["n_capped_buckets"] == 1
+        assert r["n_members"] == n
+        assert r["n_dropped"] == n - cap  # REPORTED, not silent
+        assert r["max_bucket"] == n
+    # the capped minhash index holds exactly n_members - n_dropped rows
+    assert minhash_band_rows(docs, bucket_cap=cap).count() == N_BANDS * cap
+    # capped pair generation stays bucket-local O(cap^2), all dups found
+    pairs = simhash_near_dup(docs, bucket_cap=cap)
+    assert pairs.count() == cap * (cap - 1) // 2
+
+
+def test_band_cap_audit_honest_corpus_zero_drops(spark):
+    """On the real synthetic documents table at the default cap no bucket
+    approaches the cap: every band reports zero pressure."""
+    from adtech_log_data_pipeline_spark.functions.dedup import band_cap_audit
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for r in band_cap_audit(docs).collect():
+        assert r["n_capped_buckets"] == 0 and r["n_dropped"] == 0
+        assert r["n_members"] > 0
+
+
+def test_semantic_cap_audit_partitions_membership(spark):
+    """Audit laws: every vector is counted exactly once across clusters;
+    n_kept + n_dropped == n_members; a tiny cap on a one-cluster corpus
+    reports the overflow."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        semantic_dedup_cap_audit,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    total = emb.count()
+    rows = semantic_dedup_cap_audit(emb).collect()
+    assert sum(r["n_members"] for r in rows) == total
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_members"] for r in rows)
+
+    one_blob = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    audited = semantic_dedup_cap_audit(one_blob, k=1, cluster_cap=5).collect()
+    assert sum(r["n_dropped"] for r in audited) == 12 - 5
