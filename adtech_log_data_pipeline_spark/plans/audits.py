@@ -1,0 +1,375 @@
+"""Oracle-gated audits for the maintenance/export jobs (jobs/maintenance.py,
+functions/export.py, sources/tfexample.py) — the components that WRITE files.
+
+Each query here executes the real job against a scratch directory, reads the
+WRITTEN FILES back, and reports invariants that are fully data-determined —
+row counts through the round trip, per-file key-range disjointness, Morton
+key bounds, decoded-Example field sums — so the external driver gates the
+write paths exactly like every pure query. File-boundary details that depend
+on range-sampling (which file a row landed in) are deliberately reduced to
+boolean invariants (disjointness, file-count bounds) that hold for ANY valid
+sampling, keeping the output hash-stable across sessions.
+
+Results are materialized driver-side (Row-based, vanilla-session-safe — the
+streaming/_replay.py convention) BEFORE the scratch dirs are removed, so the
+returned DataFrame never references deleted files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming._replay import scratch_dir
+
+# Fixed partition counts for the gated layout jobs: the INVARIANTS below
+# hold for any count; pinning one keeps run time flat across SFs.
+ZORDER_PARTS = 8
+RANGE_PARTS = 8
+TFEX_PARTS = 4
+TFEX_SLOT = 2  # documents with doc_id % 5 == TFEX_SLOT are exported
+
+
+def _materialize(spark: SparkSession, rows: list[Row], schema: str) -> DataFrame:
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _file_ranges_disjoint(ranges: list[tuple]) -> bool:
+    """True when per-file [lo, hi] ranges are pairwise disjoint (strict —
+    repartitionByRange puts equal keys in one partition, so a correct
+    layout never shares a boundary value across files)."""
+    ordered = sorted(ranges)
+    return all(
+        prev[1] < cur[0] for prev, cur in zip(ordered, ordered[1:])
+    )
+
+
+def q_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: derive (x = user_id % 4096, y = epoch day)
+    from events, run jobs/maintenance.py::zorder_table, and verify from
+    the WRITTEN files that (a) every row survived the round trip, (b) the
+    per-file Morton-key ranges are pairwise disjoint (each file covers
+    its own rectangle set in (x, y) — the pruning invariant), and (c) the
+    global Morton key bounds match an independent bit-interleave
+    restatement (the DuckDB oracle recomputes min/max z with its own
+    shift/mask arithmetic)."""
+    from ..jobs.maintenance import zorder_key, zorder_table
+
+    work = scratch_dir("zorder_audit_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            (F.col("user_id") % 4096).cast("bigint").alias("x"),
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp_ltz)) div 86400000 as bigint)"
+            ).alias("y"),
+        )
+        ev.write.mode("overwrite").parquet(src)
+        zorder_table(spark, src, out, "x", "y", n_partitions=ZORDER_PARTS)
+        per_file = (
+            spark.read.parquet(out)
+            .select("x", "y", F.input_file_name().alias("f"))
+            .withColumn("z", zorder_key("x", "y"))
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("z").alias("lo"),
+                F.max("z").alias("hi"),
+            )
+            .collect()
+        )
+        row = Row(
+            n_rows=int(sum(r["n"] for r in per_file)),
+            files_ok=bool(1 <= len(per_file) <= ZORDER_PARTS),
+            z_disjoint=_file_ranges_disjoint(
+                [(r["lo"], r["hi"]) for r in per_file]
+            ),
+            min_z=int(min(r["lo"] for r in per_file)),
+            max_z=int(max(r["hi"] for r in per_file)),
+        )
+        return _materialize(
+            spark,
+            [row],
+            "n_rows bigint, files_ok boolean, z_disjoint boolean,"
+            " min_z bigint, max_z bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_range_sort_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map layout audit: range-sort lineitem on the ship-date epoch
+    millis (jobs/maintenance.py::range_sort_table) and verify from the
+    written files that rows survived, per-file key ranges are disjoint
+    (the point of the layout: a range predicate prunes to ~one file via
+    parquet min/max stats), and the global key bounds match the source
+    data."""
+    from ..jobs.maintenance import range_sort_table
+
+    work = scratch_dir("range_sort_audit_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.expr("unix_millis(cast(l_shipdate as timestamp_ltz))").alias(
+                "ship_ms"
+            ),
+            "l_orderkey",
+        )
+        li.write.mode("overwrite").parquet(src)
+        range_sort_table(
+            spark, src, out, ["ship_ms"], n_partitions=RANGE_PARTS
+        )
+        per_file = (
+            spark.read.parquet(out)
+            .select("ship_ms", F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("ship_ms").alias("lo"),
+                F.max("ship_ms").alias("hi"),
+            )
+            .collect()
+        )
+        row = Row(
+            n_rows=int(sum(r["n"] for r in per_file)),
+            files_ok=bool(1 <= len(per_file) <= RANGE_PARTS),
+            ranges_disjoint=_file_ranges_disjoint(
+                [(r["lo"], r["hi"]) for r in per_file]
+            ),
+            min_ship_ms=int(min(r["lo"] for r in per_file)),
+            max_ship_ms=int(max(r["hi"] for r in per_file)),
+        )
+        return _materialize(
+            spark,
+            [row],
+            "n_rows bigint, files_ok boolean, ranges_disjoint boolean,"
+            " min_ship_ms bigint, max_ship_ms bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff gate: build two deterministic snapshots of orders —
+    old drops keys ≡ 3 (mod 1000), new drops keys ≡ 5 (mod 997) and bumps
+    o_totalprice by 1.0 for keys ≡ 0 (mod 11) — write both as parquet,
+    and run jobs/maintenance.py::snapshot_diff over the DIRECTORIES.
+    Output is the full key-level diff (added/removed/changed), which the
+    oracle restates directly from the orders table with IS-DISTINCT
+    column comparisons (independent of the engine's fingerprint)."""
+    from ..jobs.maintenance import snapshot_diff
+
+    work = scratch_dir("snapshot_diff_")
+    old_dir = os.path.join(work, "old")
+    new_dir = os.path.join(work, "new")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        orders.filter(F.col("o_orderkey") % 1000 != 3).write.mode(
+            "overwrite"
+        ).parquet(old_dir)
+        (
+            orders.filter(F.col("o_orderkey") % 997 != 5)
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .write.mode("overwrite")
+            .parquet(new_dir)
+        )
+        rows = snapshot_diff(
+            spark, old_dir, new_dir, ["o_orderkey"]
+        ).collect()
+        return _materialize(spark, rows, "o_orderkey bigint, status string")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_tfexample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.train.Example interchange gate: export documents with doc_id ≡
+    TFEX_SLOT (mod 5) as gzip TFRecord Example shards
+    (sources/tfexample.py, the engine's own wire codec + framing), read
+    the shards back through the decode path, and report field sums over
+    the DECODED rows — any drift anywhere in encode → frame → gzip →
+    unframe → decode changes the output."""
+    from ..sources.tfexample import (
+        export_tfrecord_examples,
+        read_tfrecord_examples,
+    )
+
+    work = scratch_dir("tfexample_rt_")
+    out = os.path.join(work, "shards")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == TFEX_SLOT)
+            .repartition(TFEX_PARTS)
+        )
+        export_tfrecord_examples(docs, out)
+        decoded = read_tfrecord_examples(spark, os.path.join(out, "*.gz"))
+        rows = decoded.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        ).collect()
+        return _materialize(
+            spark,
+            rows,
+            "n_docs bigint, sum_doc_id bigint, sum_n_chars bigint,"
+            " sum_text_len bigint, n_langs bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export gate: run functions/export.py::
+    export_training_shards (curated corpus → split-partitioned parquet +
+    manifest) and recompute the manifest FROM THE WRITTEN SHARDS — split
+    from the hive partition directory, counts/sums from shard rows — so
+    the write layout itself is what the oracle's curation restatement is
+    compared against."""
+    from ..functions.export import export_training_shards
+
+    work = scratch_dir("shard_export_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        export_training_shards(docs, work)
+        rows = (
+            spark.read.parquet(os.path.join(work, "shards"))
+            .groupBy(F.col("split").cast("string").alias("split"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+            .collect()
+        )
+        return _materialize(
+            spark,
+            rows,
+            "split string, n_docs bigint, n_tokens bigint, sum_doc_id bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+MAINTENANCE_QUERIES = {
+    "zorder_audit": q_zorder_audit,
+    "range_sort_audit": q_range_sort_audit,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "tfexample_roundtrip": q_tfexample_roundtrip,
+    "shard_manifest": q_shard_manifest,
+}
+
+
+# --- DuckDB oracles --------------------------------------------------------
+
+
+def _duck_spread(col: str) -> str:
+    """DuckDB restatement of jobs/maintenance.py::zorder_key's 32->64 bit
+    spread (same magic-mask sequence, decimal literals)."""
+    v = f"(CAST({col} AS BIGINT) & 4294967295)"
+    for shift, mask in (
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ):
+        v = f"((({v}) | (({v}) << {shift})) & {mask})"
+    return v
+
+
+def _oracle_zorder_audit() -> str:
+    zx = _duck_spread("x")
+    zy = _duck_spread("y")
+    return f"""
+WITH d AS (
+  SELECT user_id % 4096 AS x,
+         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS y
+  FROM events),
+z AS (SELECT ({zx}) | (({zy}) << 1) AS z FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       true AS files_ok,
+       true AS z_disjoint,
+       CAST(min(z) AS BIGINT) AS min_z,
+       CAST(max(z) AS BIGINT) AS max_z
+FROM z
+"""
+
+
+_ORACLE_RANGE_SORT_AUDIT = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       true AS files_ok,
+       true AS ranges_disjoint,
+       CAST(min(epoch_ms(l_shipdate)) AS BIGINT) AS min_ship_ms,
+       CAST(max(epoch_ms(l_shipdate)) AS BIGINT) AS max_ship_ms
+FROM lineitem
+"""
+
+_ORACLE_SNAPSHOT_DIFF_ORDERS = """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 1000 <> 3),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 997 <> 5),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                THEN 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+"""
+
+
+def _oracle_tfexample_roundtrip() -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents WHERE doc_id % 5 = {TFEX_SLOT}
+"""
+
+
+def _oracle_shard_manifest() -> str:
+    # rollup over the same curation restatement the curated_corpus oracle
+    # states (plans/northstar.py::_ORACLE_CURATED_CORPUS)
+    from .northstar import _ORACLE_CURATED_CORPUS
+
+    return f"""
+WITH curated AS ({_ORACLE_CURATED_CORPUS})
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM curated GROUP BY split
+"""
+
+
+def maintenance_oracles() -> dict[str, str]:
+    return {
+        "zorder_audit": _oracle_zorder_audit(),
+        "range_sort_audit": _ORACLE_RANGE_SORT_AUDIT,
+        "snapshot_diff_orders": _ORACLE_SNAPSHOT_DIFF_ORDERS,
+        "tfexample_roundtrip": _oracle_tfexample_roundtrip(),
+        "shard_manifest": _oracle_shard_manifest(),
+    }

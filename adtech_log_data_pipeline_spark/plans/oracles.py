@@ -15,6 +15,7 @@ sorts columns by name before hashing).
 from __future__ import annotations
 
 from ..sources.bidlogs import bid_logs_cte, iapp_cte
+from .audits import maintenance_oracles
 from .relational import RELATIONAL_SQL
 from .northstar import NORTHSTAR_ORACLES
 
@@ -248,4 +249,5 @@ ORACLES: dict[str, str] = {
     "predictions": _oracle_predictions(),
     **{name: sql_fn("duckdb") for name, (sql_fn, _t) in RELATIONAL_SQL.items()},
     **NORTHSTAR_ORACLES,
+    **maintenance_oracles(),
 }

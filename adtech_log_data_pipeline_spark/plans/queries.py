@@ -36,6 +36,7 @@ from ..operators.features import feature_pipeline_from_valid
 from ..operators.inference import predict
 from .relational import RELATIONAL_SQL
 from .northstar import NORTHSTAR_QUERIES
+from .audits import MAINTENANCE_QUERIES
 
 
 # Threshold set for the DECLARED queries, tuned to the synthetic data's
@@ -170,15 +171,70 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "predictions": q_predictions,
     **{name: _relational(name) for name in RELATIONAL_SQL},
     **NORTHSTAR_QUERIES,
+    **MAINTENANCE_QUERIES,
 }
 
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
-# part of the contract: the least-proven queries must sort earliest. Round 3
-# left 11 queries (5 curation + 6 streaming) outside the window; they move
-# directly behind the 7 reference-parity headliners. The tail holds queries
-# with multiple prior green rows (rotate them back in if they ever change).
+# part of the contract: the least-proven queries must sort earliest.
+# Round-6 rotation: the 43 non-parity queries gated green in round 5 rotate
+# OUT (they re-enter if their code ever changes); the window now holds the 7
+# round-6-new audit queries plus the 36 least-proven of the 44 queries whose
+# last green row predates round 5 (every query with <= 3 green rows, plus
+# pricing_summary as the most load-bearing of the 4-green group).
 _GATE_FIRST = [
-    # round-5 NEW queries — never gated, so they sort first
+    # round-6 NEW queries — never gated, so they sort first
+    "dedup_cap_audit",
+    "semantic_cap_audit",
+    "zorder_audit",
+    "range_sort_audit",
+    "snapshot_diff_orders",
+    "tfexample_roundtrip",
+    "shard_manifest",
+    # one green row (round 3 or 4)
+    "brand_supplier_stats",
+    "conversion_funnel",
+    "customer_order_distribution",
+    "embedding_outliers",
+    "frame_sample",
+    "monthly_revenue_trend",
+    "multimodal_resize",
+    "quiet_returners",
+    "sliding_window_counts",
+    "streaming_device_activity",
+    # two green rows (last green round 3 or 4)
+    "label_centroids",
+    "length_percentiles",
+    "packing_plan",
+    "pii_redact",
+    "repetition_stats",
+    "simhash_near_dup",
+    "source_mix",
+    "streaming_sessionize",
+    "tfidf_top_terms",
+    "train_split",
+    "vocab_topk",
+    # three green rows (last green round 3)
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "embedding_near_dup",
+    "lang_id",
+    "multimodal_meta",
+    "ngram_jaccard",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    "text_stats",
+    "winnowing",
+    # four green rows, flagship: re-prove the Q1-style headliner
+    "pricing_summary",
+]
+# The tail holds the queries with the MOST recent/most numerous green rows:
+# the 43 non-parity round-5-gated queries and the remaining 4-green
+# relational set (rotate any back in if its code changes).
+_GATE_LAST = [
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
@@ -190,9 +246,6 @@ _GATE_FIRST = [
     "stream_kmv_distinct",
     "oov_rate",
     "stream_quarantine",
-    # stream_attribution_outer's round-4 ERR (vanilla-session NaN
-    # materialization) is fixed this round — it stays inside the window
-    # (it sits in the streaming block below) until it earns a green row.
     "image_embed",
     "semantic_dedup",
     "doc_chunks",
@@ -225,32 +278,6 @@ _GATE_FIRST = [
     "stream_upsert_latest",
     "stream_session_windows",
     "streaming_spend_sessions",
-    # streaming_sessionize / streaming_device_activity earned green rows
-    # in round 4 and rotate out of the window to make room for the
-    # round-5 never-gated queries (they re-enter if they ever change)
-]
-_GATE_LAST = [
-    "customer_order_distribution",
-    "monthly_revenue_trend",
-    "conversion_funnel",
-    "sliding_window_counts",
-    "quiet_returners",
-    "embedding_outliers",
-    "winnowing",
-    "multimodal_meta",
-    "vocab_topk",
-    "label_centroids",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprints",
-    "multimodal_resize",
-    "frame_sample",
-    "train_split",
-    "pii_redact",
-    "repetition_stats",
-    "length_percentiles",
-    "source_mix",
-    "packing_plan",
 ]
 _PARITY = [
     "bidlog_validation",

@@ -17,6 +17,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "dedup_cap_audit",
+    "semantic_cap_audit",
+    "zorder_audit",
+    "range_sort_audit",
+    "snapshot_diff_orders",
+    "tfexample_roundtrip",
+    "shard_manifest",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

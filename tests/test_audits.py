@@ -1,0 +1,94 @@
+"""Maintenance/export audit queries (plans/audits.py): the oracle-gated
+wrappers that run the file-writing jobs and report invariants from the
+written files."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zorder_audit_invariants_and_rerun_stability(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import q_zorder_audit
+
+    a = q_zorder_audit(spark, SF).collect()[0]
+    assert a["n_rows"] > 0
+    assert a["files_ok"] and a["z_disjoint"]
+    assert 0 <= a["min_z"] <= a["max_z"]
+    # the output is fully data-determined: a second run (new scratch dir,
+    # new range-sample) reports identical values
+    b = q_zorder_audit(spark, SF).collect()[0]
+    assert a == b
+
+
+def test_range_sort_audit_invariants(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import q_range_sort_audit
+
+    r = q_range_sort_audit(spark, SF).collect()[0]
+    assert r["n_rows"] > 0
+    assert r["files_ok"] and r["ranges_disjoint"]
+    assert r["min_ship_ms"] <= r["max_ship_ms"]
+
+
+def test_snapshot_diff_orders_statuses(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import (
+        q_snapshot_diff_orders,
+    )
+
+    rows = q_snapshot_diff_orders(spark, SF).collect()
+    by_status: dict[str, list[int]] = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r["o_orderkey"])
+    assert set(by_status) <= {"added", "removed", "changed"}
+    # the deterministic snapshot derivations pin each status's membership
+    assert all(k % 1000 == 3 and k % 997 != 5 for k in by_status["added"])
+    assert all(k % 997 == 5 and k % 1000 != 3 for k in by_status["removed"])
+    assert all(
+        k % 11 == 0 and k % 1000 != 3 and k % 997 != 5
+        for k in by_status["changed"]
+    )
+    assert by_status["changed"]  # the %11 bump always hits at any SF
+
+
+def test_tfexample_roundtrip_matches_source(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import (
+        TFEX_SLOT,
+        q_tfexample_roundtrip,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = q_tfexample_roundtrip(spark, SF).collect()[0]
+    src = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 5 == TFEX_SLOT)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sid"),
+            F.sum(F.length("text")).alias("stl"),
+        )
+        .collect()[0]
+    )
+    assert got["n_docs"] == src["n"] > 0
+    assert got["sum_doc_id"] == src["sid"]
+    assert got["sum_text_len"] == src["stl"]
+
+
+def test_shard_manifest_covers_all_splits(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import q_shard_manifest
+
+    rows = {r["split"]: r for r in q_shard_manifest(spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    # 80/10/10 split buckets: train strictly dominates
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    assert rows["train"]["n_docs"] > rows["test"]["n_docs"]
+    assert all(r["n_tokens"] > 0 for r in rows.values())
+
+
+def test_audit_queries_leave_no_cached_rdds(spark):
+    """The audit wrappers persist nothing and must leave the session's
+    cache registry empty (bench.py asserts zero leaked RDDs at exit)."""
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+    from adtech_log_data_pipeline_spark.plans.audits import MAINTENANCE_QUERIES
+
+    for fn in MAINTENANCE_QUERIES.values():
+        fn(spark, SF).collect()
+        release_cached()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
