@@ -42,7 +42,10 @@ N_BASE_IMAGES = 15
 SLOT_F486, SLOT_F586, SLOT_F686, SLOT_F777 = 486, 586, 686, 777
 MODULO_SLOTS = tuple(range(100, 701, 40))
 
-_MODEL: np.ndarray | None = None
+# per-process weight cache keyed by source path (None = formula stand-in):
+# one load per Python worker process per model artifact, the reference's
+# @Setup SavedModel amortization (Predictions.java:146-169)
+_MODEL_CACHE: dict[str | None, np.ndarray] = {}
 _BASES: np.ndarray | None = None
 
 
@@ -62,23 +65,16 @@ def _base_images() -> np.ndarray:
 MODEL_WEIGHTS_ENV = "SPARK_GRAFT_MODEL_WEIGHTS"
 
 
-def _model_weights() -> np.ndarray:
-    """(784, 10) float64 weight matrix — loaded once per Python worker
-    process (module global ≡ the reference's @Setup SavedModel load,
-    Predictions.java:146-169).
+def _load_weights(path: str | None) -> np.ndarray:
+    """(784, 10) float64 weight matrix, cached per (process, path).
 
-    Honest-inference seam: if ``$SPARK_GRAFT_MODEL_WEIGHTS`` points at a
-    ``.npy`` file holding a (784, 10) matrix, that trained model is used —
-    the env var reaches every executor via spark.executorEnv / cluster
-    conf, and the file path must be worker-visible (shared FS or
-    --files-shipped). Without it, a deterministic formula matrix stands in:
+    ``path`` names a ``.npy`` file holding a trained (784, 10) matrix —
+    it must be worker-visible (shared FS or --files-shipped). ``None``
+    selects the deterministic formula stand-in
     w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1] (the sandbox has
     no TF; the batching/argmax/score contract is identical either way)."""
-    global _MODEL
-    if _MODEL is None:
-        import os
-
-        path = os.environ.get(MODEL_WEIGHTS_ENV)
+    w = _MODEL_CACHE.get(path)
+    if w is None:
         if path:
             w = np.load(path)
             if w.shape != (FEATURE_DIM, N_CLASSES):
@@ -86,12 +82,24 @@ def _model_weights() -> np.ndarray:
                     f"{MODEL_WEIGHTS_ENV} file {path!r} has shape {w.shape},"
                     f" expected {(FEATURE_DIM, N_CLASSES)}"
                 )
-            _MODEL = w.astype(np.float64)
+            w = w.astype(np.float64)
         else:
             i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
             j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
-            _MODEL = ((i * 31 + j * 17) % 101 - 50) / 50.0
-    return _MODEL
+            w = ((i * 31 + j * 17) % 101 - 50) / 50.0
+        _MODEL_CACHE[path] = w
+    return w
+
+
+def _model_weights() -> np.ndarray:
+    """Weights per the CURRENT process's ``$SPARK_GRAFT_MODEL_WEIGHTS``.
+    ``predict()`` resolves the env var on the DRIVER and ships the path in
+    the task closure instead of calling this in workers — the job is
+    configured where it is launched, and executors only need the file to
+    be reachable, not the env var to be set."""
+    import os
+
+    return _load_weights(os.environ.get(MODEL_WEIGHTS_ENV))
 
 
 def build_vectors(pdf: pd.DataFrame) -> np.ndarray:
@@ -111,16 +119,26 @@ def build_vectors(pdf: pd.DataFrame) -> np.ndarray:
     return x
 
 
-def predict(feature_inputs: DataFrame) -> DataFrame:
+def predict(
+    feature_inputs: DataFrame, weights_path: str | None = None
+) -> DataFrame:
     """R2+R3+R4 fused: feature assembly and batched inference in one
     Arrow-batched pass (no shuffle of 784-float arrays). Output matches the
     reference's BigQuery schema (PredictionJob.java:88-92):
       os string, uuid string, prediction int, score double
     Logits are rounded to 1e-6 before argmax/max (see module docstring).
-    """
+
+    The model artifact path ($SPARK_GRAFT_MODEL_WEIGHTS, or the
+    ``weights_path`` arg) is resolved HERE on the driver and shipped in
+    the task closure; each worker process loads the file once
+    (_load_weights cache)."""
+    import os
+
+    if weights_path is None:
+        weights_path = os.environ.get(MODEL_WEIGHTS_ENV)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = _model_weights()
+        w = _load_weights(weights_path)
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -62,7 +62,8 @@ def test_predict_schema_and_determinism(spark):
 
 def test_model_weights_env_seam(tmp_path, monkeypatch):
     """$SPARK_GRAFT_MODEL_WEIGHTS loads a trained (784, 10) npy; a wrong
-    shape is rejected; unset falls back to the formula matrix."""
+    shape is rejected; unset falls back to the formula matrix. The cache
+    is keyed by path, so switching artifacts never serves stale weights."""
     import adtech_log_data_pipeline_spark.operators.inference as inf
 
     rng = np.random.default_rng(7)
@@ -70,25 +71,89 @@ def test_model_weights_env_seam(tmp_path, monkeypatch):
     p = tmp_path / "w.npy"
     np.save(p, w)
     monkeypatch.setenv(inf.MODEL_WEIGHTS_ENV, str(p))
-    monkeypatch.setattr(inf, "_MODEL", None)
     assert np.array_equal(inf._model_weights(), w)
 
     bad = tmp_path / "bad.npy"
     np.save(bad, np.zeros((3, 3)))
     monkeypatch.setenv(inf.MODEL_WEIGHTS_ENV, str(bad))
-    monkeypatch.setattr(inf, "_MODEL", None)
     import pytest
 
     with pytest.raises(ValueError, match="shape"):
         inf._model_weights()
 
     monkeypatch.delenv(inf.MODEL_WEIGHTS_ENV)
-    monkeypatch.setattr(inf, "_MODEL", None)
     formula = inf._model_weights()
     assert formula.shape == (FEATURE_DIM, 10)
     assert formula[0, 0] == ((0 * 31 + 0 * 17) % 101 - 50) / 50.0
-    # leave the module global back at the formula matrix for later tests
-    monkeypatch.setattr(inf, "_MODEL", None)
+
+
+def _train_softmax(n: int = 512, steps: int = 200, lr: float = 0.5) -> np.ndarray:
+    """Actually TRAIN a (784, 10) softmax regression on synthetic data
+    (plain numpy gradient descent, fixed seed) — a real optimized
+    artifact, not a random matrix."""
+    rng = np.random.default_rng(42)
+    x = rng.random((n, FEATURE_DIM))
+    w_true = rng.standard_normal((FEATURE_DIM, 10))
+    y = (x @ w_true).argmax(axis=1)
+    onehot = np.eye(10)[y]
+    w = np.zeros((FEATURE_DIM, 10))
+    for _ in range(steps):
+        logits = x @ w
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        w -= lr * x.T @ (p - onehot) / n
+    # the model must have actually learned something before we ship it
+    assert ((x @ w).argmax(axis=1) == y).mean() > 0.9
+    return w
+
+
+def test_prediction_job_with_trained_model_end_to_end(spark, tmp_path, monkeypatch):
+    """The full prediction job (profiles -> blacklist -> sample ->
+    features -> batched inference) run TWICE over sf0.001: once with the
+    formula stand-in, once with a genuinely trained softmax shipped
+    through $SPARK_GRAFT_MODEL_WEIGHTS. The trained run's outputs must
+    match a driver-side numpy reference computed with the same trained
+    weights (the path travels through the task closure into the Arrow
+    workers), and must differ from the stand-in run somewhere."""
+    import adtech_log_data_pipeline_spark.operators.inference as inf
+    from adtech_log_data_pipeline_spark.plans.queries import (
+        QUERY_THRESHOLDS,
+        q_feature_inputs,
+    )
+
+    w = _train_softmax()
+    p = tmp_path / "trained.npy"
+    np.save(p, w)
+
+    # sf0.01: the smallest SF where the sample+blacklist funnel leaves a
+    # non-empty device set (the thresholds are tuned to sf0.01 activity)
+    fi = q_feature_inputs(spark, "/root/testdata/sf0.01")
+    fi_rows = fi.collect()
+    assert len(fi_rows) > 0
+    base = {r["uuid"]: (r["prediction"], r["score"]) for r in predict(fi).collect()}
+
+    monkeypatch.setenv(inf.MODEL_WEIGHTS_ENV, str(p))
+    trained = {
+        r["uuid"]: (r["prediction"], r["score"]) for r in predict(fi).collect()
+    }
+    monkeypatch.delenv(inf.MODEL_WEIGHTS_ENV)
+
+    # driver-side reference with the SAME trained weights
+    pdf = pd.DataFrame([r.asDict() for r in fi_rows])
+    logits = np.round(build_vectors(pdf) @ w, 6)
+    expect = {
+        u: (int(c), float(s))
+        for u, c, s in zip(
+            pdf["uuid"], logits.argmax(axis=1), logits.max(axis=1)
+        )
+    }
+    assert set(trained) == set(expect)
+    for u in expect:
+        assert trained[u][0] == expect[u][0]
+        assert abs(trained[u][1] - expect[u][1]) < 1e-6
+    # a trained model is not the stand-in: some score must move
+    assert trained != base
 
 
 def test_scores_match_numpy_reference(spark):
