@@ -131,12 +131,24 @@ def write_tfrecord_partitioned(
     df: DataFrame, directory: str, column: str = "payload", compress: bool = True
 ) -> None:
     """Distributed TFRecord sink: one `part-<pid>.tfrecord[.gz]` shard per
-    partition (the runner-chosen-shards analogue of withNumShards(0))."""
+    partition (the runner-chosen-shards analogue of withNumShards(0)).
+
+    DataFrame-native: the shard index comes from a spark_partition_id()
+    column and the per-partition write is an Arrow-batched mapInPandas
+    whose generator spans the whole partition (payloads accumulate across
+    batches, one file write at partition end) — no drop to the RDD API."""
+    from pyspark.sql import functions as F
+
     os.makedirs(directory, exist_ok=True)
     suffix = ".tfrecord.gz" if compress else ".tfrecord"
 
-    def write_partition(pid: int, rows: Iterator[Any]) -> Iterator[int]:
-        payloads = [bytes(r[column]) for r in rows]
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads: list[bytes] = []
+        pid = None
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+                payloads.extend(bytes(b) for b in pdf[column])
         if payloads:
             write_tfrecord(
                 os.path.join(directory, f"part-{pid:05d}{suffix}"),
@@ -145,7 +157,11 @@ def write_tfrecord_partitioned(
             )
         return iter(())
 
-    df.select(column).rdd.mapPartitionsWithIndex(write_partition).count()
+    (
+        df.select(F.col(column), F.spark_partition_id().alias("__pid"))
+        .mapInPandas(write_partition, schema="n long")
+        .count()
+    )
 
 
 def read_tfrecord(
