@@ -149,6 +149,7 @@ def sessionize_bounded(
     ev: DataFrame,
     max_ts_ms: int,
     delay_ms: int = 60_000,
+    sealed: bool = False,
 ) -> DataFrame:
     """Sessionize a bounded replay stream ``ev`` (columns user_id, ts —
     ANY micro-batch slicing) to completion; the result equals batch
@@ -157,8 +158,14 @@ def sessionize_bounded(
     ``streaming/_replay.py`` — see that module for the full rationale.
     ``max_ts_ms`` is the replay's max event time (footer stats); a
     sentinel misplaced BELOW it would late-drop data, which is why it is
-    derived, not hardcoded."""
-    from ._replay import make_replay_dirs, run_two_phase
+    derived, not hardcoded.
+
+    ``sealed=True`` pre-seeds the sentinel and runs ONE availableNow
+    query (_replay.run_sealed — half the fixed cost); only valid when
+    ``ev`` has no per-trigger limits (the whole replay must land in the
+    first micro-batch; a maxFilesPerTrigger stream would late-drop every
+    file after the first). The multi-batch law tests keep sealed=False."""
+    from ._replay import make_replay_dirs, run_sealed, run_two_phase
 
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
     work, sentinel_dir, out_dir, ckpt_dir = make_replay_dirs("sessionize_run_")
@@ -179,7 +186,8 @@ def sessionize_bounded(
     events = ev.withWatermark("ts", f"{delay_ms // 1000} seconds").select(
         "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
     )
-    return run_two_phase(
+    runner = run_sealed if sealed else run_two_phase
+    return runner(
         spark,
         sessionize_stream(events),
         OUTPUT_SCHEMA,
@@ -199,8 +207,11 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import table_ts_max_ms
     from .windowed import _events_stream
 
+    # sealed: the stream built here is the single events.parquet file with
+    # no per-trigger limits, so the one-query protocol is valid
     return sessionize_bounded(
         spark,
         _events_stream(spark, sf_dir),
         table_ts_max_ms(sf_dir, "events"),
+        sealed=True,
     )

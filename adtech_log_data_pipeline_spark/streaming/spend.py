@@ -225,11 +225,14 @@ def spend_sessions_bounded(
     purchases: DataFrame,
     max_ts_ms: int,
     delay_ms: int = 60_000,
+    sealed: bool = False,
 ) -> DataFrame:
     """Run the spend sessionizer over a bounded purchase replay to
     completion (result equals the batch sessionization the oracle states),
-    via the shared two-phase sentinel protocol in streaming/_replay.py."""
-    from ._replay import make_replay_dirs, run_two_phase
+    via the shared sentinel protocol in streaming/_replay.py
+    (``sealed=True`` = pre-seeded sentinel, one availableNow query — only
+    for limit-free streams; see sessionize_bounded)."""
+    from ._replay import make_replay_dirs, run_sealed, run_two_phase
 
     sentinel_ms = max_ts_ms + SESSION_GAP_MS + delay_ms + 3_600_000
     work, sentinel_dir, out_dir, ckpt_dir = make_replay_dirs("spend_run_")
@@ -252,7 +255,8 @@ def spend_sessions_bounded(
             "coalesce(cast(floor(value * 100 + 0.5) as bigint), 0L)"
         ).alias("cents"),
     )
-    return run_two_phase(
+    runner = run_sealed if sealed else run_two_phase
+    return runner(
         spark,
         spend_sessions_stream(events),
         OUTPUT_SCHEMA,
@@ -275,6 +279,7 @@ def streaming_spend_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "ts", "value")
     )
+    # sealed: single-file limit-free stream built right here
     return spend_sessions_bounded(
-        spark, purchases, table_ts_max_ms(sf_dir, "events")
+        spark, purchases, table_ts_max_ms(sf_dir, "events"), sealed=True
     )

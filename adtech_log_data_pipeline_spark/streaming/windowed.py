@@ -349,6 +349,7 @@ def stream_attribution_outer(
     sf_dir: str,
     events: DataFrame | None = None,
     max_ts_ms: int | None = None,
+    sealed: bool | None = None,
 ) -> DataFrame:
     """LEFT OUTER stream-stream interval join — attribution that also
     reports the UNCONVERTED purchases: every purchase emits, either once
@@ -370,9 +371,14 @@ def stream_attribution_outer(
     import os as _os
 
     from ..sources.tables import table_ts_max_ms
-    from ._replay import make_replay_dirs, run_two_phase
+    from ._replay import make_replay_dirs, run_sealed, run_two_phase
     from .sessionize import SENTINEL_USER_ID
 
+    if sealed is None:
+        # self-built stream = single events.parquet file, no per-trigger
+        # limits -> the one-query sealed protocol is valid; an injected
+        # ``events`` (the multi-batch law tests) keeps the two-phase path
+        sealed = events is None
     delay_s = 60
     if max_ts_ms is None:
         max_ts_ms = table_ts_max_ms(sf_dir, "events")
@@ -445,7 +451,8 @@ def stream_attribution_outer(
         F.col("p_user").alias("user_id"),
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
     )
-    return run_two_phase(
+    runner = run_sealed if sealed else run_two_phase
+    return runner(
         spark,
         joined,
         "purchase_id long, click_id long, user_id long, lag_ms long",

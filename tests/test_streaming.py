@@ -287,3 +287,34 @@ def test_scratch_dir_env_override(tmp_path, monkeypatch):
     d = scratch_dir("t_")
     assert d.startswith("/dev/shm") == os.path.isdir("/dev/shm")
     os.rmdir(d)
+
+
+def test_sealed_replay_equals_two_phase(spark):
+    """The single-query sealed protocol (sentinel pre-seeded, one
+    availableNow run) must produce exactly the two-phase protocol's
+    result on a limit-free bounded stream."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.sources.tables import (
+        load_table,
+        table_ts_max_ms,
+    )
+    from adtech_log_data_pipeline_spark.streaming.sessionize import (
+        sessionize_bounded,
+    )
+    from adtech_log_data_pipeline_spark.streaming.windowed import _events_stream
+
+    sf = "/root/testdata/sf0.001"
+    max_ms = table_ts_max_ms(sf, "events")
+
+    def run(sealed):
+        out = sessionize_bounded(
+            spark, _events_stream(spark, sf), max_ms, sealed=sealed
+        )
+        return {
+            (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+            for r in out.collect()
+        }
+
+    a, b = run(True), run(False)
+    assert a == b and len(a) > 0
