@@ -214,3 +214,18 @@ def test_retention_cohorts_two_exchanges(spark):
     final (cohort, week) aggregation adds a second."""
     plan = _plan(spark, "retention_cohorts", mode="simple")
     assert plan.count("Exchange") <= 2
+
+
+def test_brand_supplier_stats_plan_pinned(spark):
+    """Q16 shape (NOT-IN null-aware anti-join + distinct-supplier count):
+    the anti-join and the part-side join must both be broadcast-built —
+    a SortMergeJoin or a BroadcastNestedLoopJoin here means the
+    null-aware NOT IN degenerated into a shuffle or a product (the r5
+    bench drift on this query was session variance; this pins the plan so
+    a real regression cannot hide behind that explanation again)."""
+    plan = _plan(spark, "brand_supplier_stats", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
