@@ -263,12 +263,96 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_ingest_checkpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest gate (jobs/maintenance.py::incremental_ingest —
+    checkpointed availableNow file ingest): run it twice over a scratch
+    copy of documents. The first run must consume every row exactly once
+    into the output; the second run over the UNCHANGED directory must be
+    a no-op (the checkpoint's file offsets make re-runs idempotent).
+    Output: (first_run_rows, second_run_rows, out_rows, out_sum_doc_id)."""
+    from ..jobs.maintenance import incremental_ingest
+
+    work = scratch_dir("ingest_audit_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        docs.write.mode("overwrite").parquet(in_dir)
+        first = incremental_ingest(spark, in_dir, out_dir, ckpt)
+        second = incremental_ingest(spark, in_dir, out_dir, ckpt)
+        rows = (
+            spark.read.parquet(out_dir)
+            .agg(
+                F.lit(int(first)).cast("bigint").alias("first_run_rows"),
+                F.lit(int(second)).cast("bigint").alias("second_run_rows"),
+                F.count(F.lit(1)).alias("out_rows"),
+                F.sum("doc_id").alias("out_sum_doc_id"),
+            )
+            .collect()
+        )
+        return _materialize(
+            spark,
+            rows,
+            "first_run_rows bigint, second_run_rows bigint, out_rows bigint,"
+            " out_sum_doc_id bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction gate (jobs/maintenance.py::compact_parquet): fragment
+    lineitem into many small files, compact to ~target-sized output, and
+    verify from the written files that every row and the orderkey sum
+    survived and the file count actually shrank. File counts are
+    environment-dependent details — reduced to a boolean."""
+    from ..jobs.maintenance import compact_parquet
+
+    work = scratch_dir("compact_audit_")
+    frag = os.path.join(work, "frag")
+    out = os.path.join(work, "out")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber"
+        )
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+
+        def n_files(d: str) -> int:
+            return sum(
+                1
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+
+        compact_parquet(spark, frag, out)
+        rows = (
+            spark.read.parquet(out)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_orderkey").alias("sum_orderkey"),
+                F.lit(bool(n_files(out) < n_files(frag)))
+                .alias("file_count_reduced"),
+            )
+            .collect()
+        )
+        return _materialize(
+            spark,
+            rows,
+            "n_rows bigint, sum_orderkey bigint, file_count_reduced boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MAINTENANCE_QUERIES = {
     "zorder_audit": q_zorder_audit,
     "range_sort_audit": q_range_sort_audit,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "tfexample_roundtrip": q_tfexample_roundtrip,
     "shard_manifest": q_shard_manifest,
+    "ingest_checkpoint_audit": q_ingest_checkpoint_audit,
+    "compaction_audit": q_compaction_audit,
 }
 
 
@@ -365,6 +449,22 @@ FROM curated GROUP BY split
 """
 
 
+_ORACLE_INGEST_CHECKPOINT = """
+SELECT CAST(count(*) AS BIGINT) AS first_run_rows,
+       CAST(0 AS BIGINT) AS second_run_rows,
+       CAST(count(*) AS BIGINT) AS out_rows,
+       CAST(sum(doc_id) AS BIGINT) AS out_sum_doc_id
+FROM documents
+"""
+
+_ORACLE_COMPACTION = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+       true AS file_count_reduced
+FROM lineitem
+"""
+
+
 def maintenance_oracles() -> dict[str, str]:
     return {
         "zorder_audit": _oracle_zorder_audit(),
@@ -372,4 +472,6 @@ def maintenance_oracles() -> dict[str, str]:
         "snapshot_diff_orders": _ORACLE_SNAPSHOT_DIFF_ORDERS,
         "tfexample_roundtrip": _oracle_tfexample_roundtrip(),
         "shard_manifest": _oracle_shard_manifest(),
+        "ingest_checkpoint_audit": _ORACLE_INGEST_CHECKPOINT,
+        "compaction_audit": _ORACLE_COMPACTION,
     }

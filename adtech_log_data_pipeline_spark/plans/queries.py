@@ -190,6 +190,8 @@ _GATE_FIRST = [
     "snapshot_diff_orders",
     "tfexample_roundtrip",
     "shard_manifest",
+    "ingest_checkpoint_audit",
+    "compaction_audit",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -227,14 +229,14 @@ _GATE_FIRST = [
     "similarity_lsh_topk",
     "similarity_topk",
     "text_stats",
-    "winnowing",
-    # four green rows, flagship: re-prove the Q1-style headliner
-    "pricing_summary",
+    # winnowing (3 greens, untouched since r3) and pricing_summary
+    # (4 greens) yield their window slots to the two newest audits
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "winnowing",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

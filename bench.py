@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "tfexample_roundtrip",
     "shard_manifest",
+    "ingest_checkpoint_audit",
+    "compaction_audit",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
