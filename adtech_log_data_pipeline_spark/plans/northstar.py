@@ -108,6 +108,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality observability: per-query recall@5 of the IVF index
+    against the exact brute-force top-5 — the metric that tells a 100 TB
+    deployment when its coarse quantizer has drifted and the index needs
+    retraining. Output: (query_id, k_exact, n_overlap, recall).
+
+    Determinism: both sides are the already-gated deterministic chains
+    (similarity_topk, similarity_ivf_topk); the overlap count is an
+    equi-join; recall is ONE int/int IEEE divide. Scale shape: the two
+    top-k relations are (n_queries x k) rows — the join is trivial
+    against any corpus size."""
+    from ..functions._cache import hold
+
+    emb = _emb(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    approx = ivf_topk(
+        emb, q, k=5, total=table_row_count(sf_dir, "embeddings")
+    )
+    # hard-rename BOTH sides before joining: exact and approx share the
+    # embeddings scan lineage, and same-named attributes across a
+    # self-joined lineage resolve ambiguously (the round-6 NULL-group bug)
+    ex = exact.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hv = approx.select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        ex.join(
+            hv, (ex.qid == hv.a_qid) & (ex.nid == hv.a_nid), "left"
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.count("a_nid").alias("n_overlap"),
+            (F.count("a_nid") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
 def q_dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band cap-pressure audit over the minhash band and simhash
     piece bucket relations (the "no silent caps" rule)."""
@@ -569,6 +610,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
+    "ann_recall_audit": q_ann_recall_audit,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
@@ -1966,6 +2008,17 @@ FROM j GROUP BY source
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_cap_audit": _oracle_dedup_cap_audit(),
     "semantic_cap_audit": _oracle_semantic_cap_audit(),
+    "ann_recall_audit": f"""
+WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
+iv AS ({_ORACLE_IVF})
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(count(iv.neighbor_id) AS BIGINT) AS n_overlap,
+       count(iv.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN iv
+  ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+GROUP BY ex.query_id
+""",
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),
     "temperature_mix": _oracle_temperature_mix(),

@@ -192,6 +192,7 @@ _GATE_FIRST = [
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",
+    "ann_recall_audit",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -228,15 +229,17 @@ _GATE_FIRST = [
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_topk",
-    "text_stats",
-    # winnowing (3 greens, untouched since r3) and pricing_summary
-    # (4 greens) yield their window slots to the two newest audits
+    # text_stats/winnowing (3 greens, pure column expressions untouched
+    # since r3) and pricing_summary (4 greens) yield their window slots
+    # to the round-6 audit queries — 10 new entries only fit by bumping
+    # the lowest-risk tail of the 3-green class
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
     "winnowing",
+    "text_stats",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

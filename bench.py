@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",
+    "ann_recall_audit",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
