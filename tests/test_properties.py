@@ -369,3 +369,69 @@ def test_b64_codec_roundtrip_law(spark, rows, tmp_path_factory):
     got = Counter((r["id"], r["t"]) for r in back.collect())
     want = Counter((i, t) for i, t in rows if not (i is None and t is None))
     assert got == want
+
+
+# --- band_cap_audit conservation laws (round 6: the "no silent caps" rule) --
+
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=1,
+    max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=12),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_band_cap_audit_conservation(spark, texts, cap):
+    """For ANY corpus and cap: members partition into kept + dropped
+    (capped index row count == n_members - n_dropped, per scheme);
+    pressure flags agree (n_capped_buckets == 0 iff n_dropped == 0);
+    max_bucket never exceeds the member count."""
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        band_cap_audit,
+        minhash_band_rows,
+        _simhash_piece_rows_raw,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    rows = band_cap_audit(docs, bucket_cap=cap).collect()
+    by_scheme: dict[str, list] = {}
+    for r in rows:
+        by_scheme.setdefault(r["scheme"], []).append(r)
+        assert r["max_bucket"] <= r["n_members"]
+        assert (r["n_capped_buckets"] == 0) == (r["n_dropped"] == 0)
+        assert 0 <= r["n_dropped"] <= r["n_members"]
+    assert set(by_scheme) == {"minhash_band", "simhash_piece"}
+
+    mh_audit = {r["band"]: r for r in by_scheme["minhash_band"]}
+    kept_rows = minhash_band_rows(docs, bucket_cap=cap)
+    per_band_kept = {
+        r["band"]: r["n"]
+        for r in kept_rows.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for band, audit in mh_audit.items():
+        assert per_band_kept.get(band, 0) == audit["n_members"] - audit["n_dropped"]
+
+    sh_audit = {r["band"]: r for r in by_scheme["simhash_piece"]}
+    w = Window.partitionBy("piece", "pval").orderBy("doc_id")
+    sh_kept = (
+        _simhash_piece_rows_raw(docs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sh_kept:
+        audit = sh_audit[r["piece"]]
+        assert r["n"] == audit["n_members"] - audit["n_dropped"]
+    release_cached()
