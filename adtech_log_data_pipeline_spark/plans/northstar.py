@@ -149,6 +149,36 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path gate: per-nation revenue computed THROUGH the salted
+    equi-join (operators/skew.py::salted_join — fact rows salted by whole-
+    row hash, dim replicated per salt) must equal the plain join the
+    oracle states. Revenue is single-factor bigint cents
+    (floor(price*100+0.5) — one IEEE multiply, exactly quantized), so the
+    only thing under test is the join's multiplicity preservation."""
+    from ..operators.skew import salted_join
+    from ..sources.tables import load_table
+
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("cents"),
+    )
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return (
+        salted_join(facts, dim, "suppkey", n_salts=8, how="inner")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
 def q_dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band cap-pressure audit over the minhash band and simhash
     piece bucket relations (the "no silent caps" rule)."""
@@ -611,6 +641,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
+    "salted_hot_join": q_salted_hot_join,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
@@ -2018,6 +2049,14 @@ SELECT ex.query_id,
 FROM ex LEFT JOIN iv
   ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
 GROUP BY ex.query_id
+""",
+    "salted_hot_join": """
+SELECT s.s_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
 """,
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),

@@ -193,6 +193,7 @@ _GATE_FIRST = [
     "ingest_checkpoint_audit",
     "compaction_audit",
     "ann_recall_audit",
+    "salted_hot_join",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -223,13 +224,12 @@ _GATE_FIRST = [
     "dedup_simhash",
     "doc_fingerprints",
     "embedding_near_dup",
-    "lang_id",
     "multimodal_meta",
     "ngram_jaccard",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_topk",
-    # text_stats/winnowing (3 greens, pure column expressions untouched
+    # lang_id/text_stats/winnowing (3 greens, pure column expressions untouched
     # since r3) and pricing_summary (4 greens) yield their window slots
     # to the round-6 audit queries — 10 new entries only fit by bumping
     # the lowest-risk tail of the 3-green class
@@ -240,6 +240,7 @@ _GATE_FIRST = [
 _GATE_LAST = [
     "winnowing",
     "text_stats",
+    "lang_id",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

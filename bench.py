@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "ingest_checkpoint_audit",
     "compaction_audit",
     "ann_recall_audit",
+    "salted_hot_join",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
