@@ -345,6 +345,82 @@ def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+CSV_SLOT, ORC_SLOT = 1, 2  # documents doc_id % 7 slots per format
+
+
+def _roundtrip_agg(df: DataFrame) -> list[Row]:
+    """Content-strong roundtrip fingerprint: counts, sums, and a
+    48-bit-md5-prefix content sum over text (the engine's standard
+    cross-engine hash recipe) — any mangled row moves at least one."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(
+            F.expr(
+                "cast(conv(substr(md5(coalesce(text, '')), 1, 12), 16, 10) as bigint)"
+            )
+        ).alias("sum_text_hash"),
+    ).collect()
+
+
+_RT_SCHEMA = (
+    "n_docs bigint, sum_doc_id bigint, sum_n_chars bigint,"
+    " sum_text_len bigint, sum_text_hash bigint"
+)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange gate: documents with doc_id ≡ CSV_SLOT (mod 7)
+    written as RFC-4180 CSV (quote-doubled escapes, embedded newlines in
+    text — the hazard CSV exists to get wrong) and read back multiLine
+    with an explicit schema; content-sum fingerprints must match the
+    source exactly."""
+    work = scratch_dir("csv_rt_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == CSV_SLOT
+        )
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .option("escape", '"')
+            .csv(work)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long"
+            )
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .csv(work)
+        )
+        return _materialize(spark, _roundtrip_agg(back), _RT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange gate (Spark-native columnar alternative to
+    parquet): same content-sum fingerprint discipline over the written
+    files, slot doc_id ≡ ORC_SLOT (mod 7)."""
+    work = scratch_dir("orc_rt_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 == ORC_SLOT
+        )
+        docs.write.mode("overwrite").orc(work)
+        return _materialize(
+            spark, _roundtrip_agg(spark.read.orc(work)), _RT_SCHEMA
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MAINTENANCE_QUERIES = {
     "zorder_audit": q_zorder_audit,
     "range_sort_audit": q_range_sort_audit,
@@ -353,6 +429,8 @@ MAINTENANCE_QUERIES = {
     "shard_manifest": q_shard_manifest,
     "ingest_checkpoint_audit": q_ingest_checkpoint_audit,
     "compaction_audit": q_compaction_audit,
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 
@@ -465,6 +543,18 @@ FROM lineitem
 """
 
 
+def _oracle_format_roundtrip(slot: int) -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(sum(('0x' || substr(md5(coalesce(text, '')), 1, 12))::BIGINT)
+            AS BIGINT) AS sum_text_hash
+FROM documents WHERE doc_id % 7 = {slot}
+"""
+
+
 def maintenance_oracles() -> dict[str, str]:
     return {
         "zorder_audit": _oracle_zorder_audit(),
@@ -474,4 +564,6 @@ def maintenance_oracles() -> dict[str, str]:
         "shard_manifest": _oracle_shard_manifest(),
         "ingest_checkpoint_audit": _ORACLE_INGEST_CHECKPOINT,
         "compaction_audit": _ORACLE_COMPACTION,
+        "csv_roundtrip": _oracle_format_roundtrip(CSV_SLOT),
+        "orc_roundtrip": _oracle_format_roundtrip(ORC_SLOT),
     }

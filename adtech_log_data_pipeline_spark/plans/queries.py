@@ -194,6 +194,8 @@ _GATE_FIRST = [
     "compaction_audit",
     "ann_recall_audit",
     "salted_hot_join",
+    "csv_roundtrip",
+    "orc_roundtrip",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -222,17 +224,15 @@ _GATE_FIRST = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "doc_fingerprints",
     "embedding_near_dup",
-    "multimodal_meta",
     "ngram_jaccard",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_topk",
-    # lang_id/text_stats/winnowing (3 greens, pure column expressions untouched
-    # since r3) and pricing_summary (4 greens) yield their window slots
-    # to the round-6 audit queries — 10 new entries only fit by bumping
-    # the lowest-risk tail of the 3-green class
+    # The pure-column-expression tail of the 3-green class (lang_id,
+    # text_stats, winnowing, doc_fingerprints, multimodal_meta — all
+    # untouched since r3) and pricing_summary (4 greens) yield their
+    # window slots to the 13 round-6-new audit/format queries.
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
@@ -241,6 +241,8 @@ _GATE_LAST = [
     "winnowing",
     "text_stats",
     "lang_id",
+    "doc_fingerprints",
+    "multimodal_meta",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

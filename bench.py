@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "compaction_audit",
     "ann_recall_audit",
     "salted_hot_join",
+    "csv_roundtrip",
+    "orc_roundtrip",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
