@@ -724,3 +724,92 @@ def dedup_incoming(
             "jaccard",
         )
     )
+
+
+def build_dedup_index(
+    documents: DataFrame, out_dir: str, bucket_cap: int = BAND_BUCKET_CAP
+) -> None:
+    """Persist the near-dup screening index for a corpus as a parquet
+    ARTIFACT: ``bands/`` (the capped (doc_id, band, key) LSH bucket
+    relation) and ``shingles/`` (the distinct (doc_id, s) word-shingle
+    relation the Jaccard verifier needs). At 100 TB this is the nightly
+    build over the existing corpus; every subsequent ingest screen
+    (dedup_incoming_indexed) reads the artifact instead of re-deriving
+    signatures for data that never changed — cost scales with the batch,
+    not the corpus."""
+    import os
+
+    from ._cache import registry_mark, release_cached_from
+
+    mark = registry_mark()
+    try:
+        ds = hold(_shingle_rows(documents).distinct(), eager=True)
+        bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=ds)
+        bands.write.mode("overwrite").parquet(os.path.join(out_dir, "bands"))
+        ds.write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
+    finally:
+        release_cached_from(mark)
+
+
+def dedup_incoming_indexed(
+    incoming: DataFrame,
+    index_dir: str,
+    threshold: float = INCOMING_DUP_THRESHOLD,
+    bucket_cap: int = BAND_BUCKET_CAP,
+) -> DataFrame:
+    """Screen an INCOMING batch against a PERSISTED index
+    (build_dedup_index artifact) — the true nightly-ingest shape: only
+    the batch's signatures are computed; the existing corpus contributes
+    its pre-built band buckets and shingle sets from parquet.
+
+    Cap semantics are PER SIDE (the artifact was capped over the existing
+    corpus at build time; the batch caps over itself), unlike
+    dedup_incoming's joint cap — identical results on any corpus where no
+    bucket nears the cap (band_cap_audit reports exactly when that stops
+    holding). Output matches dedup_incoming:
+    (doc_id, is_dup, match_doc, jaccard)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    spark = incoming.sparkSession
+    bands_e = spark.read.parquet(os.path.join(index_dir, "bands"))
+    sh_e = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    ds_i = hold(_shingle_rows(incoming).distinct(), eager=True)
+    bands_i = minhash_band_rows(incoming, bucket_cap=bucket_cap, shingles=ds_i)
+    pairs = hold(
+        bands_i.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            bands_e.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct(),
+        eager=True,
+    )
+    # doc_ids are disjoint across sides, so the union is a valid single
+    # shingle relation for the shared Jaccard verifier
+    ds = ds_i.unionByName(sh_e)
+    j = ngram_jaccard_pairs(
+        incoming, candidates=pairs, threshold=threshold, shingles=ds
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), "doc_b")
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("match_doc"),
+            "jaccard",
+        )
+    )
+    return (
+        incoming.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("match_doc").isNotNull().alias("is_dup"),
+            "match_doc",
+            "jaccard",
+        )
+    )

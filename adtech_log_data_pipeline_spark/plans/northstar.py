@@ -103,6 +103,36 @@ def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incoming(_docs(spark, sf_dir))
 
 
+def q_dedup_incoming_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-based ingest screen: build the persisted band+shingle
+    index (functions/dedup.py::build_dedup_index) for the EXISTING corpus
+    (doc_id % 10 != 7) into scratch parquet, then screen the incoming
+    batch against the ARTIFACT (dedup_incoming_indexed). The oracle
+    restates the per-side cap semantics; result rows are materialized
+    before the scratch index is removed."""
+    import shutil
+
+    from ..functions.dedup import (
+        INCOMING_MOD,
+        INCOMING_SLOT,
+        build_dedup_index,
+        dedup_incoming_indexed,
+    )
+    from ..streaming._replay import scratch_dir
+
+    work = scratch_dir("dedup_index_")
+    try:
+        docs = _docs(spark, sf_dir)
+        is_in = (F.col("doc_id") % INCOMING_MOD) == INCOMING_SLOT
+        build_dedup_index(docs.filter(~is_in), work)
+        rows = dedup_incoming_indexed(docs.filter(is_in), work).collect()
+        return spark.createDataFrame(
+            rows, "doc_id long, is_dup boolean, match_doc long, jaccard double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures."""
     return simhash(_docs(spark, sf_dir))
@@ -635,6 +665,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_incoming": q_dedup_incoming,
+    "dedup_incoming_indexed": q_dedup_incoming_indexed,
     "table_profile": q_table_profile,
     "temperature_mix": q_temperature_mix,
     "dedup_simhash": q_dedup_simhash,
@@ -846,6 +877,52 @@ FROM documents d
 LEFT JOIN best b ON b.doc_a = d.doc_id AND b.rn = 1
 WHERE d.doc_id % {INCOMING_MOD} = {INCOMING_SLOT}
 """
+
+def _oracle_dedup_incoming_indexed() -> str:
+    """dedup_incoming_indexed restated: same chain as the dedup_incoming
+    oracle but with PER-SIDE bucket caps (the artifact was capped over
+    the existing corpus at build time; the batch caps over itself)."""
+    from ..functions.dedup import (
+        BAND_BUCKET_CAP,
+        INCOMING_DUP_THRESHOLD,
+        INCOMING_MOD,
+        INCOMING_SLOT,
+    )
+
+    return f"""
+WITH {_MINHASH_CTES},
+be AS (
+  SELECT doc_id, band, key FROM bands_raw
+  WHERE doc_id % {INCOMING_MOD} <> {INCOMING_SLOT}
+  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+          <= {BAND_BUCKET_CAP}),
+bi AS (
+  SELECT doc_id, band, key FROM bands_raw
+  WHERE doc_id % {INCOMING_MOD} = {INCOMING_SLOT}
+  QUALIFY row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+          <= {BAND_BUCKET_CAP}),
+ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+ip AS (
+  SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM bi i JOIN be e ON i.band = e.band AND i.key = e.key),
+j AS (
+  SELECT ip.doc_a, ip.doc_b,
+         len(list_intersect(a.sh, b.sh))
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM ip JOIN ds a ON a.doc_id = ip.doc_a
+          JOIN ds b ON b.doc_id = ip.doc_b),
+best AS (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b) AS rn
+  FROM j WHERE jaccard >= {INCOMING_DUP_THRESHOLD})
+SELECT d.doc_id, (b.doc_a IS NOT NULL) AS is_dup,
+       b.doc_b AS match_doc, b.jaccard
+FROM documents d
+LEFT JOIN best b ON b.doc_a = d.doc_id AND b.rn = 1
+WHERE d.doc_id % {INCOMING_MOD} = {INCOMING_SLOT}
+"""
+
 
 _ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_MINHASH_CTES},
@@ -2060,6 +2137,7 @@ GROUP BY s.s_nationkey
 """,
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),
+    "dedup_incoming_indexed": _oracle_dedup_incoming_indexed(),
     "temperature_mix": _oracle_temperature_mix(),
     "table_profile": """
 SELECT 'doc_id' AS col, count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,

@@ -196,6 +196,7 @@ _GATE_FIRST = [
     "salted_hot_join",
     "csv_roundtrip",
     "orc_roundtrip",
+    "dedup_incoming_indexed",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -228,7 +229,8 @@ _GATE_FIRST = [
     "ngram_jaccard",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
-    "similarity_topk",
+    # similarity_topk's chain is re-proven every round through
+    # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
     # text_stats, winnowing, doc_fingerprints, multimodal_meta — all
     # untouched since r3) and pricing_summary (4 greens) yield their
@@ -243,6 +245,7 @@ _GATE_LAST = [
     "lang_id",
     "doc_fingerprints",
     "multimodal_meta",
+    "similarity_topk",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "salted_hot_join",
     "csv_roundtrip",
     "orc_roundtrip",
+    "dedup_incoming_indexed",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -668,3 +668,32 @@ def test_semantic_cap_audit_partitions_membership(spark):
     )
     audited = semantic_dedup_cap_audit(one_blob, k=1, cluster_cap=5).collect()
     assert sum(r["n_dropped"] for r in audited) == 12 - 5
+
+
+def test_dedup_incoming_indexed_equals_recompute(spark, tmp_path):
+    """The persisted-artifact ingest screen must agree with the
+    recompute-everything screen on a corpus where no bucket nears the cap
+    (per-side vs joint cap semantics only diverge under cap pressure)."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        INCOMING_MOD,
+        INCOMING_SLOT,
+        build_dedup_index,
+        dedup_incoming,
+        dedup_incoming_indexed,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    is_in = (F.col("doc_id") % INCOMING_MOD) == INCOMING_SLOT
+    build_dedup_index(docs.filter(~is_in), str(tmp_path))
+    indexed = {
+        r["doc_id"]: (r["is_dup"], r["match_doc"], r["jaccard"])
+        for r in dedup_incoming_indexed(docs.filter(is_in), str(tmp_path)).collect()
+    }
+    recomputed = {
+        r["doc_id"]: (r["is_dup"], r["match_doc"], r["jaccard"])
+        for r in dedup_incoming(docs).collect()
+    }
+    assert indexed == recomputed and len(indexed) > 0
