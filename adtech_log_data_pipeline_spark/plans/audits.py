@@ -387,6 +387,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("header", True)
             .option("quoteAll", True)
             .option("escape", '"')
+            # the CSV WRITER trims field whitespace by default — disable
+            # both or padded text silently loses bytes through the trip
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .csv(work)
         )
         back = (

@@ -92,3 +92,50 @@ def test_audit_queries_leave_no_cached_rdds(spark):
         fn(spark, SF).collect()
         release_cached()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_csv_roundtrip_survives_adversarial_text(spark, tmp_path):
+    """The CSV interchange settings (quoteAll + quote-doubled escapes +
+    multiLine read) must round-trip text containing every CSV hazard:
+    embedded quotes, commas, newlines, CRLF, leading/trailing spaces,
+    empty strings, and unicode."""
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, inside'),
+        (3, 'double " quote'),
+        (4, 'line\nbreak'),
+        (5, 'crlf\r\nbreak'),
+        (6, '  padded  '),
+        (7, ''),
+        (8, 'uniçødé ☃'),
+        (9, '"fully quoted"'),
+        (10, 'quote", then "comma, and\nnewline'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "csv")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        # the WRITER trims field whitespace by default (the reader does
+        # not) — row 6 pins that both directions preserve padding
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )
+    back = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.schema("doc_id long, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+        .collect()
+    }
+    expect = dict(rows)
+    # Spark's CSV writer emits empty string as empty quoted field; the
+    # reader with an explicit schema returns it as NULL — a documented
+    # CSV ambiguity, normalized here
+    expect[7] = None
+    assert back == expect
