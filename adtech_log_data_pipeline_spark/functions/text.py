@@ -1036,3 +1036,36 @@ def oov_rate(documents: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
             F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """Charset/script quality screen — the cheap pre-langid pass a crawl
+    pipeline runs to route documents (pure-ASCII English-ish vs
+    mixed-script vs binary-ish junk): per doc, counts of non-ASCII,
+    digit, uppercase, and whitespace characters plus the ASCII ratio.
+
+    Every count is length(text) - length(regexp_replace(text, class, ''))
+    — a character-class strip, identical semantics in Java regex and RE2,
+    no explode, no shuffle; the ratio is ONE int/int IEEE divide with a
+    nullif(0) empty-doc guard (cross-engine convention). Output:
+    (doc_id, n_chars_m, n_non_ascii, n_digits, n_upper, n_ws,
+    ascii_ratio)."""
+
+    def strip_count(cls: str) -> Column:
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", cls, ""))
+        ).cast("bigint")
+
+    n = F.length("text").cast("bigint")
+    return documents.select(
+        "doc_id",
+        n.alias("n_chars_m"),
+        strip_count(r"[^\x00-\x7f]").alias("n_non_ascii"),
+        strip_count("[0-9]").alias("n_digits"),
+        strip_count("[A-Z]").alias("n_upper"),
+        strip_count(r"[ \t\n\r]").alias("n_ws"),
+        (
+            (n - strip_count(r"[^\x00-\x7f]"))
+            / F.nullif(n, F.lit(0))
+        ).alias("ascii_ratio"),
+    )

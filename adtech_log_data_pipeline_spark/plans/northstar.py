@@ -69,6 +69,14 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/script quality screen (ASCII ratio, digit/upper/whitespace
+    counts via character-class strips)."""
+    from ..functions.text import script_mix
+
+    return script_mix(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + set-hash dedup groups."""
     return dedup_exact(_docs(spark, sf_dir))
@@ -661,6 +669,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_chunks": q_audio_chunks,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "script_mix": q_script_mix,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -2126,6 +2135,18 @@ SELECT ex.query_id,
 FROM ex LEFT JOIN iv
   ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
 GROUP BY ex.query_id
+""",
+    "script_mix": r"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS n_non_ascii,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+         CAST(length(text) - length(regexp_replace(text, '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')) AS BIGINT) AS n_ws
+  FROM documents)
+SELECT doc_id, n AS n_chars_m, n_non_ascii, n_digits, n_upper, n_ws,
+       (n - n_non_ascii) / CAST(nullif(n, 0) AS DOUBLE) AS ascii_ratio
+FROM t
 """,
     "salted_hot_join": """
 SELECT s.s_nationkey AS nationkey,

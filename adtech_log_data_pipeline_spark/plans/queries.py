@@ -197,6 +197,7 @@ _GATE_FIRST = [
     "csv_roundtrip",
     "orc_roundtrip",
     "dedup_incoming_indexed",
+    "script_mix",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -225,10 +226,11 @@ _GATE_FIRST = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "embedding_near_dup",
     "ngram_jaccard",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
+    # embedding_near_dup's LSH-bucket path shares the signature chain
+    # similarity_lsh_topk (in-window) re-proves each round
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -246,6 +248,7 @@ _GATE_LAST = [
     "doc_fingerprints",
     "multimodal_meta",
     "similarity_topk",
+    "embedding_near_dup",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

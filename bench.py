@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     "orc_roundtrip",
     "dedup_incoming_indexed",
+    "script_mix",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
