@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
+            "dedup-index", "dedup-screen",
         ],
         required=True,
     )
@@ -174,6 +175,27 @@ def main(argv: list[str] | None = None) -> int:
             f"rangesort done: {n} range-partitioned sorted files on"
             f" {cols} -> {args.output}"
         )
+    elif args.job == "dedup-index":
+        if not args.input:
+            ap.error("--input (documents parquet dir) is required for --job dedup-index")
+        from .functions.dedup import build_dedup_index
+
+        build_dedup_index(spark.read.parquet(args.input), args.output)
+        print(f"dedup-index done: bands/ + shingles/ -> {args.output}")
+    elif args.job == "dedup-screen":
+        if not args.input or not args.against:
+            ap.error(
+                "--input (incoming documents parquet) and --against (index"
+                " dir from --job dedup-index) are required for --job dedup-screen"
+            )
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import dedup_incoming_indexed
+
+        out = dedup_incoming_indexed(spark.read.parquet(args.input), args.against)
+        out.write.mode("overwrite").parquet(args.output)
+        n_dup = out.filter(F.col("is_dup")).count()
+        print(f"dedup-screen done: {n_dup} duplicates flagged -> {args.output}")
     elif args.job == "profile":
         if not args.input:
             ap.error("--input is required for --job profile")
