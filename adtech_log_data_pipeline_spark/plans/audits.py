@@ -425,6 +425,65 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning gate — the core 100 TB access pattern: write
+    events hive-partitioned by epoch day (ymd=...), read back with a
+    single-day predicate, and verify (a) the day's rows all arrive and
+    (b) the scan's file list actually PRUNED to a strict subset of the
+    table's files (inputFiles() on the filtered read vs the full read).
+    The probed day is the corpus minimum — deterministic at any SF."""
+    work = scratch_dir("partprune_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp_ltz)) div 86400000 as int)"
+            ).alias("ymd"),
+        )
+        ev.write.partitionBy("ymd").mode("overwrite").parquet(work)
+        full = spark.read.parquet(work)
+        day = full.agg(F.min("ymd")).collect()[0][0]
+        one_day = full.filter(F.col("ymd") == day)
+        n_day = one_day.count()
+        # inputFiles() reflects the UNPRUNED file index, so prove pruning
+        # from (a) the physical plan carrying the predicate as a
+        # PartitionFilter (pushed to the directory listing, not a
+        # post-scan filter) and (b) the probed day's hive directory
+        # holding a strict subset of the table's files
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        # attribute names carry expression-ID suffixes (ymd#42), so check
+        # the PartitionFilters clause for the comparison value itself
+        filter_pushed = any(
+            "PartitionFilters" in line and f"= {day})" in line
+            for line in plan.splitlines()
+        )
+
+        def n_parquet(d: str) -> int:
+            return sum(
+                1
+                for _root, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+
+        layout_pruned = n_parquet(os.path.join(work, f"ymd={day}")) < n_parquet(
+            work
+        )
+        rows = [
+            Row(
+                probe_ymd=int(day),
+                n_rows_day=int(n_day),
+                scan_pruned=bool(filter_pushed and layout_pruned),
+            )
+        ]
+        return _materialize(
+            spark, rows, "probe_ymd int, n_rows_day bigint, scan_pruned boolean"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MAINTENANCE_QUERIES = {
     "zorder_audit": q_zorder_audit,
     "range_sort_audit": q_range_sort_audit,
@@ -435,6 +494,7 @@ MAINTENANCE_QUERIES = {
     "compaction_audit": q_compaction_audit,
     "csv_roundtrip": q_csv_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "partition_prune_audit": q_partition_prune_audit,
 }
 
 
@@ -570,4 +630,12 @@ def maintenance_oracles() -> dict[str, str]:
         "compaction_audit": _ORACLE_COMPACTION,
         "csv_roundtrip": _oracle_format_roundtrip(CSV_SLOT),
         "orc_roundtrip": _oracle_format_roundtrip(ORC_SLOT),
+        "partition_prune_audit": """
+WITH d AS (SELECT CAST(epoch_ms(ts) // 86400000 AS INT) AS ymd FROM events),
+m AS (SELECT min(ymd) AS d0 FROM d)
+SELECT m.d0 AS probe_ymd,
+       CAST(count(*) AS BIGINT) AS n_rows_day,
+       true AS scan_pruned
+FROM d, m WHERE d.ymd = m.d0 GROUP BY m.d0
+""",
     }

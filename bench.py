@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "orc_roundtrip",
     "dedup_incoming_indexed",
     "script_mix",
+    "partition_prune_audit",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
