@@ -199,6 +199,7 @@ _GATE_FIRST = [
     "dedup_incoming_indexed",
     "script_mix",
     "partition_prune_audit",
+    "props_json_stats",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -228,7 +229,6 @@ _GATE_FIRST = [
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
-    "similarity_ivf_topk",
     # embedding_near_dup's LSH-bucket path shares the signature chain
     # similarity_lsh_topk (in-window) re-proves each round
     # similarity_topk's chain is re-proven every round through
@@ -250,6 +250,7 @@ _GATE_LAST = [
     "similarity_topk",
     "embedding_near_dup",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -602,7 +602,32 @@ def top_parts_per_brand_sql(dialect: str) -> str:
         """
 
 
+def props_json_stats_sql(dialect: str) -> str:
+    """Semi-structured extraction: pull the integer field out of the
+    events ``props`` JSON column and aggregate per event type — the
+    no-UDF JSON path (Spark's get_json_object stays inside codegen;
+    schema-on-read without touching the parquet schema). Null-tolerant:
+    a row whose props lacks ``k`` (or fails to parse) counts in n_events
+    but not n_with_k, identically in both engines."""
+    k = (
+        "CAST(get_json_object(props, '$.k') AS INT)"
+        if dialect == "spark"
+        else "CAST(json_extract_string(props, '$.k') AS INT)"
+    )
+    return f"""
+        WITH p AS (SELECT event_type, {k} AS k FROM events)
+        SELECT event_type,
+               cast(count(*) AS BIGINT) AS n_events,
+               cast(count(k) AS BIGINT) AS n_with_k,
+               cast(sum(k) AS BIGINT) AS sum_k,
+               cast(min(k) AS INT) AS min_k,
+               cast(max(k) AS INT) AS max_k
+        FROM p GROUP BY event_type
+        """
+
+
 RELATIONAL_SQL = {
+    "props_json_stats": (props_json_stats_sql, ["events"]),
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),
     "nation_revenue": (

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_incoming_indexed",
     "script_mix",
     "partition_prune_audit",
+    "props_json_stats",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
