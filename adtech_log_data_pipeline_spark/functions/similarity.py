@@ -717,7 +717,9 @@ def semantic_dedup(
     pairs — never the O(n^2) cross product. The DEFAULT k scales with the
     corpus via ``default_kmeans_k`` (like IVF's sqrt(n) lists) to hold
     cluster sizes ~flat; a fixed k would silently collapse coverage at
-    scale.
+    scale. How much the cap actually truncates is OBSERVABLE via
+    semantic_dedup_cap_audit (the "no silent caps" rule) — run it beside
+    this on any unfamiliar corpus.
 
     Output: (vec_id, cid, kept) for EVERY input vector."""
     from pyspark.sql.window import Window
