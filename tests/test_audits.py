@@ -139,3 +139,15 @@ def test_csv_roundtrip_survives_adversarial_text(spark, tmp_path):
     # CSV ambiguity, normalized here
     expect[7] = None
     assert back == expect
+
+
+def test_partition_prune_audit_invariants(spark):
+    from adtech_log_data_pipeline_spark.plans.audits import (
+        q_partition_prune_audit,
+    )
+
+    r = q_partition_prune_audit(spark, SF).collect()[0]
+    assert r["n_rows_day"] > 0
+    # the two-sided proof: PartitionFilters pushed AND the probed day's
+    # hive directory is a strict file subset
+    assert r["scan_pruned"] is True
