@@ -333,3 +333,45 @@ def test_table_profile_ntz_bounds_are_timezone_free(spark):
         assert bounds == [(expect_min, expect_max, 1)] * 3
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_script_mix_counts_and_ratio_laws(spark):
+    """script_mix laws on a hand-built matrix: every class count is the
+    exact character tally, counts never exceed the length, the ASCII
+    ratio is in [0,1] (NULL for empty text), and multi-byte unicode
+    counts by CODE POINT (length semantics, matching the oracle)."""
+    from adtech_log_data_pipeline_spark.functions.text import script_mix
+
+    rows = [
+        (1, "Abc 123\n"),        # 3 alpha (1 upper), 3 digits, 1 space + 1 \n
+        (2, "日本語テキスト"),      # 7 non-ascii code points, nothing else
+        (3, ""),                 # empty -> NULL ratio
+        (4, "a\tb\rc"),          # tab + CR are whitespace
+        (5, "½ öff"),            # mixed: 3 non-ascii (½ ö and?) -> compute
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mix(docs).collect()}
+
+    r1 = out[1]
+    assert r1["n_chars_m"] == 8
+    assert r1["n_non_ascii"] == 0
+    assert r1["n_digits"] == 3
+    assert r1["n_upper"] == 1
+    assert r1["n_ws"] == 2
+    assert r1["ascii_ratio"] == 1.0
+
+    r2 = out[2]
+    assert r2["n_chars_m"] == 7 and r2["n_non_ascii"] == 7
+    assert r2["ascii_ratio"] == 0.0
+
+    assert out[3]["n_chars_m"] == 0 and out[3]["ascii_ratio"] is None
+
+    assert out[4]["n_ws"] == 2
+
+    r5 = out[5]
+    # "½ öff": 5 code points, non-ascii = ½ and ö
+    assert r5["n_chars_m"] == 5 and r5["n_non_ascii"] == 2
+    assert abs(r5["ascii_ratio"] - 3 / 5) < 1e-12
+    for r in out.values():
+        for c in ("n_non_ascii", "n_digits", "n_upper", "n_ws"):
+            assert 0 <= r[c] <= r["n_chars_m"]
