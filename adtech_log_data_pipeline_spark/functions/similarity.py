@@ -324,6 +324,34 @@ def ivf_topk(
     )
 
 
+def embedding_bucket_audit(
+    embeddings: DataFrame,
+    bucket_cap: int = NEAR_DUP_BUCKET_CAP,
+    total: int | None = None,
+) -> DataFrame:
+    """Cap-pressure audit for embedding_near_dup_pairs' LSH bucket cap —
+    the "no silent caps" rule for the EMBEDDING side (functions/dedup.py::
+    band_cap_audit covers the text side): one row of bucket-population
+    stats — (n_buckets, n_capped_buckets, n_members, n_dropped,
+    max_bucket). Non-zero n_dropped = a degenerate embedding corpus is
+    silently losing near-dup recall; raise the cap or the bit width.
+    Scale shape: map-side signatures + one bucket hash agg — no pair
+    generation."""
+    n = embeddings.count() if total is None else total
+    sigs = lsh_signatures(embeddings, bits=lsh_bits(n))
+    cap = F.lit(bucket_cap)
+    per = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias(
+            "n_capped_buckets"
+        ),
+        F.sum("n").alias("n_members"),
+        F.sum(F.greatest(F.col("n") - cap, F.lit(0))).alias("n_dropped"),
+        F.max("n").cast("int").alias("max_bucket"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.8,

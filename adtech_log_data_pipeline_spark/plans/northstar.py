@@ -187,6 +187,16 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket cap-pressure audit for the embedding near-dup path.
+    Corpus size from the parquet footer (no count job)."""
+    from ..functions.similarity import embedding_bucket_audit
+
+    return embedding_bucket_audit(
+        _emb(spark, sf_dir), total=table_row_count(sf_dir, "embeddings")
+    )
+
+
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-path gate: per-nation revenue computed THROUGH the salted
     equi-join (operators/skew.py::salted_join — fact rows salted by whole-
@@ -681,6 +691,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
+    "embedding_bucket_audit": q_embedding_bucket_audit,
     "salted_hot_join": q_salted_hot_join,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1235,6 +1246,24 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
 FROM ranked WHERE rank <= 5
 """
+
+def _oracle_embedding_bucket_audit() -> str:
+    """functions/similarity.py::embedding_bucket_audit restated over the
+    shared random-hyperplane signature CTE (same bit scaling)."""
+    from ..functions.similarity import NEAR_DUP_BUCKET_CAP
+
+    cap = NEAR_DUP_BUCKET_CAP
+    return f"""
+WITH {_sigs_cte()},
+pb AS (SELECT bucket, count(*) AS n FROM sigs GROUP BY bucket)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+       CAST(sum(n) AS BIGINT) AS n_members,
+       CAST(sum(greatest(n - {cap}, 0)) AS BIGINT) AS n_dropped,
+       CAST(max(n) AS INT) AS max_bucket
+FROM pb
+"""
+
 
 def _oracle_embedding_near_dup() -> str:
     return f"""
@@ -2186,6 +2215,7 @@ FROM documents
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,
     "embedding_near_dup": _oracle_embedding_near_dup(),
+    "embedding_bucket_audit": _oracle_embedding_bucket_audit(),
     "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,
     "multimodal_resize": _ORACLE_MULTIMODAL_RESIZE,

@@ -200,6 +200,7 @@ _GATE_FIRST = [
     "script_mix",
     "partition_prune_audit",
     "props_json_stats",
+    "embedding_bucket_audit",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
@@ -225,7 +226,6 @@ _GATE_FIRST = [
     "vocab_topk",
     # three green rows (last green round 3)
     "dedup_clusters",
-    "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
@@ -251,6 +251,7 @@ _GATE_LAST = [
     "embedding_near_dup",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "dedup_exact",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "script_mix",
     "partition_prune_audit",
     "props_json_stats",
+    "embedding_bucket_audit",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
