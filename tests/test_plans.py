@@ -44,12 +44,35 @@ def test_scan_prunes_columns(spark):
         "dedup_simhash",
         "similarity_topk",
         "text_stats",
+        # round-6 pure-JVM additions
+        "dedup_cap_audit",
+        "script_mix",
+        "props_json_stats",
+        "salted_hot_join",
     ],
 )
 def test_no_row_python_in_declared_queries(spark, name):
     """Python appears only via Arrow (mapInPandas in predictions /
     multimodal); row-at-a-time BatchEvalPython must never appear."""
     assert "BatchEvalPython" not in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_cap_audit",
+        "embedding_bucket_audit",
+        "salted_hot_join",
+        "script_mix",
+        "props_json_stats",
+        "ann_recall_audit",
+    ],
+)
+def test_new_audit_queries_no_cartesian_product(spark, name):
+    """The round-6 audit/format queries must never plan a true cartesian
+    product (the only allowed nested-loop is a broadcast replication /
+    1-row totals join, which plans as BroadcastNestedLoopJoin)."""
+    assert "CartesianProduct" not in plan_of(spark, name)
 
 
 def test_whole_stage_codegen_covers_core_agg(spark):
