@@ -224,11 +224,16 @@ _GATE_FIRST = [
     "tfidf_top_terms",
     "train_split",
     "vocab_topk",
-    # three green rows (last green round 3)
+    # three green rows (last green round 3), ranked by how recently their
+    # code changed: the r6 band-refactor consumers (dedup_minhash,
+    # dedup_clusters) and the r5-rewritten ANN paths (ivf/lsh top-k) take
+    # the last four slots; dedup_simhash (16-bit variant, untouched) and
+    # ngram_jaccard (untouched; its refactored candidate input is gated
+    # via dedup_minhash/dedup_cap_audit/dedup_incoming_indexed) rotate out
     "dedup_clusters",
     "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
     # embedding_near_dup's LSH-bucket path shares the signature chain
     # similarity_lsh_topk (in-window) re-proves each round
     # similarity_topk's chain is re-proven every round through
@@ -249,8 +254,8 @@ _GATE_LAST = [
     "multimodal_meta",
     "similarity_topk",
     "embedding_near_dup",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
+    "dedup_simhash",
+    "ngram_jaccard",
     "dedup_exact",
     "kmv_user_distinct",
     "quality_expectations",
