@@ -813,3 +813,105 @@ def dedup_incoming_indexed(
             "jaccard",
         )
     )
+
+
+DUP_SPAN_K = 20  # duplicated-passage gram width (tokens)
+
+
+def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Exact duplicated-passage spans: maximal token ranges covered by
+    k-token grams that occur >= 2 times ANYWHERE in the corpus (across
+    documents or repeated within one) — the ExactSubstr-style pass of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), at token granularity: a passage repeated verbatim yields
+    every one of its k-gram offsets as a duplicate hit, and merging the
+    overlapping [pos, pos+k) hit windows recovers the full passage span.
+
+    Scale shape (100 TB): the gram relation is one map-only pass
+    (transform + posexplode, all codegen; rows = token count, payload =
+    (doc_id, pos, 128-bit md5) — no raw text moves); duplicate grams are
+    ONE hash agg on the hash; the join back touches hit positions only;
+    the span merge is a per-doc window over HITS (typically a tiny
+    fraction of grams) — the lag + running-break-sum interval merge, the
+    same one-shuffle pattern as scd2_intervals. No all-pairs anywhere,
+    unlike suffix-array approaches this needs no global order.
+
+    Output: (doc_id, span_start, span_end) half-open token ranges;
+    overlapping AND adjacent hit windows merge (pos <= prev_pos + k).
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    d = documents.repartition(n_parts, "doc_id").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    grams = d.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    grams = hold(grams)
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+    return spans
+
+
+def dup_span_stats(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Per-document duplicated-passage report over dup_spans(): how many
+    merged duplicate spans a document carries and what fraction of its
+    tokens sit inside one — the signal exact-substring dedup acts on
+    (mask/remove the spans, keep the document). Integer-exact ppm.
+
+    Output: (doc_id, n_tokens, n_spans, dup_tokens, dup_ppm), one row per
+    document (zeros when nothing repeats; docs shorter than k tokens
+    carry no grams by construction)."""
+    spans = dup_spans(documents, k=k)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    return (
+        documents.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000 div n_tokens AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

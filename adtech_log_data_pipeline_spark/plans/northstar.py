@@ -146,6 +146,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage report (Lee et al. 2021 ExactSubstr at
+    token granularity): per document, the merged spans of 20-token grams
+    that occur >= 2 times anywhere in the corpus, as counts + token ppm."""
+    from ..functions.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir))
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality observability: per-query recall@5 of the IVF index
     against the exact brute-force top-5 — the metric that tells a 100 TB
@@ -688,6 +697,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "temperature_mix": q_temperature_mix,
     "dedup_simhash": q_dedup_simhash,
+    "dup_span_stats": q_dup_span_stats,
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
@@ -1656,6 +1666,40 @@ SELECT doc_id,
 FROM j GROUP BY doc_id
 """
 
+def _oracle_dup_span_stats() -> str:
+    """functions/dedup.py::dup_span_stats restated: k-gram md5 hits with
+    corpus count >= 2, merged [pos, pos+k) windows via the lag +
+    running-break-sum interval pattern, zero-filled per-doc totals."""
+    from ..functions.dedup import DUP_SPAN_K as K
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(toks, i, i + {K - 1}), ' ')) AS g
+      FROM t, unnest(generate_series(1, len(toks) - {K - 1})) u(i)
+      WHERE len(toks) >= {K}),
+f AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN f USING (g)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + {K} THEN 1 ELSE 0 END AS brk
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM b),
+sp AS (SELECT doc_id, min(pos) AS st, max(pos) + {K} AS en
+       FROM s GROUP BY doc_id, span_id),
+agg AS (SELECT doc_id, count(*) AS n_spans, sum(en - st) AS dup_tokens
+        FROM sp GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(agg.dup_tokens, 0) * 1000000 // len(t.toks) AS BIGINT)
+         AS dup_ppm
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 _ORACLE_CROSS_SOURCE_OVERLAP = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 shl AS (
@@ -2262,6 +2306,7 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
+    "dup_span_stats": _oracle_dup_span_stats(),
     "cross_source_overlap": _ORACLE_CROSS_SOURCE_OVERLAP,
     "audio_chunks": _ORACLE_AUDIO_CHUNKS,
 }

@@ -183,6 +183,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # pricing_summary as the most load-bearing of the 4-green group).
 _GATE_FIRST = [
     # round-6 NEW queries — never gated, so they sort first
+    "dup_span_stats",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -233,9 +234,9 @@ _GATE_FIRST = [
     "dedup_clusters",
     "dedup_minhash",
     "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    # embedding_near_dup's LSH-bucket path shares the signature chain
-    # similarity_lsh_topk (in-window) re-proves each round
+    # similarity_lsh_topk (3 greens, r5-rewritten) yields its slot to the
+    # never-gated dup_span_stats; its signature chain stays re-proven via
+    # embedding_near_dup/embedding_bucket_audit each round
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -247,6 +248,7 @@ _GATE_FIRST = [
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "similarity_lsh_topk",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "dup_span_stats",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

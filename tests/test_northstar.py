@@ -697,3 +697,62 @@ def test_dedup_incoming_indexed_equals_recompute(spark, tmp_path):
         for r in dedup_incoming(docs).collect()
     }
     assert indexed == recomputed and len(indexed) > 0
+
+
+def test_dup_span_stats_recovers_shared_passage_exactly(spark):
+    """A verbatim 25-token passage shared by two docs yields ONE merged
+    span per doc covering exactly the passage: dup k-gram hits at every
+    in-passage offset (25-20+1 = 6 of them), merged [pos, pos+20) windows
+    = [start, start+25). Surrounding unique tokens stay outside."""
+    from adtech_log_data_pipeline_spark.functions.dedup import dup_span_stats
+
+    passage = [f"p{i}" for i in range(25)]
+    d0 = [f"a{i}" for i in range(5)] + passage
+    d1 = passage + [f"b{i}" for i in range(3)]
+    d2 = [f"c{i}" for i in range(30)]  # no dups
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(
+            docs(spark, [" ".join(d) for d in (d0, d1, d2)])
+        ).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["dup_tokens"]) == (1, 25)
+    assert (out[1]["n_spans"], out[1]["dup_tokens"]) == (1, 25)
+    assert out[0]["n_tokens"] == 30 and out[0]["dup_ppm"] == 25 * 1000000 // 30
+    assert (out[2]["n_spans"], out[2]["dup_tokens"], out[2]["dup_ppm"]) == (0, 0, 0)
+
+
+def test_dup_span_stats_within_doc_repeat_and_span_split(spark):
+    """Within-doc repetition counts (S S -> hits at pos 0 and 20, merged
+    into [0, 40)); two shared passages separated by a unique token stay
+    TWO spans (hit gap 21 > k)."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        dup_spans,
+        dup_span_stats,
+    )
+
+    s = [f"s{i}" for i in range(20)]
+    p1 = [f"q{i}" for i in range(20)]
+    p2 = [f"r{i}" for i in range(20)]
+    d0 = s + s  # self-repeat
+    d1 = p1 + ["gap"] + p2  # two dup passages, split by one unique token
+    corpus = [" ".join(d) for d in (d0, d1, p1, p2)]
+    out = {r["doc_id"]: r for r in dup_span_stats(docs(spark, corpus)).collect()}
+    assert (out[0]["n_spans"], out[0]["dup_tokens"]) == (1, 40)
+    assert (out[1]["n_spans"], out[1]["dup_tokens"]) == (2, 40)
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dup_spans(docs(spark, corpus)).filter("doc_id = 1").collect()
+    )
+    assert spans == [(0, 20), (21, 41)]
+
+
+def test_dup_span_stats_short_docs_carry_no_grams(spark):
+    """Docs under k tokens emit no grams even when identical — the
+    operator is a PASSAGE detector; whole-short-doc dedup is dedup_exact's
+    job."""
+    from adtech_log_data_pipeline_spark.functions.dedup import dup_span_stats
+
+    out = dup_span_stats(docs(spark, ["x y z", "x y z"])).collect()
+    assert all(r["n_spans"] == 0 and r["dup_tokens"] == 0 for r in out)
+    assert all(r["n_tokens"] == 3 for r in out)
