@@ -236,6 +236,45 @@ def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join-reduction gate: monthly urgent-order revenue computed
+    THROUGH the explicit bloom pre-filter (operators/bloom.py — the fact
+    side probes the dim key bitmap map-side before the shuffle join) must
+    equal the plain join the oracle states. False positives only re-enter
+    the join, which removes them, so the equality is exact; revenue is
+    2-factor bigint e4 units rounded HALF_UP to cents (the _money2
+    contract)."""
+    from ..operators.bloom import bloom_pruned_join
+    from ..sources.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+    )
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+            " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+        ).alias("e4"),
+    )
+    return (
+        bloom_pruned_join(facts, dim, "orderkey")
+        .groupBy("y", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr("cast((sum(e4) + 50) div 100 as bigint)").alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
 def q_dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band cap-pressure audit over the minhash band and simhash
     piece bucket relations (the "no silent caps" rule)."""
@@ -703,6 +742,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_audit": q_ann_recall_audit,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "salted_hot_join": q_salted_hot_join,
+    "bloom_prune_join": q_bloom_prune_join,
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
@@ -2228,6 +2268,21 @@ SELECT s.s_nationkey AS nationkey,
          AS revenue_cents
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
+""",
+    # the bloom pre-filter is result-transparent (the join removes the
+    # bitmap's false positives), so the oracle is the PLAIN join
+    "bloom_prune_join": """
+WITH o AS (SELECT o_orderkey AS orderkey,
+                  CAST(year(o_orderdate) AS INT) AS y,
+                  CAST(month(o_orderdate) AS INT) AS mo
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+l AS (SELECT l_orderkey AS orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS e4
+      FROM lineitem)
+SELECT y, mo, CAST(count(*) AS BIGINT) AS n_items,
+       CAST((sum(e4) + 50) // 100 AS BIGINT) AS revenue_cents
+FROM l JOIN o USING (orderkey) GROUP BY y, mo
 """,
     "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
     "dedup_incoming": _oracle_dedup_incoming(),

@@ -184,6 +184,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_FIRST = [
     # round-6 NEW queries — never gated, so they sort first
     "dup_span_stats",
+    "bloom_prune_join",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -233,10 +234,10 @@ _GATE_FIRST = [
     # via dedup_minhash/dedup_cap_audit/dedup_incoming_indexed) rotate out
     "dedup_clusters",
     "dedup_minhash",
-    "similarity_ivf_topk",
-    # similarity_lsh_topk (3 greens, r5-rewritten) yields its slot to the
-    # never-gated dup_span_stats; its signature chain stays re-proven via
-    # embedding_near_dup/embedding_bucket_audit each round
+    # similarity_lsh_topk / similarity_ivf_topk (3 greens each,
+    # r5-rewritten) yield their slots to the never-gated dup_span_stats
+    # and bloom_prune_join; their signature/centroid chains stay re-proven
+    # via embedding_bucket_audit and ann_recall_audit each round
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -249,6 +250,7 @@ _GATE_FIRST = [
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "winnowing",
     "text_stats",
     "lang_id",
