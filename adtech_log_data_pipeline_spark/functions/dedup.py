@@ -915,3 +915,56 @@ def dup_span_stats(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+def remove_dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """The ACTION half of exact-substring dedup: rebuild each document's
+    text with every duplicated span (dup_spans) cut out — keep the
+    document, drop the boilerplate, the remedy Lee et al. apply after
+    detection (vs whole-doc dedup which would throw the originals away).
+
+    Scale shape: tokens posexplode once; spans arrive as a per-doc join
+    (few spans per doc — multiplicity is spans-per-doc, never corpus-
+    sized); surviving tokens re-assemble with one per-doc hash agg
+    (array_sort over (pos, token) structs -> concat), so the only
+    shuffles are the span build and the per-doc reassembly, both keyed
+    on doc_id.
+
+    Output: (doc_id, n_tokens, n_tokens_kept, clean_text) for every
+    document; clean_text is '' when the whole text was duplicated."""
+    spans = dup_spans(documents, k=k)
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        documents.repartition(n_parts, "doc_id")
+        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "t"))
+    )
+    kept = (
+        tok.join(
+            spans,
+            (tok["doc_id"] == spans["doc_id"])
+            & (tok["pos"] >= spans["span_start"])
+            & (tok["pos"] < spans["span_end"]),
+            "left_anti",
+        )
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "t"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.size("ts").cast("int").alias("n_tokens_kept"),
+            F.array_join(F.expr("transform(ts, x -> x.t)"), " ").alias(
+                "clean_text"
+            ),
+        )
+    )
+    return (
+        documents.select("doc_id", F.size(tokens_col()).cast("int").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

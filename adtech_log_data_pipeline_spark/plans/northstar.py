@@ -236,6 +236,14 @@ def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of exact-substring dedup: every document rebuilt
+    with its duplicated spans removed (keep the doc, cut the boilerplate)."""
+    from ..functions.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf_dir))
+
+
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join-reduction gate: monthly urgent-order revenue computed
     THROUGH the explicit bloom pre-filter (operators/bloom.py — the fact
@@ -737,6 +745,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "dedup_simhash": q_dedup_simhash,
     "dup_span_stats": q_dup_span_stats,
+    "dup_span_clean": q_dup_span_clean,
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
@@ -1740,6 +1749,45 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+def _oracle_dup_span_clean() -> str:
+    """functions/dedup.py::remove_dup_spans restated: the dup_span_stats
+    span CTEs, then tokens outside every [st, en) span reassembled in
+    position order."""
+    from ..functions.dedup import DUP_SPAN_K as K
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(toks, i, i + {K - 1}), ' ')) AS g
+      FROM t, unnest(generate_series(1, len(toks) - {K - 1})) u(i)
+      WHERE len(toks) >= {K}),
+f AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos FROM g JOIN f USING (g)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + {K} THEN 1 ELSE 0 END AS brk
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM b),
+sp AS (SELECT doc_id, min(pos) AS st, max(pos) + {K} AS en
+       FROM s GROUP BY doc_id, span_id),
+tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+        FROM t, unnest(generate_series(1, len(toks))) u(i)),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM sp
+                           WHERE sp.doc_id = tok.doc_id
+                             AND tok.pos >= sp.st AND tok.pos < sp.en)),
+rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tk, ' ' ORDER BY pos) AS ct
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(rebuilt.n_kept, 0) AS INT) AS n_tokens_kept,
+       coalesce(rebuilt.ct, '') AS clean_text
+FROM t LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 _ORACLE_CROSS_SOURCE_OVERLAP = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 shl AS (
@@ -2362,6 +2410,7 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
     "dup_span_stats": _oracle_dup_span_stats(),
+    "dup_span_clean": _oracle_dup_span_clean(),
     "cross_source_overlap": _ORACLE_CROSS_SOURCE_OVERLAP,
     "audio_chunks": _ORACLE_AUDIO_CHUNKS,
 }

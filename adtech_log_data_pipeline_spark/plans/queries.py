@@ -184,6 +184,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_FIRST = [
     # round-6 NEW queries — never gated, so they sort first
     "dup_span_stats",
+    "dup_span_clean",
     "bloom_prune_join",
     "dedup_cap_audit",
     "semantic_cap_audit",
@@ -233,7 +234,9 @@ _GATE_FIRST = [
     # ngram_jaccard (untouched; its refactored candidate input is gated
     # via dedup_minhash/dedup_cap_audit/dedup_incoming_indexed) rotate out
     "dedup_clusters",
-    "dedup_minhash",
+    # dedup_minhash (3 greens) also rotates out for dup_span_clean: its
+    # band path is re-proven in-window via dedup_cap_audit +
+    # dedup_incoming_indexed every round
     # similarity_lsh_topk / similarity_ivf_topk (3 greens each,
     # r5-rewritten) yield their slots to the never-gated dup_span_stats
     # and bloom_prune_join; their signature/centroid chains stay re-proven
@@ -251,6 +254,7 @@ _GATE_FIRST = [
 _GATE_LAST = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "dedup_minhash",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "dup_span_stats",
+    "dup_span_clean",
     "bloom_prune_join",
     "dedup_cap_audit",
     "semantic_cap_audit",

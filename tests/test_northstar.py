@@ -756,3 +756,26 @@ def test_dup_span_stats_short_docs_carry_no_grams(spark):
     out = dup_span_stats(docs(spark, ["x y z", "x y z"])).collect()
     assert all(r["n_spans"] == 0 and r["dup_tokens"] == 0 for r in out)
     assert all(r["n_tokens"] == 3 for r in out)
+
+
+def test_remove_dup_spans_cuts_exactly_the_passage(spark):
+    """Cleaned text keeps every token outside the spans in order: unique
+    prefix survives, the shared passage disappears, a fully-duplicated
+    doc cleans to '' (kept, not dropped), untouched docs round-trip."""
+    from adtech_log_data_pipeline_spark.functions.dedup import remove_dup_spans
+
+    passage = [f"p{i}" for i in range(25)]
+    s = [f"s{i}" for i in range(20)]
+    d0 = [f"a{i}" for i in range(5)] + passage
+    d1 = passage + [f"b{i}" for i in range(3)]
+    d2 = s + s
+    d3 = [f"c{i}" for i in range(30)]
+    corpus = [" ".join(d) for d in (d0, d1, d2, d3)]
+    out = {
+        r["doc_id"]: r for r in remove_dup_spans(docs(spark, corpus)).collect()
+    }
+    assert out[0]["clean_text"] == " ".join(f"a{i}" for i in range(5))
+    assert out[0]["n_tokens_kept"] == 5 and out[0]["n_tokens"] == 30
+    assert out[1]["clean_text"] == " ".join(f"b{i}" for i in range(3))
+    assert (out[2]["clean_text"], out[2]["n_tokens_kept"]) == ("", 0)
+    assert out[3]["clean_text"] == " ".join(d3) and out[3]["n_tokens_kept"] == 30
