@@ -579,6 +579,15 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_kmv_distinct(spark, sf_dir)
 
 
+def q_stream_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained exact heavy hitters: additive count merge
+    guarded by the applied-batch-id marker — the top-5 hottest users,
+    exactly the batch aggregation's counts under any stream slicing."""
+    from ..streaming import stream_top_users
+
+    return stream_top_users(spark, sf_dir)
+
+
 def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter split: per-micro-batch row-level admission
     gate, idempotent per-batch sinks — batch-identical quarantine table."""
@@ -727,6 +736,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": q_key_skew_report,
     "oov_rate": q_oov_rate,
     "stream_kmv_distinct": q_stream_kmv_distinct,
+    "stream_top_users": q_stream_top_users,
     "stream_quarantine": q_stream_quarantine,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
@@ -2246,6 +2256,17 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     # foreachBatch merge is idempotent/associative, so any slicing of the
     # stream must land on the same state
     "stream_kmv_distinct": _oracle_kmv(),
+    # additive count merge + applied-batch-id guard => the streaming state
+    # IS the batch aggregation; the oracle is the batch top-n
+    "stream_top_users": """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+           WHERE user_id IS NOT NULL GROUP BY user_id),
+r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS INT)
+               AS rank,
+             user_id, CAST(cnt AS BIGINT) AS n_events
+      FROM c)
+SELECT rank, user_id, n_events FROM r WHERE rank <= 5
+""",
     # streaming/quarantine.py::EVENT_RULES restated row-by-row (the
     # split is stateless/map-only, so the stream equals the batch gate)
     "stream_quarantine": """

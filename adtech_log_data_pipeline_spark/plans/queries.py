@@ -186,6 +186,7 @@ _GATE_FIRST = [
     "dup_span_stats",
     "dup_span_clean",
     "bloom_prune_join",
+    "stream_top_users",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -233,7 +234,9 @@ _GATE_FIRST = [
     # the last four slots; dedup_simhash (16-bit variant, untouched) and
     # ngram_jaccard (untouched; its refactored candidate input is gated
     # via dedup_minhash/dedup_cap_audit/dedup_incoming_indexed) rotate out
-    "dedup_clusters",
+    # dedup_clusters (3 greens) also rotates out for stream_top_users;
+    # its min-label propagation input (the band candidate relation) is
+    # re-proven in-window via dedup_cap_audit + dedup_incoming_indexed
     # dedup_minhash (3 greens) also rotates out for dup_span_clean: its
     # band path is re-proven in-window via dedup_cap_audit +
     # dedup_incoming_indexed every round
@@ -255,6 +258,7 @@ _GATE_LAST = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_minhash",
+    "dedup_clusters",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -13,11 +13,13 @@ from .spend import streaming_spend_sessions
 from .upsert import stream_upsert_latest
 from .sketch_stream import stream_kmv_distinct
 from .quarantine import stream_quarantine
+from .topk_stream import stream_top_users
 
 __all__ = [
     "stream_attribution_outer",
     "stream_kmv_distinct",
     "stream_quarantine",
+    "stream_top_users",
     "stream_click_attribution",
     "stream_dedup_keys",
     "stream_enriched_counts",

@@ -20,6 +20,7 @@ BENCH_QUERIES = [
     "dup_span_stats",
     "dup_span_clean",
     "bloom_prune_join",
+    "stream_top_users",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

@@ -435,3 +435,55 @@ def test_quarantine_multibatch_equals_batch(spark, replay_dir):
     ).collect()
     assert {tuple(r) for r in out} == {tuple(r) for r in expected}
     assert len(out) > 0
+
+
+def test_top_users_multibatch_equals_batch(spark, replay_dir):
+    """Additive count merge + applied-batch-id guard: a 4-batch replay's
+    heavy-hitter report must equal the batch top-n exactly (counts are
+    exact, tiebreak deterministic)."""
+    from pyspark.sql.window import Window
+
+    from adtech_log_data_pipeline_spark.streaming.topk_stream import (
+        stream_top_users,
+    )
+
+    out = stream_top_users(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    ).collect()
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    expected = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select("rank", "user_id", F.col("cnt").alias("n_events"))
+        .collect()
+    )
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in expected)
+    assert len(out) == 5
+
+
+def test_top_users_redelivered_batch_is_skipped(spark, tmp_path):
+    """The exactly-once guard: re-running a committed batch_id must NOT
+    double-count (the failure mode KMV is algebraically immune to and an
+    additive merge is not)."""
+    from adtech_log_data_pipeline_spark.streaming.topk_stream import (
+        STATE_SCHEMA,
+        _merge_batch,
+    )
+
+    state = str(tmp_path / "state")
+    merge = _merge_batch(state)
+    b0 = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    b1 = spark.createDataFrame([(1,), (3,)], "user_id long")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # re-delivery of a committed batch
+    merge(b0, 0)  # stale replay from an old offset
+    counts = {
+        r["user_id"]: r["cnt"]
+        for r in spark.read.schema(STATE_SCHEMA).parquet(state).collect()
+    }
+    assert counts == {1: 3, 2: 1, 3: 1}
