@@ -484,7 +484,71 @@ def q_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution gate: two parquet snapshots of orders written with
+    DIFFERENT schemas (v1 lacks o_orderpriority; v2, the 'after a column
+    was added' shape, carries it) read back through ONE mergeSchema scan.
+    The audit proves the lake-evolution contract: old files surface NULL
+    for the new column, nothing else shifts. Per-column present/null
+    counts plus content checksums (key sum, price cents sum, priority
+    length sum) are fully restatable from the base table, so the driver
+    gates the merge path like any pure query."""
+    work = scratch_dir("drift_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(work, "v1"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(work, "v2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(work, "v1"), os.path.join(work, "v2")
+        )
+        a = merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderkey").alias("k_p"),
+            F.sum("o_orderkey").alias("k_s"),
+            F.count("o_totalprice").alias("t_p"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            ).alias("t_s"),
+            F.count("o_orderpriority").alias("p_p"),
+            F.sum(
+                F.coalesce(F.length("o_orderpriority"), F.lit(0))
+            ).alias("p_s"),
+        ).collect()[0]
+        rows = [
+            Row(
+                col="o_orderkey",
+                n_present=int(a["k_p"]),
+                n_nulls=int(a["n"] - a["k_p"]),
+                checksum=int(a["k_s"]),
+            ),
+            Row(
+                col="o_totalprice",
+                n_present=int(a["t_p"]),
+                n_nulls=int(a["n"] - a["t_p"]),
+                checksum=int(a["t_s"]),
+            ),
+            Row(
+                col="o_orderpriority",
+                n_present=int(a["p_p"]),
+                n_nulls=int(a["n"] - a["p_p"]),
+                checksum=int(a["p_s"]),
+            ),
+        ]
+        return _materialize(
+            spark,
+            rows,
+            "col string, n_present bigint, n_nulls bigint, checksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 MAINTENANCE_QUERIES = {
+    "schema_drift_audit": q_schema_drift_audit,
     "zorder_audit": q_zorder_audit,
     "range_sort_audit": q_range_sort_audit,
     "snapshot_diff_orders": q_snapshot_diff_orders,
@@ -621,6 +685,29 @@ FROM documents WHERE doc_id % 7 = {slot}
 
 def maintenance_oracles() -> dict[str, str]:
     return {
+        # the mergeSchema read is content-transparent: per-column
+        # present/null counts and checksums restate from the base table
+        # (even keys lack the priority column, so they surface NULL)
+        "schema_drift_audit": """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) AS k_p, sum(o_orderkey) AS k_s,
+         count(o_totalprice) AS t_p,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS t_s,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS p_p,
+         sum(CASE WHEN o_orderkey % 2 = 1 THEN length(o_orderpriority)
+                  ELSE 0 END) AS p_s
+  FROM orders)
+SELECT 'o_orderkey' AS col, CAST(k_p AS BIGINT) AS n_present,
+       CAST(n - k_p AS BIGINT) AS n_nulls, CAST(k_s AS BIGINT) AS checksum
+FROM a
+UNION ALL
+SELECT 'o_totalprice', CAST(t_p AS BIGINT), CAST(n - t_p AS BIGINT),
+       CAST(t_s AS BIGINT) FROM a
+UNION ALL
+SELECT 'o_orderpriority', CAST(p_p AS BIGINT), CAST(n - p_p AS BIGINT),
+       CAST(p_s AS BIGINT) FROM a
+""",
         "zorder_audit": _oracle_zorder_audit(),
         "range_sort_audit": _ORACLE_RANGE_SORT_AUDIT,
         "snapshot_diff_orders": _ORACLE_SNAPSHOT_DIFF_ORDERS,

@@ -187,6 +187,7 @@ _GATE_FIRST = [
     "dup_span_clean",
     "bloom_prune_join",
     "stream_top_users",
+    "schema_drift_audit",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -226,24 +227,19 @@ _GATE_FIRST = [
     "source_mix",
     "streaming_sessionize",
     "tfidf_top_terms",
-    "train_split",
     "vocab_topk",
-    # three green rows (last green round 3), ranked by how recently their
-    # code changed: the r6 band-refactor consumers (dedup_minhash,
-    # dedup_clusters) and the r5-rewritten ANN paths (ivf/lsh top-k) take
-    # the last four slots; dedup_simhash (16-bit variant, untouched) and
-    # ngram_jaccard (untouched; its refactored candidate input is gated
-    # via dedup_minhash/dedup_cap_audit/dedup_incoming_indexed) rotate out
-    # dedup_clusters (3 greens) also rotates out for stream_top_users;
-    # its min-label propagation input (the band candidate relation) is
-    # re-proven in-window via dedup_cap_audit + dedup_incoming_indexed
-    # dedup_minhash (3 greens) also rotates out for dup_span_clean: its
-    # band path is re-proven in-window via dedup_cap_audit +
-    # dedup_incoming_indexed every round
-    # similarity_lsh_topk / similarity_ivf_topk (3 greens each,
-    # r5-rewritten) yield their slots to the never-gated dup_span_stats
-    # and bloom_prune_join; their signature/centroid chains stay re-proven
-    # via embedding_bucket_audit and ann_recall_audit each round
+    # Rotated OUT to make room for the 5 never-gated round-6 queries
+    # (dup_span_stats, dup_span_clean, bloom_prune_join, stream_top_users,
+    # schema_drift_audit), least-risky first — each rotated query's
+    # load-bearing machinery stays re-proven by an in-window sibling:
+    #   dedup_minhash / dedup_clusters (3 greens, r6 band-refactor
+    #     consumers) — band path gated via dedup_cap_audit +
+    #     dedup_incoming_indexed
+    #   similarity_lsh_topk / similarity_ivf_topk (3 greens,
+    #     r5-rewritten) — signature/centroid chains gated via
+    #     embedding_bucket_audit + ann_recall_audit
+    #   train_split (2 greens, untouched since r3) — a 10-line pure
+    #     md5-threshold expression, the smallest blast radius on the board
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -259,6 +255,7 @@ _GATE_LAST = [
     "similarity_ivf_topk",
     "dedup_minhash",
     "dedup_clusters",
+    "train_split",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -21,6 +21,7 @@ BENCH_QUERIES = [
     "dup_span_clean",
     "bloom_prune_join",
     "stream_top_users",
+    "schema_drift_audit",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

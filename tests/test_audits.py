@@ -151,3 +151,22 @@ def test_partition_prune_audit_invariants(spark):
     # the two-sided proof: PartitionFilters pushed AND the probed day's
     # hive directory is a strict file subset
     assert r["scan_pruned"] is True
+
+
+def test_schema_drift_audit_nulls_only_on_the_added_column(spark):
+    """The mergeSchema contract: rows written before o_orderpriority
+    existed surface NULL for it (and ONLY for it); counts + checksums
+    reconcile with the base table."""
+    from adtech_log_data_pipeline_spark.plans.audits import q_schema_drift_audit
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {r["col"]: r for r in q_schema_drift_audit(spark, SF).collect()}
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert out["o_orderkey"]["n_nulls"] == 0
+    assert out["o_totalprice"]["n_nulls"] == 0
+    assert out["o_orderpriority"]["n_nulls"] == n_even
+    assert out["o_orderpriority"]["n_present"] == n - n_even
+    assert out["o_orderkey"]["n_present"] == n
