@@ -49,6 +49,9 @@ def test_scan_prunes_columns(spark):
         "script_mix",
         "props_json_stats",
         "salted_hot_join",
+        "dup_span_stats",
+        "dup_span_clean",
+        "bloom_prune_join",
     ],
 )
 def test_no_row_python_in_declared_queries(spark, name):
@@ -66,6 +69,9 @@ def test_no_row_python_in_declared_queries(spark, name):
         "script_mix",
         "props_json_stats",
         "ann_recall_audit",
+        "dup_span_stats",
+        "dup_span_clean",
+        "bloom_prune_join",
     ],
 )
 def test_new_audit_queries_no_cartesian_product(spark, name):
