@@ -435,3 +435,76 @@ def test_band_cap_audit_conservation(spark, texts, cap):
         audit = sh_audit[r["piece"]]
         assert r["n"] == audit["n_members"] - audit["n_dropped"]
     release_cached()
+
+
+# --- exact-substring span dedup laws (functions/dedup.py::dup_spans) -------
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _expected_spans(token_docs, k):
+    """Python reference: count every k-gram across the corpus, mark hit
+    positions (count >= 2), merge overlapping/adjacent [pos, pos+k)."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in token_docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    spans = {}
+    for doc_id, toks in enumerate(token_docs):
+        hits = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] >= 2
+        ]
+        merged = []
+        for pos in hits:
+            if merged and pos <= merged[-1][1]:  # overlap/adjacent: extend
+                merged[-1][1] = max(merged[-1][1], pos + k)
+            else:
+                merged.append([pos, pos + k])
+        spans[doc_id] = [tuple(m) for m in merged]
+    return spans
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_dup_spans_match_python_reference_and_removal_reconciles(spark, docs):
+    """Laws under random 3-symbol corpora (k=5 so dups are common):
+    the distributed spans equal the brute-force python merge exactly;
+    per-doc spans are sorted, disjoint with >= 1 uncovered token between
+    (adjacency merged); and n_tokens_kept == n_tokens - dup_tokens across
+    the detection/removal pair."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        dup_span_stats,
+        dup_spans,
+        remove_dup_spans,
+    )
+
+    k = 5
+    rows = [(i, " ".join(t), "en", "s", len(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    want = _expected_spans([t for t in docs], k)
+    got = {}
+    for r in dup_spans(df, k=k).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for d in got:
+        got[d].sort()
+    assert got == {d: s for d, s in want.items() if s}
+    for spans in got.values():
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 > e0  # disjoint with a gap (adjacent windows merged)
+    stats = {r["doc_id"]: r for r in dup_span_stats(df, k=k).collect()}
+    clean = {r["doc_id"]: r for r in remove_dup_spans(df, k=k).collect()}
+    for d in stats:
+        assert (
+            clean[d]["n_tokens_kept"]
+            == stats[d]["n_tokens"] - stats[d]["dup_tokens"]
+        )
