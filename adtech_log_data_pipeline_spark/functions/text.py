@@ -444,6 +444,31 @@ def curated_corpus(
     operators remain the oracle-checked building blocks; this plan is the
     production composition of the same formulas (hash-compared end-to-end
     by ITS own oracle)."""
+    return (
+        _curation_flags(documents, target_per_source)
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("bucket_ppm") < F.col("rate_ppm"))
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("sbucket") < SPLIT_TRAIN_PCT, "train")
+            .when(F.col("sbucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_tokens",
+        )
+    )
+
+
+def _curation_flags(
+    documents: DataFrame, target_per_source: int = SAMPLE_TARGET_PER_SOURCE
+) -> DataFrame:
+    """The shared single-scan projection behind curated_corpus and
+    curation_funnel: per doc — token count, exact-dup representative rank
+    (rn), sample bucket vs broadcast per-source rate, split bucket."""
     from pyspark.sql.window import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -479,23 +504,67 @@ def curated_corpus(
     w = Window.partitionBy("content_hash").orderBy(
         F.col("raw_len").desc(), F.col("doc_id")
     )
-    return (
-        base.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(rates), "source")
-        .filter(
-            (F.col("rn") == 1)
-            & (F.col("bucket_ppm") < F.col("rate_ppm"))
-            & (F.col("n_tokens") >= min_tokens)
+    return base.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(rates), "source"
+    )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    target_per_source: int = SAMPLE_TARGET_PER_SOURCE,
+    min_tokens: int = CURATE_MIN_TOKENS,
+) -> DataFrame:
+    """Funnel observability over the curation composition: cumulative
+    survivor doc/token counts after each stage — corpus -> exact-dedup
+    representative -> quality floor -> balanced sample -> per-split — the
+    per-stage drop report a pipeline operator reads before shipping a
+    corpus (which stage ate the tokens?).
+
+    One conditional-count pass over the shared _curation_flags projection
+    (same single corpus scan + content-hash window as curated_corpus), a
+    1-row aggregate unpivoted JVM-side with stack(); no extra shuffle
+    beyond what curated_corpus itself needs.
+
+    Output: (stage, stage_idx, n_docs, n_tokens), 7 rows."""
+    flags = _curation_flags(documents, target_per_source)
+    keep1 = F.col("rn") == 1
+    keep2 = keep1 & (F.col("n_tokens") >= min_tokens)
+    keep3 = keep2 & (F.col("bucket_ppm") < F.col("rate_ppm"))
+    stages = [
+        ("corpus", F.lit(True)),
+        ("dedup_keep_best", keep1),
+        ("quality_floor", keep2),
+        ("balanced_sample", keep3),
+        ("split_train", keep3 & (F.col("sbucket") < SPLIT_TRAIN_PCT)),
+        (
+            "split_val",
+            keep3
+            & (F.col("sbucket") >= SPLIT_TRAIN_PCT)
+            & (F.col("sbucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT),
+        ),
+        (
+            "split_test",
+            keep3 & (F.col("sbucket") >= SPLIT_TRAIN_PCT + SPLIT_VAL_PCT),
+        ),
+    ]
+    aggs = []
+    for i, (_, cond) in enumerate(stages):
+        aggs.append(F.sum(cond.cast("bigint")).alias(f"d{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
         )
-        .select(
-            "doc_id",
-            "source",
-            F.when(F.col("sbucket") < SPLIT_TRAIN_PCT, "train")
-            .when(F.col("sbucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-            .otherwise("test")
-            .alias("split"),
-            "n_tokens",
-        )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {i}, d{i}, t{i}" for i, (name, _) in enumerate(stages)
+    )
+    return one.selectExpr(
+        f"stack({len(stages)}, {stack_args})"
+        " as (stage, stage_idx, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
 
 

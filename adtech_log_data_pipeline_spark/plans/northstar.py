@@ -652,6 +652,15 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: cumulative doc/token survivor counts
+    through corpus -> keep-best dedup -> quality floor -> balanced sample
+    -> splits, one conditional-count pass over the curated_corpus scan."""
+    from ..functions.text import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
 def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: an even per-source TOKEN budget,
     hash-threshold membership (integer-exact)."""
@@ -791,6 +800,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "contamination_check": q_contamination_check,
     "curated_corpus": q_curated_corpus,
+    "curation_funnel": q_curation_funnel,
     "length_histogram": q_length_histogram,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_counts": q_stream_sliding_counts,
@@ -1651,6 +1661,59 @@ FROM k JOIN r USING (source)
 WHERE rn = 1 AND bucket_ppm < rate_ppm AND n_tokens >= 20
 """
 
+_ORACLE_CURATION_FUNNEL = f"""
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+r AS (SELECT source,
+             least(1000000, (15 * 1000000 + n_src - 1) // n_src) AS rate_ppm
+      FROM c),
+b AS (SELECT doc_id, source,
+             len({_TOKS}) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+             length(text) AS raw_len,
+             ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS bucket_ppm,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+               AS sbucket
+      FROM documents),
+k AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                   ORDER BY raw_len DESC, doc_id) AS rn
+      FROM b),
+j AS (SELECT k.*, r.rate_ppm,
+             (rn = 1) AS k1,
+             (rn = 1 AND n_tokens >= 20) AS k2,
+             (rn = 1 AND n_tokens >= 20 AND bucket_ppm < rate_ppm) AS k3
+      FROM k JOIN r USING (source)),
+a AS (SELECT
+        count(*) AS d0, sum(n_tokens) AS t0,
+        sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS d1,
+        sum(CASE WHEN k1 THEN n_tokens ELSE 0 END) AS t1,
+        sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS d2,
+        sum(CASE WHEN k2 THEN n_tokens ELSE 0 END) AS t2,
+        sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS d3,
+        sum(CASE WHEN k3 THEN n_tokens ELSE 0 END) AS t3,
+        sum(CASE WHEN k3 AND sbucket < 80 THEN 1 ELSE 0 END) AS d4,
+        sum(CASE WHEN k3 AND sbucket < 80 THEN n_tokens ELSE 0 END) AS t4,
+        sum(CASE WHEN k3 AND sbucket >= 80 AND sbucket < 90 THEN 1 ELSE 0 END) AS d5,
+        sum(CASE WHEN k3 AND sbucket >= 80 AND sbucket < 90 THEN n_tokens ELSE 0 END) AS t5,
+        sum(CASE WHEN k3 AND sbucket >= 90 THEN 1 ELSE 0 END) AS d6,
+        sum(CASE WHEN k3 AND sbucket >= 90 THEN n_tokens ELSE 0 END) AS t6
+      FROM j)
+SELECT 'corpus' AS stage, CAST(0 AS INT) AS stage_idx,
+       CAST(d0 AS BIGINT) AS n_docs, CAST(t0 AS BIGINT) AS n_tokens FROM a
+UNION ALL SELECT 'dedup_keep_best', CAST(1 AS INT), CAST(d1 AS BIGINT),
+                 CAST(t1 AS BIGINT) FROM a
+UNION ALL SELECT 'quality_floor', CAST(2 AS INT), CAST(d2 AS BIGINT),
+                 CAST(t2 AS BIGINT) FROM a
+UNION ALL SELECT 'balanced_sample', CAST(3 AS INT), CAST(d3 AS BIGINT),
+                 CAST(t3 AS BIGINT) FROM a
+UNION ALL SELECT 'split_train', CAST(4 AS INT), CAST(d4 AS BIGINT),
+                 CAST(t4 AS BIGINT) FROM a
+UNION ALL SELECT 'split_val', CAST(5 AS INT), CAST(d5 AS BIGINT),
+                 CAST(t5 AS BIGINT) FROM a
+UNION ALL SELECT 'split_test', CAST(6 AS INT), CAST(d6 AS BIGINT),
+                 CAST(t6 AS BIGINT) FROM a
+"""
+
 _ORACLE_TOKEN_BUDGET_MIXTURE = f"""
 WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
 s AS (SELECT source, sum(n_tokens) AS tok_src FROM d GROUP BY source),
@@ -2396,6 +2459,7 @@ FROM documents
     "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
     "contamination_check": _ORACLE_CONTAMINATION_CHECK,
     "curated_corpus": _ORACLE_CURATED_CORPUS,
+    "curation_funnel": _ORACLE_CURATION_FUNNEL,
     "length_histogram": _ORACLE_LENGTH_HISTOGRAM,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,

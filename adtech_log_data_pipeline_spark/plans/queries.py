@@ -188,6 +188,7 @@ _GATE_FIRST = [
     "bloom_prune_join",
     "stream_top_users",
     "schema_drift_audit",
+    "curation_funnel",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -227,10 +228,10 @@ _GATE_FIRST = [
     "source_mix",
     "streaming_sessionize",
     "tfidf_top_terms",
-    "vocab_topk",
-    # Rotated OUT to make room for the 5 never-gated round-6 queries
+    # Rotated OUT to make room for the 6 never-gated round-6 queries
     # (dup_span_stats, dup_span_clean, bloom_prune_join, stream_top_users,
-    # schema_drift_audit), least-risky first — each rotated query's
+    # schema_drift_audit, curation_funnel), least-risky first — each
+    # rotated query's
     # load-bearing machinery stays re-proven by an in-window sibling:
     #   dedup_minhash / dedup_clusters (3 greens, r6 band-refactor
     #     consumers) — band path gated via dedup_cap_audit +
@@ -240,6 +241,8 @@ _GATE_FIRST = [
     #     embedding_bucket_audit + ann_recall_audit
     #   train_split (2 greens, untouched since r3) — a 10-line pure
     #     md5-threshold expression, the smallest blast radius on the board
+    #   vocab_topk (2 greens, untouched) — its shared tf relation is the
+    #     same one the in-window tfidf_top_terms re-proves
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -256,6 +259,7 @@ _GATE_LAST = [
     "dedup_minhash",
     "dedup_clusters",
     "train_split",
+    "vocab_topk",
     "winnowing",
     "text_stats",
     "lang_id",

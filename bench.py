@@ -22,6 +22,7 @@ BENCH_QUERIES = [
     "bloom_prune_join",
     "stream_top_users",
     "schema_drift_audit",
+    "curation_funnel",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

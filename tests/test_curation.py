@@ -218,3 +218,36 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert rates["big"] == exp_big and rates["small"] == exp_small
     # the point of the temperature: small source rate ~10x the big one
     assert 8 < rates["small"] / rates["big"] < 12
+
+
+def test_curation_funnel_monotone_and_reconciles_with_curated_corpus(spark):
+    """Funnel laws: cumulative stages shrink monotonically, the splits
+    partition the final stage exactly, and the terminal counts reconcile
+    with curated_corpus's own survivor rows."""
+    from adtech_log_data_pipeline_spark.functions.text import (
+        curated_corpus,
+        curation_funnel,
+    )
+
+    docs = _docs(spark)
+    f = {r["stage"]: r for r in curation_funnel(docs).collect()}
+    order = ["corpus", "dedup_keep_best", "quality_floor", "balanced_sample"]
+    for a, b in zip(order, order[1:]):
+        assert f[a]["n_docs"] >= f[b]["n_docs"]
+        assert f[a]["n_tokens"] >= f[b]["n_tokens"]
+    splits = ["split_train", "split_val", "split_test"]
+    assert f["balanced_sample"]["n_docs"] == sum(f[s]["n_docs"] for s in splits)
+    assert f["balanced_sample"]["n_tokens"] == sum(
+        f[s]["n_tokens"] for s in splits
+    )
+    survivors = curated_corpus(docs).collect()
+    assert f["balanced_sample"]["n_docs"] == len(survivors)
+    assert f["balanced_sample"]["n_tokens"] == sum(
+        r["n_tokens"] for r in survivors
+    )
+    per_split = {}
+    for r in survivors:
+        per_split[r["split"]] = per_split.get(r["split"], 0) + 1
+    assert f["split_train"]["n_docs"] == per_split.get("train", 0)
+    assert f["split_val"]["n_docs"] == per_split.get("val", 0)
+    assert f["split_test"]["n_docs"] == per_split.get("test", 0)
