@@ -21,6 +21,9 @@ dispatches to BidLogJob or PredictionJob; SURVEY.md §3.1).
     python -m adtech_log_data_pipeline_spark --job bucketize \\
         --input /data/lineitem --output /data/bkt/lineitem \\
         --table bkt_lineitem --bucket-cols l_orderkey --n-buckets 256
+
+    python -m adtech_log_data_pipeline_spark --job spanclean \\
+        --input /data/documents --output /data/documents_clean
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
-            "dedup-index", "dedup-screen",
+            "dedup-index", "dedup-screen", "spanclean",
         ],
         required=True,
     )
@@ -196,6 +199,28 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n_dup = out.filter(F.col("is_dup")).count()
         print(f"dedup-screen done: {n_dup} duplicates flagged -> {args.output}")
+    elif args.job == "spanclean":
+        if not args.input:
+            ap.error(
+                "--input (documents parquet dir) is required for --job spanclean"
+            )
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import remove_dup_spans
+
+        docs = spark.read.parquet(args.input)
+        cleaned = remove_dup_spans(docs)
+        cleaned.write.mode("overwrite").parquet(args.output)
+        agg = cleaned.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("n_tokens_kept").alias("kept"),
+        ).collect()[0]
+        print(
+            f"spanclean done: {agg['n_docs']} docs,"
+            f" {agg['toks'] - agg['kept']} of {agg['toks']} tokens cut"
+            f" -> {args.output}"
+        )
     elif args.job == "profile":
         if not args.input:
             ap.error("--input is required for --job profile")

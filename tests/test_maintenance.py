@@ -310,3 +310,27 @@ def test_snapshot_diff_statuses(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         snapshot_diff(spark, old, str(tmp_path / "bad"), ["k"])
+
+
+def test_spanclean_cli(spark, tmp_path):
+    """--job spanclean: cleaned parquet lands with the span-removal schema
+    and a shared 25-token passage is actually cut."""
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    passage = " ".join(f"p{i}" for i in range(25))
+    rows = [
+        (0, "u0 u1 u2 " + passage, "en", "s", 0),
+        (1, passage + " v0", "en", "s", 0),
+        (2, " ".join(f"w{i}" for i in range(30)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["--job", "spanclean", "--input", src, "--output", out])
+    assert rc == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[0]["clean_text"] == "u0 u1 u2"
+    assert got[1]["clean_text"] == "v0"
+    assert got[2]["n_tokens_kept"] == 30
