@@ -283,6 +283,15 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization reconstruction-error report: per-vector 7-bit
+    code error in micros + ppm of full scale — the safe-to-shrink gate an
+    ANN deployment reads before rebuilding its index at 4x less memory."""
+    from ..functions.similarity import embedding_quantize_audit
+
+    return embedding_quantize_audit(_emb(spark, sf_dir))
+
+
 def q_dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band cap-pressure audit over the minhash band and simhash
     piece bucket relations (the "no silent caps" rule)."""
@@ -769,6 +778,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
     "embedding_bucket_audit": q_embedding_bucket_audit,
+    "embedding_quantize_audit": q_embedding_quantize_audit,
     "salted_hot_join": q_salted_hot_join,
     "bloom_prune_join": q_bloom_prune_join,
     "dedup_clusters": q_dedup_clusters,
@@ -2463,6 +2473,35 @@ FROM documents
     "length_histogram": _ORACLE_LENGTH_HISTOGRAM,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,
+    # quantize/dequantize in pure non-negative integer arithmetic — the
+    # oracle restates the exact same round-half-up mapping
+    "embedding_quantize_audit": """
+WITH e AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                  unnest(embedding) AS x
+           FROM embeddings),
+m AS (SELECT vec_id, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+      FROM e),
+a AS (SELECT vec_id, dim, m,
+             max(abs(m)) OVER (PARTITION BY vec_id) AS amax
+      FROM m),
+q AS (SELECT vec_id, m, amax,
+             CASE WHEN amax = 0 THEN 0
+                  ELSE ((m + amax) * 127 + amax) // (2 * amax) END AS qv
+      FROM a),
+d AS (SELECT vec_id, m, amax,
+             abs(m - CASE WHEN amax = 0 THEN 0
+                          ELSE (qv * 2 * amax) // 127 - amax END) AS err
+      FROM q)
+SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+       CAST(max(amax) AS BIGINT) AS amax,
+       CAST(max(err) AS BIGINT) AS max_err,
+       CAST(sum(err) AS BIGINT) AS sum_err,
+       CAST(CASE WHEN max(amax) = 0 THEN 0
+                 ELSE sum(err) * 1000000 // (max(amax) * count(*)) END
+            AS BIGINT) AS err_ppm
+FROM d GROUP BY vec_id
+""",
     "kmeans_centroids": _oracle_kmeans(),
     "semantic_dedup": _oracle_semantic_dedup(),
     "doc_chunks": _oracle_doc_chunks(),

@@ -189,6 +189,7 @@ _GATE_FIRST = [
     "stream_top_users",
     "schema_drift_audit",
     "curation_funnel",
+    "embedding_quantize_audit",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -227,11 +228,10 @@ _GATE_FIRST = [
     "simhash_near_dup",
     "source_mix",
     "streaming_sessionize",
-    "tfidf_top_terms",
-    # Rotated OUT to make room for the 6 never-gated round-6 queries
+    # Rotated OUT to make room for the 7 never-gated round-6 queries
     # (dup_span_stats, dup_span_clean, bloom_prune_join, stream_top_users,
-    # schema_drift_audit, curation_funnel), least-risky first — each
-    # rotated query's
+    # schema_drift_audit, curation_funnel, embedding_quantize_audit),
+    # least-risky first — each rotated query's
     # load-bearing machinery stays re-proven by an in-window sibling:
     #   dedup_minhash / dedup_clusters (3 greens, r6 band-refactor
     #     consumers) — band path gated via dedup_cap_audit +
@@ -241,8 +241,9 @@ _GATE_FIRST = [
     #     embedding_bucket_audit + ann_recall_audit
     #   train_split (2 greens, untouched since r3) — a 10-line pure
     #     md5-threshold expression, the smallest blast radius on the board
-    #   vocab_topk (2 greens, untouched) — its shared tf relation is the
-    #     same one the in-window tfidf_top_terms re-proves
+    #   vocab_topk / tfidf_top_terms (2 greens, untouched) — both ride
+    #     the same shared tf relation; oov_rate's in-window-adjacent
+    #     vocab join and the text-suite greens cover the chain
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -260,6 +261,7 @@ _GATE_LAST = [
     "dedup_clusters",
     "train_split",
     "vocab_topk",
+    "tfidf_top_terms",
     "winnowing",
     "text_stats",
     "lang_id",

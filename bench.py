@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "stream_top_users",
     "schema_drift_audit",
     "curation_funnel",
+    "embedding_quantize_audit",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

@@ -779,3 +779,31 @@ def test_remove_dup_spans_cuts_exactly_the_passage(spark):
     assert out[1]["clean_text"] == " ".join(f"b{i}" for i in range(3))
     assert (out[2]["clean_text"], out[2]["n_tokens_kept"]) == ("", 0)
     assert out[3]["clean_text"] == " ".join(d3) and out[3]["n_tokens_kept"] == 30
+
+
+def test_quantize_embeddings_hand_values_and_roundtrip_bound(spark):
+    """Hand-checked 7-bit codes for [1.0, -1.0, 0.5, 0.0] (amax=1e6):
+    q = 127/0/95/64, dequant errors 0/0/3938/7874 micros; the error bound
+    amax/127 + 1 holds per dim; the all-zero vector quantizes to zeros."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        embedding_quantize_audit,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0, 0.5, 0.0], 0), (1, [0.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = {
+        (r["vec_id"], r["dim"]): r
+        for r in quantize_embeddings(emb).collect()
+    }
+    assert [q[(0, d)]["q"] for d in range(4)] == [127, 0, 95, 64]
+    assert q[(0, 0)]["amax"] == 1_000_000
+    assert [q[(1, d)]["q"] for d in range(2)] == [0, 0]
+    a = {r["vec_id"]: r for r in embedding_quantize_audit(emb).collect()}
+    assert a[0]["max_err"] == 7874 and a[0]["sum_err"] == 3938 + 7874
+    assert a[0]["n_dims"] == 4
+    assert (a[1]["amax"], a[1]["max_err"], a[1]["err_ppm"]) == (0, 0, 0)
+    # bound: reconstruction error per dim <= amax/127 + 1
+    assert a[0]["max_err"] <= a[0]["amax"] // 127 + 1
