@@ -190,6 +190,8 @@ _GATE_FIRST = [
     "schema_drift_audit",
     "curation_funnel",
     "embedding_quantize_audit",
+    "top_supplier_revenue",
+    "part_share_suppliers",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -224,8 +226,6 @@ _GATE_FIRST = [
     "length_percentiles",
     "packing_plan",
     "pii_redact",
-    "repetition_stats",
-    "simhash_near_dup",
     "source_mix",
     "streaming_sessionize",
     # Rotated OUT to make room for the 7 never-gated round-6 queries
@@ -244,6 +244,9 @@ _GATE_FIRST = [
     #   vocab_topk / tfidf_top_terms (2 greens, untouched) — both ride
     #     the same shared tf relation; oov_rate's in-window-adjacent
     #     vocab join and the text-suite greens cover the chain
+    #   simhash_near_dup / repetition_stats (2 greens, untouched since
+    #     their last green) — displaced by the Q15/Q20 relational pair;
+    #     first in line to rotate back in for round 7
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -262,6 +265,8 @@ _GATE_LAST = [
     "train_split",
     "vocab_topk",
     "tfidf_top_terms",
+    "simhash_near_dup",
+    "repetition_stats",
     "winnowing",
     "text_stats",
     "lang_id",

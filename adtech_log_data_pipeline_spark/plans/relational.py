@@ -548,6 +548,56 @@ def waiting_suppliers_sql(dialect: str) -> str:
         """
 
 
+def top_supplier_revenue_sql(dialect: str) -> str:
+    """TPC-H Q15 shape: revenue per supplier over one quarter, keep the
+    supplier(s) AT the maximum — the scalar-subquery-over-aggregated-view
+    pattern (Q15's CREATE VIEW + max() correlation, decorrelated to one
+    agg reused twice). Revenue stays exact bigint cents end-to-end, so
+    the max-equality keeps genuine ties and never compares floats."""
+    return f"""
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+                 (sum({_cents('l_extendedprice')}
+                      * (100 - {_cents('l_discount')})) + 50)
+                   {_idiv(dialect)} 100 AS rev_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name,
+               cast(rev.rev_cents as bigint) AS total_revenue_cents
+        FROM supplier s JOIN rev ON s.s_suppkey = rev.suppkey
+        WHERE rev.rev_cents = (SELECT max(rev_cents) FROM rev)
+        """
+
+
+def part_share_suppliers_sql(dialect: str) -> str:
+    """TPC-H Q20 shape adapted to this schema (no partsupp table):
+    suppliers who shipped MORE THAN 30% of a part's total 1996 volume
+    where the part has >= 2 suppliers — the nested correlated aggregate
+    (per-group total vs per-member contribution), decorrelated to two
+    stacked hash aggs + one co-keyed join. Quantities are exact
+    centi-units; the share test is pure integer cross-multiplication."""
+    return f"""
+        WITH per AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) AS q_sup
+          FROM lineitem
+          WHERE year(l_shipdate) = 1996
+          GROUP BY l_partkey, l_suppkey),
+        tot AS (SELECT partkey, sum(q_sup) AS q_tot,
+                       count(*) AS n_sups
+                FROM per GROUP BY partkey)
+        SELECT p.partkey, p.suppkey,
+               cast(p.q_sup as bigint) AS qty_centi,
+               cast(t.q_tot as bigint) AS part_total_centi,
+               cast((p.q_sup * 1000000) {_idiv(dialect)} t.q_tot as bigint)
+                 AS share_ppm
+        FROM per p JOIN tot t ON p.partkey = t.partkey
+        WHERE p.q_sup * 10 > t.q_tot * 3 AND t.n_sups >= 2
+        """
+
+
 def revenue_rollup_sql(dialect: str) -> str:
     """ROLLUP over the (year, month) time hierarchy: month rows, year
     subtotals, and the grand total from ONE aggregation pass — the
@@ -652,6 +702,8 @@ RELATIONAL_SQL = {
     "discounted_revenue": (discounted_revenue_sql, ["lineitem", "part"]),
     "small_quantity_revenue": (small_quantity_revenue_sql, ["lineitem", "part"]),
     "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
+    "top_supplier_revenue": (top_supplier_revenue_sql, ["supplier", "lineitem"]),
+    "part_share_suppliers": (part_share_suppliers_sql, ["lineitem"]),
     "revenue_rollup": (revenue_rollup_sql, ["orders"]),
     "repeat_customers": (repeat_customers_sql, ["orders"]),
     "top_parts_per_brand": (top_parts_per_brand_sql, ["part", "lineitem"]),

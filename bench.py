@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "schema_drift_audit",
     "curation_funnel",
     "embedding_quantize_audit",
+    "top_supplier_revenue",
+    "part_share_suppliers",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
