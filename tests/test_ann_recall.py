@@ -79,3 +79,40 @@ def test_kmeans_seeded_ivf_recall_floor(spark):
     release_cached()
     assert len(_topk_sets(rows)) == N_QUERIES
     assert r >= 0.3, f"kmeans-seeded IVF recall@5 collapsed: {r}"
+
+
+def test_quantized_vectors_preserve_brute_force_recall(spark):
+    """The 7-bit scalar-quantization safety claim, end-to-end: brute-force
+    top-5 over DEQUANTIZED vectors must keep recall@5 >= 0.8 vs the
+    float ground truth — the evidence behind quantize_embeddings' '4x
+    memory, recall degrades only by the audited reconstruction error'
+    docstring. (Observed ~1.0 on this corpus; floor pinned low so only a
+    genuine quantizer break fails.)"""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_emb(spark)).withColumn(
+        "deq",
+        F.expr(
+            "case when amax = 0 then 0.0 else"
+            " cast((cast(q as bigint) * 2 * amax) div 127 - amax as double)"
+            " / 1000000.0 end"
+        ),
+    )
+    deq_emb = (
+        q.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "deq"))).alias("ds")
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(ds, x -> cast(x.deq as float))").alias(
+                "embedding"
+            ),
+            F.lit(0).alias("label"),
+        )
+    )
+    approx = brute_force_topk(deq_emb, _queries(spark), k=K).collect()
+    assert _recall(spark, approx) >= 0.8
+    release_cached()
