@@ -192,6 +192,7 @@ _GATE_FIRST = [
     "embedding_quantize_audit",
     "top_supplier_revenue",
     "part_share_suppliers",
+    "pit_purchase_state",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -222,7 +223,6 @@ _GATE_FIRST = [
     "sliding_window_counts",
     "streaming_device_activity",
     # two green rows (last green round 3 or 4)
-    "label_centroids",
     "length_percentiles",
     "packing_plan",
     "pii_redact",
@@ -247,6 +247,9 @@ _GATE_FIRST = [
     #   simhash_near_dup / repetition_stats (2 greens, untouched since
     #     their last green) — displaced by the Q15/Q20 relational pair;
     #     first in line to rotate back in for round 7
+    #   label_centroids (2 greens, untouched) — displaced by
+    #     pit_purchase_state; its micros idiom is re-proven in-window by
+    #     embedding_quantize_audit/embedding_outliers every round
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -267,6 +270,7 @@ _GATE_LAST = [
     "tfidf_top_terms",
     "simhash_near_dup",
     "repetition_stats",
+    "label_centroids",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -203,6 +203,38 @@ def scd2_intervals_sql(dialect: str) -> str:
         """
 
 
+def pit_purchase_state_sql(dialect: str) -> str:
+    """Point-in-time (temporal) join — the leakage-safe dimension lookup:
+    each purchase event resolved against the SCD2 validity interval that
+    was CURRENT at its timestamp (ts in [valid_from, valid_to)), i.e.
+    'what state was this user in when they bought'. The pattern every
+    training-feature backfill needs to avoid time travel; pairs with
+    rolling_user_features (which bounds a window, this one bounds a
+    version).
+
+    Scale shape: the join is EQUI-keyed on user_id with the interval
+    range as a residual predicate — an entity-keyed shuffle join where
+    the per-user multiplicity is that user's version count, never a
+    cartesian; exactly one interval survives per probe row (law-tested).
+    The SCD2 side is the already-gated scd2_intervals relation inlined
+    as a subquery (same SQL, both dialects)."""
+    ts = _ms("ts", dialect)
+    return f"""
+        WITH scd AS (SELECT * FROM ({scd2_intervals_sql(dialect)}) scd_src),
+        probe AS (
+          SELECT event_id, user_id, {ts} AS ts_ms
+          FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, cast(p.ts_ms as bigint) AS ts_ms,
+               s.version, s.event_type AS state_type,
+               s.valid_from_ms, s.n_events AS state_n_events
+        FROM probe p
+        JOIN scd s
+          ON p.user_id = s.user_id
+         AND p.ts_ms >= s.valid_from_ms
+         AND (s.valid_to_ms IS NULL OR p.ts_ms < s.valid_to_ms)
+        """
+
+
 def rolling_user_features_sql(dialect: str) -> str:
     """Per-event rolling training features: for every event, the count
     and spend of the SAME user's events in the preceding hour
@@ -686,6 +718,7 @@ RELATIONAL_SQL = {
     ),
     "sessionized_events": (sessionized_events_sql, ["events"]),
     "scd2_intervals": (scd2_intervals_sql, ["events"]),
+    "pit_purchase_state": (pit_purchase_state_sql, ["events"]),
     "rolling_user_features": (rolling_user_features_sql, ["events"]),
     "retention_cohorts": (retention_cohorts_sql, ["events"]),
     "hourly_activity": (hourly_activity_sql, ["events"]),

@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "embedding_quantize_audit",
     "top_supplier_revenue",
     "part_share_suppliers",
+    "pit_purchase_state",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

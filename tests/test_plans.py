@@ -191,3 +191,24 @@ def test_rolling_features_frame_semantics(spark):
         assert out[5]["n_prev_1h"] == 0  # user isolation
     finally:
         spark.catalog.dropTempView("events")
+
+
+def test_pit_join_resolves_every_purchase_exactly_once(spark):
+    """Temporal-join totality law: every purchase event matches EXACTLY
+    one SCD2 interval of its user (intervals tile each user's timeline:
+    half-open, adjacent, the last one open-ended), and the resolved
+    interval really contains the event's timestamp."""
+    out = QUERIES["pit_purchase_state"](spark, SF)
+    rows = out.collect()
+    n_purchases = (
+        QUERIES["scd2_intervals"](spark, SF).sparkSession.read.parquet(
+            f"{SF}/events.parquet"
+        )
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert len(rows) == n_purchases
+    assert len({r["event_id"] for r in rows}) == n_purchases  # exactly once
+    assert all(r["ts_ms"] >= r["valid_from_ms"] for r in rows)
+    # a purchase's current state at its own timestamp is 'purchase'
+    assert all(r["state_type"] == "purchase" for r in rows)
