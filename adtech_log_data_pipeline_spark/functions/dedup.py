@@ -839,13 +839,26 @@ def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     Output: (doc_id, span_start, span_end) half-open token ranges;
     overlapping AND adjacent hit windows merge (pos <= prev_pos + k).
     """
-    from pyspark.sql.window import Window
+    grams = hold(_gram_rows(documents, k))
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+    return _merge_hit_spans(hits, k)
 
+
+def _gram_rows(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, g) k-token gram md5 rows at every position — one
+    map-only codegen pass (transform + posexplode); docs under k tokens
+    emit nothing."""
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     d = documents.repartition(n_parts, "doc_id").select(
         "doc_id", tokens_col().alias("toks")
     )
-    grams = d.filter(F.size("toks") >= k).select(
+    return d.filter(F.size("toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -854,14 +867,13 @@ def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
             )
         ).alias("pos", "g"),
     )
-    grams = hold(grams)
-    dup_g = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+
+
+def _merge_hit_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Merge duplicate-gram hit windows [pos, pos+k) per doc into maximal
+    spans — the lag + running-break-sum interval pattern."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         hits.withColumn("prev", F.lag("pos").over(w))
@@ -966,5 +978,69 @@ def remove_dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
             "n_tokens",
             F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def build_span_index(
+    documents: DataFrame, out_dir: str, k: int = DUP_SPAN_K
+) -> None:
+    """Persist the exact-substring screening index for a corpus: the
+    DISTINCT k-gram hash set as parquet (``grams/``). Membership is all
+    an ingest screen needs — one existing occurrence plus one incoming
+    occurrence already makes a duplicate — so counts never ship. The
+    nightly-build twin of build_dedup_index for the passage-level pass;
+    index size is the corpus's distinct-gram count, not its token count."""
+    import os
+
+    _gram_rows(documents, k).select("g").distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "grams"))
+
+
+def dup_span_stats_incoming(
+    incoming: DataFrame, index_dir: str, k: int = DUP_SPAN_K
+) -> DataFrame:
+    """Screen an INCOMING batch for duplicated passages against a
+    PERSISTED gram index (build_span_index artifact): a batch position is
+    a hit when its gram appears in the existing corpus (index membership
+    — one occurrence there + this one = duplicate) OR >= 2 times within
+    the batch itself. Only the batch's grams are computed — screen cost
+    scales with the batch, not the corpus — and the index side joins as
+    a (gram-hash) semi join.
+
+    Output matches dup_span_stats: (doc_id, n_tokens, n_spans,
+    dup_tokens, dup_ppm), one row per incoming document."""
+    import os
+
+    spark = incoming.sparkSession
+    idx = spark.read.parquet(os.path.join(index_dir, "grams"))
+    grams = hold(_gram_rows(incoming, k))
+    batch_dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    dup_g = batch_dup.unionByName(idx.select("g")).distinct()
+    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+    spans = _merge_hit_spans(hits, k)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    return (
+        incoming.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000 div n_tokens AS BIGINT)"
+            ).alias("dup_ppm"),
         )
     )

@@ -146,6 +146,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dup_span_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring screen: the persisted distinct-gram
+    index (functions/dedup.py::build_span_index) over the EXISTING corpus
+    (doc_id % 10 != 7), then the incoming batch's duplicated-passage
+    report against the ARTIFACT — batch grams only; a position hits when
+    its gram exists in the index OR repeats within the batch. Rows are
+    materialized before the scratch index is removed."""
+    import shutil
+
+    from ..functions.dedup import (
+        INCOMING_MOD,
+        INCOMING_SLOT,
+        build_span_index,
+        dup_span_stats_incoming,
+    )
+    from ..streaming._replay import scratch_dir
+
+    work = scratch_dir("span_index_")
+    try:
+        docs = _docs(spark, sf_dir)
+        is_in = (F.col("doc_id") % INCOMING_MOD) == INCOMING_SLOT
+        build_span_index(docs.filter(~is_in), work)
+        rows = dup_span_stats_incoming(docs.filter(is_in), work).collect()
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, n_tokens int, n_spans int, dup_tokens bigint,"
+            " dup_ppm bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage report (Lee et al. 2021 ExactSubstr at
     token granularity): per document, the merged spans of 20-token grams
@@ -774,6 +806,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dup_span_stats": q_dup_span_stats,
     "dup_span_clean": q_dup_span_clean,
+    "dup_span_incoming": q_dup_span_incoming,
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
@@ -1871,6 +1904,48 @@ FROM t LEFT JOIN rebuilt USING (doc_id)
 """
 
 
+def _oracle_dup_span_incoming() -> str:
+    """functions/dedup.py::build_span_index + dup_span_stats_incoming
+    restated: existing-side distinct grams as the membership set, batch
+    positions hit on (index membership OR batch count >= 2), same merge
+    and per-doc stats as dup_span_stats — incoming docs only."""
+    from ..functions.dedup import DUP_SPAN_K as K
+    from ..functions.dedup import INCOMING_MOD as M
+    from ..functions.dedup import INCOMING_SLOT as SLOT
+
+    gram = f"md5(array_to_string(list_slice(toks, i, i + {K - 1}), ' '))"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+gi AS (SELECT doc_id, i - 1 AS pos, {gram} AS g
+       FROM t, unnest(generate_series(1, len(toks) - {K - 1})) u(i)
+       WHERE len(toks) >= {K} AND doc_id % {M} = {SLOT}),
+ge AS (SELECT DISTINCT {gram} AS g
+       FROM t, unnest(generate_series(1, len(toks) - {K - 1})) u(i)
+       WHERE len(toks) >= {K} AND doc_id % {M} <> {SLOT}),
+bd AS (SELECT g FROM gi GROUP BY g HAVING count(*) >= 2),
+dg AS (SELECT g FROM ge UNION SELECT g FROM bd),
+h AS (SELECT doc_id, pos FROM gi JOIN dg USING (g)),
+b AS (SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + {K} THEN 1 ELSE 0 END AS brk
+      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM b),
+sp AS (SELECT doc_id, min(pos) AS st, max(pos) + {K} AS en
+       FROM s GROUP BY doc_id, span_id),
+agg AS (SELECT doc_id, count(*) AS n_spans, sum(en - st) AS dup_tokens
+        FROM sp GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(agg.dup_tokens, 0) * 1000000 // len(t.toks) AS BIGINT)
+         AS dup_ppm
+FROM t LEFT JOIN agg USING (doc_id)
+WHERE t.doc_id % {M} = {SLOT}
+"""
+
+
 _ORACLE_CROSS_SOURCE_OVERLAP = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 shl AS (
@@ -2535,6 +2610,7 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
     "dup_span_stats": _oracle_dup_span_stats(),
     "dup_span_clean": _oracle_dup_span_clean(),
+    "dup_span_incoming": _oracle_dup_span_incoming(),
     "cross_source_overlap": _ORACLE_CROSS_SOURCE_OVERLAP,
     "audio_chunks": _ORACLE_AUDIO_CHUNKS,
 }

@@ -193,6 +193,7 @@ _GATE_FIRST = [
     "top_supplier_revenue",
     "part_share_suppliers",
     "pit_purchase_state",
+    "dup_span_incoming",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -223,7 +224,6 @@ _GATE_FIRST = [
     "sliding_window_counts",
     "streaming_device_activity",
     # two green rows (last green round 3 or 4)
-    "length_percentiles",
     "packing_plan",
     "pii_redact",
     "source_mix",
@@ -250,6 +250,9 @@ _GATE_FIRST = [
     #   label_centroids (2 greens, untouched) — displaced by
     #     pit_purchase_state; its micros idiom is re-proven in-window by
     #     embedding_quantize_audit/embedding_outliers every round
+    #   length_percentiles (2 greens, untouched pure rank-pick
+    #     expression) — displaced by dup_span_incoming; re-enters first
+    #     in round 7
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -271,6 +274,7 @@ _GATE_LAST = [
     "simhash_near_dup",
     "repetition_stats",
     "label_centroids",
+    "length_percentiles",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "top_supplier_revenue",
     "part_share_suppliers",
     "pit_purchase_state",
+    "dup_span_incoming",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

@@ -807,3 +807,39 @@ def test_quantize_embeddings_hand_values_and_roundtrip_bound(spark):
     assert (a[1]["amax"], a[1]["max_err"], a[1]["err_ppm"]) == (0, 0, 0)
     # bound: reconstruction error per dim <= amax/127 + 1
     assert a[0]["max_err"] <= a[0]["amax"] // 127 + 1
+
+
+def test_dup_span_incoming_screens_against_index_only(spark, tmp_path):
+    """Incremental span screen semantics: an incoming doc's passage hits
+    when it exists in the INDEXED corpus or repeats within the batch —
+    and never via other batch docs' unique text; the indexed-vs-recompute
+    paths agree where both sides see the same corpus."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        build_span_index,
+        dup_span_stats_incoming,
+    )
+
+    passage = [f"p{i}" for i in range(25)]
+    existing = docs(spark, [" ".join(passage + [f"e{i}" for i in range(5)])])
+    idx = str(tmp_path / "idx")
+    build_span_index(existing, idx)
+    s = [f"s{i}" for i in range(20)]
+    incoming = docs(
+        spark,
+        [
+            " ".join([f"a{i}" for i in range(3)] + passage),  # hits the index
+            " ".join(s + s),  # within-batch self repeat
+            " ".join(f"u{i}" for i in range(30)),  # clean
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats_incoming(incoming, idx).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["dup_tokens"]) == (1, 25)
+    assert (out[1]["n_spans"], out[1]["dup_tokens"]) == (1, 40)
+    assert (out[2]["n_spans"], out[2]["dup_tokens"], out[2]["dup_ppm"]) == (
+        0,
+        0,
+        0,
+    )
