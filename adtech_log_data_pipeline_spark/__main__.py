@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
-            "dedup-index", "dedup-screen", "spanclean",
+            "dedup-index", "dedup-screen", "spanclean", "span-index",
+            "span-screen", "quantize",
         ],
         required=True,
     )
@@ -221,6 +222,40 @@ def main(argv: list[str] | None = None) -> int:
             f" {agg['toks'] - agg['kept']} of {agg['toks']} tokens cut"
             f" -> {args.output}"
         )
+    elif args.job == "span-index":
+        if not args.input:
+            ap.error(
+                "--input (documents parquet dir) is required for --job span-index"
+            )
+        from .functions.dedup import build_span_index
+
+        build_span_index(spark.read.parquet(args.input), args.output)
+        print(f"span-index done: grams/ -> {args.output}")
+    elif args.job == "span-screen":
+        if not args.input or not args.against:
+            ap.error(
+                "--input (incoming documents parquet) and --against (index"
+                " dir from --job span-index) are required for --job span-screen"
+            )
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import dup_span_stats_incoming
+
+        out = dup_span_stats_incoming(spark.read.parquet(args.input), args.against)
+        out.write.mode("overwrite").parquet(args.output)
+        n_hit = out.filter(F.col("n_spans") > 0).count()
+        print(f"span-screen done: {n_hit} docs with dup passages -> {args.output}")
+    elif args.job == "quantize":
+        if not args.input:
+            ap.error(
+                "--input (embeddings parquet dir) is required for --job quantize"
+            )
+        from .functions.similarity import quantize_embeddings
+
+        quantize_embeddings(spark.read.parquet(args.input)).select(
+            "vec_id", "dim", "amax", "q"
+        ).write.mode("overwrite").parquet(args.output)
+        print(f"quantize done: 7-bit codes -> {args.output}")
     elif args.job == "profile":
         if not args.input:
             ap.error("--input is required for --job profile")

@@ -334,3 +334,38 @@ def test_spanclean_cli(spark, tmp_path):
     assert got[0]["clean_text"] == "u0 u1 u2"
     assert got[1]["clean_text"] == "v0"
     assert got[2]["n_tokens_kept"] == 30
+
+
+def test_span_index_screen_and_quantize_cli(spark, tmp_path):
+    """--job span-index / span-screen / quantize dispatch through the CLI."""
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    docs_src = str(tmp_path / "docs")
+    passage = " ".join(f"p{i}" for i in range(25))
+    spark.createDataFrame(
+        [(0, passage + " x0 x1", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(docs_src)
+    idx = str(tmp_path / "idx")
+    assert main(["--job", "span-index", "--input", docs_src, "--output", idx]) == 0
+    inc_src = str(tmp_path / "inc")
+    spark.createDataFrame(
+        [(10, "y0 y1 " + passage, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(inc_src)
+    screened = str(tmp_path / "screened")
+    assert main(
+        ["--job", "span-screen", "--input", inc_src, "--against", idx,
+         "--output", screened]
+    ) == 0
+    row = spark.read.parquet(screened).collect()[0]
+    assert row["n_spans"] == 1 and row["dup_tokens"] == 25
+
+    emb_src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, [1.0, -1.0], 0)], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(emb_src)
+    qout = str(tmp_path / "q")
+    assert main(["--job", "quantize", "--input", emb_src, "--output", qout]) == 0
+    codes = {r["dim"]: r["q"] for r in spark.read.parquet(qout).collect()}
+    assert codes == {0: 127, 1: 0}
