@@ -1138,3 +1138,31 @@ def script_mix(documents: DataFrame) -> DataFrame:
             / F.nullif(n, F.lit(0))
         ).alias("ascii_ratio"),
     )
+
+
+def exact_stratified_sample(
+    documents: DataFrame, k_per_source: int = SAMPLE_TARGET_PER_SOURCE
+) -> DataFrame:
+    """EXACT-quota per-source sample: exactly min(k, n_source) documents
+    per source, chosen as the k smallest salted md5 hashes — the eval-set
+    construction knob where quotas must be met to the row (contrast
+    stratified_sample: growth-stable membership but only approximate
+    counts). Deterministic under any shuffle (hash then doc_id ordering);
+    adding documents to a source CAN rotate its picks — that is the price
+    of exactness, stated here so callers pick the right tool.
+
+    Scale shape: one shuffle keyed on source; the rank <= k filter over
+    the window triggers Spark's WindowGroupLimit rewrite (partial
+    per-partition top-k BEFORE the exchange, plan-shape-tested), so the
+    shuffle carries at most k rows per source per input partition, not
+    the corpus."""
+    from pyspark.sql.window import Window
+
+    h = F.expr("md5(concat('exact:', cast(doc_id as string)))")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        documents.select("doc_id", "source", h.alias("h"))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= k_per_source)
+        .select("doc_id", "source", F.col("pick_rank").cast("int").alias("pick_rank"))
+    )

@@ -693,6 +693,15 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_corpus(_docs(spark, sf_dir))
 
 
+def q_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota per-source sample: exactly min(k, n_source) docs per
+    source by smallest salted hash — WindowGroupLimit pushes the rank
+    filter below the exchange (plan-shape-tested)."""
+    from ..functions.text import exact_stratified_sample
+
+    return exact_stratified_sample(_docs(spark, sf_dir))
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation funnel report: cumulative doc/token survivor counts
     through corpus -> keep-best dedup -> quality floor -> balanced sample
@@ -844,6 +853,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "curated_corpus": q_curated_corpus,
     "curation_funnel": q_curation_funnel,
+    "exact_stratified_sample": q_exact_stratified_sample,
     "length_histogram": q_length_histogram,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_counts": q_stream_sliding_counts,
@@ -2545,6 +2555,17 @@ FROM documents
     "contamination_check": _ORACLE_CONTAMINATION_CHECK,
     "curated_corpus": _ORACLE_CURATED_CORPUS,
     "curation_funnel": _ORACLE_CURATION_FUNNEL,
+    "exact_stratified_sample": """
+WITH h AS (SELECT doc_id, source,
+                  md5('exact:' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS pick_rank
+      FROM h)
+SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank
+FROM r WHERE pick_rank <= 15
+""",
     "length_histogram": _ORACLE_LENGTH_HISTOGRAM,
     "pii_redact": _oracle_pii_redact(),
     "label_centroids": _ORACLE_LABEL_CENTROIDS,

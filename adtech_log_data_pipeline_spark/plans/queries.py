@@ -194,6 +194,7 @@ _GATE_FIRST = [
     "part_share_suppliers",
     "pit_purchase_state",
     "dup_span_incoming",
+    "exact_stratified_sample",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -224,7 +225,6 @@ _GATE_FIRST = [
     "sliding_window_counts",
     "streaming_device_activity",
     # two green rows (last green round 3 or 4)
-    "packing_plan",
     "pii_redact",
     "source_mix",
     "streaming_sessionize",
@@ -253,6 +253,9 @@ _GATE_FIRST = [
     #   length_percentiles (2 greens, untouched pure rank-pick
     #     expression) — displaced by dup_span_incoming; re-enters first
     #     in round 7
+    #   packing_plan (2 greens, untouched pure sequence-fill expression)
+    #     — displaced by exact_stratified_sample; re-enters first in
+    #     round 7
     # similarity_topk's chain is re-proven every round through
     # ann_recall_audit (its exact top-k is that audit's baseline side)
     # The pure-column-expression tail of the 3-green class (lang_id,
@@ -275,6 +278,7 @@ _GATE_LAST = [
     "repetition_stats",
     "label_centroids",
     "length_percentiles",
+    "packing_plan",
     "winnowing",
     "text_stats",
     "lang_id",

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "part_share_suppliers",
     "pit_purchase_state",
     "dup_span_incoming",
+    "exact_stratified_sample",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",

@@ -251,3 +251,30 @@ def test_curation_funnel_monotone_and_reconciles_with_curated_corpus(spark):
     assert f["split_train"]["n_docs"] == per_split.get("train", 0)
     assert f["split_val"]["n_docs"] == per_split.get("val", 0)
     assert f["split_test"]["n_docs"] == per_split.get("test", 0)
+
+
+def test_exact_stratified_sample_quota_and_window_group_limit(spark):
+    """Exact-quota law: exactly min(k, n_source) picks per source with
+    ranks 1..k; the physical plan carries the WindowGroupLimit rewrite
+    (per-partition top-k BEFORE the exchange — the property that keeps
+    the shuffle k-bounded at 100 TB)."""
+    from adtech_log_data_pipeline_spark.functions.text import (
+        exact_stratified_sample,
+    )
+
+    docs = _docs(spark)
+    out = exact_stratified_sample(docs, k_per_source=15)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["pick_rank"])
+    src_sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, ranks in per_src.items():
+        want = min(15, src_sizes[src])
+        assert sorted(ranks) == list(range(1, want + 1))
+    assert set(per_src) == set(src_sizes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
