@@ -508,3 +508,32 @@ def test_dup_spans_match_python_reference_and_removal_reconciles(spark, docs):
             clean[d]["n_tokens_kept"]
             == stats[d]["n_tokens"] - stats[d]["dup_tokens"]
         )
+
+
+# --- bloom semi-join reduction laws (operators/bloom.py) -------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=200),
+)
+def test_bloom_laws_under_random_keys(spark, dim_keys, fact_keys):
+    """Fuzzed invariants: the bitmap NEVER false-negatives a build key
+    (including negatives and duplicates), and the pruned join equals the
+    plain inner join row-for-row on arbitrary key sets."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_build,
+        bloom_pruned_join,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)] or [(0,)], "k long")
+    facts = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    words = bloom_build(dim, "k", n_words=32)
+    assert dim.filter(~bloom_might_contain(F.col("k"), words)).count() == 0
+    got = sorted(r["k"] for r in bloom_pruned_join(facts, dim, "k", n_words=32).collect())
+    want = sorted(r["k"] for r in facts.join(dim, "k").collect())
+    assert got == want
