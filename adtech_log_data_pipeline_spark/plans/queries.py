@@ -195,6 +195,12 @@ _GATE_FIRST = [
     "pit_purchase_state",
     "dup_span_incoming",
     "exact_stratified_sample",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "idle_rich_customers",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
@@ -220,19 +226,19 @@ _GATE_FIRST = [
     "embedding_outliers",
     "frame_sample",
     "monthly_revenue_trend",
-    "multimodal_resize",
     "quiet_returners",
-    "sliding_window_counts",
-    "streaming_device_activity",
-    # two green rows (last green round 3 or 4)
-    "pii_redact",
-    "source_mix",
-    "streaming_sessionize",
-    # Rotated OUT to make room for the 7 never-gated round-6 queries
-    # (dup_span_stats, dup_span_clean, bloom_prune_join, stream_top_users,
-    # schema_drift_audit, curation_funnel, embedding_quantize_audit),
-    # least-risky first — each rotated query's
+    # Rotated OUT to make room for the 18 never-gated round-6 queries
+    # (span dedup trio, bloom join, streaming heavy hitters, schema
+    # drift, curation funnel, quantize audit, exact sampler, the Q6/Q7/
+    # Q8/Q14/Q15/Q18/Q20/Q22 relational set, pit temporal join), 0-green
+    # beats 1-2 greens, least-risky first — each rotated query's
     # load-bearing machinery stays re-proven by an in-window sibling:
+    #   multimodal_resize (1 green, pure integer geometry) /
+    #     sliding_window_counts (1 green, equality-tested vs native
+    #     window()) / streaming_device_activity (1 green, and its gate is
+    #     the weak rows-only check) — the three 1-green rows whose gate
+    #     adds the least marginal proof; first 1-greens back in round 7
+    #   pii_redact / source_mix / streaming_sessionize (2 greens)
     #   dedup_minhash / dedup_clusters (3 greens, r6 band-refactor
     #     consumers) — band path gated via dedup_cap_audit +
     #     dedup_incoming_indexed
@@ -279,6 +285,12 @@ _GATE_LAST = [
     "label_centroids",
     "length_percentiles",
     "packing_plan",
+    "pii_redact",
+    "source_mix",
+    "streaming_sessionize",
+    "multimodal_resize",
+    "sliding_window_counts",
+    "streaming_device_activity",
     "winnowing",
     "text_stats",
     "lang_id",

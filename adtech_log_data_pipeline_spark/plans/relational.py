@@ -580,6 +580,155 @@ def waiting_suppliers_sql(dialect: str) -> str:
         """
 
 
+def forecast_revenue_sql(dialect: str) -> str:
+    """TPC-H Q6 shape: single-scan revenue forecast — every predicate
+    (year band, discount band, quantity ceiling) pushes to the parquet
+    scan; the answer is one map-side-combined agg row. The discount band
+    compares exact integer cents (not floats), revenue = price x discount
+    in exact 1e-4 units rounded HALF_UP to cents."""
+    c = _cents("l_discount")
+    return f"""
+        SELECT cast((sum({_cents('l_extendedprice')} * {c}) + 50)
+                    {_idiv(dialect)} 100 as bigint) AS revenue_cents,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND {c} BETWEEN 5 AND 7
+          AND l_quantity < 24
+        """
+
+
+def volume_shipping_sql(dialect: str) -> str:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year —
+    the 6-way join (fact + orders + both dimension chains) with a
+    disjunctive nation-pair predicate the optimizer must keep above the
+    joins; nations/suppliers/customers broadcast at any scale."""
+    return f"""
+        SELECT supp_nation, cust_nation, l_year,
+               cast((sum(e4) + 50) {_idiv(dialect)} 100 as bigint)
+                 AS revenue_cents,
+               cast(count(*) as bigint) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 cast(year(l.l_shipdate) as int) AS l_year,
+                 {_cents('l.l_extendedprice')}
+                   * (100 - {_cents('l.l_discount')}) AS e4
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+
+
+def market_share_sql(dialect: str) -> str:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, per order year — conditional-sum ratio over a 7-way join (two
+    nation roles: the customer's region gates the market, the supplier's
+    nation is the share numerator). Share is integer ppm over exact e4
+    volumes; nullif guards an empty-market year."""
+    return f"""
+        SELECT o_year,
+               cast((sum(CASE WHEN supp_nation = 'NATION_1' THEN e4
+                              ELSE 0 END) * 1000000)
+                    {_idiv(dialect)} nullif(sum(e4), 0) as bigint)
+                 AS mkt_share_ppm,
+               cast(count(*) as bigint) AS n_items
+        FROM (
+          SELECT cast(year(o.o_orderdate) as int) AS o_year,
+                 n2.n_name AS supp_nation,
+                 {_cents('l.l_extendedprice')}
+                   * (100 - {_cents('l.l_discount')}) AS e4
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+        """
+
+
+def promo_revenue_share_sql(dialect: str) -> str:
+    """TPC-H Q14 shape: promo revenue share per ship month — the
+    conditional-aggregate ratio over a fact-dimension join; integer ppm
+    over exact e4 revenue."""
+    return f"""
+        SELECT cast(year(l.l_shipdate) as int) AS y,
+               cast(month(l.l_shipdate) as int) AS mo,
+               cast((sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_cents('l.l_extendedprice')}
+                                   * (100 - {_cents('l.l_discount')})
+                              ELSE 0 END) * 1000000)
+                    {_idiv(dialect)}
+                    nullif(sum({_cents('l.l_extendedprice')}
+                               * (100 - {_cents('l.l_discount')})), 0)
+                 as bigint) AS promo_ppm,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY cast(year(l.l_shipdate) as int),
+                 cast(month(l.l_shipdate) as int)
+        """
+
+
+def large_volume_customers_sql(dialect: str) -> str:
+    """TPC-H Q18 shape: customers behind bulk orders — a grouped HAVING
+    over the fact feeding a semi join back onto the order/customer
+    detail. Quantities are exact centi-units; the HAVING threshold (250
+    units) binds ~1-2% of orders on this corpus."""
+    return f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               cast(year(o.o_orderdate) as int) AS o_year,
+               {_cents('o.o_totalprice')} AS totalprice_cents,
+               big.sum_qty_centi
+        FROM (
+          SELECT l_orderkey,
+                 cast(sum({_cents('l_quantity')}) as bigint) AS sum_qty_centi
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum({_cents('l_quantity')}) > 25000
+        ) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        """
+
+
+def idle_rich_customers_sql(dialect: str) -> str:
+    """TPC-H Q22 shape adapted to this schema (no c_phone country codes):
+    above-average-balance customers with NO recent orders — the scalar
+    average subquery feeding a null-tolerant NOT EXISTS anti join, then
+    one segment aggregate. Balances are exact cents."""
+    return f"""
+        SELECT c.c_mktsegment,
+               cast(count(*) as bigint) AS numcust,
+               cast(sum({_cents('c.c_acctbal')}) as bigint) AS totacctbal_cents
+        FROM customer c
+        WHERE {_cents('c.c_acctbal')} > (
+                -- floor() first: DuckDB ROUNDS double->bigint casts while
+                -- Spark truncates; floor makes both exact-equal
+                SELECT cast(floor(avg({_cents('c2.c_acctbal')})) as bigint)
+                FROM customer c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_mktsegment
+        """
+
+
 def top_supplier_revenue_sql(dialect: str) -> str:
     """TPC-H Q15 shape: revenue per supplier over one quarter, keep the
     supplier(s) AT the maximum — the scalar-subquery-over-aggregated-view
@@ -737,6 +886,21 @@ RELATIONAL_SQL = {
     "waiting_suppliers": (waiting_suppliers_sql, ["supplier", "lineitem", "orders"]),
     "top_supplier_revenue": (top_supplier_revenue_sql, ["supplier", "lineitem"]),
     "part_share_suppliers": (part_share_suppliers_sql, ["lineitem"]),
+    "forecast_revenue": (forecast_revenue_sql, ["lineitem"]),
+    "volume_shipping": (
+        volume_shipping_sql,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    ),
+    "market_share": (
+        market_share_sql,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    ),
+    "promo_revenue_share": (promo_revenue_share_sql, ["lineitem", "part"]),
+    "large_volume_customers": (
+        large_volume_customers_sql,
+        ["lineitem", "orders", "customer"],
+    ),
+    "idle_rich_customers": (idle_rich_customers_sql, ["customer", "orders"]),
     "revenue_rollup": (revenue_rollup_sql, ["orders"]),
     "repeat_customers": (repeat_customers_sql, ["orders"]),
     "top_parts_per_brand": (top_parts_per_brand_sql, ["part", "lineitem"]),

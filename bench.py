@@ -29,6 +29,12 @@ BENCH_QUERIES = [
     "pit_purchase_state",
     "dup_span_incoming",
     "exact_stratified_sample",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "idle_rich_customers",
     "dedup_cap_audit",
     "semantic_cap_audit",
     "zorder_audit",
