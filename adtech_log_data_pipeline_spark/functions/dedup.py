@@ -1044,3 +1044,70 @@ def dup_span_stats_incoming(
             ).alias("dup_ppm"),
         )
     )
+
+
+def token_set_near_dup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Set-similarity self-join by DELETION-NEIGHBORHOOD banding (the
+    SymSpell idea applied to token sets): two rows match when their
+    sorted-distinct token sets differ by at most one token — i.e.
+    |A intersect B| >= max(|A|, |B|) - 1. Each row emits its full token
+    set plus every delete-one subset as band keys; any qualifying pair
+    provably shares at least one key (the common (max-1)-subset, or the
+    smaller set itself when A is contained in B), so banding finds
+    EXACTLY the qualifying pairs — no false negatives, and by the same
+    subset argument every candidate already satisfies the predicate; the
+    overlap is recomputed on the pair output as an audit column, not a
+    filter.
+
+    Scale shape: n+1 keys per row (n = token count, bounded by the name
+    length), one distinct + self-join on the key — no all-pairs stage;
+    a key shared by m rows yields C(m,2) candidate rows before the pair
+    distinct, the same observability contract as the LSH bands (screen
+    degenerate key spaces with the cap-audit pattern before running at
+    scale). Keys join as space-joined strings — tokens are space-split so
+    the separator cannot occur inside a token and the encoding is
+    injective. Output: (id_1, id_2, n_tokens_1, n_tokens_2, overlap) with
+    id_1 < id_2, one row per pair."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+            "toks"
+        ),
+    )
+    keys = (
+        toks.select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "array_union(array(toks),"
+                    " transform(sequence(1, size(toks)),"
+                    " i -> concat(slice(toks, 1, i - 1),"
+                    "             slice(toks, i + 1, size(toks) - i))))"
+                )
+            ).alias("key_arr"),
+        )
+        .select("_id", F.concat_ws(" ", "key_arr").alias("k"))
+        .distinct()
+    )
+    pairs = (
+        keys.alias("a")
+        .join(keys.alias("b"), "k")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .distinct()
+    )
+    t1 = toks.select(F.col("_id").alias("id_1"), F.col("toks").alias("toks_1"))
+    t2 = toks.select(F.col("_id").alias("id_2"), F.col("toks").alias("toks_2"))
+    return (
+        pairs.join(t1, "id_1")
+        .join(t2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.size("toks_1").cast("int").alias("n_tokens_1"),
+            F.size("toks_2").cast("int").alias("n_tokens_2"),
+            F.size(F.array_intersect("toks_1", "toks_2"))
+            .cast("int")
+            .alias("overlap"),
+        )
+    )

@@ -1166,3 +1166,157 @@ def exact_stratified_sample(
         .filter(F.col("pick_rank") <= k_per_source)
         .select("doc_id", "source", F.col("pick_rank").cast("int").alias("pick_rank"))
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language-model surprise score — the KenLM-style
+    perplexity filter of a pretraining pipeline (score each document by how
+    predictable its token sequence is under a model trained on the corpus
+    itself) with no external model artifact.
+
+    Per adjacent token pair (w1, w2) the add-one-smoothed conditional
+    probability is p = (C(w1,w2) + 1) / (C(w1) + V) where C(w1) counts
+    bigram CONTEXTS (occurrences of w1 as a left token) and V is the
+    distinct context vocabulary. The per-bigram surprise is the integer
+    log2 bucket of 1/p — bit_length((C(w1)+V) div (C(w1,w2)+1)), the same
+    ln-free convention as doc_quality_zipf — summed per document and
+    normalized to milli-bits-per-bigram. Integer-exact end to end, so the
+    DuckDB oracle matches bit-for-bit; rank-equivalent to float perplexity
+    at the bucket granularity. High ppl_milli = surprising/gibberish text,
+    low = repetitive/in-distribution — the filter thresholds both tails.
+
+    Scale shape: ONE exploded (doc_id, w1, w2) relation (held — it feeds
+    training counts AND scoring), two hash aggs for C(w1,w2) and C(w1)
+    (map-side combine carries the Zipf head), V as a 1-row aggregate
+    broadcast onto the scoring rows, and the counts joined back on their
+    own keys. The w1 join key is exactly Zipf-skewed; AQE's skew split
+    handles it, and a bounded vocabulary makes both count relations
+    broadcastable. Docs with < 2 tokens have no bigrams and are excluded
+    (stated contract; the oracle applies the same len >= 2 guard).
+    Output: (doc_id, n_bigrams, sum_bits, ppl_milli)."""
+    from ._cache import hold
+
+    toks = documents.select("doc_id", tokens_col().alias("toks"))
+    bg = hold(
+        toks.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))"
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2"),
+        eager=True,
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.length(F.expr("bin((c1 + v) div (c12 + 1))")).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("sum_bits"),
+        )
+        .withColumn(
+            "ppl_milli", F.expr("(sum_bits * 1000) div n_bigrams").cast("bigint")
+        )
+    )
+
+
+SYSTEMATIC_SAMPLE_PICKS = 200
+SYSTEMATIC_BUCKET_SPAN = 25_000
+
+
+def weighted_systematic_sample(
+    documents: DataFrame,
+    n_picks: int = SYSTEMATIC_SAMPLE_PICKS,
+    bucket_span: int = SYSTEMATIC_BUCKET_SPAN,
+) -> DataFrame:
+    """EXACT weight-proportional systematic sample: lay every document's
+    weight (n_chars) end to end along the doc_id order and pick the row
+    under every multiple of step = total_weight div n_picks — the
+    classic systematic (fixed-interval) sampler, size-proportional like
+    PPS sampling but with zero variance in the realized quota and no
+    randomness (token-budget construction wants "exactly this many
+    chars' worth, spread evenly", not an expected value). Integer-exact:
+    a row is picked iff its cumulative-weight interval (cum - w, cum]
+    contains a multiple of step, i.e. cum div step > (cum - w) div step;
+    rows heavier than step win multiple hits (n_hits) and zero-weight
+    rows can never be picked.
+
+    Scale shape: the global prefix sum is the textbook TWO-PHASE scan,
+    not a single-partition window — phase 1 computes bucket-local
+    cumulative sums with a window PARTITIONED by bucket (doc_id div
+    bucket_span, so buckets are ordered and parallel); phase 2 prefix-sums
+    the per-bucket totals (n_docs/bucket_span rows — a bounded relation,
+    documented single-partition window) and broadcasts the offsets back.
+    One keyed shuffle + one broadcast join; no row-level single-partition
+    stage at any size. The total and step come from a 1-row aggregate
+    broadcast cross join."""
+    from pyspark.sql.window import Window
+
+    from ._cache import hold
+
+    w = hold(
+        documents.select(
+            "doc_id",
+            F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(0))
+            .cast("bigint")
+            .alias("w"),
+            (F.col("doc_id") / bucket_span).cast("bigint").alias("bucket"),
+        ),
+        eager=True,
+    )
+    local = w.withColumn(
+        "local_cum",
+        F.sum("w").over(
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = w.groupBy("bucket").agg(F.sum("w").alias("bucket_w"))
+    offsets = totals.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_w").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    step = w.agg(
+        F.greatest(
+            F.expr(f"sum(w) div {n_picks}"), F.lit(1)
+        ).alias("step")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(step))
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            (F.col("offset") + F.col("local_cum")).alias("cum_chars"),
+            "step",
+        )
+        .filter(
+            F.expr("cum_chars div step > (cum_chars - weight) div step")
+        )
+        .select(
+            "doc_id",
+            "weight",
+            F.col("cum_chars").cast("bigint").alias("cum_chars"),
+            F.expr(
+                "cast(cum_chars div step - (cum_chars - weight) div step"
+                " as int)"
+            ).alias("n_hits"),
+        )
+    )

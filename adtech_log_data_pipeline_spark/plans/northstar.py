@@ -727,6 +727,40 @@ def q_doc_quality_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_quality_zipf(_docs(spark, sf_dir))
 
 
+def q_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-matching (record-linkage) self-join: part pairs whose
+    5-token attribute signature (name words + brand + type + size) differs
+    by at most ONE token — "the same part up to one attribute edit" —
+    found by exact deletion-neighborhood banding (no all-pairs stage, no
+    false negatives)."""
+    from ..functions.dedup import token_set_near_dup
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+        ).alias("sig"),
+    )
+    return token_set_near_dup(part, "p_partkey", "sig")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weight-proportional systematic sample over document char
+    weights — two-phase distributed prefix scan (bucket-local window +
+    broadcast bucket offsets), zero-variance realized quota."""
+    from ..functions.text import weighted_systematic_sample
+
+    return weighted_systematic_sample(_docs(spark, sf_dir))
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM surprise score (KenLM-style perplexity
+    filter, integer log2 buckets, milli-bits per bigram)."""
+    from ..functions.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_shingle_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-corpus shingle duplication rate (ppm)."""
     from ..functions.text import shingle_dup_rate
@@ -799,6 +833,9 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quarantine": q_stream_quarantine,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
+    "bigram_lm_score": q_bigram_lm_score,
+    "similar_parts": q_similar_parts,
+    "weighted_sample": q_weighted_sample,
     "shingle_dup_rate": q_shingle_dup_rate,
     "cross_source_overlap": q_cross_source_overlap,
     "audio_chunks": q_audio_chunks,
@@ -2628,6 +2665,74 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "streaming_spend_sessions": _ORACLE_SPEND_SESSIONS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
+    # the oracle restates the prefix scan as ONE plain global window —
+    # deliberately the naive form, so the two-phase bucket decomposition
+    # is independently checked against the textbook definition
+    "weighted_sample": """
+WITH w AS (SELECT doc_id,
+                  greatest(coalesce(n_chars, 0), 0) AS w
+           FROM documents),
+c AS (SELECT doc_id, w,
+             sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w),
+s AS (SELECT greatest(sum(w) // 200, 1) AS step FROM w)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS weight,
+       CAST(cum AS BIGINT) AS cum_chars,
+       CAST(cum // step - (cum - w) // step AS INT) AS n_hits
+FROM c CROSS JOIN s
+WHERE cum // step > (cum - w) // step
+""",
+    # deletion-neighborhood banding restated with DuckDB list slicing
+    # (1-indexed, inclusive); toks[1:0] and toks[n+1:n] are empty slices
+    # exactly like Spark's slice(toks, 1, 0) / slice(toks, n+1, 0)
+    "similar_parts": """
+WITH t AS (SELECT p_partkey AS id,
+                  list_sort(list_distinct(string_split(
+                    concat_ws(' ', p_name, p_brand, p_type,
+                              CAST(p_size AS VARCHAR)), ' '))) AS toks
+           FROM part),
+kx AS (SELECT id,
+              unnest(list_concat([toks],
+                list_transform(generate_series(1, len(toks)),
+                  i -> list_concat(toks[1:i-1], toks[i+1:len(toks)]))))
+                AS key_arr
+       FROM t),
+k AS (SELECT DISTINCT id, array_to_string(key_arr, ' ') AS k FROM kx),
+pairs AS (SELECT DISTINCT a.id AS id_1, b.id AS id_2
+          FROM k a JOIN k b ON a.k = b.k AND a.id < b.id)
+SELECT p.id_1, p.id_2,
+       CAST(len(t1.toks) AS INT) AS n_tokens_1,
+       CAST(len(t2.toks) AS INT) AS n_tokens_2,
+       CAST(len(list_intersect(t1.toks, t2.toks)) AS INT) AS overlap
+FROM pairs p
+JOIN t t1 ON p.id_1 = t1.id
+JOIN t t2 ON p.id_2 = t2.id
+""",
+    # add-one-smoothed bigram surprise restated independently: DuckDB's
+    # 1-indexed list slicing builds the adjacent pairs, format('{:b}')
+    # is the same integer log2 bucket as Spark's bin()
+    "bigram_lm_score": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bgl AS (SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> struct_pack(w1 := toks[i],
+                                               w2 := toks[i + 1])) AS bgs
+        FROM t WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+       FROM (SELECT doc_id, unnest(bgs) AS b FROM bgl)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(*) AS v FROM c1),
+s AS (SELECT bg.doc_id,
+             length(format('{{:b}}', (c1.c1 + v.v) // (c12.c12 + 1))) AS bits
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS ppl_milli
+FROM s GROUP BY doc_id
+""",
     "shingle_dup_rate": _ORACLE_SHINGLE_DUP_RATE,
     "dup_span_stats": _oracle_dup_span_stats(),
     "dup_span_clean": _oracle_dup_span_clean(),

@@ -219,14 +219,20 @@ _GATE_FIRST = [
     "partition_prune_audit",
     "props_json_stats",
     "embedding_bucket_audit",
+    # round-6 NEW queries added mid-round (never gated): referential-
+    # integrity audit, bigram-LM perplexity filter, deletion-neighborhood
+    # record linkage, exact systematic weighted sampler — 0-green beats
+    # 1-green, so four of the one-green entries below rotated to the tail
+    # (embedding_outliers / frame_sample / monthly_revenue_trend /
+    # quiet_returners re-enter first in round 7)
+    "fk_integrity_audit",
+    "bigram_lm_score",
+    "similar_parts",
+    "weighted_sample",
     # one green row (round 3 or 4)
     "brand_supplier_stats",
     "conversion_funnel",
     "customer_order_distribution",
-    "embedding_outliers",
-    "frame_sample",
-    "monthly_revenue_trend",
-    "quiet_returners",
     # Rotated OUT to make room for the 18 never-gated round-6 queries
     # (span dedup trio, bloom join, streaming heavy hitters, schema
     # drift, curation funnel, quantize audit, exact sampler, the Q6/Q7/
@@ -273,6 +279,10 @@ _GATE_FIRST = [
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "embedding_outliers",
+    "frame_sample",
+    "monthly_revenue_trend",
+    "quiet_returners",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_minhash",

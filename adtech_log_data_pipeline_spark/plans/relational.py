@@ -857,6 +857,51 @@ def props_json_stats_sql(dialect: str) -> str:
         """
 
 
+def fk_integrity_audit_sql(dialect: str) -> str:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema: one row per edge with the child row count and the count
+    of ORPHANS (child keys with no parent row) — the load-time data-quality
+    gate a warehouse runs before trusting a snapshot (same fail-loud
+    philosophy as the reference's corruption tripwires,
+    D/CorruptedDataException.java:6-25, restated as a report instead of an
+    abort so the blast radius is observable).
+
+    Scale shape: each edge is one LEFT JOIN + conditional count. The five
+    dimension-side edges broadcast (nation/region/customer/supplier/part
+    are all orders-of-magnitude smaller than the fact); the single
+    fact-to-fact edge (lineitem->orders) is a co-keyed shuffle join on the
+    orderkey both tables are naturally clustered by. NULL child keys are
+    counted separately (n_null_keys) — a NULL FK is "unknown", not an
+    orphan, and folding the two together hides which invariant broke."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        parts.append(f"""
+        SELECT '{name}' AS fk_edge,
+               cast(count(*) AS BIGINT) AS n_child_rows,
+               cast(sum(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               cast(sum(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_keys
+        FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}""")
+    return " UNION ALL ".join(parts)
+
+
 RELATIONAL_SQL = {
     "props_json_stats": (props_json_stats_sql, ["events"]),
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
@@ -905,4 +950,8 @@ RELATIONAL_SQL = {
     "repeat_customers": (repeat_customers_sql, ["orders"]),
     "top_parts_per_brand": (top_parts_per_brand_sql, ["part", "lineitem"]),
     "conversion_funnel": (conversion_funnel_sql, ["events"]),
+    "fk_integrity_audit": (
+        fk_integrity_audit_sql,
+        ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
+    ),
 }

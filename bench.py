@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "partition_prune_audit",
     "props_json_stats",
     "embedding_bucket_audit",
+    "fk_integrity_audit",
+    "bigram_lm_score",
+    "similar_parts",
+    "weighted_sample",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
