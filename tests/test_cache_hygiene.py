@@ -23,6 +23,8 @@ CACHED_QUERIES = [
     "ngram_jaccard",
     "semantic_dedup",
     "dedup_incoming",
+    "bigram_lm_score",
+    "weighted_sample",
 ]
 
 

@@ -52,6 +52,10 @@ def test_scan_prunes_columns(spark):
         "dup_span_stats",
         "dup_span_clean",
         "bloom_prune_join",
+        "fk_integrity_audit",
+        "bigram_lm_score",
+        "similar_parts",
+        "weighted_sample",
     ],
 )
 def test_no_row_python_in_declared_queries(spark, name):
@@ -72,6 +76,10 @@ def test_no_row_python_in_declared_queries(spark, name):
         "dup_span_stats",
         "dup_span_clean",
         "bloom_prune_join",
+        "fk_integrity_audit",
+        "bigram_lm_score",
+        "similar_parts",
+        "weighted_sample",
     ],
 )
 def test_new_audit_queries_no_cartesian_product(spark, name):
