@@ -1,0 +1,117 @@
+"""Distributed graph ranking over co-occurrence graphs.
+
+The dedup module already covers connectivity (connected components via
+min-label propagation); this module covers IMPORTANCE — weighted PageRank
+with the classic damping model, in exact integer micro arithmetic so the
+DuckDB oracle (chained CTEs, one per iteration) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_ITERS = 3
+DAMPING_MILLI = 850  # d = 0.85
+
+
+def weighted_pagerank(
+    pairs: DataFrame, iters: int = PAGERANK_ITERS, broadcast_ranks: bool = True
+) -> DataFrame:
+    """PageRank over a weighted UNDIRECTED edge list (p1, p2, w) with
+    p1 < p2, one row per edge. Fixed iteration count (the bounded-round
+    convention of this engine's iterative operators — kmeans_centroids
+    runs the same way), exact integer micros:
+
+      r0(v)   = 1_000_000
+      contrib = (r(u) * w(u,v)) div deg_w(u)       [per-edge integer div]
+      r'(v)   = 150_000 + (850 * sum contrib) div 1000
+
+    Every step is integer arithmetic with a deterministic result under
+    any shuffle/partial-agg order, so all ``iters`` rounds are exactly
+    restatable as chained SQL CTEs (plans/northstar.py oracle — which
+    deliberately states the DIRECTED expansion, checking this undirected
+    formulation against the textbook definition). The truncation bias of
+    the integer divides is shared by both engines by construction. An
+    undirected graph has no dangling nodes (every node has degree >= 1);
+    rank leaked by divide truncation is not redistributed (stated
+    contract, identical on both sides).
+
+    Scale shape: the undirected pair relation is HALF the directed edge
+    list — it is joined to the degree relation once and held; each
+    iteration emits both directions' contributions MAP-SIDE (explode of a
+    2-struct array) and needs one hash agg keyed on the receiving node.
+    The rank relation is ONE ROW PER NODE — dimension-sized for
+    co-occurrence graphs over a catalog — so ``broadcast_ranks=True``
+    (default) hints it broadcast and each iteration shuffles only the
+    per-node contribution sums, never the edges; pass False for graphs
+    whose node set itself is fact-sized (e.g. a user-user graph at web
+    scale) and the joins fall back to shuffle-hash. No driver-side
+    collect at any size; iteration count is the only loop, and it is
+    bounded and explicit. Output: (node, deg_w, rank_micro)."""
+    from ._cache import hold
+
+    maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
+    deg = (
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(p1 AS node, w), struct(p2 AS node, w))"
+                )
+            ).alias("x")
+        )
+        .select("x.node", "x.w")
+        .groupBy("node")
+        .agg(F.sum("w").alias("deg_w"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("deg_w").alias("deg_1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("deg_w").alias("deg_2"))
+    ew = hold(
+        pairs.join(maybe_bc(d1), "p1").join(maybe_bc(d2), "p2")
+        .select("p1", "p2", "w", "deg_1", "deg_2"),
+        eager=True,
+    )
+    r = deg.select("node", F.lit(1_000_000).alias("r"))
+    for _ in range(iters):
+        r1 = maybe_bc(r.select(F.col("node").alias("p1"), F.col("r").alias("r_1")))
+        r2 = maybe_bc(r.select(F.col("node").alias("p2"), F.col("r").alias("r_2")))
+        contrib = (
+            ew.join(r1, "p1")
+            .join(r2, "p2")
+            .select(
+                F.explode(
+                    F.expr(
+                        "array(struct(p2 AS dst, (r_1 * w) div deg_1 AS c),"
+                        "      struct(p1 AS dst, (r_2 * w) div deg_2 AS c))"
+                    )
+                ).alias("x")
+            )
+            .groupBy(F.col("x.dst").alias("node"))
+            .agg(F.sum("x.c").alias("sc"))
+        )
+        r = contrib.select(
+            "node",
+            F.expr(f"150000 + ({DAMPING_MILLI} * sc) div 1000").alias("r"),
+        )
+    return r.join(deg, "node").select(
+        "node",
+        F.col("deg_w").cast("bigint").alias("deg_w"),
+        F.col("r").cast("bigint").alias("rank_micro"),
+    )
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected weighted co-purchase edge list between parts (p1 < p2):
+    weight = number of orders containing both parts. Pair fan-out is
+    co-keyed on the order (bounded by basket size, never catalog
+    all-pairs)."""
+    bask = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    return (
+        bask.alias("a")
+        .join(bask.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

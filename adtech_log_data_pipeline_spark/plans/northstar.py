@@ -744,6 +744,24 @@ def q_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_set_near_dup(part, "p_partkey", "sig")
 
 
+def q_stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per-hour event-type mix vs
+    the global baseline, integer chi-square score, append-mode windows."""
+    from ..streaming.drift import stream_drift_chi2
+
+    return stream_drift_chi2(spark, sf_dir)
+
+
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph (3 fixed
+    iterations, exact integer micros, every round oracle-restated as a
+    chained CTE)."""
+    from ..functions.graph import copurchase_edges, weighted_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_pagerank(copurchase_edges(li))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weight-proportional systematic sample over document char
     weights — two-phase distributed prefix scan (bucket-local window +
@@ -836,6 +854,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "similar_parts": q_similar_parts,
     "weighted_sample": q_weighted_sample,
+    "copurchase_pagerank": q_copurchase_pagerank,
+    "stream_drift_chi2": q_stream_drift_chi2,
     "shingle_dup_rate": q_shingle_dup_rate,
     "cross_source_overlap": q_cross_source_overlap,
     "audio_chunks": q_audio_chunks,
@@ -2665,6 +2685,82 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "streaming_spend_sessions": _ORACLE_SPEND_SESSIONS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
+    # the full drift computation restated batch-side: same bucket domain,
+    # micro-proportion baseline, milli-count expectations and integer
+    # cross-multiplied contributions; windows restricted by the same
+    # inclusive end <= watermark rule as stream_window_counts
+    "stream_drift_chi2": """
+WITH e AS (SELECT ts,
+                  CASE WHEN event_type IN ('click','error','purchase',
+                                           'signup','view')
+                       THEN event_type ELSE 'other' END AS b
+           FROM events WHERE event_type IS NOT NULL),
+wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM e),
+base AS (SELECT count(*) AS t_base,
+       sum(CASE WHEN b = 'click' THEN 1 ELSE 0 END) AS base_click,
+       sum(CASE WHEN b = 'error' THEN 1 ELSE 0 END) AS base_error,
+       sum(CASE WHEN b = 'purchase' THEN 1 ELSE 0 END) AS base_purchase,
+       sum(CASE WHEN b = 'signup' THEN 1 ELSE 0 END) AS base_signup,
+       sum(CASE WHEN b = 'view' THEN 1 ELSE 0 END) AS base_view,
+       sum(CASE WHEN b = 'other' THEN 1 ELSE 0 END) AS base_other
+  FROM e),
+prop AS (SELECT (base_click * 1000000) // t_base AS prop_click,
+       (base_error * 1000000) // t_base AS prop_error,
+       (base_purchase * 1000000) // t_base AS prop_purchase,
+       (base_signup * 1000000) // t_base AS prop_signup,
+       (base_view * 1000000) // t_base AS prop_view,
+       (base_other * 1000000) // t_base AS prop_other
+  FROM base),
+agg AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+         count(*) AS n_total,
+       sum(CASE WHEN b = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN b = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN b = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN b = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN b = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN b = 'other' THEN 1 ELSE 0 END) AS n_other
+  FROM e GROUP BY 1),
+s AS (
+  SELECT agg.*,
+         ((n_click * 1000 - (prop_click * n_total) // 1000) * (n_click * 1000 - (prop_click * n_total) // 1000)) // (CASE WHEN (prop_click * n_total) // 1000 < 1 THEN 1 ELSE (prop_click * n_total) // 1000 END) +
+         ((n_error * 1000 - (prop_error * n_total) // 1000) * (n_error * 1000 - (prop_error * n_total) // 1000)) // (CASE WHEN (prop_error * n_total) // 1000 < 1 THEN 1 ELSE (prop_error * n_total) // 1000 END) +
+         ((n_purchase * 1000 - (prop_purchase * n_total) // 1000) * (n_purchase * 1000 - (prop_purchase * n_total) // 1000)) // (CASE WHEN (prop_purchase * n_total) // 1000 < 1 THEN 1 ELSE (prop_purchase * n_total) // 1000 END) +
+         ((n_signup * 1000 - (prop_signup * n_total) // 1000) * (n_signup * 1000 - (prop_signup * n_total) // 1000)) // (CASE WHEN (prop_signup * n_total) // 1000 < 1 THEN 1 ELSE (prop_signup * n_total) // 1000 END) +
+         ((n_view * 1000 - (prop_view * n_total) // 1000) * (n_view * 1000 - (prop_view * n_total) // 1000)) // (CASE WHEN (prop_view * n_total) // 1000 < 1 THEN 1 ELSE (prop_view * n_total) // 1000 END) +
+         ((n_other * 1000 - (prop_other * n_total) // 1000) * (n_other * 1000 - (prop_other * n_total) // 1000)) // (CASE WHEN (prop_other * n_total) // 1000 < 1 THEN 1 ELSE (prop_other * n_total) // 1000 END) AS chi2_milli
+  FROM agg CROSS JOIN prop)
+SELECT window_start_ms, CAST(n_total AS BIGINT) AS n_total, CAST(n_click AS BIGINT) AS n_click, CAST(n_error AS BIGINT) AS n_error, CAST(n_purchase AS BIGINT) AS n_purchase, CAST(n_signup AS BIGINT) AS n_signup, CAST(n_view AS BIGINT) AS n_view, CAST(n_other AS BIGINT) AS n_other,
+       CAST(chi2_milli AS BIGINT) AS chi2_milli,
+       CAST(CASE WHEN chi2_milli >= 11070 THEN 1 ELSE 0 END AS INT)
+         AS drifted
+FROM s, wm WHERE window_start_ms + 3600000 <= wm.wm_ms
+""",
+    # every PageRank round restated as one CTE — same integer micro
+    # arithmetic (per-edge divide truncation included) as the DataFrame loop
+    "copurchase_pagerank": """
+WITH bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pr AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS w
+       FROM bask a JOIN bask b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+e AS (SELECT p1 AS src, p2 AS dst, w FROM pr
+      UNION ALL SELECT p2, p1, w FROM pr),
+deg AS (SELECT src, sum(w) AS deg_w FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, e.w, deg.deg_w FROM e JOIN deg USING (src)),
+r0 AS (SELECT src AS node, 1000000 AS r FROM deg),
+r1 AS (SELECT ew.dst AS node,
+           150000 + (850 * sum((p.r * ew.w) // ew.deg_w)) // 1000 AS r
+    FROM ew JOIN r0 p ON ew.src = p.node GROUP BY ew.dst),
+r2 AS (SELECT ew.dst AS node,
+           150000 + (850 * sum((p.r * ew.w) // ew.deg_w)) // 1000 AS r
+    FROM ew JOIN r1 p ON ew.src = p.node GROUP BY ew.dst),
+r3 AS (SELECT ew.dst AS node,
+           150000 + (850 * sum((p.r * ew.w) // ew.deg_w)) // 1000 AS r
+    FROM ew JOIN r2 p ON ew.src = p.node GROUP BY ew.dst)
+SELECT r3.node, CAST(deg.deg_w AS BIGINT) AS deg_w,
+       CAST(r3.r AS BIGINT) AS rank_micro
+FROM r3 JOIN deg ON r3.node = deg.src
+""",
     # the oracle restates the prefix scan as ONE plain global window —
     # deliberately the naive form, so the two-phase bucket decomposition
     # is independently checked against the textbook definition

@@ -229,10 +229,15 @@ _GATE_FIRST = [
     "bigram_lm_score",
     "similar_parts",
     "weighted_sample",
-    # one green row (round 3 or 4)
-    "brand_supplier_stats",
-    "conversion_funnel",
-    "customer_order_distribution",
+    # second mid-round batch (never gated): iterative graph ranking,
+    # streaming drift monitor, robust MAD outlier screen — the last three
+    # one-green entries (brand_supplier_stats / conversion_funnel /
+    # customer_order_distribution) rotate to the tail; the two remaining
+    # 0-green round-6 queries (frequent_part_pairs, hourly_gapfill) are
+    # pytest-proven and queue first for the round-7 window
+    "copurchase_pagerank",
+    "stream_drift_chi2",
+    "user_value_outliers",
     # Rotated OUT to make room for the 18 never-gated round-6 queries
     # (span dedup trio, bloom join, streaming heavy hitters, schema
     # drift, curation funnel, quantize audit, exact sampler, the Q6/Q7/
@@ -279,6 +284,9 @@ _GATE_FIRST = [
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "brand_supplier_stats",
+    "conversion_funnel",
+    "customer_order_distribution",
     "embedding_outliers",
     "frame_sample",
     "monthly_revenue_trend",

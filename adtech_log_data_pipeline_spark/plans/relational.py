@@ -857,6 +857,136 @@ def props_json_stats_sql(dialect: str) -> str:
         """
 
 
+def frequent_part_pairs_sql(dialect: str) -> str:
+    """Market-basket co-occurrence mining: the 20 part pairs most often
+    bought together in one order (the support-count core of frequent-
+    itemset mining, size-2 itemsets). Ties break deterministically on the
+    part keys.
+
+    Scale shape: the pair generation is a SELF-JOIN CO-KEYED ON THE
+    ORDER — fan-out is sum over orders of C(k,2) with k = distinct parts
+    per order, i.e. bounded by basket size (TPC-H baskets are ~4 rows),
+    never all-pairs over the catalog. The top-20 is ORDER BY + LIMIT —
+    Spark plans TakeOrderedAndProject (per-partition heaps, no global
+    sort, no single-partition window); the rank column is attached AFTER
+    the limit, a window over 20 rows."""
+    return """
+        WITH bask AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem GROUP BY l_orderkey, l_partkey),
+        pairs AS (
+          SELECT a.pk AS part_1, b.pk AS part_2,
+                 count(*) AS n_orders
+          FROM bask a JOIN bask b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk),
+        top AS (
+          SELECT part_1, part_2, n_orders FROM pairs
+          ORDER BY n_orders DESC, part_1, part_2 LIMIT 20)
+        SELECT part_1, part_2, cast(n_orders as bigint) AS n_orders,
+               cast(row_number() OVER
+                      (ORDER BY n_orders DESC, part_1, part_2) as int)
+                 AS rnk
+        FROM top
+        """
+
+
+def hourly_gapfill_sql(dialect: str) -> str:
+    """Time-series resample with gap filling: per event type, the count of
+    events in EVERY hour of the observed range — absent hours emitted as
+    explicit zeros (the dense grid a forecasting/monitoring consumer
+    needs; a plain GROUP BY silently skips empty buckets). Hours are
+    integer epoch-hour buckets (ms div 3600000) — timezone-free.
+
+    Scale shape: the grid is generated from a 1-row min/max aggregate
+    cross-joined (broadcast) with the distinct type list, exploded
+    map-side — grid size = n_hours x n_types, independent of the fact row
+    count; the fact side collapses to (hour, type) counts BEFORE the
+    left join onto the grid, so the join is grid-sized, not event-sized."""
+    ts = _ms("ts", dialect)
+    idiv = _idiv(dialect)
+    if dialect == "spark":
+        gen = "LATERAL VIEW explode(sequence(h_lo, h_hi)) g AS h"
+    else:
+        gen = ", unnest(generate_series(h_lo, h_hi)) AS g(h)"
+    return f"""
+        WITH e AS (
+          SELECT ({ts}) {idiv} 3600000 AS h, event_type
+          FROM events WHERE event_type IS NOT NULL),
+        bounds AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM e),
+        types AS (SELECT DISTINCT event_type FROM e),
+        grid AS (
+          SELECT event_type, h FROM types CROSS JOIN bounds {gen}),
+        c AS (SELECT h, event_type, count(*) AS n FROM e
+              GROUP BY h, event_type)
+        SELECT grid.event_type, cast(grid.h as bigint) AS epoch_hour,
+               cast(coalesce(c.n, 0) as bigint) AS n_events
+        FROM grid LEFT JOIN c
+          ON grid.h = c.h AND grid.event_type = c.event_type
+        """
+
+
+def user_value_outliers_sql(dialect: str) -> str:
+    """Robust anomaly screen: per event type, users whose total event
+    value sits far from the crowd by the MEDIAN/MAD rule (robust z-score
+    — outliers cannot drag the center the way a mean/stddev screen
+    lets them). Values accumulate in exact integer micros; both medians
+    are the rank-picked LOWER median (element at rank (n+1) div 2), and
+    the z-score is integer cross-multiplied milli-units — bit-exact
+    across engines, no float quantile estimate anywhere.
+
+    Scale shape: user totals are one hash agg; each median is a window
+    sort PARTITIONED by event type (distributed, spillable — the same
+    rank-pick pattern as length_percentiles, never a collect-to-buffer
+    percentile aggregate); the two 1-row-per-type relations broadcast
+    back onto the user totals. Flags |x - med| >= 3.5 * MAD
+    (z_milli >= 3500), the conventional MAD-screen cutoff."""
+    idiv = _idiv(dialect)
+    return f"""
+        WITH t AS (
+          SELECT event_type, user_id,
+                 sum(cast(floor(value * 1000000 + 0.5) as bigint))
+                   AS total_micros
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            AND value IS NOT NULL
+          GROUP BY event_type, user_id),
+        r1 AS (
+          SELECT event_type, total_micros,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY total_micros, user_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM t),
+        med AS (
+          SELECT event_type, total_micros AS med_micros
+          FROM r1 WHERE rn = (n + 1) {idiv} 2),
+        d AS (
+          SELECT t.event_type, t.user_id, t.total_micros,
+                 med.med_micros,
+                 abs(t.total_micros - med.med_micros) AS adev
+          FROM t JOIN med ON t.event_type = med.event_type),
+        r2 AS (
+          SELECT event_type, adev,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY adev, user_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM d),
+        mad AS (
+          SELECT event_type, adev AS mad_micros
+          FROM r2 WHERE rn = (n + 1) {idiv} 2)
+        SELECT d.event_type, d.user_id,
+               cast(d.total_micros as bigint) AS total_micros,
+               cast(d.med_micros as bigint) AS med_micros,
+               cast(mad.mad_micros as bigint) AS mad_micros,
+               cast((d.adev * 1000) {idiv}
+                    (CASE WHEN mad.mad_micros < 1 THEN 1
+                          ELSE mad.mad_micros END) as bigint) AS z_milli
+        FROM d JOIN mad ON d.event_type = mad.event_type
+        WHERE (d.adev * 1000) {idiv}
+              (CASE WHEN mad.mad_micros < 1 THEN 1
+                    ELSE mad.mad_micros END) >= 3500
+        """
+
+
 def fk_integrity_audit_sql(dialect: str) -> str:
     """Referential-integrity audit over every foreign-key edge of the
     star schema: one row per edge with the child row count and the count
@@ -954,4 +1084,7 @@ RELATIONAL_SQL = {
         fk_integrity_audit_sql,
         ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
     ),
+    "frequent_part_pairs": (frequent_part_pairs_sql, ["lineitem"]),
+    "hourly_gapfill": (hourly_gapfill_sql, ["events"]),
+    "user_value_outliers": (user_value_outliers_sql, ["events"]),
 }

@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "similar_parts",
     "weighted_sample",
+    "copurchase_pagerank",
+    "stream_drift_chi2",
+    "user_value_outliers",
+    "frequent_part_pairs",
+    "hourly_gapfill",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

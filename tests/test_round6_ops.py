@@ -192,3 +192,156 @@ class TestFkIntegrityAudit:
         assert e["n_orphans"] == 0
         e = rows["supplier.s_nationkey->nation"]
         assert e["n_orphans"] == 0
+
+
+class TestFrequentPartPairs:
+    def test_hand_built_baskets(self, spark):
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            frequent_part_pairs_sql,
+        )
+
+        spark.createDataFrame(
+            [
+                (1, 10), (1, 20), (1, 30),
+                (2, 10), (2, 20),
+                (3, 10), (3, 20), (3, 20),  # dup lineitem row: same basket
+            ],
+            "l_orderkey long, l_partkey long",
+        ).createOrReplaceTempView("lineitem")
+        rows = spark.sql(frequent_part_pairs_sql("spark")).collect()
+        got = {(r["part_1"], r["part_2"]): (r["n_orders"], r["rnk"]) for r in rows}
+        assert got == {(10, 20): (3, 1), (10, 30): (1, 2), (20, 30): (1, 3)}
+
+
+class TestHourlyGapfill:
+    def test_absent_hours_emitted_as_zero(self, spark):
+        import datetime as dt
+
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            hourly_gapfill_sql,
+        )
+
+        h = lambda k: dt.datetime(2024, 1, 1, k, 30)
+        spark.createDataFrame(
+            [
+                (h(0), "click"), (h(0), "click"), (h(3), "click"),
+                (h(1), "view"),
+                (h(2), None),  # NULL type excluded entirely
+            ],
+            "ts timestamp, event_type string",
+        ).createOrReplaceTempView("events")
+        rows = spark.sql(hourly_gapfill_sql("spark")).collect()
+        got = {(r["event_type"], r["epoch_hour"]): r["n_events"] for r in rows}
+        h0 = int(dt.datetime(2024, 1, 1, 0).replace(
+            tzinfo=dt.timezone.utc).timestamp()) // 3600
+        # grid = 2 types x 4 hours (observed range h0..h0+3), gaps zero
+        assert len(got) == 8
+        assert got[("click", h0)] == 2
+        assert got[("click", h0 + 1)] == 0
+        assert got[("click", h0 + 2)] == 0
+        assert got[("click", h0 + 3)] == 1
+        assert got[("view", h0 + 1)] == 1
+        assert got[("view", h0 + 3)] == 0
+
+    def test_gapfill_against_vanilla_timezone(self, spark):
+        """Buckets are integer epoch-ms hours — no session-timezone term."""
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            hourly_gapfill_sql,
+        )
+
+        sql = hourly_gapfill_sql("spark")
+        assert "session" not in sql.lower() and "from_utc" not in sql.lower()
+
+
+class TestUserValueOutliers:
+    def test_median_mad_hand_computed(self, spark):
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            user_value_outliers_sql,
+        )
+
+        rows = [(i + 1, "purchase", float(v)) for i, v in
+                enumerate([1, 2, 3, 4, 100])]
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        ).createOrReplaceTempView("events")
+        out = spark.sql(user_value_outliers_sql("spark")).collect()
+        # totals (micros): 1e6..4e6, 1e8; lower median = 3e6; adev sorted
+        # = [0,1e6,1e6,2e6,97e6] -> MAD = 1e6; only user 5 crosses 3.5 MAD
+        assert len(out) == 1
+        r = out[0]
+        assert r["user_id"] == 5
+        assert r["med_micros"] == 3_000_000
+        assert r["mad_micros"] == 1_000_000
+        assert r["z_milli"] == 97_000
+
+
+class TestWeightedPagerank:
+    def test_one_iteration_hand_computed(self, spark):
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            weighted_pagerank,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 2), (2, 3, 1)], "p1 long, p2 long, w long"
+        )
+        got = {r["node"]: r for r in weighted_pagerank(pairs, iters=1).collect()}
+        # deg: 1->2, 2->3, 3->1 ; contribs (r0 = 1e6):
+        #   to 1: (1e6*2) div 3 = 666666 -> 150000 + 850*666666 div 1000
+        #   to 2: (1e6*2) div 2 + (1e6*1) div 1 = 2e6 -> 150000 + 1700000
+        #   to 3: (1e6*1) div 3 = 333333 -> 150000 + 283333
+        assert got[1]["rank_micro"] == 150_000 + (850 * 666_666) // 1000
+        assert got[2]["rank_micro"] == 1_850_000
+        assert got[3]["rank_micro"] == 150_000 + (850 * 333_333) // 1000
+        assert (got[1]["deg_w"], got[2]["deg_w"], got[3]["deg_w"]) == (2, 3, 1)
+
+    def test_deterministic_across_runs_and_modes(self, spark):
+        """Same ranks with and without the broadcast hint (plan choice can
+        never change integer results)."""
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            weighted_pagerank,
+        )
+        from adtech_log_data_pipeline_spark.functions._cache import (
+            release_cached,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i % 7, 7 + (i * 3) % 11, 1 + i % 4) for i in range(40)],
+            "p1 long, p2 long, w long",
+        ).groupBy("p1", "p2").agg(F.sum("w").alias("w"))
+        a = sorted(map(tuple, weighted_pagerank(pairs).collect()))
+        release_cached()
+        b = sorted(map(tuple, weighted_pagerank(
+            pairs, broadcast_ranks=False).collect()))
+        release_cached()
+        assert a == b
+
+
+class TestStreamDriftChi2:
+    def test_windows_finalized_and_flag_consistent(self, spark):
+        import pyspark.sql.functions as F
+
+        from adtech_log_data_pipeline_spark.sources.tables import load_table
+        from adtech_log_data_pipeline_spark.streaming.drift import (
+            DRIFT_THRESHOLD_MILLI,
+            stream_drift_chi2,
+        )
+
+        SF = "/root/testdata/sf0.001"
+        out = stream_drift_chi2(spark, SF).collect()
+        assert out, "bounded replay emitted no finalized windows"
+        buckets = ["n_click", "n_error", "n_purchase", "n_signup", "n_view",
+                   "n_other"]
+        for r in out:
+            assert r["n_total"] == sum(r[b] for b in buckets)
+            assert r["chi2_milli"] >= 0
+            assert r["drifted"] == int(r["chi2_milli"] >= DRIFT_THRESHOLD_MILLI)
+        # append mode: exactly the batch windows with end <= watermark
+        ev = load_table(spark, SF, "events").filter(
+            F.col("event_type").isNotNull())
+        wm = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0] - 1800000
+        expected = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .count()
+            .filter(F.unix_millis(F.col("w.end")) <= wm)
+        )
+        assert len(out) == expected.count()
