@@ -101,3 +101,85 @@ def kmv_report(kept: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFr
             6,
         ).alias("est_distinct"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS from KMV states alone: for every
+    pair of groups, estimate the distinct-value union, Jaccard similarity
+    and intersection WITHOUT touching the raw data again — the merged
+    sketch is the k smallest hashes of the union of the two kept states,
+    theta is its k-th value, and the fraction of merged-sketch members
+    present in BOTH sides estimates Jaccard (Beyer et al. 2007's KMV
+    set-operation estimator; the same algebra theta sketches
+    productize). This is the sketch answer to "how many users do these
+    two segments share?" at 100 TB — each side keeps k rows of state,
+    the pair join touches only sketches.
+
+    Determinism: hashes are integer-exact and shared with kmv_distinct
+    (same salt => states are reusable across both operators);
+    jaccard_ppm is an integer cross-multiplication; the two estimate
+    columns are single IEEE divides rounded to 1e-6 (the kmv_report
+    convention), so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: the kept state is k rows per group (bounded); the pair
+    relation is groups^2 * 2k rows of SKETCH data, independent of the
+    fact table; one window per pair orders the merged hashes. Exact
+    below k: when the union keeps < k hashes, the estimates ARE the
+    exact counts. Output: (g_1, g_2, n_union_kept, n_common,
+    jaccard_ppm, est_union, est_intersection)."""
+    kept = kmv_keep(
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("g"), kmv_hash(col, salt).alias("h"))
+        .distinct(),
+        ["g"],
+        k,
+    )
+    # build (g_1, g_2, h, in_1, in_2) for all ordered pairs g_1 < g_2:
+    # union the two sides tagged, then group per (pair, hash)
+    groups = kept.select("g").distinct()
+    gp = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("g_1"), F.col("y.g").alias("g_2"))
+    )
+    tagged = (
+        gp.join(kept.select(F.col("g").alias("g_1"), "h"), "g_1")
+        .select("g_1", "g_2", "h", F.lit(1).alias("in_1"), F.lit(0).alias("in_2"))
+        .unionByName(
+            gp.join(kept.select(F.col("g").alias("g_2"), "h"), "g_2")
+            .select("g_1", "g_2", "h", F.lit(0).alias("in_1"), F.lit(1).alias("in_2"))
+        )
+        .groupBy("g_1", "g_2", "h")
+        .agg(F.max("in_1").alias("in_1"), F.max("in_2").alias("in_2"))
+    )
+    w = Window.partitionBy("g_1", "g_2").orderBy("h")
+    merged = tagged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    rep = merged.groupBy("g_1", "g_2").agg(
+        F.count(F.lit(1)).cast("int").alias("n_union_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.expr("in_1 * in_2")).cast("int").alias("n_common"),
+    )
+    est_union = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("kth_hash") / F.lit(HASH_SPACE)))
+    return rep.select(
+        "g_1",
+        "g_2",
+        "n_union_kept",
+        "n_common",
+        F.expr("cast(n_common * 1000000 div n_union_kept as bigint)").alias(
+            "jaccard_ppm"
+        ),
+        F.round(est_union, 6).alias("est_union"),
+        F.round(
+            est_union * F.col("n_common") / F.col("n_union_kept"), 6
+        ).alias("est_intersection"),
+    )

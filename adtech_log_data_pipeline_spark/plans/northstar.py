@@ -744,6 +744,19 @@ def q_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_set_near_dup(part, "p_partkey", "sig")
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimator: per event-type pair, estimated
+    distinct-user union/Jaccard/intersection from k-row sketch states
+    alone (theta-sketch algebra, bit-reproducible)."""
+    from ..functions.sketch import kmv_overlap
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    return kmv_overlap(ev, "user_id", "event_type")
+
+
 def q_stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distribution-drift monitor: per-hour event-type mix vs
     the global baseline, integer chi-square score, append-mode windows."""
@@ -856,6 +869,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "copurchase_pagerank": q_copurchase_pagerank,
     "stream_drift_chi2": q_stream_drift_chi2,
+    "kmv_overlap": q_kmv_overlap,
     "shingle_dup_rate": q_shingle_dup_rate,
     "cross_source_overlap": q_cross_source_overlap,
     "audio_chunks": q_audio_chunks,
@@ -2685,6 +2699,47 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "streaming_spend_sessions": _ORACLE_SPEND_SESSIONS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
+    # KMV set-operation estimator restated: same 48-bit hash, same kept
+    # states, same merged-sketch theta and membership counting
+    "kmv_overlap": """
+WITH d AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+kept AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d)
+  WHERE rn <= 64),
+gs AS (SELECT DISTINCT g FROM kept),
+gp AS (SELECT x.g AS g_1, y.g AS g_2 FROM gs x JOIN gs y ON x.g < y.g),
+tt AS (
+  SELECT g_1, g_2, h, max(in_1) AS in_1, max(in_2) AS in_2 FROM (
+    SELECT gp.g_1, gp.g_2, k.h, 1 AS in_1, 0 AS in_2
+    FROM gp JOIN kept k ON k.g = gp.g_1
+    UNION ALL
+    SELECT gp.g_1, gp.g_2, k.h, 0 AS in_1, 1 AS in_2
+    FROM gp JOIN kept k ON k.g = gp.g_2)
+  GROUP BY g_1, g_2, h),
+m AS (SELECT *, row_number() OVER (PARTITION BY g_1, g_2 ORDER BY h) AS rn
+      FROM tt),
+rep AS (
+  SELECT g_1, g_2, count(*) AS n_union_kept, max(h) AS kth,
+         sum(in_1 * in_2) AS n_common
+  FROM m WHERE rn <= 64 GROUP BY g_1, g_2)
+SELECT g_1, g_2,
+       CAST(n_union_kept AS INT) AS n_union_kept,
+       CAST(n_common AS INT) AS n_common,
+       CAST((n_common * 1000000) // n_union_kept AS BIGINT) AS jaccard_ppm,
+       round(CASE WHEN n_union_kept < 64
+                  THEN CAST(n_union_kept AS DOUBLE)
+                  ELSE 63.0 / (CAST(kth AS DOUBLE) / 281474976710656.0)
+             END, 6) AS est_union,
+       round(CASE WHEN n_union_kept < 64
+                  THEN CAST(n_union_kept AS DOUBLE)
+                  ELSE 63.0 / (CAST(kth AS DOUBLE) / 281474976710656.0)
+             END * n_common / n_union_kept, 6) AS est_intersection
+FROM rep
+""",
     # the full drift computation restated batch-side: same bucket domain,
     # micro-proportion baseline, milli-count expectations and integer
     # cross-multiplied contributions; windows restricted by the same

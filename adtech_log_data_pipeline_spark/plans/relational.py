@@ -987,6 +987,37 @@ def user_value_outliers_sql(dialect: str) -> str:
         """
 
 
+def value_deciles_sql(dialect: str) -> str:
+    """Equi-depth binning: per event type, NTILE(10) decile boundaries of
+    the event value — the feature-binning / histogram-equalization step
+    of a training pipeline (contrast length_histogram's fixed log2 bins:
+    equi-depth adapts the edges to the distribution). Values quantize to
+    exact integer micros and the tile order is total — (micros,
+    event_id) — so tile assignment is deterministic and both engines
+    agree bit-for-bit.
+
+    Scale shape: one window sort partitioned by event type (distributed,
+    spillable — the same rank-pick family as length_percentiles) feeding
+    one hash agg; nothing is collected."""
+    return """
+        WITH v AS (
+          SELECT event_type, event_id,
+                 cast(floor(value * 1000000 + 0.5) as bigint) AS micros
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        d AS (
+          SELECT event_type, micros,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY micros, event_id) AS decile
+          FROM v)
+        SELECT event_type, cast(decile as int) AS decile,
+               cast(count(*) as bigint) AS n_rows,
+               cast(min(micros) as bigint) AS lo_micros,
+               cast(max(micros) as bigint) AS hi_micros
+        FROM d GROUP BY event_type, decile
+        """
+
+
 def fk_integrity_audit_sql(dialect: str) -> str:
     """Referential-integrity audit over every foreign-key edge of the
     star schema: one row per edge with the child row count and the count
@@ -1085,6 +1116,7 @@ RELATIONAL_SQL = {
         ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"],
     ),
     "frequent_part_pairs": (frequent_part_pairs_sql, ["lineitem"]),
+    "value_deciles": (value_deciles_sql, ["events"]),
     "hourly_gapfill": (hourly_gapfill_sql, ["events"]),
     "user_value_outliers": (user_value_outliers_sql, ["events"]),
 }

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "user_value_outliers",
     "frequent_part_pairs",
     "hourly_gapfill",
+    "kmv_overlap",
+    "value_deciles",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -345,3 +345,66 @@ class TestStreamDriftChi2:
             .filter(F.unix_millis(F.col("w.end")) <= wm)
         )
         assert len(out) == expected.count()
+
+
+class TestKmvOverlap:
+    def test_exact_below_k(self, spark):
+        """When the union keeps fewer than k hashes the estimates ARE the
+        exact distinct counts: A = 1..40, B = 21..60 -> union 60,
+        intersection 20, Jaccard 1/3."""
+        from adtech_log_data_pipeline_spark.functions.sketch import kmv_overlap
+
+        rows = [("a", v) for v in range(1, 41)] + [
+            ("b", v) for v in range(21, 61)
+        ]
+        df = spark.createDataFrame(rows * 2, "g string, v long")  # dups collapse
+        out = kmv_overlap(df, "v", "g").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["g_1"], r["g_2"]) == ("a", "b")
+        assert r["n_union_kept"] == 60 and r["n_common"] == 20
+        assert r["jaccard_ppm"] == 20 * 1_000_000 // 60
+        assert r["est_union"] == 60.0
+        assert r["est_intersection"] == 20.0
+
+    def test_estimator_tracks_true_overlap(self, spark):
+        """Above k: the sketch estimate must land within the standard
+        KMV error envelope of the true values (loose 3-sigma-ish bound,
+        ~1/sqrt(k-1) relative)."""
+        from adtech_log_data_pipeline_spark.functions.sketch import (
+            KMV_K,
+            kmv_overlap,
+        )
+
+        n, shared = 4000, 2000
+        rows = [("a", v) for v in range(n)] + [
+            ("b", v) for v in range(n - shared, 2 * n - shared)
+        ]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = kmv_overlap(df, "v", "g").collect()[0]
+        true_union = 2 * n - shared
+        rel = 3.0 / (KMV_K - 1) ** 0.5
+        assert abs(r["est_union"] - true_union) <= true_union * rel
+        assert abs(r["est_intersection"] - shared) <= true_union * rel
+
+
+class TestValueDeciles:
+    def test_ntile_hand_computed(self, spark):
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            value_deciles_sql,
+        )
+
+        rows = [(i, "click", float(i)) for i in range(1, 13)]  # 12 rows
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).createOrReplaceTempView("events")
+        out = {r["decile"]: r for r in
+               spark.sql(value_deciles_sql("spark")).collect()}
+        # SQL NTILE(10) over 12 rows: first two tiles get 2 rows
+        assert [out[d]["n_rows"] for d in range(1, 11)] == [2, 2] + [1] * 8
+        assert out[1]["lo_micros"] == 1_000_000
+        assert out[1]["hi_micros"] == 2_000_000
+        assert out[10]["lo_micros"] == out[10]["hi_micros"] == 12_000_000
+        # boundaries are monotone across deciles
+        for d in range(1, 10):
+            assert out[d]["hi_micros"] <= out[d + 1]["lo_micros"]
