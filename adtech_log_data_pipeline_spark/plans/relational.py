@@ -987,6 +987,71 @@ def user_value_outliers_sql(dialect: str) -> str:
         """
 
 
+def type_transitions_sql(dialect: str) -> str:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: (prev_type, next_type, count, row-normalized probability in
+    ppm) — the behavioral-model summary (what follows what) that funnel
+    and next-event-prediction features are built from. Ordering is total
+    — (ts_ms, event_id) — so the lag is deterministic; probabilities are
+    integer cross-multiplied ppm.
+
+    Scale shape: one window shuffle keyed on user (the lag), one hash
+    agg on the (prev, next) pair — a bounded type-domain-squared result;
+    the normalizing window runs over that tiny aggregate, not the
+    facts."""
+    ts = _ms("ts", dialect)
+    idiv = _idiv(dialect)
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_type, {ts} AS t, event_id
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        tr AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM e),
+        c AS (
+          SELECT prev_type, next_type, count(*) AS n
+          FROM tr WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type)
+        SELECT prev_type, next_type,
+               cast(n as bigint) AS n_transitions,
+               cast((n * 1000000) {idiv}
+                    sum(n) OVER (PARTITION BY prev_type) as bigint)
+                 AS prob_ppm
+        FROM c
+        """
+
+
+def cohort_ltv_sql(dialect: str) -> str:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month (the cohort), revenue summed per (cohort, months-since-first) —
+    the LTV curve layout (retention_cohorts counts members; this weights
+    by money). Month index is pure integer year*12+month arithmetic;
+    revenue stays exact bigint cents.
+
+    Scale shape: the first-order month is ONE hash agg keyed on customer,
+    joined back co-keyed on the same customer key (no window, no
+    self-join of the fact table), then one (cohort, age) hash agg."""
+    return f"""
+        WITH om AS (
+          SELECT o_custkey AS ck,
+                 cast(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      as bigint) AS m,
+                 {_cents('o_totalprice')} AS cents
+          FROM orders),
+        fo AS (SELECT ck, min(m) AS cohort_m FROM om GROUP BY ck)
+        SELECT cast(fo.cohort_m as bigint) AS cohort_month,
+               cast(om.m - fo.cohort_m as bigint) AS months_since,
+               cast(count(*) as bigint) AS n_orders,
+               cast(count(DISTINCT om.ck) as bigint) AS n_customers,
+               cast(sum(om.cents) as bigint) AS revenue_cents
+        FROM om JOIN fo ON om.ck = fo.ck
+        GROUP BY fo.cohort_m, om.m - fo.cohort_m
+        """
+
+
 def value_deciles_sql(dialect: str) -> str:
     """Equi-depth binning: per event type, NTILE(10) decile boundaries of
     the event value — the feature-binning / histogram-equalization step
@@ -1117,6 +1182,8 @@ RELATIONAL_SQL = {
     ),
     "frequent_part_pairs": (frequent_part_pairs_sql, ["lineitem"]),
     "value_deciles": (value_deciles_sql, ["events"]),
+    "type_transitions": (type_transitions_sql, ["events"]),
+    "cohort_ltv": (cohort_ltv_sql, ["orders"]),
     "hourly_gapfill": (hourly_gapfill_sql, ["events"]),
     "user_value_outliers": (user_value_outliers_sql, ["events"]),
 }

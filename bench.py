@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "hourly_gapfill",
     "kmv_overlap",
     "value_deciles",
+    "type_transitions",
+    "cohort_ltv",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -25,6 +25,7 @@ CACHED_QUERIES = [
     "dedup_incoming",
     "bigram_lm_score",
     "weighted_sample",
+    "copurchase_pagerank",
 ]
 
 

@@ -56,6 +56,14 @@ def test_scan_prunes_columns(spark):
         "bigram_lm_score",
         "similar_parts",
         "weighted_sample",
+        "copurchase_pagerank",
+        "kmv_overlap",
+        "value_deciles",
+        "type_transitions",
+        "cohort_ltv",
+        "frequent_part_pairs",
+        "hourly_gapfill",
+        "user_value_outliers",
     ],
 )
 def test_no_row_python_in_declared_queries(spark, name):
@@ -80,6 +88,14 @@ def test_no_row_python_in_declared_queries(spark, name):
         "bigram_lm_score",
         "similar_parts",
         "weighted_sample",
+        "copurchase_pagerank",
+        "kmv_overlap",
+        "value_deciles",
+        "type_transitions",
+        "cohort_ltv",
+        "frequent_part_pairs",
+        "hourly_gapfill",
+        "user_value_outliers",
     ],
 )
 def test_new_audit_queries_no_cartesian_product(spark, name):

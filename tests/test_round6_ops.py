@@ -408,3 +408,61 @@ class TestValueDeciles:
         # boundaries are monotone across deciles
         for d in range(1, 10):
             assert out[d]["hi_micros"] <= out[d + 1]["lo_micros"]
+
+
+class TestTypeTransitions:
+    def test_hand_computed_matrix(self, spark):
+        import datetime as dt
+
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            type_transitions_sql,
+        )
+
+        t = lambda k: dt.datetime(2024, 1, 1, 0, k)
+        spark.createDataFrame(
+            [
+                (1, 1, "click", t(1)), (2, 1, "view", t(2)),
+                (3, 1, "click", t(3)),
+                (4, 2, "view", t(1)), (5, 2, "view", t(2)),
+            ],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        ).createOrReplaceTempView("events")
+        rows = {
+            (r["prev_type"], r["next_type"]): r
+            for r in spark.sql(type_transitions_sql("spark")).collect()
+        }
+        assert rows[("click", "view")]["n_transitions"] == 1
+        assert rows[("click", "view")]["prob_ppm"] == 1_000_000
+        assert rows[("view", "click")]["prob_ppm"] == 500_000
+        assert rows[("view", "view")]["prob_ppm"] == 500_000
+        assert len(rows) == 3
+
+
+class TestCohortLtv:
+    def test_hand_computed_cohorts(self, spark):
+        import datetime as dt
+
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            cohort_ltv_sql,
+        )
+
+        d = lambda y, m: dt.datetime(y, m, 15)
+        spark.createDataFrame(
+            [
+                (1, d(2024, 1), 10.0), (1, d(2024, 1), 5.0),
+                (1, d(2024, 3), 7.0),
+                (2, d(2024, 2), 20.0),
+            ],
+            "o_custkey long, o_orderdate timestamp, o_totalprice double",
+        ).createOrReplaceTempView("orders")
+        rows = {
+            (r["cohort_month"], r["months_since"]): r
+            for r in spark.sql(cohort_ltv_sql("spark")).collect()
+        }
+        m0 = 2024 * 12 + 0  # January 2024
+        assert rows[(m0, 0)]["n_orders"] == 2
+        assert rows[(m0, 0)]["revenue_cents"] == 1500
+        assert rows[(m0, 2)]["revenue_cents"] == 700
+        assert rows[(m0 + 1, 0)]["n_customers"] == 1
+        assert rows[(m0 + 1, 0)]["revenue_cents"] == 2000
+        assert len(rows) == 3
