@@ -987,6 +987,60 @@ def user_value_outliers_sql(dialect: str) -> str:
         """
 
 
+def segment_trend_sql(dialect: str) -> str:
+    """Per-segment trend line: the ordinary-least-squares slope of daily
+    event value over time, per event type — "is this segment growing?" as
+    a number. The whole regression is EXACT RATIONAL arithmetic: days are
+    integer epoch-day buckets re-based to each segment's first day (keeps
+    x small), daily values are exact bigint cents, and the slope is the
+    classic closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) carried as exact
+    bigint numerator/denominator with one final milli-quantized integer
+    divide — no float accumulation, so both engines agree bit-for-bit.
+    Negative slopes divide as -(|num| div den): Spark's div truncates
+    toward zero while DuckDB's // floors, so the sign is factored out
+    explicitly to make both engines truncate identically.
+
+    Scale shape: one (type, day) hash agg collapses the facts; the
+    regression sums are a second tiny hash agg over segment x day rows;
+    the min-day rebase is a window over that same tiny relation. Bounds:
+    x <= date range in days, y <= per-day cents — n*Sxy stays orders of
+    magnitude inside bigint for years of data."""
+    ts = _ms("ts", dialect)
+    idiv = _idiv(dialect)
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 ({ts}) {idiv} 86400000 AS day,
+                 sum(cast(floor(value * 100 + 0.5) as bigint)) AS cents
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY event_type, ({ts}) {idiv} 86400000),
+        based AS (
+          SELECT event_type, cents,
+                 day - min(day) OVER (PARTITION BY event_type) AS x
+          FROM daily),
+        s AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 sum(x) AS sx, sum(cents) AS sy,
+                 sum(x * cents) AS sxy, sum(x * x) AS sxx
+          FROM based GROUP BY event_type)
+        SELECT event_type,
+               cast(n as int) AS n_days,
+               cast(sy as bigint) AS total_cents,
+               cast((n * sxy - sx * sy) as bigint) AS slope_num,
+               cast((n * sxx - sx * sx) as bigint) AS slope_den,
+               cast(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                         WHEN n * sxy - sx * sy < 0
+                         THEN -((1000 * (sx * sy - n * sxy))
+                                {idiv} (n * sxx - sx * sx))
+                         ELSE (1000 * (n * sxy - sx * sy))
+                              {idiv} (n * sxx - sx * sx) END as bigint)
+                 AS slope_milli_cents_per_day
+        FROM s
+        """
+
+
 def type_transitions_sql(dialect: str) -> str:
     """First-order Markov transition matrix over each user's event-type
     sequence: (prev_type, next_type, count, row-normalized probability in
@@ -1183,6 +1237,7 @@ RELATIONAL_SQL = {
     "frequent_part_pairs": (frequent_part_pairs_sql, ["lineitem"]),
     "value_deciles": (value_deciles_sql, ["events"]),
     "type_transitions": (type_transitions_sql, ["events"]),
+    "segment_trend": (segment_trend_sql, ["events"]),
     "cohort_ltv": (cohort_ltv_sql, ["orders"]),
     "hourly_gapfill": (hourly_gapfill_sql, ["events"]),
     "user_value_outliers": (user_value_outliers_sql, ["events"]),

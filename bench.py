@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "value_deciles",
     "type_transitions",
     "cohort_ltv",
+    "segment_trend",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -61,6 +61,7 @@ def test_scan_prunes_columns(spark):
         "value_deciles",
         "type_transitions",
         "cohort_ltv",
+        "segment_trend",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",
@@ -93,6 +94,7 @@ def test_no_row_python_in_declared_queries(spark, name):
         "value_deciles",
         "type_transitions",
         "cohort_ltv",
+        "segment_trend",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",

@@ -466,3 +466,64 @@ class TestCohortLtv:
         assert rows[(m0 + 1, 0)]["n_customers"] == 1
         assert rows[(m0 + 1, 0)]["revenue_cents"] == 2000
         assert len(rows) == 3
+
+
+class TestSegmentTrend:
+    def test_ols_slope_hand_computed_including_negative(self, spark):
+        import datetime as dt
+
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            segment_trend_sql,
+        )
+
+        d = lambda k: dt.datetime(2024, 1, 1 + k, 12)
+        rows = (
+            # "up": days 0,1,2 with cents 100,200,300 -> slope 100 c/day
+            [(i, "up", d(i), float(i + 1)) for i in range(3)]
+            # "down": cents 300,200,100 -> slope -100 c/day
+            + [(10 + i, "down", d(i), float(3 - i)) for i in range(3)]
+            # "degenerate": single day -> zero denominator -> slope 0
+            + [(20, "flat", d(0), 5.0)]
+        )
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp, value double"
+        ).createOrReplaceTempView("events")
+        out = {r["event_type"]: r for r in
+               spark.sql(segment_trend_sql("spark")).collect()}
+        assert out["up"]["slope_milli_cents_per_day"] == 100_000
+        assert out["down"]["slope_milli_cents_per_day"] == -100_000
+        assert out["flat"]["slope_milli_cents_per_day"] == 0
+        assert out["up"]["n_days"] == 3 and out["flat"]["n_days"] == 1
+
+    def test_negative_division_truncates_like_duckdb_floors(self, spark):
+        """The sign-factored divide: -(|num| div den) must equal DuckDB's
+        floor division of the SAME rewritten expression — pin with an
+        inexact negative slope (num not divisible by den)."""
+        import datetime as dt
+
+        from adtech_log_data_pipeline_spark.plans.relational import (
+            segment_trend_sql,
+        )
+
+        d = lambda k: dt.datetime(2024, 1, 1 + k, 12)
+        # days 0,1,2 cents 300,299,100: num = 3*(-299+2*... hand value
+        # checked against duckdb below — the point is both engines agree
+        spark.createDataFrame(
+            [(i, "seg", d(i), v) for i, v in enumerate([3.0, 2.99, 1.0])],
+            "event_id long, event_type string, ts timestamp, value double",
+        ).createOrReplaceTempView("events")
+        spark_val = spark.sql(segment_trend_sql("spark")).collect()[0][
+            "slope_milli_cents_per_day"
+        ]
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            "(1, 'seg', TIMESTAMP '2024-01-01 12:00:00', 3.0),"
+            "(2, 'seg', TIMESTAMP '2024-01-02 12:00:00', 2.99),"
+            "(3, 'seg', TIMESTAMP '2024-01-03 12:00:00', 1.0))"
+            " t(event_id, event_type, ts, value)"
+        )
+        duck_val = con.sql(segment_trend_sql("duckdb")).fetchall()[0][-1]
+        assert spark_val == duck_val
