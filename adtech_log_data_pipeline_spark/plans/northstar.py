@@ -744,6 +744,63 @@ def q_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_set_near_dup(part, "p_partkey", "sig")
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: per-user activity
+    state computed as state(base) MERGE state(delta) around a mid-range
+    cutoff — the batch twin of the streaming upsert's additive state.
+    Every aggregate is a commutative monoid (count/sum/min/max), so the
+    merged result must equal the direct one-pass aggregation, WHICH IS
+    EXACTLY WHAT THE ORACLE STATES (the oracle never splits): the gate
+    row proves the merge law end-to-end, the same law that makes A1
+    stream-safe (SURVEY.md §2.6).
+
+    Scale shape: the real deployment keeps state(base) as a stored
+    parquet rollup and aggregates only the delta partition — each phase
+    is one user-keyed hash agg; the merge is a second hash agg over two
+    state relations (rows = users, not events). The cutoff comes from a
+    1-row bounds aggregate broadcast onto the scan."""
+    from ..sources.tables import load_table
+    from ..functions._cache import hold
+
+    ev = hold(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.expr(
+                "coalesce(cast(floor(value * 100 + 0.5) as bigint), 0)"
+            ).alias("cents"),
+        ),
+        eager=True,
+    )
+    bounds = ev.agg(
+        F.expr("(min(ts_ms) + max(ts_ms)) div 2").alias("cutoff_ms")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+
+    def state(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("ts_ms").alias("first_ms"),
+            F.max("ts_ms").alias("last_ms"),
+        )
+
+    base = state(tagged.filter(F.col("ts_ms") < F.col("cutoff_ms")))
+    delta = state(tagged.filter(F.col("ts_ms") >= F.col("cutoff_ms")))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.min("first_ms").cast("bigint").alias("first_ms"),
+            F.max("last_ms").cast("bigint").alias("last_ms"),
+        )
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set-operation estimator: per event-type pair, estimated
     distinct-user union/Jaccard/intersection from k-row sketch states
@@ -870,6 +927,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_pagerank": q_copurchase_pagerank,
     "stream_drift_chi2": q_stream_drift_chi2,
     "kmv_overlap": q_kmv_overlap,
+    "incremental_rollup": q_incremental_rollup,
     "shingle_dup_rate": q_shingle_dup_rate,
     "cross_source_overlap": q_cross_source_overlap,
     "audio_chunks": q_audio_chunks,
@@ -2699,6 +2757,18 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
     "streaming_spend_sessions": _ORACLE_SPEND_SESSIONS,
     "token_budget_mixture": _ORACLE_TOKEN_BUDGET_MIXTURE,
     "doc_quality_zipf": _ORACLE_DOC_QUALITY_ZIPF,
+    # the oracle is the DIRECT one-pass aggregation — no split, no
+    # merge: a green row IS the monoid merge law
+    "incremental_rollup": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+            AS BIGINT) AS sum_cents,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+""",
     # KMV set-operation estimator restated: same 48-bit hash, same kept
     # states, same merged-sketch theta and membership counting
     "kmv_overlap": """

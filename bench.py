@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "type_transitions",
     "cohort_ltv",
     "segment_trend",
+    "incremental_rollup",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -26,6 +26,7 @@ CACHED_QUERIES = [
     "bigram_lm_score",
     "weighted_sample",
     "copurchase_pagerank",
+    "incremental_rollup",
 ]
 
 

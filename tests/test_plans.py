@@ -62,6 +62,7 @@ def test_scan_prunes_columns(spark):
         "type_transitions",
         "cohort_ltv",
         "segment_trend",
+        "incremental_rollup",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",
@@ -95,6 +96,7 @@ def test_no_row_python_in_declared_queries(spark, name):
         "type_transitions",
         "cohort_ltv",
         "segment_trend",
+        "incremental_rollup",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",
