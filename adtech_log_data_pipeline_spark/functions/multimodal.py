@@ -56,22 +56,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_media(payload: bytes, fake: bool = True) -> tuple[int, int, str]:
-    """Decode entry point: sniff-then-dispatch. A real PNG payload
-    decodes for REAL (pure-stdlib codec, sources/media.py — no PIL
+    """Decode entry point: sniff-then-dispatch. Real PNG and BMP payloads
+    decode for REAL (pure-stdlib codecs, sources/media.py — no PIL
     needed); anything else uses the deterministic md5 fake so the
     synthetic text-blob corpus stays oracle-checkable. ``fake=False``
     demands a real decode and raises ValueError on unknown bytes (the
     posture for a production image table, where silent fakes would
     poison the pipeline)."""
-    from ..sources.media import decode_png, is_png
+    from ..sources.media import decode_bmp, decode_png, is_bmp, is_png
 
     if is_png(payload):
         meta = decode_png(payload)
         return meta["width"], meta["height"], "png"
+    if is_bmp(payload):
+        # "BM" is a weak 2-byte signature a text blob can start with —
+        # in fake mode a sniffed-but-malformed BMP falls through to the
+        # fake instead of failing the whole batch; fake=False keeps the
+        # hard error
+        try:
+            meta = decode_bmp(payload)
+            return meta["width"], meta["height"], "bmp"
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise ValueError(
-            "payload is not a supported real format (PNG); JPEG/WebP need"
-            " an image library not present in this build"
+            "payload is not a supported real format (PNG/BMP); JPEG/WebP"
+            " need an image library not present in this build"
         )
     return _fake_decode(payload)
 

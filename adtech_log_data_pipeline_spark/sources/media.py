@@ -192,3 +192,78 @@ def resize_png(payload: bytes, max_dim: int) -> bytes:
             ]
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     return encode_png(tw, th, bytes(out), color_type=color_type)
+
+
+BMP_SIG = b"BM"
+
+
+def is_bmp(payload: bytes) -> bool:
+    return payload[:2] == BMP_SIG
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal BMP encoder: 24-bit BI_RGB, BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding. ``pixels`` is row-major TOP-DOWN packed
+    RGB (the decode_png convention); rows are flipped and channel order
+    swapped to BGR on write."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * 3
+    pad = (-stride) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = pixels[y * stride : (y + 1) * stride]
+        bgr = bytearray(stride)
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    body = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", BMP_SIG, off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BMP: {width, height, channels, pixels (top-down RGB
+    bytes), mean_px}. Supports the dominant profile — 24-bit
+    uncompressed (BI_RGB) with BITMAPINFOHEADER, bottom-up or top-down
+    (negative height) — and raises ValueError outside it."""
+    if not is_bmp(payload):
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1 or width <= 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    height = abs(raw_h)
+    bottom_up = raw_h > 0
+    stride = width * 3
+    padded = stride + ((-stride) % 4)
+    out = bytearray(height * stride)
+    for row_idx in range(height):
+        src = off + row_idx * padded
+        y = (height - 1 - row_idx) if bottom_up else row_idx
+        line = payload[src : src + stride]
+        if len(line) < stride:
+            raise ValueError("truncated BMP")
+        o = y * stride
+        out[o + 0 : o + stride : 3] = line[2::3]
+        out[o + 1 : o + stride : 3] = line[1::3]
+        out[o + 2 : o + stride : 3] = line[0::3]
+    pixels = bytes(out)
+    mean_px = sum(pixels) // len(pixels) if pixels else 0
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": pixels,
+        "mean_px": mean_px,
+    }

@@ -186,3 +186,35 @@ def test_resize_images_spark_stage(spark):
     assert (meta["width"], meta["height"]) == (100, 40)
     assert out[2]["resized"] is False and out[2]["width"] == 16
     assert out[3]["width"] == -1 and bytes(out[3]["blob"]) == b"text blob"
+
+
+class TestBmp:
+    def test_roundtrip_all_pixels(self):
+        from adtech_log_data_pipeline_spark.sources.media import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # widths 1..5 exercise every row-padding case (stride % 4)
+        for w in range(1, 6):
+            px = bytes((i * 7) % 256 for i in range(w * 3 * 3))
+            m = decode_bmp(encode_bmp(w, 3, px))
+            assert (m["width"], m["height"], m["channels"]) == (w, 3, 3)
+            assert m["pixels"] == px
+
+    def test_dispatch_recognizes_bmp(self):
+        from adtech_log_data_pipeline_spark.functions.multimodal import (
+            decode_media,
+        )
+        from adtech_log_data_pipeline_spark.sources.media import encode_bmp
+
+        b = encode_bmp(4, 2, bytes(24))
+        assert decode_media(b, fake=False) == (4, 2, "bmp")
+
+    def test_unsupported_profile_raises(self):
+        import pytest
+
+        from adtech_log_data_pipeline_spark.sources.media import decode_bmp
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"BM" + b"\x00" * 60)  # hdr_size 0 -> unsupported
