@@ -537,3 +537,125 @@ def test_bloom_laws_under_random_keys(spark, dim_keys, fact_keys):
     got = sorted(r["k"] for r in bloom_pruned_join(facts, dim, "k", n_words=32).collect())
     want = sorted(r["k"] for r in facts.join(dim, "k").collect())
     assert got == want
+
+
+# --- round-6 operator laws ---------------------------------------------------
+
+_weights_strategy = st.lists(st.integers(0, 50), min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(weights=_weights_strategy, n_picks=st.integers(1, 12),
+       span=st.integers(1, 7))
+def test_weighted_sample_equals_naive_scan_any_bucketing(
+    spark, weights, n_picks, span
+):
+    """The two-phase prefix scan must equal the textbook single-pass
+    definition for ANY weights, quota and bucket span — and realize the
+    exact quota total_weight div step."""
+    from adtech_log_data_pipeline_spark.functions.text import (
+        weighted_systematic_sample,
+    )
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "web", w) for i, w in enumerate(weights)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["weight"], r["cum_chars"], r["n_hits"])
+        for r in weighted_systematic_sample(
+            docs, n_picks=n_picks, bucket_span=span
+        ).collect()
+    }
+    release_cached()
+    total = sum(weights)
+    step = max(total // n_picks, 1)
+    cum, expected = 0, {}
+    for i, w in enumerate(weights):
+        prev, cum = cum, cum + w
+        hits = cum // step - prev // step
+        if hits > 0:
+            expected[i] = (w, cum, hits)
+    assert got == expected
+    assert sum(h for _, _, h in got.values()) == total // step
+
+
+_sig_strategy = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sigs=_sig_strategy)
+def test_token_set_near_dup_equals_brute_force(spark, sigs):
+    """Deletion-neighborhood banding finds EXACTLY the pairs with
+    |A ∩ B| >= max(|A|,|B|) - 1 — cross-checked against the quadratic
+    definition on arbitrary small corpora (no false positives, no false
+    negatives)."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        token_set_near_dup,
+    )
+
+    rows = [(i, " ".join(tokens)) for i, tokens in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "id long, sig string")
+    got = {
+        (r["id_1"], r["id_2"]) for r in token_set_near_dup(df, "id", "sig").collect()
+    }
+    sets = [set(t) for t in sigs]
+    want = {
+        (i, j)
+        for i in range(len(sets))
+        for j in range(i + 1, len(sets))
+        if len(sets[i] & sets[j]) >= max(len(sets[i]), len(sets[j])) - 1
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("xyzw"), min_size=0, max_size=8).map(
+            lambda t: " ".join(t)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_lm_score_equals_reference_model(spark, texts):
+    """The distributed scorer must equal a transparent pure-Python
+    add-one bigram model on arbitrary corpora."""
+    from collections import Counter
+
+    from adtech_log_data_pipeline_spark.functions.text import bigram_lm_score
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"], r["ppl_milli"])
+        for r in bigram_lm_score(docs).collect()
+    }
+    release_cached()
+    import re
+
+    # the engine's tokenizer convention: split the trimmed-lower text on
+    # whitespace ("" yields [""])
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in enumerate(texts)}
+    bgs = {i: list(zip(tt, tt[1:])) for i, tt in toks.items() if len(tt) >= 2}
+    c12 = Counter(b for bb in bgs.values() for b in bb)
+    c1 = Counter(b[0] for bb in bgs.values() for b in bb)
+    v = len(c1)
+    want = {}
+    for i, bb in bgs.items():
+        if not bb:
+            continue
+        bits = sum(
+            len(bin((c1[b[0]] + v) // (c12[b] + 1))) - 2 for b in bb
+        )
+        want[i] = (len(bb), bits, bits * 1000 // len(bb))
+    assert got == want

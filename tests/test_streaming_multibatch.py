@@ -487,3 +487,18 @@ def test_top_users_redelivered_batch_is_skipped(spark, tmp_path):
         for r in spark.read.schema(STATE_SCHEMA).parquet(state).collect()
     }
     assert counts == {1: 3, 2: 1, 3: 1}
+
+
+def test_drift_chi2_multibatch_equals_singlebatch(spark, replay_dir):
+    """The drift monitor's single stateful agg accumulates per-window
+    bucket counts across batch boundaries; the stateless baseline scoring
+    cannot add state, so the emitted finalized-window set (counts AND
+    chi2) is slicing-invariant for a time-ordered replay."""
+    from adtech_log_data_pipeline_spark.streaming.drift import stream_drift_chi2
+
+    multi = stream_drift_chi2(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    single = stream_drift_chi2(spark, SF)
+    assert multi.count() == single.count()
+    assert multi.exceptAll(single).count() == 0
