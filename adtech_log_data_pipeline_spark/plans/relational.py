@@ -987,6 +987,84 @@ def user_value_outliers_sql(dialect: str) -> str:
         """
 
 
+def wide_order_facts_sql(dialect: str) -> str:
+    """Feature-store denormalization: one WIDE row per order — customer /
+    nation / region attributes joined in, lineitem detail collapsed to
+    per-order aggregates — the flattened training-table export that
+    downstream consumers read without re-joining the star. Revenue is
+    exact bigint cents; the output is capped to a deterministic top-N by
+    (order total, key) so the gate row stays bounded while the shape
+    (3 broadcast dims + 1 co-keyed fact-fact join + per-order agg) is
+    the real export plan.
+
+    Scale shape: lineitem collapses FIRST (hash agg keyed on the
+    orderkey), then joins orders co-keyed on that same key; customer,
+    nation and region attach as broadcast dimension joins. The cap is
+    ORDER BY + LIMIT (TakeOrdered, no global sort)."""
+    return f"""
+        WITH li AS (
+          SELECT l_orderkey AS ok,
+                 count(*) AS n_lines,
+                 sum({_cents('l_extendedprice')}) AS gross_cents,
+                 sum(cast(floor(l_quantity * 100 + 0.5) as bigint))
+                   AS qty_centi,
+                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS n_returned
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderkey, o.o_orderstatus,
+               c.c_custkey, c.c_mktsegment,
+               n.n_name AS nation, r.r_name AS region,
+               cast(li.n_lines as int) AS n_lines,
+               cast(li.gross_cents as bigint) AS gross_cents,
+               cast(li.qty_centi as bigint) AS qty_centi,
+               cast(li.n_returned as int) AS n_returned
+        FROM orders o
+        JOIN li ON li.ok = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        ORDER BY li.gross_cents DESC, o.o_orderkey
+        LIMIT 500
+        """
+
+
+def customer_spend_rank_sql(dialect: str) -> str:
+    """Rank-family window breadth: per nation, the top-10 customers by
+    lifetime spend with rank, dense_rank, percent_rank and cume_dist.
+    The tie-break on custkey makes the order total, so the two rational
+    statistics are each ONE IEEE division of exact small integers —
+    bit-identical across engines (the same single-divide convention as
+    the KMV estimator).
+
+    Scale shape: one customer hash agg, then one nation-keyed window
+    sort shared by all four rank functions; the rank <= 10 filter
+    triggers WindowGroupLimit (per-partition top-k below the
+    exchange)."""
+    return f"""
+        WITH spend AS (
+          SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+                 sum({_cents('o.o_totalprice')}) AS cents
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey, c.c_custkey),
+        ranked AS (
+          SELECT nk, ck, cents,
+                 rank() OVER (PARTITION BY nk ORDER BY cents DESC, ck)
+                   AS rnk,
+                 dense_rank() OVER (PARTITION BY nk
+                                    ORDER BY cents DESC, ck) AS drnk,
+                 percent_rank() OVER (PARTITION BY nk
+                                      ORDER BY cents DESC, ck) AS prk,
+                 cume_dist() OVER (PARTITION BY nk
+                                   ORDER BY cents DESC, ck) AS cd
+          FROM spend)
+        SELECT cast(nk as bigint) AS nationkey, ck AS custkey,
+               cast(cents as bigint) AS spend_cents,
+               cast(rnk as int) AS rnk, cast(drnk as int) AS dense_rnk,
+               prk AS pct_rank, cd AS cume_dist
+        FROM ranked WHERE rnk <= 10
+        """
+
+
 def segment_trend_sql(dialect: str) -> str:
     """Per-segment trend line: the ordinary-least-squares slope of daily
     event value over time, per event type — "is this segment growing?" as
@@ -1238,6 +1316,11 @@ RELATIONAL_SQL = {
     "value_deciles": (value_deciles_sql, ["events"]),
     "type_transitions": (type_transitions_sql, ["events"]),
     "segment_trend": (segment_trend_sql, ["events"]),
+    "wide_order_facts": (
+        wide_order_facts_sql,
+        ["region", "nation", "customer", "orders", "lineitem"],
+    ),
+    "customer_spend_rank": (customer_spend_rank_sql, ["customer", "orders"]),
     "cohort_ltv": (cohort_ltv_sql, ["orders"]),
     "hourly_gapfill": (hourly_gapfill_sql, ["events"]),
     "user_value_outliers": (user_value_outliers_sql, ["events"]),

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "cohort_ltv",
     "segment_trend",
     "incremental_rollup",
+    "wide_order_facts",
+    "customer_spend_rank",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",

@@ -63,6 +63,8 @@ def test_scan_prunes_columns(spark):
         "cohort_ltv",
         "segment_trend",
         "incremental_rollup",
+        "wide_order_facts",
+        "customer_spend_rank",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",
@@ -97,6 +99,8 @@ def test_no_row_python_in_declared_queries(spark, name):
         "cohort_ltv",
         "segment_trend",
         "incremental_rollup",
+        "wide_order_facts",
+        "customer_spend_rank",
         "frequent_part_pairs",
         "hourly_gapfill",
         "user_value_outliers",
