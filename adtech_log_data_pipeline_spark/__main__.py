@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
             "dedup-index", "dedup-screen", "spanclean", "span-index",
-            "span-screen", "quantize",
+            "span-screen", "quantize", "pagerank", "fkaudit", "drift",
         ],
         required=True,
     )
@@ -256,6 +256,36 @@ def main(argv: list[str] | None = None) -> int:
             "vec_id", "dim", "amax", "q"
         ).write.mode("overwrite").parquet(args.output)
         print(f"quantize done: 7-bit codes -> {args.output}")
+    elif args.job == "pagerank":
+        if not args.input:
+            ap.error(
+                "--input (lineitem parquet dir) is required for --job pagerank"
+            )
+        from .functions.graph import copurchase_edges, weighted_pagerank
+
+        ranks = weighted_pagerank(copurchase_edges(spark.read.parquet(args.input)))
+        ranks.write.mode("overwrite").parquet(args.output)
+        print(f"pagerank done: {ranks.count()} node ranks -> {args.output}")
+    elif args.job == "fkaudit":
+        from .plans.relational import fk_integrity_audit_sql
+        from .sources.tables import register_tables
+
+        register_tables(
+            spark, args.sf_dir,
+            ["region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem"],
+        )
+        audit = spark.sql(fk_integrity_audit_sql("spark"))
+        audit.coalesce(1).write.mode("overwrite").json(args.output)
+        bad = audit.filter("n_orphans > 0").count()
+        print(f"fkaudit done: {bad} edges with orphans -> {args.output}")
+    elif args.job == "drift":
+        from .streaming.drift import stream_drift_chi2
+
+        out = stream_drift_chi2(spark, args.sf_dir)
+        out.write.mode("overwrite").parquet(args.output)
+        n_drift = out.filter("drifted = 1").count()
+        print(f"drift done: {n_drift} drifted windows -> {args.output}")
     elif args.job == "profile":
         if not args.input:
             ap.error("--input is required for --job profile")
