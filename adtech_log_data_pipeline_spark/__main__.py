@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
             "dedup-index", "dedup-screen", "spanclean", "span-index",
-            "span-screen", "quantize", "pagerank", "fkaudit", "drift",
+            "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
+            "drift", "attribution",
         ],
         required=True,
     )
@@ -266,6 +267,27 @@ def main(argv: list[str] | None = None) -> int:
         ranks = weighted_pagerank(copurchase_edges(spark.read.parquet(args.input)))
         ranks.write.mode("overwrite").parquet(args.output)
         print(f"pagerank done: {ranks.count()} node ranks -> {args.output}")
+    elif args.job == "triangles":
+        if not args.input:
+            ap.error(
+                "--input (lineitem parquet dir) is required for --job triangles"
+            )
+        from .functions.graph import copurchase_edges, triangle_stats
+
+        stats = triangle_stats(copurchase_edges(spark.read.parquet(args.input)))
+        stats.coalesce(1).write.mode("overwrite").json(args.output)
+        row = stats.collect()[0]
+        print(
+            f"triangles done: {row['n_triangles']} triangles /"
+            f" {row['n_edges']} edges -> {args.output}"
+        )
+    elif args.job == "attribution":
+        from .plans.northstar import q_click_attribution
+
+        out = q_click_attribution(spark, args.sf_dir)
+        out.write.mode("overwrite").parquet(args.output)
+        n_attr = out.filter("n_clicks > 0").count()
+        print(f"attribution done: {n_attr} attributed purchases -> {args.output}")
     elif args.job == "fkaudit":
         from .plans.relational import fk_integrity_audit_sql
         from .sources.tables import register_tables

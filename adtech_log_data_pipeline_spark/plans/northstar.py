@@ -832,6 +832,16 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_pagerank(copurchase_edges(li))
 
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph via
+    degree-ordered orientation (functions/graph.py::triangle_stats); the
+    oracle states the naive canonical a<b<c triple join."""
+    from ..functions.graph import copurchase_edges, triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_stats(copurchase_edges(li))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weight-proportional systematic sample over document char
     weights — two-phase distributed prefix scan (bucket-local window +
@@ -910,6 +920,148 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_docs(spark, sf_dir))
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign-level attribution: for each purchase, the clicks by ANY
+    user in the preceding 30 minutes (millisecond resolution, window end
+    exclusive). No equi-key — a genuine big-big range join, planned as a
+    band equi-join (operators/rangejoin.py) instead of the
+    BroadcastNestedLoopJoin Spark would pick for the raw inequality."""
+    from ..operators.rangejoin import banded_point_join
+
+    WIN_MS = 30 * 60 * 1000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts_ms").alias("click_ms"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        F.col("user_id").alias("purchase_user"),
+        (F.col("ts_ms") - WIN_MS).alias("win_start_ms"),
+        F.col("ts_ms").alias("win_end_ms"),
+    )
+    joined = banded_point_join(
+        clicks,
+        purchases,
+        point_ts="click_ms",
+        start_ts="win_start_ms",
+        end_ts="win_end_ms",
+        band_width=WIN_MS,
+    )
+    counts = joined.groupBy("purchase_event").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("click_user").cast("int").alias("n_click_users"),
+    )
+    return (
+        purchases.join(counts, on="purchase_event", how="left")
+        .select(
+            "purchase_event",
+            "purchase_user",
+            F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")).alias("n_clicks"),
+            F.coalesce(F.col("n_click_users"), F.lit(0).cast("int")).alias(
+                "n_click_users"
+            ),
+        )
+    )
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session intervals per user, half-open [start, end+1) ms
+    (the +1 keeps single-event sessions occupying a point). Held — both
+    sides of the overlap self-join and the sweep read it."""
+    from pyspark.sql import Window
+
+    from ..functions._cache import hold
+
+    GAP_MS = 30 * 60 * 1000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    sess = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > GAP_MS, 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return hold(
+        sess.groupBy("user_id", "session_id").agg(
+            F.min("ts_ms").alias("start_ms"),
+            (F.max("ts_ms") + F.lit(1)).alias("end_ms"),
+        ),
+        eager=True,
+    )
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session concurrency: for each 30-min-gap session, how many OTHER
+    users' sessions overlap it in time. Interval-overlap self-join with
+    no equi-key, planned as a canonical-band equi-join
+    (operators/rangejoin.py::banded_overlap_join)."""
+    from ..operators.rangejoin import banded_overlap_join
+
+    ivals = _session_intervals(spark, sf_dir)
+    left = ivals.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_session"),
+        F.col("start_ms").alias("a_start"),
+        F.col("end_ms").alias("a_end"),
+    )
+    right = ivals.select(
+        F.col("user_id").alias("b_user"),
+        F.col("start_ms").alias("b_start"),
+        F.col("end_ms").alias("b_end"),
+    )
+    pairs = banded_overlap_join(
+        left,
+        right,
+        left_start="a_start",
+        left_end="a_end",
+        right_start="b_start",
+        right_end="b_end",
+        band_width=60 * 60 * 1000,
+    ).where(F.col("a_user") != F.col("b_user"))
+    counts = pairs.groupBy("a_user", "a_session").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        ivals.join(
+            counts,
+            (ivals.user_id == counts.a_user) & (ivals.session_id == counts.a_session),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "start_ms",
+            "end_ms",
+            F.coalesce(F.col("n_concurrent"), F.lit(0).cast("long")).alias(
+                "n_concurrent"
+            ),
+        )
+    )
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly session-concurrency curve (entering / exact peak / exiting
+    concurrent sessions per bucket) via the distributed sweep-line
+    (operators/sweep.py::interval_concurrency — two-phase prefix scan,
+    no global single-partition window). The oracle states the textbook
+    single global running sum."""
+    from ..operators.sweep import interval_concurrency
+
+    return interval_concurrency(
+        _session_intervals(spark, sf_dir),
+        start_col="start_ms",
+        end_col="end_ms",
+        bucket_width=3600_000,
+    )
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_user_distinct": q_kmv_user_distinct,
     "quality_expectations": q_quality_expectations,
@@ -925,6 +1077,10 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similar_parts": q_similar_parts,
     "weighted_sample": q_weighted_sample,
     "copurchase_pagerank": q_copurchase_pagerank,
+    "copurchase_triangles": q_copurchase_triangles,
+    "click_attribution": q_click_attribution,
+    "concurrent_sessions": q_concurrent_sessions,
+    "session_concurrency": q_session_concurrency,
     "stream_drift_chi2": q_stream_drift_chi2,
     "kmv_overlap": q_kmv_overlap,
     "incremental_rollup": q_incremental_rollup,
@@ -2534,7 +2690,146 @@ FROM r, t WHERE rank <= 5
 """
 
 
+# Naive canonical triple join (each triangle once via a<b<c edge triple) —
+# deliberately NOT the orientation rewrite the Spark side runs, so the two
+# sides are independent evidence the orientation loses/duplicates nothing.
+_ORACLE_COPURCHASE_TRIANGLES = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT p1 AS node FROM edges UNION ALL SELECT p2 AS node FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.p1 = e1.p2
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) = 0 THEN 0
+                 ELSE 3000000 * n_triangles
+                      // (SELECT sum(deg * (deg - 1) // 2) FROM deg)
+            END AS BIGINT) AS clustering_ppm
+FROM tri
+"""
+
+_ORACLE_CLICK_ATTRIBUTION = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+p AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_event,
+       p.user_id AS purchase_user,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+       CAST(count(DISTINCT c.user_id) AS INT) AS n_click_users
+FROM p LEFT JOIN c
+  ON c.ts_ms >= p.ts_ms - 1800000 AND c.ts_ms < p.ts_ms
+GROUP BY 1, 2
+"""
+
+# Textbook single global running sum (the formulation that does NOT scale —
+# deliberately, as independent evidence for the Spark side's two-phase
+# bucket-partitioned prefix scan). Deltas are net-collapsed per instant
+# BEFORE the scan so every prefix value is a real concurrency (see
+# operators/sweep.py docstring); a start and an end at the same t cancel,
+# keeping half-open back-to-back intervals non-concurrent.
+_ORACLE_SESSION_CONCURRENCY = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                   > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_ms,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+ivals AS (
+  SELECT user_id, session_id, min(ts_ms) AS start_ms, max(ts_ms) + 1 AS end_ms
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT start_ms AS t, 1 AS d FROM ivals
+  UNION ALL
+  SELECT end_ms AS t, -1 AS d FROM ivals
+),
+nets AS (
+  SELECT t, t // 3600000 AS bucket, sum(d) AS net
+  FROM deltas GROUP BY 1, 2
+),
+scan AS (
+  SELECT t, bucket, net,
+         sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+  FROM nets
+),
+pb AS (
+  SELECT bucket, max(cum) AS max_cum, sum(net) AS total,
+         sum(CASE WHEN t = bucket * 3600000 THEN net ELSE 0 END) AS start_net
+  FROM scan GROUP BY bucket
+),
+runoff AS (
+  SELECT bucket, max_cum, total, start_net,
+         coalesce(sum(total) OVER (ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS entering
+  FROM pb
+)
+SELECT CAST(bucket * 3600000 AS BIGINT) AS bucket_start,
+       CAST(entering + start_net AS BIGINT) AS n_start,
+       CAST(greatest(entering + start_net, max_cum) AS BIGINT) AS n_peak,
+       CAST(entering + total AS BIGINT) AS n_end
+FROM runoff
+"""
+
+# The oracle states the raw inequality join (DuckDB plans it as an IEJoin);
+# the Spark side is the banded equi-join rewrite — independent evidence that
+# the banding+residual+canonical-band protocol loses/duplicates nothing.
+_ORACLE_CONCURRENT_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                   > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_ms,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+ivals AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts_ms) AS start_ms, max(ts_ms) + 1 AS end_ms
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_id, a.start_ms, a.end_ms,
+       CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+FROM ivals a LEFT JOIN ivals b
+  ON b.user_id <> a.user_id
+ AND a.start_ms < b.end_ms AND b.start_ms < a.end_ms
+GROUP BY 1, 2, 3, 4
+"""
+
 NORTHSTAR_ORACLES: dict[str, str] = {
+    "copurchase_triangles": _ORACLE_COPURCHASE_TRIANGLES,
+    "click_attribution": _ORACLE_CLICK_ATTRIBUTION,
+    "concurrent_sessions": _ORACLE_CONCURRENT_SESSIONS,
+    "session_concurrency": _ORACLE_SESSION_CONCURRENCY,
     "kmv_user_distinct": _oracle_kmv(),
     "quality_expectations": _oracle_expectations(),
     "quarantined_docs": _oracle_quarantine(),

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "similar_parts",
     "weighted_sample",
     "copurchase_pagerank",
+    "copurchase_triangles",
+    "click_attribution",
+    "concurrent_sessions",
+    "session_concurrency",
     "stream_drift_chi2",
     "user_value_outliers",
     "frequent_part_pairs",

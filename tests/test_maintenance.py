@@ -369,3 +369,35 @@ def test_span_index_screen_and_quantize_cli(spark, tmp_path):
     assert main(["--job", "quantize", "--input", emb_src, "--output", qout]) == 0
     codes = {r["dim"]: r["q"] for r in spark.read.parquet(qout).collect()}
     assert codes == {0: 127, 1: 0}
+
+
+def test_triangles_and_attribution_cli(spark, tmp_path):
+    """--job triangles / --job attribution dispatch through the CLI."""
+    import json
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    li = str(tmp_path / "li")
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(li)
+    out = str(tmp_path / "tri")
+    rc = main(["--job", "triangles", "--input", li, "--output", out])
+    assert rc == 0
+    row = json.loads(
+        next(
+            open(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".json")
+        ).readline()
+    )
+    # both orders hold the same 3-part basket: K3, one triangle
+    assert row["n_triangles"] == 1 and row["n_edges"] == 3
+
+    att = str(tmp_path / "att")
+    rc = main(
+        ["--job", "attribution", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", att]
+    )
+    assert rc == 0 and spark.read.parquet(att).count() > 0

@@ -527,3 +527,127 @@ class TestSegmentTrend:
         )
         duck_val = con.sql(segment_trend_sql("duckdb")).fetchall()[0][-1]
         assert spark_val == duck_val
+
+
+class TestTriangleStats:
+    def _stats(self, spark, edges):
+        from adtech_log_data_pipeline_spark.functions.graph import triangle_stats
+
+        df = spark.createDataFrame(edges, "p1 long, p2 long")
+        return triangle_stats(df).collect()[0]
+
+    def test_matches_brute_force_on_random_graphs(self, spark):
+        """Orientation count == transparent O(n^3) reference, including
+        power-law-ish degree skew (a hub node in every edge sample)."""
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        for trial in range(4):
+            n = rng.randrange(6, 14)
+            all_pairs = list(itertools.combinations(range(n), 2))
+            edges = sorted(rng.sample(all_pairs, rng.randrange(3, len(all_pairs))))
+            # skew: wire node 0 to everything in half the trials
+            if trial % 2:
+                edges = sorted(set(edges) | {(0, v) for v in range(1, n)})
+            eset = set(edges)
+            want_tri = sum(
+                1
+                for a, b, c in itertools.combinations(range(n), 3)
+                if (a, b) in eset and (b, c) in eset and (a, c) in eset
+            )
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            want_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+            row = self._stats(spark, edges)
+            assert row["n_triangles"] == want_tri, edges
+            assert row["n_wedges"] == want_wedges
+            assert row["n_edges"] == len(edges)
+            assert row["n_nodes"] == len(deg)
+            if want_wedges:
+                assert (
+                    row["clustering_ppm"]
+                    == 3000000 * want_tri // want_wedges
+                )
+
+    def test_triangle_free_graph(self, spark):
+        # a path graph has wedges but no triangles
+        row = self._stats(spark, [(1, 2), (2, 3), (3, 4)])
+        assert row["n_triangles"] == 0 and row["clustering_ppm"] == 0
+        assert row["n_wedges"] == 2
+
+    def test_complete_graph_k4(self, spark):
+        row = self._stats(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        )
+        assert row["n_triangles"] == 4
+        assert row["n_wedges"] == 12
+        assert row["clustering_ppm"] == 1000000
+
+
+class TestIntervalConcurrency:
+    W = 10
+
+    def _brute(self, ivals):
+        """Independent reference: direct counting C(x) = #{i: s<=x<e},
+        evaluated at bucket starts and every boundary point."""
+        times = sorted({t for s, e in ivals for t in (s, e)})
+        buckets = sorted({t // self.W for t in times})
+
+        def C(x):
+            return sum(1 for s, e in ivals if s <= x < e)
+
+        out = {}
+        for b in buckets:
+            lo, hi = b * self.W, (b + 1) * self.W
+            probe = [lo] + [t for t in times if lo <= t < hi]
+            out[lo] = (
+                C(lo),
+                max(C(x) for x in probe),
+                C(hi - 1),
+            )
+        return out
+
+    def test_matches_direct_counting(self, spark):
+        import random
+
+        from adtech_log_data_pipeline_spark.operators.sweep import (
+            interval_concurrency,
+        )
+
+        rng = random.Random(23)
+        for _ in range(3):
+            ivals = [
+                (s, s + w)
+                for s, w in (
+                    (rng.randrange(0, 70), rng.choice([0, 1, 5, 9, 10, 27]))
+                    for _ in range(25)
+                )
+            ]
+            df = spark.createDataFrame(ivals, "s long, e long")
+            got = {
+                r["bucket_start"]: (r["n_start"], r["n_peak"], r["n_end"])
+                for r in interval_concurrency(
+                    df, start_col="s", end_col="e", bucket_width=self.W
+                ).collect()
+            }
+            assert got == self._brute(ivals), ivals
+
+    def test_back_to_back_intervals_never_concurrent(self, spark):
+        from adtech_log_data_pipeline_spark.operators.sweep import (
+            interval_concurrency,
+        )
+
+        # [0,5) then [5,10): the start and end at t=5 cancel in the net,
+        # so the peak is 1, never 2
+        df = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
+        rows = {
+            r["bucket_start"]: r
+            for r in interval_concurrency(
+                df, start_col="s", end_col="e", bucket_width=10
+            ).collect()
+        }
+        assert rows[0]["n_peak"] == 1 and rows[0]["n_end"] == 1
+        assert rows[10]["n_start"] == 0 and rows[10]["n_end"] == 0
