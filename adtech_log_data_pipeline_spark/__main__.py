@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
             "dedup-index", "dedup-screen", "spanclean", "span-index",
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
-            "drift", "attribution",
+            "drift", "attribution", "pca",
         ],
         required=True,
     )
@@ -280,6 +280,30 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"triangles done: {row['n_triangles']} triangles /"
             f" {row['n_edges']} edges -> {args.output}"
+        )
+    elif args.job == "pca":
+        if not args.input:
+            ap.error("--input (embeddings parquet dir) is required for --job pca")
+        import json as _json
+        import os as _os
+
+        from .functions.similarity import pca_components
+
+        comps, explained = pca_components(
+            spark.read.parquet(args.input), k=args.n_buckets
+        )
+        _os.makedirs(args.output, exist_ok=True)
+        with open(_os.path.join(args.output, "pca.json"), "w") as f:
+            _json.dump(
+                {
+                    "components": comps.tolist(),
+                    "explained_variance": explained.tolist(),
+                },
+                f,
+            )
+        print(
+            f"pca done: {comps.shape[0]} components, top explains"
+            f" {explained[0] if len(explained) else 0:.3f} -> {args.output}"
         )
     elif args.job == "attribution":
         from .plans.northstar import q_click_attribution

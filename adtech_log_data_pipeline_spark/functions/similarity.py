@@ -930,3 +930,111 @@ def embedding_quantize_audit(embeddings: DataFrame) -> DataFrame:
             " end"
         ).alias("err_ppm"),
     )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Exact integer second-moment (scatter) matrix of the embedding
+    corpus — the distributed reduction behind PCA / whitening / covariance
+    analysis. For every dim pair i <= j:
+
+      gram_micro2    = sum over vectors of x_i * x_j   (micro^2 units)
+      scatter_micro2 = n * gram - S_i * S_j            (= n^2 * Cov[i,j])
+
+    with x quantized by the engine-wide micro formula (micro_vec_rows /
+    _micro_matrix — identical IEEE ops in the oracle), so every value is
+    an exact integer and the result is bit-identical under any partition
+    or accumulation order.
+
+    Scale shape: one pass over the data as an Arrow-batched mapInPandas
+    emitting PER-PARTITION dim x dim int64 partial Gram matrices (a BLAS
+    matmul per batch), reduced by a (i, j)-keyed hash agg of
+    dim*(dim+1)/2-row partials — the classic outer-product-sum pattern;
+    per-dim sums ride the shared exploded relation. No driver collect.
+
+    Overflow bounds (bigint max 9.2e18): unit-normalized micros are
+    ~1.25e5 per dim (64-dim), so a gram term is ~1.6e10 — the global sum
+    is safe to ~5.7e8 vectors, and n * gram to ~2.4e4 * corpus gram; past
+    that scale, shard the reduction by vec_id range and combine the
+    per-shard scatters (they are additive) or widen to decimal.
+
+    Output: (i, j, n_vecs, gram_micro2, scatter_micro2), i <= j."""
+    from ._cache import hold
+
+    dims = embeddings.select("embedding")
+
+    def partial_gram(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _micro_matrix(pdf["embedding"])
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+                 "g": acc[iu]}
+            )
+
+    gram = dims.mapInPandas(partial_gram, "i int, j int, g long").groupBy(
+        "i", "j"
+    ).agg(F.sum("g").alias("gram_micro2"))
+    m = micro_vec_rows(embeddings)
+    sums = hold(
+        m.groupBy("dim").agg(F.sum("x_micro").alias("sd")), eager=True
+    )
+    n = embeddings.agg(F.count(F.lit(1)).alias("n_vecs"))
+    si = sums.select(F.col("dim").alias("i"), F.col("sd").alias("s_i"))
+    sj = sums.select(F.col("dim").alias("j"), F.col("sd").alias("s_j"))
+    return (
+        gram.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("gram_micro2").cast("long").alias("gram_micro2"),
+            (
+                F.col("n_vecs") * F.col("gram_micro2")
+                - F.col("s_i") * F.col("s_j")
+            )
+            .cast("long")
+            .alias("scatter_micro2"),
+        )
+    )
+
+
+def pca_components(embeddings: DataFrame, k: int = 8):
+    """Top-k principal components of the embedding corpus: the exact
+    distributed scatter matrix (embedding_covariance) collected as ONE
+    dim x dim matrix — dim^2 rows, a bounded, documented driver touch of
+    the same order as the k-means centroid collects — then a driver-side
+    numpy eigendecomposition (eigh on a symmetric 64x64 is microseconds;
+    the DATA-sized work all happened distributed).
+
+    Eigenvector sign is normalized (largest-|component| entry positive)
+    so results are reproducible run to run; eigenvalues are returned in
+    descending order. Returns (components, explained) as plain numpy
+    arrays: components[k][dim], explained[k] in variance fraction."""
+    rows = embedding_covariance(embeddings).collect()
+    if not rows:
+        return np.zeros((0, 0)), np.zeros(0)
+    dim = max(r["j"] for r in rows) + 1
+    n = rows[0]["n_vecs"]
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        v = r["scatter_micro2"] / (float(n) * n * 1e12)
+        cov[r["i"], r["j"]] = v
+        cov[r["j"], r["i"]] = v
+    vals, vecs = np.linalg.eigh(cov)
+    # the scatter matrix is PSD; eigh's numerical zeros can dip negative
+    vals = np.maximum(vals, 0.0)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    total = float(vals.sum()) or 1.0
+    return comps, vals[order] / total

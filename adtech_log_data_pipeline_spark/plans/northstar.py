@@ -1062,6 +1062,15 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer scatter/Gram matrix of the embedding corpus (the
+    distributed PCA prep; functions/similarity.py::embedding_covariance —
+    per-partition Arrow matmul partials, (i, j)-keyed reduce)."""
+    from ..functions.similarity import embedding_covariance
+
+    return embedding_covariance(_emb(spark, sf_dir))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_user_distinct": q_kmv_user_distinct,
     "quality_expectations": q_quality_expectations,
@@ -1081,6 +1090,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_attribution": q_click_attribution,
     "concurrent_sessions": q_concurrent_sessions,
     "session_concurrency": q_session_concurrency,
+    "embedding_covariance": q_embedding_covariance,
     "stream_drift_chi2": q_stream_drift_chi2,
     "kmv_overlap": q_kmv_overlap,
     "incremental_rollup": q_incremental_rollup,
@@ -2830,6 +2840,30 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "click_attribution": _ORACLE_CLICK_ATTRIBUTION,
     "concurrent_sessions": _ORACLE_CONCURRENT_SESSIONS,
     "session_concurrency": _ORACLE_SESSION_CONCURRENCY,
+    # scatter = n*gram - S_i*S_j, all exact integers (n^2 * covariance in
+    # micro^2); the oracle states the per-dim-pair join, NOT the matmul
+    "embedding_covariance": """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+m AS (SELECT vec_id, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+      FROM e),
+g AS (SELECT a.dim AS i, b.dim AS j,
+             CAST(sum(a.xm * b.xm) AS BIGINT) AS gram_micro2
+      FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+      GROUP BY 1, 2),
+s AS (SELECT dim, CAST(sum(xm) AS BIGINT) AS sd FROM m GROUP BY dim),
+nn AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       CAST(nn.n AS BIGINT) AS n_vecs,
+       g.gram_micro2,
+       CAST(nn.n * g.gram_micro2 - si.sd * sj.sd AS BIGINT) AS scatter_micro2
+FROM g
+CROSS JOIN nn
+JOIN s si ON si.dim = g.i
+JOIN s sj ON sj.dim = g.j
+""",
     "kmv_user_distinct": _oracle_kmv(),
     "quality_expectations": _oracle_expectations(),
     "quarantined_docs": _oracle_quarantine(),

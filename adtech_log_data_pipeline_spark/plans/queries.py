@@ -232,9 +232,11 @@ _GATE_FIRST = [
     # second mid-round batch (never gated): iterative graph ranking,
     # streaming drift monitor, robust MAD outlier screen — the last three
     # one-green entries (brand_supplier_stats / conversion_funnel /
-    # customer_order_distribution) rotate to the tail; the two remaining
-    # 0-green round-6 queries (frequent_part_pairs, hourly_gapfill) are
-    # pytest-proven and queue first for the round-7 window
+    # customer_order_distribution) rotate to the tail; the six remaining
+    # 0-green round-6 queries (frequent_part_pairs, hourly_gapfill,
+    # click_attribution, concurrent_sessions, session_concurrency,
+    # copurchase_triangles) are pytest- and local-compare-proven (both
+    # sessions) and queue first for the round-7 window
     "copurchase_pagerank",
     "stream_drift_chi2",
     "user_value_outliers",

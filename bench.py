@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "click_attribution",
     "concurrent_sessions",
     "session_concurrency",
+    "embedding_covariance",
     "stream_drift_chi2",
     "user_value_outliers",
     "frequent_part_pairs",

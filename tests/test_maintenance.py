@@ -401,3 +401,29 @@ def test_triangles_and_attribution_cli(spark, tmp_path):
          "--output", att]
     )
     assert rc == 0 and spark.read.parquet(att).count() > 0
+
+
+def test_pca_cli(spark, tmp_path):
+    """--job pca writes components + explained variance JSON."""
+    import json
+    import random
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    rng = random.Random(1)
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], 0)
+            for i in range(50)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(emb)
+    out = str(tmp_path / "pca")
+    rc = main(["--job", "pca", "--input", emb, "--output", out,
+               "--n-buckets", "3"])
+    assert rc == 0
+    art = json.load(open(os.path.join(out, "pca.json")))
+    assert len(art["components"]) == 3
+    assert len(art["components"][0]) == 6
+    assert len(art["explained_variance"]) == 3
