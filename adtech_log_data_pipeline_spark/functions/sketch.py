@@ -183,3 +183,88 @@ def kmv_overlap(
             est_union * F.col("n_common") / F.col("n_union_kept"), 6
         ).alias("est_intersection"),
     )
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+
+
+def cm_bucket(col: str, row: int, width: int = CM_WIDTH) -> F.Column:
+    """Bucket of `col` in sketch row `row`: the 48-bit md5 hash (one salt
+    per row) reduced mod width. Hash values are non-negative so `%` and
+    `pmod` agree; identical in DuckDB as
+    ('0x' || substr(md5('cm{row}:' || v), 1, 12))::BIGINT % width."""
+    return (kmv_hash(col, salt=f"cm{row}") % width).cast("int")
+
+
+def cm_sketch_state(
+    df: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch STATE (Cormode & Muthukrishnan 2005) over the
+    occurrences of `col`: a (row, bucket, cnt) relation of exactly
+    depth x width counters, independent of both the input size and the
+    key cardinality — the frequency counterpart of the KMV cardinality
+    sketch above.
+
+    Mergeable/streamable: counters are plain sums, so the union of two
+    states re-aggregated per (row, bucket) IS the state of the
+    concatenated inputs — the same additive-merge law the foreachBatch
+    sinks rely on. Scale shape: one projection fans each input row into
+    `depth` (row, bucket) pairs; partial hash aggregation collapses them
+    map-side to at most depth*width groups per task, so the shuffle
+    carries a fixed few thousand rows no matter how many input rows or
+    distinct keys exist (the regime where exact per-key counts — the
+    key_skew_report path — would need unbounded state). NULLs are
+    excluded, matching the distinct-count convention of kmv_distinct."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cm_bucket(col, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame,
+    state: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every row of `keys`: est_count =
+    min over rows of the key's counter — never an underestimate, and
+    over-counts only from hash collisions (Markov bound: err <=
+    2N/width with prob >= 1 - 2^-depth). The state (depth*width rows)
+    is broadcast; the probe is a map-side join, no shuffle of `keys`."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cm_bucket(col, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    probed = (
+        keys.select(F.col(col), F.explode(pairs).alias("p"))
+        .join(
+            F.broadcast(state),
+            (F.col("p.row") == F.col("row")) & (F.col("p.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    return probed

@@ -589,6 +589,16 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join: unconverted purchases AND
+    never-converting clicks each emit one NULL-partner row once the
+    watermark proves no match can arrive — the last cell of the
+    streaming join-type matrix."""
+    from ..streaming.windowed import stream_attribution_full
+
+    return stream_attribution_full(spark, sf_dir)
+
+
 def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (broadcast customer dimension) + tumbling
     windowed counts per market segment, APPEND output."""
@@ -1071,7 +1081,120 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(_emb(spark, sf_dir))
 
 
+def q_cm_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch error audit: build the fixed 4x512-counter CM
+    frequency sketch over event user_ids (functions/sketch.py::
+    cm_sketch_state — bounded state, additive merge), point-query it for
+    the 20 highest-true-count users, and report true vs estimated
+    counts. est >= true always (CM never underestimates); over_count
+    quantifies collision pressure — the frequency-sketch observability
+    twin of ann_recall_audit."""
+    from ..functions.sketch import cm_estimate, cm_sketch_state
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    state = cm_sketch_state(ev, "user_id")
+    true_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    top = true_counts.orderBy(
+        F.col("true_count").desc(), F.col("user_id")
+    ).limit(20)
+    est = cm_estimate(top.select("user_id"), state, "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        "true_count",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        (F.col("est_count") - F.col("true_count"))
+        .cast("bigint")
+        .alias("over_count"),
+    )
+
+
+def q_cdc_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (operators/cdc.py::apply_changelog): roll the
+    customer snapshot forward by a changelog derived from events —
+    'error' events delete the key, every other event upserts
+    (acctbal_cents from value, segment from the event type); the latest
+    event per user wins (ts, then event_id, tiebreak). Untouched
+    customers keep their base row."""
+    from ..operators.cdc import apply_changelog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias(
+            "acctbal_cents"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("base").alias("src"),
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    changes = ev.select(
+        F.col("user_id").cast("bigint").alias("custkey"),
+        F.expr(
+            "cast(floor(coalesce(value, 0) * 100 + 0.5) as bigint)"
+        ).alias("acctbal_cents"),
+        F.upper("event_type").alias("segment"),
+        F.lit("changed").alias("src"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.unix_millis(F.col("ts")).alias("seq_ms"),
+        F.col("event_id"),
+    )
+    return apply_changelog(cust, changes, ["custkey"], ["seq_ms", "event_id"])
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@5 of the
+    exact cosine top-5 computed on only the FIRST 16 of 64 embedding
+    dims against the full-dim exact top-5 — the measurement that tells
+    a 100 TB deployment how much ranking quality a truncated-dimension
+    (4x cheaper) index retains. Same deterministic chain as
+    ann_recall_audit (r6-rounded cosines, id tiebreak, equi-join
+    overlap)."""
+    from ..functions._cache import hold
+
+    emb = _emb(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+    )
+    q_t = q.select(
+        "query_id", F.slice("qvec", 1, TRUNC_DIMS).alias("qvec")
+    )
+    # hold() the full-dim side: both top-k relations share the embeddings
+    # scan lineage, and same-named attributes across a self-joined
+    # lineage resolve ambiguously (the round-6 NULL-group bug)
+    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    trunc = brute_force_topk(emb_t, q_t, k=5)
+    ex = exact.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    tv = trunc.select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    return (
+        ex.join(tv, (ex.qid == tv.t_qid) & (ex.nid == tv.t_nid), "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.count("t_nid").alias("n_overlap"),
+            (F.count("t_nid") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
+TRUNC_DIMS = 16  # dim_truncation_recall's truncated prefix width
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cm_error_audit": q_cm_error_audit,
+    "cdc_customer_state": q_cdc_customer_state,
+    "dim_truncation_recall": q_dim_truncation_recall,
     "kmv_user_distinct": q_kmv_user_distinct,
     "quality_expectations": q_quality_expectations,
     "quarantined_docs": q_quarantined_docs,
@@ -1155,6 +1278,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "stream_attribution": q_stream_attribution,
     "stream_attribution_outer": q_stream_attribution_outer,
+    "stream_attribution_full": q_stream_attribution_full,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -2836,6 +2960,63 @@ GROUP BY 1, 2, 3, 4
 """
 
 NORTHSTAR_ORACLES: dict[str, str] = {
+    # Count-Min restated: same per-row salts (cm0..cm3), same 48-bit md5
+    # hash mod 512, same top-20 keyset and min-over-rows point query
+    "cm_error_audit": """
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+top AS (SELECT user_id, true_count FROM (
+          SELECT *, row_number() OVER (ORDER BY true_count DESC, user_id) AS rn
+          FROM cnt) WHERE rn <= 20),
+state AS (
+  SELECT r,
+         ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':'
+                              || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+           % 512 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, rows4 WHERE user_id IS NOT NULL GROUP BY 1, 2),
+probe AS (
+  SELECT t.user_id, t.true_count, min(s.cnt) AS est_count
+  FROM top t
+  JOIN rows4 r ON TRUE
+  JOIN state s
+    ON s.r = r.r
+   AND s.bucket = ('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':'
+                                       || CAST(t.user_id AS VARCHAR)), 1, 12)
+                  )::BIGINT % 512
+  GROUP BY 1, 2)
+SELECT user_id, true_count, est_count,
+       est_count - true_count AS over_count
+FROM probe
+""",
+    # latest-wins MERGE restated: one row_number per key over the same
+    # (seq_ms, event_id) order, anti join for untouched base rows
+    "cdc_customer_state": """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment, 'base' AS src
+  FROM customer),
+ch AS (
+  SELECT CAST(user_id AS BIGINT) AS custkey,
+         CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+           AS acctbal_cents,
+         upper(event_type) AS segment, 'changed' AS src,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         epoch_ms(ts) AS seq_ms, event_id
+  FROM events WHERE user_id IS NOT NULL),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey
+                                 ORDER BY seq_ms DESC, event_id DESC) AS rn
+    FROM ch) WHERE rn = 1)
+SELECT b.custkey, b.acctbal_cents, b.segment, b.src
+FROM base b WHERE NOT EXISTS (
+  SELECT 1 FROM latest l WHERE l.custkey = b.custkey)
+UNION ALL
+SELECT custkey, acctbal_cents, segment, src FROM latest WHERE op <> 'D'
+""",
     "copurchase_triangles": _ORACLE_COPURCHASE_TRIANGLES,
     "click_attribution": _ORACLE_CLICK_ATTRIBUTION,
     "concurrent_sessions": _ORACLE_CONCURRENT_SESSIONS,
@@ -2932,6 +3113,33 @@ SELECT ex.query_id,
        count(iv.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
 FROM ex LEFT JOIN iv
   ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+GROUP BY ex.query_id
+""",
+    # truncated-dim exact top-5 restated on embedding[1:16]; overlap
+    # join identical to ann_recall_audit's
+    "dim_truncation_recall": f"""
+WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
+q AS (SELECT vec_id AS query_id, embedding[1:16]::DOUBLE[] AS a
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding[1:16]::DOUBLE[] AS b
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a))
+                  * sqrt(list_dot_product(c.b, c.b))), 6) AS cos_r6
+  FROM q, c WHERE c.neighbor_id <> q.query_id),
+tr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_r6 DESC, neighbor_id) AS rk
+    FROM scored) WHERE rk <= 5)
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(count(tr.neighbor_id) AS BIGINT) AS n_overlap,
+       count(tr.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN tr
+  ON ex.query_id = tr.query_id AND ex.neighbor_id = tr.neighbor_id
 GROUP BY ex.query_id
 """,
     "script_mix": r"""
@@ -3075,6 +3283,15 @@ SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+""",
+    "stream_attribution_full": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
 """,

@@ -350,6 +350,7 @@ def stream_attribution_outer(
     events: DataFrame | None = None,
     max_ts_ms: int | None = None,
     sealed: bool | None = None,
+    join_type: str = "leftOuter",
 ) -> DataFrame:
     """LEFT OUTER stream-stream interval join — attribution that also
     reports the UNCONVERTED purchases: every purchase emits, either once
@@ -444,11 +445,13 @@ def stream_attribution_outer(
             F.col("c_ts")
             >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
         ),
-        "leftOuter",
+        join_type,
     ).select(
         "purchase_id",
         "click_id",
-        F.col("p_user").alias("user_id"),
+        # coalesce covers fullOuter's unmatched-click rows (p_user NULL);
+        # for leftOuter p_user is never NULL so this is the identity
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
     )
     runner = run_sealed if sealed else run_two_phase
@@ -461,4 +464,31 @@ def stream_attribution_outer(
         ckpt_dir,
         write_sentinel=write_sentinel,
         result_filter=F.col("user_id") != SENTINEL_USER_ID,
+    )
+
+
+def stream_attribution_full(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    max_ts_ms: int | None = None,
+    sealed: bool | None = None,
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the last cell of the
+    join-type matrix (inner: stream_click_attribution; left:
+    stream_attribution_outer): unconverted purchases emit NULL click
+    columns AND never-converting clicks emit NULL purchase columns, each
+    exactly once, after the watermark proves no qualifying partner can
+    still arrive. A buffered click's null-side deadline is its own join
+    upper bound (c_ts + the attribution window), symmetric to the
+    purchase side — state stays bounded by interval x arrival rate.
+    Output: (purchase_id, click_id, user_id, lag_ms); equals the batch
+    FULL OUTER join under any micro-batch slicing."""
+    return stream_attribution_outer(
+        spark,
+        sf_dir,
+        events=events,
+        max_ts_ms=max_ts_ms,
+        sealed=sealed,
+        join_type="fullOuter",
     )

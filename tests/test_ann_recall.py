@@ -116,3 +116,33 @@ def test_quantized_vectors_preserve_brute_force_recall(spark):
     approx = brute_force_topk(deq_emb, _queries(spark), k=K).collect()
     assert _recall(spark, approx) >= 0.8
     release_cached()
+
+
+def test_dim_truncation_recall_properties(spark):
+    """The truncation audit query: identity at full width (slicing all
+    64 dims reproduces brute-force exactly, recall 1.0 everywhere), and
+    a sane measured recall at the declared 16-dim prefix."""
+    from adtech_log_data_pipeline_spark.plans.northstar import (
+        TRUNC_DIMS,
+        q_dim_truncation_recall,
+    )
+
+    rows = q_dim_truncation_recall(spark, SF).collect()
+    assert len(rows) == N_QUERIES
+    assert all(r["k_exact"] == K for r in rows)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    assert all(r["n_overlap"] == r["recall"] * K for r in rows)
+    assert TRUNC_DIMS == 16
+
+    # identity law, computed inline with the same chain at full width
+    from adtech_log_data_pipeline_spark.functions._cache import hold
+
+    emb, q = _emb(spark), _queries(spark)
+    full = hold(brute_force_topk(emb, q, k=K), eager=True)
+    sliced = brute_force_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+        q.select("query_id", F.slice("qvec", 1, 64).alias("qvec")),
+        k=K,
+    )
+    assert _topk_sets(full.collect()) == _topk_sets(sliced.collect())
+    release_cached()

@@ -249,3 +249,71 @@ def test_expectations_match_python_truth_fuzz(spark):
                 assert rid not in q
 
     law()
+
+
+# --- Count-Min sketch laws --------------------------------------------------
+
+
+def test_cm_never_underestimates_and_exact_without_collisions(spark):
+    """est >= true for every key (the CM guarantee); with input far
+    smaller than the 4x512 counter grid, most keys should be exact."""
+    from adtech_log_data_pipeline_spark.functions.sketch import (
+        cm_estimate,
+        cm_sketch_state,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string")
+    state = cm_sketch_state(df, "v")
+    keys = df.distinct()
+    est = {
+        r["v"]: r["est_count"]
+        for r in cm_estimate(keys, state, "v").collect()
+    }
+    true = {}
+    for (v,) in rows:
+        true[v] = true.get(v, 0) + 1
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+    # 37 keys into 512 buckets x 4 independent rows: a collision in every
+    # row for the same key is overwhelmingly unlikely
+    exact = sum(1 for k in true if est[k] == true[k])
+    assert exact >= 30
+
+
+def test_cm_state_is_bounded_and_additive(spark):
+    """State never exceeds depth*width rows, and merging two halves'
+    states by (row, bucket) sum equals the state of the whole input —
+    the additive law streaming merge relies on."""
+    from adtech_log_data_pipeline_spark.functions.sketch import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_sketch_state,
+    )
+
+    a = spark.createDataFrame([(i % 11,) for i in range(300)], "v long")
+    b = spark.createDataFrame([(i % 17,) for i in range(200)], "v long")
+    sa, sb = cm_sketch_state(a, "v"), cm_sketch_state(b, "v")
+    assert sa.count() <= CM_DEPTH * CM_WIDTH
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_sketch_state(a.unionByName(b), "v").collect()
+    }
+    assert merged == whole
+
+
+def test_cm_ignores_nulls(spark):
+    from adtech_log_data_pipeline_spark.functions.sketch import cm_sketch_state
+
+    df = spark.createDataFrame([("x",), (None,), ("x",), (None,)], "v string")
+    total = cm_sketch_state(df, "v").groupBy("row").agg(
+        F.sum("cnt").alias("n")
+    )
+    assert all(r["n"] == 2 for r in total.collect())

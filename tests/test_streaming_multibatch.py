@@ -502,3 +502,49 @@ def test_drift_chi2_multibatch_equals_singlebatch(spark, replay_dir):
     single = stream_drift_chi2(spark, SF)
     assert multi.count() == single.count()
     assert multi.exceptAll(single).count() == 0
+
+
+def test_attribution_full_multibatch_equals_batch_full_join(spark, replay_dir):
+    """FULL OUTER interval join under multi-batch replay: both null
+    sides fire — unconverted purchases AND never-converting clicks each
+    emit exactly one null-partner row — and the full multiset equals the
+    batch FULL OUTER join."""
+    from adtech_log_data_pipeline_spark.streaming.windowed import (
+        stream_attribution_full,
+    )
+
+    ev = load_table(spark, SF, "events")
+    max_ts_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    out = stream_attribution_full(
+        spark,
+        SF,
+        events=_multibatch_stream(spark, replay_dir),
+        max_ts_ms=max_ts_ms,
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        (F.unix_millis("p_ts") - F.unix_millis("c_ts")).alias("lag_ms"),
+    )
+    # both null sides must actually be exercised by the fixture
+    assert expected.filter(F.col("click_id").isNull()).count() > 0
+    assert expected.filter(F.col("purchase_id").isNull()).count() > 0
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
