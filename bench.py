@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "frequent_part_pairs",
     "hourly_gapfill",
     "kmv_overlap",
+    "cm_error_audit",
+    "cdc_customer_state",
+    "dim_truncation_recall",
     "value_deciles",
     "type_transitions",
     "cohort_ltv",
@@ -153,6 +156,7 @@ BENCH_QUERIES = [
     "stream_dedup",
     "stream_attribution",
     "stream_attribution_outer",
+    "stream_attribution_full",
     "stream_enriched_counts",
     "stream_upsert_latest",
     "stream_session_windows",
