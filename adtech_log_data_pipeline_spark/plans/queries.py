@@ -232,11 +232,16 @@ _GATE_FIRST = [
     # second mid-round batch (never gated): iterative graph ranking,
     # streaming drift monitor, robust MAD outlier screen — the last three
     # one-green entries (brand_supplier_stats / conversion_funnel /
-    # customer_order_distribution) rotate to the tail; the six remaining
+    # customer_order_distribution) rotate to the tail; the 19 remaining
     # 0-green round-6 queries (frequent_part_pairs, hourly_gapfill,
     # click_attribution, concurrent_sessions, session_concurrency,
-    # copurchase_triangles) are pytest- and local-compare-proven (both
-    # sessions) and queue first for the round-7 window
+    # copurchase_triangles, value_deciles, type_transitions,
+    # segment_trend, wide_order_facts, customer_spend_rank, cohort_ltv,
+    # embedding_covariance, kmv_overlap, incremental_rollup,
+    # cm_error_audit, cdc_customer_state, dim_truncation_recall,
+    # stream_attribution_full) are pytest- and full-board
+    # local-compare-proven (BOTH sessions, sf0.01) and queue first for
+    # the round-7 window
     "copurchase_pagerank",
     "stream_drift_chi2",
     "user_value_outliers",
