@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
             "dedup-index", "dedup-screen", "spanclean", "span-index",
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
-            "drift", "attribution", "pca",
+            "drift", "attribution", "pca", "cdc",
         ],
         required=True,
     )
@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--table", help="catalog table name (bucketize job)")
     ap.add_argument(
         "--bucket-cols", help="comma-separated bucket key columns (bucketize job)"
+    )
+    ap.add_argument(
+        "--seq-cols",
+        help="comma-separated changelog ordering columns, latest wins"
+        " (cdc job; append a unique id as the final tiebreak)",
     )
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--master", default=None, help="spark master (default: local[*])")
@@ -304,6 +309,27 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"pca done: {comps.shape[0]} components, top explains"
             f" {explained[0] if len(explained) else 0:.3f} -> {args.output}"
+        )
+    elif args.job == "cdc":
+        if not args.input or not args.against or not args.bucket_cols \
+                or not args.seq_cols:
+            ap.error(
+                "--input (base snapshot parquet), --against (changelog"
+                " parquet with an 'op' column), --bucket-cols (keys) and"
+                " --seq-cols are required for --job cdc"
+            )
+        from .operators.cdc import apply_changelog
+
+        keys = [c.strip() for c in args.bucket_cols.split(",") if c.strip()]
+        seqs = [c.strip() for c in args.seq_cols.split(",") if c.strip()]
+        base = spark.read.parquet(args.input)
+        merged = apply_changelog(
+            base, spark.read.parquet(args.against), keys, seqs
+        )
+        merged.write.mode("overwrite").parquet(args.output)
+        print(
+            f"cdc done: {merged.count()} rows (base {base.count()})"
+            f" -> {args.output}"
         )
     elif args.job == "attribution":
         from .plans.northstar import q_click_attribution

@@ -132,3 +132,25 @@ def test_latest_changes_one_row_per_key(spark):
     )
     got = latest_changes(ch, ["k"], ["seq", "uid"]).collect()
     assert len(got) == 5 and all(r["val"] == 6 for r in got)
+
+
+def test_cdc_cli_job(spark, tmp_path):
+    """--job cdc end to end: parquet base + changelog in, merged
+    snapshot parquet out."""
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    base = str(tmp_path / "base")
+    ch = str(tmp_path / "ch")
+    out = str(tmp_path / "out")
+    _base(spark, [(1, 10, "a"), (2, 20, "b")]).write.parquet(base)
+    _ch(spark, [(2, 99, "B", "U", 5, 0), (1, 0, "x", "D", 6, 1)]).write.parquet(ch)
+    rc = main(
+        [
+            "--job", "cdc", "--input", base, "--against", ch,
+            "--bucket-cols", "k", "--seq-cols", "seq,uid",
+            "--output", out, "--master", "local[2]",
+        ]
+    )
+    assert rc == 0
+    got = _state(spark.read.parquet(out))
+    assert got == {2: (99, "B")}
