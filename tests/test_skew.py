@@ -92,3 +92,51 @@ def test_skew_report_top_n_avoids_global_sort(spark):
     plan = skew_report(df, ["k"], top_n=5)._jdf.queryExecution().executedPlan().toString()
     release_cached()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join path (session.py turns it on) must
+    actually FIRE on a skewed shuffle join: with thresholds lowered to
+    unit-test scale, the hot key's partition gets split and the final
+    adaptive plan marks the shuffle read as skewed — the runtime half of
+    the engine's skew story (operators/skew.py salting is the manual
+    half for post-AQE residual skew)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(10_000).select(
+            (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v")
+        )
+        fact = hot.unionByName(cold)
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 210_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
