@@ -12,14 +12,15 @@ Base64-text for format fidelity.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.app_profile import app_profiles
 from ..operators.device_profile import device_profiles
 from ..operators.suspicious import SuspiciousThresholds, suspicious_ids
-from ..operators.validate import valid_bid_logs
+from ..operators.validate import is_valid_bidlog, valid_bid_logs
 from ..sources.codecs import write_b64_text
 
 
@@ -28,6 +29,9 @@ class BidLogJobResult:
     device_profiles: DataFrame
     app_profiles: DataFrame
     suspicious: DataFrame
+    # single-pass job counters (Observation / CollectMetrics): populated
+    # after the device-profiles write when output_dir is set, else {}
+    metrics: dict = field(default_factory=dict)
 
 
 def run_bidlog_job(
@@ -39,16 +43,32 @@ def run_bidlog_job(
 ) -> BidLogJobResult:
     """Execute pipeline 1. When `output_dir` is set, writes parquet outputs
     (device_profiles/ app_profiles/ suspicious/); `b64_outputs` adds the
-    reference's Base64-text format next to them."""
-    dp = device_profiles(valid_bid_logs(bid_logs))
+    reference's Base64-text format next to them.
+
+    Observability: the validity filter's admit/drop counts ride the
+    device-profiles write as an `Observation` (Spark's CollectMetrics) —
+    ONE pass computes outputs AND counters, where a naive job would run a
+    second count() scan over the input for its log line. At 100 TB that
+    second scan is real money; observed metrics are free riders on the
+    action that runs anyway."""
+    obs = Observation("bidlog_validation")
+    observed = bid_logs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(is_valid_bidlog().cast("long")).alias("n_valid"),
+    )
+    dp = device_profiles(valid_bid_logs(observed))
     aps = app_profiles(dp)  # includes the duplicate-ID tripwire (A2)
     susp = suspicious_ids(dp, aps, thresholds)
 
+    metrics: dict = {}
     if output_dir:
         dp.write.mode("overwrite").parquet(os.path.join(output_dir, "device_profiles"))
+        metrics = dict(obs.get)
+        metrics["n_dropped"] = metrics["n_input"] - metrics["n_valid"]
         aps.write.mode("overwrite").parquet(os.path.join(output_dir, "app_profiles"))
         susp.write.mode("overwrite").parquet(os.path.join(output_dir, "suspicious"))
         if b64_outputs:
             write_b64_text(susp, os.path.join(output_dir, "suspicious_b64"))
 
-    return BidLogJobResult(dp, aps, susp)
+    return BidLogJobResult(dp, aps, susp, metrics)

@@ -223,3 +223,22 @@ def test_bigquery_sink_routing(spark, tmp_path):
         sink_predictions(preds, str(tmp_path / "p2"), _bq_write=lambda *a: None)
         == "parquet"
     )
+
+
+def test_bidlog_job_observed_metrics(spark, tmp_path):
+    """The validation counters ride the device-profiles write as an
+    Observation — no second scan — and must equal the filter's truth."""
+    from tests.conftest import bid_log, bid_logs_df
+
+    rows = [bid_log(device_ifa=f"abcdefab-1234-5678-9abc-def01234567{i}")
+            for i in range(4)]
+    rows.append(bid_log(app_bundle=""))  # invalid: blank bundle
+    rows.append(bid_log(exchange=0))     # invalid: exchange 0
+    from adtech_log_data_pipeline_spark.jobs import run_bidlog_job
+
+    res = run_bidlog_job(
+        spark, bid_logs_df(spark, rows), output_dir=str(tmp_path / "out")
+    )
+    assert res.metrics["n_input"] == 6
+    assert res.metrics["n_valid"] == 4
+    assert res.metrics["n_dropped"] == 2
