@@ -94,7 +94,9 @@ def main(argv: list[str] | None = None) -> int:
             b64_outputs=args.b64_outputs,
         )
         print(
-            f"bidlog job done: {res.device_profiles.count()} device profiles,"
+            f"bidlog job done: {res.metrics.get('n_input')} logs in"
+            f" ({res.metrics.get('n_dropped')} dropped by validation),"
+            f" {res.device_profiles.count()} device profiles,"
             f" {res.app_profiles.count()} app profiles,"
             f" {res.suspicious.count()} suspicious -> {args.output}"
         )
