@@ -589,6 +589,15 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_stream_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained Count-Min sketch: idempotent per-batch
+    partial states summed per (row, bucket) — equals the batch sketch
+    under any micro-batch slicing (additive-merge law)."""
+    from ..streaming.cm_stream import stream_cm_sketch
+
+    return stream_cm_sketch(spark, sf_dir)
+
+
 def q_stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER stream-stream interval join: unconverted purchases AND
     never-converting clicks each emit one NULL-partner row once the
@@ -1279,6 +1288,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_attribution": q_stream_attribution,
     "stream_attribution_outer": q_stream_attribution_outer,
     "stream_attribution_full": q_stream_attribution_full,
+    "stream_cm_sketch": q_stream_cm_sketch,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -2989,6 +2999,18 @@ probe AS (
 SELECT user_id, true_count, est_count,
        est_count - true_count AS over_count
 FROM probe
+""",
+    # the streaming CM state restated as the direct batch construction —
+    # a green row IS the additive-merge law
+    "stream_cm_sketch": """
+WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r)
+SELECT CAST(r AS INT) AS "row",
+       CAST(('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 12)
+            )::BIGINT % 512 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events, rows4 WHERE user_id IS NOT NULL
+GROUP BY 1, 2
 """,
     # latest-wins MERGE restated: one row_number per key over the same
     # (seq_ms, event_id) order, anti join for untouched base rows

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "hourly_activity",
     "stream_kmv_distinct",
+    "stream_cm_sketch",
     "oov_rate",
     "stream_quarantine",
     "bidlog_validation",

@@ -548,3 +548,20 @@ def test_attribution_full_multibatch_equals_batch_full_join(spark, replay_dir):
     assert expected.filter(F.col("purchase_id").isNull()).count() > 0
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_cm_sketch_multibatch_equals_batch(spark, replay_dir):
+    """Additive-merge exactly-once: a 4-batch replay's summed per-batch
+    CM partials must equal the batch sketch over the full input."""
+    from adtech_log_data_pipeline_spark.functions.sketch import cm_sketch_state
+    from adtech_log_data_pipeline_spark.streaming.cm_stream import (
+        stream_cm_sketch,
+    )
+
+    out = stream_cm_sketch(
+        spark, SF, events=_multibatch_stream(spark, replay_dir)
+    )
+    expected = cm_sketch_state(load_table(spark, SF, "events"), "user_id")
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in expected.collect()
+    }
