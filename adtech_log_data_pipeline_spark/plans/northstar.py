@@ -589,6 +589,45 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/val contamination screen — the semantic
+    complement of the n-gram contamination_check: every held-out vector
+    (vec_id % 10 == 3) is reported with the count of TRAIN vectors it
+    shares an LSH bucket with at cosine >= 0.4, plus its best train match
+    (max cosine, min-id tiebreak). Pairs come from the already-gated
+    embedding_near_dup_pairs chain (bucket-capped, sub-quadratic), so
+    screen recall is the LSH bucket recall the oracle restates; val
+    vectors with no hit still emit a row (n_train_hits = 0) — a
+    contamination screen that silently drops the clean rows can't prove
+    a corpus clean."""
+    from ..functions.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.4, total=table_row_count(sf_dir, "embeddings")
+    )
+    a_val = (F.col("vec_a") % 10) == 3
+    b_val = (F.col("vec_b") % 10) == 3
+    cross = pairs.filter(a_val != b_val).select(
+        F.when(a_val, F.col("vec_a")).otherwise(F.col("vec_b")).alias("vec_id"),
+        F.when(a_val, F.col("vec_b")).otherwise(F.col("vec_a")).alias("train_vec"),
+        "cos_sim_r6",
+    )
+    hits = cross.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_train_hits"),
+        # struct max: highest cosine first, then highest -train_vec
+        # (= lowest id) — one pass, no window
+        F.max(F.struct(F.col("cos_sim_r6"), (-F.col("train_vec")).alias("neg"))).alias("top"),
+    )
+    val = emb.filter((F.col("vec_id") % 10) == 3).select("vec_id")
+    return val.join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_train_hits", F.lit(0)).alias("n_train_hits"),
+        (-F.col("top.neg")).cast("bigint").alias("top_match"),
+        F.col("top.cos_sim_r6").alias("top_cos_r6"),
+    )
+
+
 def q_stream_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch-maintained Count-Min sketch: idempotent per-batch
     partial states summed per (row, bucket) — equals the batch sketch
@@ -1289,6 +1328,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_attribution_outer": q_stream_attribution_outer,
     "stream_attribution_full": q_stream_attribution_full,
     "stream_cm_sketch": q_stream_cm_sketch,
+    "semantic_contamination": q_semantic_contamination,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -1839,6 +1879,50 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+def _oracle_semantic_contamination() -> str:
+    """Cross-split restatement of the near-dup pair chain at threshold
+    0.4: same sigs/bucket-cap CTE, val = vec_id % 10 == 3, best match by
+    (cos desc, train id asc), clean val rows kept via LEFT JOIN."""
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH {_sigs_cte()},
+t AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id)
+      QUALIFY row_number() OVER (PARTITION BY s.bucket ORDER BY e.vec_id) <= 1000),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim_r6
+  FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.4),
+cross_pairs AS (
+  SELECT CASE WHEN vec_a % 10 = 3 THEN vec_a ELSE vec_b END AS vec_id,
+         CASE WHEN vec_a % 10 = 3 THEN vec_b ELSE vec_a END AS train_vec,
+         cos_sim_r6
+  FROM pairs WHERE (vec_a % 10 = 3) <> (vec_b % 10 = 3)),
+counts AS (
+  SELECT vec_id, CAST(count(*) AS INT) AS n_train_hits
+  FROM cross_pairs GROUP BY vec_id),
+best AS (
+  SELECT vec_id, train_vec AS top_match, cos_sim_r6 AS top_cos_r6
+  FROM cross_pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY cos_sim_r6 DESC, train_vec) = 1),
+hits AS (
+  SELECT counts.vec_id, counts.n_train_hits, best.top_match,
+         best.top_cos_r6
+  FROM counts JOIN best ON counts.vec_id = best.vec_id)
+SELECT e.vec_id,
+       coalesce(h.n_train_hits, 0) AS n_train_hits,
+       CAST(h.top_match AS BIGINT) AS top_match,
+       h.top_cos_r6
+FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id
+WHERE e.vec_id % 10 = 3
 """
 
 
@@ -3229,6 +3313,7 @@ FROM documents
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,
     "embedding_near_dup": _oracle_embedding_near_dup(),
+    "semantic_contamination": _oracle_semantic_contamination(),
     "embedding_bucket_audit": _oracle_embedding_bucket_audit(),
     "winnowing": _ORACLE_WINNOWING,
     "multimodal_meta": _ORACLE_MULTIMODAL,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "embedding_near_dup",
+    "semantic_contamination",
     "multimodal_meta",
     "multimodal_resize",
     "frame_sample",

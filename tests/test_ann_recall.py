@@ -146,3 +146,23 @@ def test_dim_truncation_recall_properties(spark):
     )
     assert _topk_sets(full.collect()) == _topk_sets(sliced.collect())
     release_cached()
+
+
+def test_semantic_contamination_screen_properties(spark):
+    """Complete screen: one row per val vector; clean rows carry NULL
+    match; hits respect the 0.4 threshold and the (cos desc, id asc)
+    tiebreak contract."""
+    from adtech_log_data_pipeline_spark.plans.northstar import (
+        q_semantic_contamination,
+    )
+
+    rows = q_semantic_contamination(spark, SF).collect()
+    n_val = _emb(spark).filter((F.col("vec_id") % 10) == 3).count()
+    assert len(rows) == n_val
+    assert all(r["vec_id"] % 10 == 3 for r in rows)
+    for r in rows:
+        if r["n_train_hits"] == 0:
+            assert r["top_match"] is None and r["top_cos_r6"] is None
+        else:
+            assert r["top_cos_r6"] >= 0.4
+            assert r["top_match"] % 10 != 3  # matches come from TRAIN only
