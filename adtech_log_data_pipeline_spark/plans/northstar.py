@@ -589,6 +589,72 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional tolerance-bounded as-of join (nearest-event
+    alignment — the sensor-fusion / clickstream-alignment shape the
+    backward-only asof_last_signup can't express): every purchase is
+    matched to the same user's NEAREST click within +/-30 minutes,
+    earlier or later, tie -> smaller click id; unmatched purchases keep
+    a NULL match. Banded equi-join (operators/rangejoin.py idiom): the
+    purchase carries its one 30-min band, clicks explode into band-1..
+    band+1, so the join key is (user, band) — never a time-inequality
+    nested loop — and each candidate pair arises exactly once (the
+    click's exploded bands are distinct). One struct-min agg picks the
+    winner; no window, no per-user sort."""
+    TOL_MS = 1_800_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.floor(F.unix_millis("ts") / F.lit(TOL_MS)).alias("band"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    c = c.select(
+        "click_id",
+        "c_user",
+        "c_ms",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("c_ms") / F.lit(TOL_MS)) - 1,
+                F.floor(F.col("c_ms") / F.lit(TOL_MS)) + 1,
+            )
+        ).alias("band"),
+    )
+    cand = (
+        p.join(
+            c,
+            (p["band"] == c["band"]) & (p["user_id"] == c["c_user"]),
+        )
+        .filter(F.abs(F.col("p_ms") - F.col("c_ms")) <= TOL_MS)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.abs(F.col("p_ms") - F.col("c_ms")).alias("abs_lag"),
+            "click_id",
+            (F.col("p_ms") - F.col("c_ms")).alias("lag"),
+        )
+    )
+    best = cand.groupBy("purchase_id").agg(
+        F.min(F.struct("abs_lag", "click_id", "lag")).alias("b")
+    )
+    return p.select("purchase_id", "user_id").join(
+        best, "purchase_id", "left"
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("b.click_id").alias("click_id"),
+        F.col("b.lag").alias("lag_ms"),
+        F.col("b.abs_lag").alias("abs_lag_ms"),
+    )
+
+
 def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level train/val contamination screen — the semantic
     complement of the n-gram contamination_check: every held-out vector
@@ -1329,6 +1395,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_attribution_full": q_stream_attribution_full,
     "stream_cm_sketch": q_stream_cm_sketch,
     "semantic_contamination": q_semantic_contamination,
+    "nearest_click": q_nearest_click,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -3083,6 +3150,27 @@ probe AS (
 SELECT user_id, true_count, est_count,
        est_count - true_count AS over_count
 FROM probe
+""",
+    # nearest-event as-of restated as the direct |lag|-bounded join +
+    # (abs_lag, click_id) rank pick; the banded equi-join is plan shape
+    # only, so the oracle needs no band arithmetic
+    "nearest_click": """
+WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+           FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+c AS (SELECT event_id AS click_id, user_id AS cu, epoch_ms(ts) AS c_ms
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+cand AS (
+  SELECT p.purchase_id, p.user_id, abs(p_ms - c_ms) AS abs_lag,
+         c.click_id, p_ms - c_ms AS lag
+  FROM p JOIN c ON p.user_id = c.cu AND abs(p_ms - c_ms) <= 1800000),
+best AS (
+  SELECT * FROM cand
+  QUALIFY row_number() OVER (PARTITION BY purchase_id
+                             ORDER BY abs_lag, click_id) = 1)
+SELECT p.purchase_id, p.user_id, b.click_id,
+       CAST(b.lag AS BIGINT) AS lag_ms,
+       CAST(b.abs_lag AS BIGINT) AS abs_lag_ms
+FROM p LEFT JOIN best b ON p.purchase_id = b.purchase_id
 """,
     # the streaming CM state restated as the direct batch construction —
     # a green row IS the additive-merge law

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "streaming_device_activity",
     "revenue_cube",
     "asof_last_signup",
+    "nearest_click",
     "order_priority",
     "returned_customers",
     "customer_order_distribution",

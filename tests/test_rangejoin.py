@@ -157,3 +157,35 @@ def test_click_attribution_plan_has_no_nested_loop(spark):
         plan = buf.getvalue()
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_nearest_click_banding_equals_bruteforce(spark):
+    """The banded (user, band) equi-join formulation of the nearest-event
+    as-of must equal the direct quadratic formulation on the sf0.001
+    events — every purchase kept, nearest |lag| <= 30min, min-click-id
+    tiebreak."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.plans.northstar import q_nearest_click
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["purchase_id"]: (r["click_id"], r["lag_ms"]) for r in
+           q_nearest_click(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    rows = ev.select("event_id", "user_id", "event_type",
+                     F.unix_millis("ts").alias("ms")).collect()
+    clicks = [(r["user_id"], r["event_id"], r["ms"]) for r in rows
+              if r["event_type"] == "click"]
+    expect = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        cands = [(abs(r["ms"] - ms), cid, r["ms"] - ms)
+                 for u, cid, ms in clicks
+                 if u == r["user_id"] and abs(r["ms"] - ms) <= 1_800_000]
+        expect[r["event_id"]] = (
+            (min(cands)[1], min(cands)[2]) if cands else (None, None)
+        )
+    assert got == expect
+    assert any(v == (None, None) for v in got.values())  # null side exercised
