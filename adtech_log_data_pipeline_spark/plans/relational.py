@@ -1260,7 +1260,43 @@ def fk_integrity_audit_sql(dialect: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def weighted_median_price_sql(dialect: str) -> str:
+    """Quantity-weighted median line price per ship month — the weighted
+    percentile shape (exact, no approx sketch): the smallest price whose
+    cumulative quantity reaches half the month's total.
+
+    Determinism: the cumulative window uses a RANGE frame, so every tie
+    group's rows all carry the GROUP-BOUNDARY cumulative sum — the picked
+    price depends only on boundaries, never on intra-tie row order, under
+    any partial ordering either engine produces. All arithmetic is exact
+    bigint (cents x integer quantities). Scale shape: ONE shuffle on the
+    month key; the per-month sort is the rank-pick idiom
+    (length_percentiles) with weights."""
+    return f"""
+WITH t AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS y,
+         CAST(month(l_shipdate) AS INT) AS mo,
+         {_cents("l_extendedprice")} AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem),
+c AS (
+  SELECT y, mo, price_cents, qty,
+         sum(qty) OVER (PARTITION BY y, mo ORDER BY price_cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(qty) OVER (PARTITION BY y, mo) AS tot
+  FROM t)
+SELECT y, mo,
+       CAST(max(tot) AS BIGINT) AS total_qty,
+       CAST(min(CASE WHEN 2 * cum >= tot THEN price_cents END) AS BIGINT)
+         AS wmedian_price_cents
+FROM c
+GROUP BY y, mo
+"""
+
+
 RELATIONAL_SQL = {
+    "weighted_median_price": (weighted_median_price_sql, ["lineitem"]),
     "props_json_stats": (props_json_stats_sql, ["events"]),
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),

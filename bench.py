@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "cm_error_audit",
     "cdc_customer_state",
     "dim_truncation_recall",
+    "weighted_median_price",
     "value_deciles",
     "type_transitions",
     "cohort_ltv",

@@ -651,3 +651,39 @@ class TestIntervalConcurrency:
         }
         assert rows[0]["n_peak"] == 1 and rows[0]["n_end"] == 1
         assert rows[10]["n_start"] == 0 and rows[10]["n_end"] == 0
+
+
+def test_weighted_median_matches_python_reference(spark):
+    """The RANGE-frame weighted median must equal the textbook
+    definition (smallest value whose cumulative weight reaches half the
+    total) computed in plain Python over sf0.001 lineitem."""
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        weighted_median_price_sql,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import register_tables
+
+    SF = "/root/testdata/sf0.001"
+    register_tables(spark, SF, ["lineitem"])
+    got = {
+        (r["y"], r["mo"]): (r["total_qty"], r["wmedian_price_cents"])
+        for r in spark.sql(weighted_median_price_sql("spark")).collect()
+    }
+    rows = spark.sql(
+        "SELECT cast(year(l_shipdate) as int) y,"
+        " cast(month(l_shipdate) as int) mo,"
+        " cast(floor(l_extendedprice * 100 + 0.5) as bigint) p,"
+        " cast(l_quantity as bigint) q FROM lineitem"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["y"], r["mo"]), []).append((r["p"], r["q"]))
+    expect = {}
+    for k, items in groups.items():
+        tot = sum(q for _, q in items)
+        cum = 0
+        for p, q in sorted(items):
+            cum += q
+            if 2 * cum >= tot:
+                expect[k] = (tot, p)
+                break
+    assert got == expect
