@@ -589,6 +589,28 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_pareto_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier) over the corpus: documents not
+    dominated on (token count, distinct-token count) — the
+    maximize-length AND maximize-lexical-diversity curation frontier.
+    p is dominated iff some q has x >= p.x AND y >= p.y with at least
+    one strict; exact duplicates both survive. The textbook NOT EXISTS
+    the oracle states is a quadratic nested loop; the engine runs the
+    O(n log n) running-max formulation (operators/skyline.py,
+    brute-force-fuzzed)."""
+    from ..functions.text import tokens_col
+    from ..operators.skyline import skyline_2d
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col())).alias("n_distinct_tokens"),
+    )
+    return skyline_2d(t, "n_tokens", "n_distinct_tokens").select(
+        "doc_id", "n_tokens", "n_distinct_tokens"
+    )
+
+
 def q_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional tolerance-bounded as-of join (nearest-event
     alignment — the sensor-fusion / clickstream-alignment shape the
@@ -1396,6 +1418,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cm_sketch": q_stream_cm_sketch,
     "semantic_contamination": q_semantic_contamination,
     "nearest_click": q_nearest_click,
+    "pareto_documents": q_pareto_documents,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -3150,6 +3173,23 @@ probe AS (
 SELECT user_id, true_count, est_count,
        est_count - true_count AS over_count
 FROM probe
+""",
+    # skyline restated as the textbook quadratic NOT EXISTS dominance
+    # check — the engine's running-max formulation must reproduce it
+    "pareto_documents": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS n_tokens,
+         CAST(len(list_distinct({_TOKS})) AS INT) AS n_distinct_tokens
+  FROM documents)
+SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens
+FROM t p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t q
+  WHERE q.n_tokens >= p.n_tokens
+    AND q.n_distinct_tokens >= p.n_distinct_tokens
+    AND (q.n_tokens > p.n_tokens
+         OR q.n_distinct_tokens > p.n_distinct_tokens))
 """,
     # nearest-event as-of restated as the direct |lag|-bounded join +
     # (abs_lag, click_id) rank pick; the banded equi-join is plan shape

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "contamination_check",
     "curated_corpus",
+    "pareto_documents",
     "cross_source_overlap",
     "token_budget_mixture",
     "doc_quality_zipf",

@@ -687,3 +687,31 @@ def test_weighted_median_matches_python_reference(spark):
                 expect[k] = (tot, p)
                 break
     assert got == expect
+
+
+def test_skyline_matches_bruteforce_fuzz(spark):
+    """operators/skyline.py vs the quadratic dominance check on random
+    integer point sets — duplicates, full ties on one axis, and
+    domain-collapsed grids all exercised (fixed seed)."""
+    import random
+
+    from adtech_log_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(8152026)
+    for trial, (nx, ny, n) in enumerate(
+        [(50, 50, 120), (4, 4, 80), (1, 10, 30), (10, 1, 30), (3, 100, 60)]
+    ):
+        pts = [
+            (i, rng.randrange(nx), rng.randrange(ny)) for i in range(n)
+        ]
+        df = spark.createDataFrame(pts, "pid long, x long, y long")
+        got = {r["pid"] for r in skyline_2d(df, "x", "y").collect()}
+        expect = {
+            pid
+            for pid, x, y in pts
+            if not any(
+                qx >= x and qy >= y and (qx > x or qy > y)
+                for _, qx, qy in pts
+            )
+        }
+        assert got == expect, f"trial {trial}"
