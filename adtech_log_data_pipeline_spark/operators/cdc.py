@@ -64,14 +64,17 @@ def apply_changelog(
     """Roll `base` forward by `changes` under latest-wins MERGE semantics.
 
     `changes` must carry key_cols, seq_cols, op_col ('D' = delete, any
-    other value = upsert) plus exactly the base's payload columns; the
-    result has the base schema. `broadcast_keys` broadcasts the touched
-    key set into the anti join (the common small-batch case); pass False
-    to let the planner shuffle when a batch is snapshot-sized."""
+    other value INCLUDING NULL = upsert — a NULL op must not silently
+    erase its key) plus exactly the base's payload columns; the result
+    has the base schema. `broadcast_keys` broadcasts the touched key set
+    into the anti join (the common small-batch case); pass False to let
+    the planner shuffle when a batch is snapshot-sized."""
     latest = latest_changes(changes, key_cols, seq_cols)
     touched = latest.select(*key_cols)
     if broadcast_keys:
         touched = F.broadcast(touched)
     kept = base.join(touched, key_cols, "left_anti")
-    applied = latest.filter(F.col(op_col) != "D").select(*base.columns)
+    applied = latest.filter(
+        F.coalesce(F.col(op_col), F.lit("U")) != "D"
+    ).select(*base.columns)
     return kept.unionByName(applied)

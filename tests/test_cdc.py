@@ -154,3 +154,15 @@ def test_cdc_cli_job(spark, tmp_path):
     assert rc == 0
     got = _state(spark.read.parquet(out))
     assert got == {2: (99, "B")}
+
+
+def test_cdc_null_op_is_upsert_not_silent_erase(spark):
+    """A NULL op must apply as an upsert — the failure mode where the
+    key is anti-joined out of base but the change row is also filtered
+    (row vanishes) is pinned here."""
+    base = _base(spark, [(1, 10, "a")])
+    ch = spark.createDataFrame(
+        [(1, 77, "n", None, 5, 0)], CH_SCHEMA
+    )
+    out = _state(apply_changelog(base, ch, ["k"], ["seq", "uid"]))
+    assert out == {1: (77, "n")}
