@@ -589,6 +589,61 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+def q_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequence-pattern match (the MATCH_RECOGNIZE shape
+    Spark SQL lacks): purchases completing view -> click -> purchase
+    with EACH step within 12 hours of the previous, per user (the
+    synthetic stream's median per-user gap is ~7 h, so a 30-min funnel
+    would be empty). A purchase converts iff some same-user click in
+    (p-12h, p] itself has a same-user view in (c-12h, c]. Engine: two
+    chained banded SEMI joins ((user, 12-h band) equi-keys, the earlier
+    side exploded into
+    band..band+1 toward the later event — never a time-inequality
+    nested loop); output per user: converted-purchase count + earliest
+    completion. The oracle states the textbook triple EXISTS."""
+    TOL_MS = 43_200_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+
+    def side(kind: str, a: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"u_{a}"),
+            F.unix_millis("ts").alias(f"ms_{a}"),
+        )
+
+    def prior_within(later: DataFrame, earlier: DataFrame, la: str, ea: str) -> DataFrame:
+        """Rows of `later` having an `earlier` row by the same user in
+        (later-30m, later] — banded left semi."""
+        e = earlier.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"ms_{ea}") / F.lit(TOL_MS)),
+                    F.floor(F.col(f"ms_{ea}") / F.lit(TOL_MS)) + 1,
+                )
+            ).alias("band"),
+        )
+        l = later.withColumn(
+            "band", F.floor(F.col(f"ms_{la}") / F.lit(TOL_MS))
+        )
+        return l.join(
+            e,
+            (l["band"] == e["band"])
+            & (l[f"u_{la}"] == e[f"u_{ea}"])
+            & (e[f"ms_{ea}"] <= l[f"ms_{la}"])
+            & (e[f"ms_{ea}"] > l[f"ms_{la}"] - TOL_MS),
+            "left_semi",
+        ).drop("band")
+
+    qualified_clicks = prior_within(side("click", "c"), side("view", "v"), "c", "v")
+    converted = prior_within(side("purchase", "p"), qualified_clicks, "p", "c")
+    return converted.groupBy(F.col("u_p").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("ms_p").alias("first_completion_ms"),
+    )
+
+
 def q_pareto_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2D skyline (Pareto frontier) over the corpus: documents not
     dominated on (token count, distinct-token count) — the
@@ -1419,6 +1474,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_contamination": q_semantic_contamination,
     "nearest_click": q_nearest_click,
     "pareto_documents": q_pareto_documents,
+    "funnel_pattern": q_funnel_pattern,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -3173,6 +3229,28 @@ probe AS (
 SELECT user_id, true_count, est_count,
        est_count - true_count AS over_count
 FROM probe
+""",
+    # the sequence pattern restated as the textbook nested correlated
+    # EXISTS — the banded semi-join chain must reproduce it exactly
+    "funnel_pattern": """
+WITH v AS (SELECT user_id AS u, epoch_ms(ts) AS ms FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+c AS (SELECT user_id AS u, epoch_ms(ts) AS ms FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL),
+p AS (SELECT user_id AS u, epoch_ms(ts) AS ms FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+conv AS (
+  SELECT p.u, p.ms FROM p
+  WHERE EXISTS (
+    SELECT 1 FROM c
+    WHERE c.u = p.u AND c.ms <= p.ms AND c.ms > p.ms - 43200000
+      AND EXISTS (
+        SELECT 1 FROM v
+        WHERE v.u = c.u AND v.ms <= c.ms AND v.ms > c.ms - 43200000)))
+SELECT u AS user_id,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(ms) AS BIGINT) AS first_completion_ms
+FROM conv GROUP BY u
 """,
     # skyline restated as the textbook quadratic NOT EXISTS dominance
     # check — the engine's running-max formulation must reproduce it

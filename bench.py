@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "quiet_returners",
     "sliding_window_counts",
     "conversion_funnel",
+    "funnel_pattern",
 ]
 
 
