@@ -715,3 +715,47 @@ def test_skyline_matches_bruteforce_fuzz(spark):
             )
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_funnel_pattern_window_boundaries(spark):
+    """Step-window edges pinned: an earlier event exactly AT the later
+    event's timestamp counts (inclusive upper); exactly 12h before does
+    NOT (exclusive lower); 12h-1ms before does."""
+    import pandas as pd
+
+    from adtech_log_data_pipeline_spark.plans.northstar import q_funnel_pattern
+
+    TOL = 43_200_000
+    base = 1_700_000_000_000
+
+    def events(rows):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp(ms, unit="ms"),
+                    "user_id": u,
+                    "event_type": t,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, t, ms) in enumerate(rows)
+            ]
+        )
+        return spark.createDataFrame(pdf)
+
+    cases = [
+        # (view_ms, click_ms, purchase_ms, converts?)
+        (base, base, base, True),            # zero-lag chain: inclusive
+        (base - TOL, base, base + 1, False), # view exactly 12h before click
+        (base - TOL + 1, base, base + 1, True),
+        (base, base + TOL, base + TOL, False),  # click 12h after view
+    ]
+    import os, tempfile
+
+    for i, (v, c, p, ok) in enumerate(cases):
+        with tempfile.TemporaryDirectory() as d:
+            events([(7, "view", v), (7, "click", c), (7, "purchase", p)]) \
+                .write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+            rows = q_funnel_pattern(spark, d).collect()
+            assert (len(rows) == 1) == ok, f"case {i}"
