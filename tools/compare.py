@@ -79,6 +79,15 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv = [a for a in argv if a != "--vanilla"]
+    # repeatable --conf k=v: extra engine-session configs, for conf-matrix
+    # sweeps (e.g. --conf spark.sql.codegen.wholeStage=false); ignored
+    # with --vanilla (that session is deliberately config-free)
+    extra_conf: dict[str, str] = {}
+    while "--conf" in argv:
+        i = argv.index("--conf")
+        k, _, v = argv[i + 1].partition("=")
+        extra_conf[k] = v
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -97,7 +106,7 @@ def main() -> int:
     else:
         from adtech_log_data_pipeline_spark.session import get_spark
 
-        spark = get_spark("oracle-compare")
+        spark = get_spark("oracle-compare", extra_conf=extra_conf)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
