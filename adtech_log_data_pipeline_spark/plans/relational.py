@@ -1260,6 +1260,61 @@ def fk_integrity_audit_sql(dialect: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def penny_allocation_sql(dialect: str) -> str:
+    """Exact penny allocation (largest-remainder / Hamilton proration):
+    each order's o_totalprice is distributed across its line items
+    proportionally to quantity so the allocated CENTS sum exactly to the
+    order total — the classic finance-engineering rounding problem where
+    naive per-row rounding drifts by a cent per row.
+
+    Method, all exact integers: base_i = floor(T * w_i / W); the
+    leftover R = T - sum(base) (0 <= R < n) goes one cent each to the R
+    rows with the largest remainder (T * w_i) mod W, ties -> smallest
+    l_linenumber, then smallest quantity (the synthetic lineitem has
+    DUPLICATE (orderkey, linenumber) pairs, so ln alone is not a total
+    order; rows still tied after (rem, ln, w) are bit-identical, so
+    either one taking the extra cent yields the same output multiset).
+    Scale shape: ONE shuffle on the order key; both windows (rank,
+    order-sum) ride the same partitioning. The conservation law
+    (per-order allocated == total) is what the gate hash proves on
+    every order.
+
+    Overflow: T ~ 1e7 cents, w_i <= 50, W <= ~350 — T*w fits bigint with
+    ~10 orders of magnitude to spare. All quantities are positive, so
+    truncating integer division IS floor in both dialects."""
+    return f"""
+WITH li AS (
+  SELECT l_orderkey AS orderkey, l_linenumber AS ln,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+o AS (
+  SELECT o_orderkey AS orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders),
+t AS (
+  SELECT li.orderkey, li.ln, li.w, o.total_cents,
+         sum(li.w) OVER (PARTITION BY li.orderkey) AS w_tot
+  FROM li JOIN o ON li.orderkey = o.orderkey),
+b AS (
+  SELECT orderkey, ln, w, total_cents, w_tot,
+         CAST((total_cents * w) {_idiv(dialect)} w_tot AS BIGINT)
+           AS base_cents,
+         (total_cents * w) % w_tot AS rem
+  FROM t),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY orderkey
+                            ORDER BY rem DESC, ln, w) AS rk,
+         total_cents - sum(base_cents) OVER (PARTITION BY orderkey)
+           AS leftover
+  FROM b)
+SELECT orderkey, CAST(ln AS INT) AS ln,
+       CAST(base_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_cents
+FROM r
+"""
+
+
 def weighted_median_price_sql(dialect: str) -> str:
     """Quantity-weighted median line price per ship month — the weighted
     percentile shape (exact, no approx sketch): the smallest price whose
@@ -1297,6 +1352,7 @@ GROUP BY y, mo
 
 RELATIONAL_SQL = {
     "weighted_median_price": (weighted_median_price_sql, ["lineitem"]),
+    "penny_allocation": (penny_allocation_sql, ["lineitem", "orders"]),
     "props_json_stats": (props_json_stats_sql, ["events"]),
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "cdc_customer_state",
     "dim_truncation_recall",
     "weighted_median_price",
+    "penny_allocation",
     "value_deciles",
     "type_transitions",
     "cohort_ltv",

@@ -759,3 +759,51 @@ def test_funnel_pattern_window_boundaries(spark):
                 .write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
             rows = q_funnel_pattern(spark, d).collect()
             assert (len(rows) == 1) == ok, f"case {i}"
+
+
+def test_penny_allocation_conservation_and_bounds(spark):
+    """Largest-remainder proration laws on sf0.001: per-order allocated
+    cents sum EXACTLY to the order total, and the allocation multiset
+    per order matches a transparent pure-Python largest-remainder
+    replay (the synthetic lineitem has duplicate (orderkey, linenumber)
+    pairs, so the check is per-order multisets, not per-row keys)."""
+    from collections import Counter
+
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        penny_allocation_sql,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import register_tables
+
+    SF = "/root/testdata/sf0.001"
+    register_tables(spark, SF, ["lineitem", "orders"])
+    rows = spark.sql(penny_allocation_sql("spark")).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["orderkey"], []).append(r["alloc_cents"])
+    totals = {
+        r["o_orderkey"]: round(r["o_totalprice"] * 100)
+        for r in spark.sql(
+            "SELECT o_orderkey, o_totalprice FROM orders"
+        ).collect()
+    }
+    lines: dict = {}
+    for r in spark.sql(
+        "SELECT l_orderkey ok, l_linenumber ln,"
+        " cast(l_quantity as bigint) w FROM lineitem"
+    ).collect():
+        lines.setdefault(r["ok"], []).append((r["ln"], r["w"]))
+    assert got  # non-trivial
+    for ok, allocs in got.items():
+        t = totals[ok]
+        assert sum(allocs) == t, ok  # conservation, the headline law
+        ws = lines[ok]
+        W = sum(w for _, w in ws)
+        base = [(t * w) // W for _, w in ws]
+        leftover = t - sum(base)
+        order = sorted(
+            range(len(ws)),
+            key=lambda i: (-((t * ws[i][1]) % W), ws[i][0], ws[i][1]),
+        )
+        for i in order[:leftover]:
+            base[i] += 1
+        assert Counter(allocs) == Counter(base), ok
