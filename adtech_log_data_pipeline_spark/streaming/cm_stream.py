@@ -28,6 +28,34 @@ from ..functions.sketch import CM_DEPTH, CM_WIDTH, cm_sketch_state
 STATE_SCHEMA = "row int, bucket int, cnt bigint"
 
 
+def cm_partial_writer(state_dir: str, depth: int, width: int):
+    """The foreachBatch sink: write THIS batch's partial sketch to
+    batch=<id>/ with overwrite. Module-level so tests can drive the
+    exactly-once mechanism directly: a Spark RETRY of batch N re-invokes
+    this with the same batch_id and overwrites N's own partial — the
+    merged state is unchanged (idempotent per batch id), which is the
+    whole exactly-once story for an additive (non-idempotent-merge)
+    sketch."""
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        cm_sketch_state(batch_df, "user_id", depth, width).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
+
+    return write_partial
+
+
+def merged_cm_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Sum the per-batch partials into the final sketch state."""
+    return (
+        spark.read.schema(STATE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(state_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def stream_cm_sketch(
     spark: SparkSession,
     sf_dir: str,
@@ -48,32 +76,20 @@ def stream_cm_sketch(
     state_dir = os.path.join(work, "state")
     ckpt = scratch_dir("cm_ckpt_")
 
-    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
-        cm_sketch_state(batch_df, "user_id", depth, width).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
-
     src = events if events is not None else _events_stream(spark, sf_dir)
     try:
         with stream_partitions(spark):
             q = (
                 src.select("user_id")
                 .writeStream.outputMode("append")
-                .foreachBatch(write_partial)
+                .foreachBatch(cm_partial_writer(state_dir, depth, width))
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-        merged = (
-            spark.read.schema(STATE_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(state_dir)
-            .groupBy("row", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
         # Row-based materialization — vanilla-session (Arrow-off) safe
-        rows = merged.collect()
+        rows = merged_cm_state(spark, state_dir).collect()
         return spark.createDataFrame(rows, schema=STATE_SCHEMA)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -565,3 +565,31 @@ def test_cm_sketch_multibatch_equals_batch(spark, replay_dir):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in expected.collect()
     }
+
+
+def test_cm_partial_writer_batch_retry_is_exactly_once(spark, tmp_path):
+    """The additive sketch's exactly-once mechanism, driven directly: a
+    retried micro-batch (same batch_id re-invoked, as Spark does after a
+    foreachBatch failure) overwrites its OWN partial, so the merged
+    state equals the batch sketch — no double counting. A crash BETWEEN
+    batches (partial 0 persisted, batch 1 re-run from scratch) is the
+    same law."""
+    from adtech_log_data_pipeline_spark.functions.sketch import cm_sketch_state
+    from adtech_log_data_pipeline_spark.streaming.cm_stream import (
+        cm_partial_writer,
+        merged_cm_state,
+    )
+
+    state = str(tmp_path / "state")
+    write = cm_partial_writer(state, 4, 512)
+    b0 = spark.createDataFrame([(i % 7,) for i in range(40)], "user_id long")
+    b1 = spark.createDataFrame([(i % 11,) for i in range(60)], "user_id long")
+    write(b0, 0)
+    write(b1, 1)
+    write(b1, 1)  # retry of batch 1: overwrite, not append
+    got = {tuple(r) for r in merged_cm_state(spark, state).collect()}
+    expected = {
+        tuple(r)
+        for r in cm_sketch_state(b0.unionByName(b1), "user_id").collect()
+    }
+    assert got == expected
