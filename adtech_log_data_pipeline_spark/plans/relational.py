@@ -1260,6 +1260,37 @@ def fk_integrity_audit_sql(dialect: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def activity_streaks_sql(dialect: str) -> str:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE active
+    calendar days (UTC epoch days — integer arithmetic, no timezone or
+    date-type portability surface), plus active-day and streak counts.
+    The classic day - row_number() anchor trick: within a user, every
+    maximal run of consecutive days shares one anchor value, so islands
+    fall out of a plain GROUP BY — no iterative logic, no self-join.
+    Scale shape: ONE shuffle on user_id; the row_number window and both
+    aggregations ride the same partitioning."""
+    ms = _ms("ts", dialect)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST({ms} AS BIGINT) {_idiv(dialect)} 86400000 AS day
+  FROM events WHERE user_id IS NOT NULL),
+anchored AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS anchor
+  FROM d),
+islands AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+  FROM anchored GROUP BY user_id, anchor)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak_days,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM islands GROUP BY user_id
+"""
+
+
 def penny_allocation_sql(dialect: str) -> str:
     """Exact penny allocation (largest-remainder / Hamilton proration):
     each order's o_totalprice is distributed across its line items
@@ -1353,6 +1384,7 @@ GROUP BY y, mo
 RELATIONAL_SQL = {
     "weighted_median_price": (weighted_median_price_sql, ["lineitem"]),
     "penny_allocation": (penny_allocation_sql, ["lineitem", "orders"]),
+    "activity_streaks": (activity_streaks_sql, ["events"]),
     "props_json_stats": (props_json_stats_sql, ["events"]),
     "pricing_summary": (pricing_summary_sql, ["lineitem"]),
     "top_revenue_orders": (top_revenue_orders_sql, ["customer", "orders", "lineitem"]),

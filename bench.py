@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dim_truncation_recall",
     "weighted_median_price",
     "penny_allocation",
+    "activity_streaks",
     "value_deciles",
     "type_transitions",
     "cohort_ltv",

@@ -807,3 +807,40 @@ def test_penny_allocation_conservation_and_bounds(spark):
         for i in order[:leftover]:
             base[i] += 1
         assert Counter(allocs) == Counter(base), ok
+
+
+def test_activity_streaks_matches_python_reference(spark):
+    """Gaps-and-islands anchors vs a transparent day-set scan on
+    sf0.001 events."""
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        activity_streaks_sql,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import register_tables
+
+    SF = "/root/testdata/sf0.001"
+    register_tables(spark, SF, ["events"])
+    got = {
+        r["user_id"]: (
+            r["longest_streak_days"], r["n_active_days"], r["n_streaks"]
+        )
+        for r in spark.sql(activity_streaks_sql("spark")).collect()
+    }
+    days: dict = {}
+    for r in spark.sql(
+        "SELECT user_id, unix_millis(ts) div 86400000 AS day FROM events"
+        " WHERE user_id IS NOT NULL"
+    ).collect():
+        days.setdefault(r["user_id"], set()).add(r["day"])
+    expect = {}
+    for u, ds in days.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expect[u] = (max(runs), len(sd), len(runs))
+    assert got == expect and any(v[2] > 1 for v in got.values())
