@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
             "dedup-index", "dedup-screen", "spanclean", "span-index",
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
-            "drift", "attribution", "pca", "cdc",
+            "drift", "attribution", "pca", "cdc", "explain",
         ],
         required=True,
     )
@@ -312,6 +312,29 @@ def main(argv: list[str] | None = None) -> int:
             f"pca done: {comps.shape[0]} components, top explains"
             f" {explained[0] if len(explained) else 0:.3f} -> {args.output}"
         )
+    elif args.job == "explain":
+        # plan observability: print the formatted physical plan of any
+        # declared query (--table <query_name>) against --sf-dir, and
+        # write it to <output>/plan.txt — what you read before believing
+        # a query is 100 TB-shaped (broadcasts where expected, filters
+        # pushed, no nested loops)
+        if not args.table:
+            ap.error("--table <query_name> is required for --job explain")
+        import os as _os
+
+        from .plans.queries import QUERIES
+
+        if args.table not in QUERIES:
+            ap.error(f"unknown query {args.table!r} (see QUERIES.md)")
+        df = QUERIES[args.table](spark, args.sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), "formatted"
+        )
+        _os.makedirs(args.output, exist_ok=True)
+        with open(_os.path.join(args.output, "plan.txt"), "w") as f:
+            f.write(plan)
+        print(plan)
+        print(f"explain done: {args.table} -> {args.output}/plan.txt")
     elif args.job == "cdc":
         if not args.input or not args.against or not args.bucket_cols \
                 or not args.seq_cols:

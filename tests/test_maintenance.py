@@ -427,3 +427,22 @@ def test_pca_cli(spark, tmp_path):
     assert len(art["components"]) == 3
     assert len(art["components"][0]) == 6
     assert len(art["explained_variance"]) == 3
+
+
+def test_explain_cli_job(spark, tmp_path):
+    """--job explain writes the formatted physical plan of a declared
+    query and the plan shows the pushed-down scan."""
+    from adtech_log_data_pipeline_spark.__main__ import main
+
+    out = str(tmp_path / "plan")
+    rc = main(
+        [
+            "--job", "explain", "--table", "pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", out, "--master", "local[2]",
+        ]
+    )
+    assert rc == 0
+    plan = open(f"{out}/plan.txt").read()
+    assert "Physical Plan" in plan and "Scan parquet" in plan
+    assert "PushedFilters" in plan
