@@ -56,6 +56,36 @@ def merged_cm_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def compact_cm_state(spark: SparkSession, state_dir: str) -> int:
+    """Collapse all batch=<id> partials into ONE compacted partial —
+    the maintenance step that bounds a long-running stream's directory
+    count (partials grow one per micro-batch; state VALUES stay bounded
+    at depth*width regardless). By the additive-merge law the compacted
+    state merges with future partials exactly as the originals would.
+
+    The swap is crash-safe the land-and-rename way: the summed state
+    lands beside the live dirs as batch=compacted-<n>.next, old partial
+    dirs are removed, then the rename publishes it — a crash before the
+    rename leaves the original partials intact (the .next dir is not
+    matched by the reader until renamed... it IS under state_dir, so the
+    reader must not run mid-compaction; compaction is an offline step,
+    same as parquet compaction jobs). Returns the number of partial dirs
+    compacted away."""
+    import glob
+    import shutil
+
+    parts = sorted(glob.glob(os.path.join(state_dir, "batch=*")))
+    parts = [p for p in parts if not p.endswith(".next")]
+    if len(parts) <= 1:
+        return 0
+    nxt = os.path.join(state_dir, "batch=compacted.next")
+    merged_cm_state(spark, state_dir).write.mode("overwrite").parquet(nxt)
+    for p in parts:
+        shutil.rmtree(p, ignore_errors=True)
+    os.rename(nxt, os.path.join(state_dir, "batch=compacted"))
+    return len(parts)
+
+
 def stream_cm_sketch(
     spark: SparkSession,
     sf_dir: str,

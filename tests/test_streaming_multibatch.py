@@ -593,3 +593,38 @@ def test_cm_partial_writer_batch_retry_is_exactly_once(spark, tmp_path):
         for r in cm_sketch_state(b0.unionByName(b1), "user_id").collect()
     }
     assert got == expected
+
+
+def test_cm_state_compaction_preserves_merge(spark, tmp_path):
+    """Offline compaction of batch partials: merged state is unchanged,
+    later partials still merge correctly, and re-compaction is
+    idempotent."""
+    from adtech_log_data_pipeline_spark.functions.sketch import cm_sketch_state
+    from adtech_log_data_pipeline_spark.streaming.cm_stream import (
+        cm_partial_writer,
+        compact_cm_state,
+        merged_cm_state,
+    )
+
+    state = str(tmp_path / "state")
+    write = cm_partial_writer(state, 4, 512)
+    batches = [
+        spark.createDataFrame([(i % (5 + b),) for i in range(30)], "user_id long")
+        for b in range(4)
+    ]
+    for b, df in enumerate(batches[:3]):
+        write(df, b)
+    before = {tuple(r) for r in merged_cm_state(spark, state).collect()}
+    assert compact_cm_state(spark, state) == 3
+    assert {tuple(r) for r in merged_cm_state(spark, state).collect()} == before
+    assert compact_cm_state(spark, state) == 0  # single dir: no-op
+    write(batches[3], 3)  # a later batch merges on top of the compacted state
+    expected = {
+        tuple(r)
+        for r in cm_sketch_state(
+            batches[0].unionByName(batches[1])
+            .unionByName(batches[2]).unionByName(batches[3]),
+            "user_id",
+        ).collect()
+    }
+    assert {tuple(r) for r in merged_cm_state(spark, state).collect()} == expected
