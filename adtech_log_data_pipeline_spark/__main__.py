@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "bidlog", "prediction", "export", "export-tfrecord", "ingest",
             "compact", "bucketize", "profile", "rangesort", "zorder", "diff",
-            "dedup-index", "dedup-screen", "spanclean", "span-index",
+            "dedup-index", "dedup-update", "dedup-screen", "spanclean", "span-index",
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
         ],
@@ -194,6 +194,17 @@ def main(argv: list[str] | None = None) -> int:
 
         build_dedup_index(spark.read.parquet(args.input), args.output)
         print(f"dedup-index done: bands/ + shingles/ -> {args.output}")
+    elif args.job == "dedup-update":
+        if not args.input or not args.against:
+            ap.error(
+                "--input (newly admitted documents parquet) and --against"
+                " (index dir from --job dedup-index) are required for"
+                " --job dedup-update"
+            )
+        from .functions.dedup import update_dedup_index
+
+        update_dedup_index(spark.read.parquet(args.input), args.against)
+        print(f"dedup-update done: appended to {args.against}")
     elif args.job == "dedup-screen":
         if not args.input or not args.against:
             ap.error(

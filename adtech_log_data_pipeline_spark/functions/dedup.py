@@ -751,6 +751,40 @@ def build_dedup_index(
         release_cached_from(mark)
 
 
+def update_dedup_index(
+    new_documents: DataFrame, index_dir: str, bucket_cap: int = BAND_BUCKET_CAP
+) -> None:
+    """APPEND newly admitted documents to a persisted build_dedup_index
+    artifact — the step that closes the ingest loop: screen a batch
+    (dedup_incoming_indexed), keep the non-dups, update_dedup_index them
+    so the NEXT batch screens against today's admissions without a full
+    rebuild. Cost scales with the increment, never the corpus.
+
+    Equivalence contract: per-document band/shingle rows are independent
+    of corpus membership, so the appended artifact holds exactly the
+    rows a from-scratch rebuild over (existing UNION new) would — except
+    bucket caps, which apply WITHIN each build: a bucket that crosses
+    the cap only across increments keeps cap rows per increment rather
+    than cap total (strictly MORE candidates — recall never degrades vs
+    the rebuild; dedup_cap_audit reports when any bucket is near the cap
+    and a rebuild should re-tighten it). Caller contract: new doc_ids
+    must be disjoint from the indexed corpus (screened batches are)."""
+    import os
+
+    from ._cache import registry_mark, release_cached_from
+
+    mark = registry_mark()
+    try:
+        ds = hold(_shingle_rows(new_documents).distinct(), eager=True)
+        bands = minhash_band_rows(
+            new_documents, bucket_cap=bucket_cap, shingles=ds
+        )
+        bands.write.mode("append").parquet(os.path.join(index_dir, "bands"))
+        ds.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+    finally:
+        release_cached_from(mark)
+
+
 def dedup_incoming_indexed(
     incoming: DataFrame,
     index_dir: str,
