@@ -589,6 +589,40 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_attribution_outer(spark, sf_dir)
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hour-of-day x event-type counts as one WIDE row per hour
+    (groupBy().pivot() with an EXPLICIT value list — an unlisted pivot
+    would scan once just to discover columns, and a drifting category
+    set would silently change the output schema; empty cells coalesce
+    to 0). Hours come from integer epoch arithmetic, not hour() — the
+    vanilla session has no timezone pin. The unpivot (melt) inverse is
+    law-tested in tests/test_round6_ops.py via DataFrame.unpivot."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(PIVOT_TYPES)
+    )
+    wide = (
+        ev.select(
+            F.expr("cast(unix_millis(ts) div 3600000 % 24 as int)").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .groupBy("hour")
+        .pivot("event_type", PIVOT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "hour",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
 def q_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded sequence-pattern match (the MATCH_RECOGNIZE shape
     Spark SQL lacks): purchases completing view -> click -> purchase
@@ -1475,6 +1509,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nearest_click": q_nearest_click,
     "pareto_documents": q_pareto_documents,
     "funnel_pattern": q_funnel_pattern,
+    "event_pivot": q_event_pivot,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
     "stream_session_windows": q_stream_session_windows,
@@ -3229,6 +3264,20 @@ probe AS (
 SELECT user_id, true_count, est_count,
        est_count - true_count AS over_count
 FROM probe
+""",
+    # the pivot restated as conditional aggregation — DuckDB's PIVOT
+    # statement form isn't a plain SELECT, and the conditional-sum
+    # restatement is the portable ground truth anyway
+    "event_pivot": """
+SELECT CAST(epoch_ms(ts) // 3600000 % 24 AS INT) AS hour,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+GROUP BY 1
 """,
     # the sequence pattern restated as the textbook nested correlated
     # EXISTS — the banded semi-join chain must reproduce it exactly

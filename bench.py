@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "quarantined_docs",
     "retention_cohorts",
     "hourly_activity",
+    "event_pivot",
     "stream_kmv_distinct",
     "stream_cm_sketch",
     "oov_rate",

@@ -844,3 +844,49 @@ def test_activity_streaks_matches_python_reference(spark):
         runs.append(cur)
         expect[u] = (max(runs), len(sd), len(runs))
     assert got == expect and any(v[2] > 1 for v in got.values())
+
+
+def test_event_pivot_unpivot_roundtrip(spark):
+    """Pivot/unpivot inverse law: melting the wide hourly matrix back
+    with DataFrame.unpivot reproduces the flat (hour, event_type, n)
+    counts exactly (zero cells melt to explicit zeros)."""
+    from adtech_log_data_pipeline_spark.plans.northstar import (
+        PIVOT_TYPES,
+        q_event_pivot,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    wide = q_event_pivot(spark, SF)
+    melted = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in wide.unpivot(
+            "hour",
+            [f"n_{t}" for t in PIVOT_TYPES],
+            "event_type",
+            "n",
+        )
+        .withColumn(
+            "event_type", F.expr("substring(event_type, 3)")
+        )
+        .collect()
+    }
+    flat = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin(PIVOT_TYPES))
+        .select(
+            F.expr("cast(unix_millis(ts) div 3600000 % 24 as int)").alias("hour"),
+            "event_type",
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, v in flat.items():
+        assert melted[k] == v, k
+    # cells absent from the flat counts must be explicit zeros in the melt
+    assert all(v == 0 for k, v in melted.items() if k not in flat)
+    assert len(melted) == 24 * len(PIVOT_TYPES) or len(melted) == len(
+        {h for h, _ in melted}
+    ) * len(PIVOT_TYPES)
