@@ -239,9 +239,12 @@ _GATE_FIRST = [
     # segment_trend, wide_order_facts, customer_spend_rank, cohort_ltv,
     # embedding_covariance, kmv_overlap, incremental_rollup,
     # cm_error_audit, cdc_customer_state, dim_truncation_recall,
-    # stream_attribution_full) are pytest- and full-board
-    # local-compare-proven (BOTH sessions, sf0.01) and queue first for
-    # the round-7 window
+    # stream_attribution_full, stream_cm_sketch, semantic_contamination,
+    # nearest_click, weighted_median_price, pareto_documents,
+    # funnel_pattern, penny_allocation, activity_streaks, event_pivot —
+    # 32 in all) are pytest- and full-board local-compare-proven (BOTH
+    # sessions at sf0.01; sf0.1 and conf-matrix coverage recorded in
+    # LOCALGATE_r06.json) and queue first for the round-7 window
     "copurchase_pagerank",
     "stream_drift_chi2",
     "user_value_outliers",
