@@ -890,3 +890,77 @@ def test_event_pivot_unpivot_roundtrip(spark):
     assert len(melted) == 24 * len(PIVOT_TYPES) or len(melted) == len(
         {h for h, _ in melted}
     ) * len(PIVOT_TYPES)
+
+
+def test_penny_allocation_adversarial_fuzz(spark):
+    """Largest-remainder proration on adversarial synthetic orders:
+    single-line orders, zero-weight lines, totals smaller than the line
+    count, duplicate line numbers, equal remainders — conservation and
+    the pure-Python replay must hold on all of them (fixed seed)."""
+    import random
+    from collections import Counter
+
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        penny_allocation_sql,
+    )
+
+    rng = random.Random(614)
+    orders, lines = [], []
+    ok = 0
+    def add(total_cents, ws):
+        nonlocal ok
+        orders.append((ok, total_cents / 100.0))
+        for i, w in enumerate(ws):
+            # duplicate line numbers on purpose (i // 2)
+            lines.append((ok, i // 2 + 1, float(w)))
+        ok += 1
+    add(1, [1])                    # one cent, one line
+    add(3, [5, 5, 5, 5])           # total < line count, all remainders equal
+    add(100, [0, 7])               # zero-weight line
+    add(999, [1])                  # single line takes everything
+    add(250, [2, 2, 2, 2])         # even split with leftover
+    for _ in range(10):
+        add(rng.randrange(1, 10_000),
+            [rng.randrange(0, 9) for _ in range(rng.randrange(1, 7))])
+    # every order needs positive total weight (zero-weight ORDERS are
+    # undefined for proration — the real schema guarantees quantity >= 1)
+    by_ok = {}
+    for o, ln, w in lines:
+        by_ok.setdefault(o, []).append((ln, int(w)))
+    for o, ws in by_ok.items():
+        if sum(w for _, w in ws) == 0:
+            lines.append((o, 99, 1.0))
+            by_ok[o].append((99, 1))
+    spark.createDataFrame(
+        [(o, ln, w, 0.0, 0.0, 0.0, "x", "x", "x", "1996-01-01", q)
+         for (o, ln, q) in lines for w in [q]],
+        "l_orderkey long, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipmode_x string,"
+        " l_shipdate string, _q double",
+    ).drop("_q", "l_shipmode_x").createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(o, t, "O", "p", "1996-01-01") for o, t in orders],
+        "o_orderkey long, o_totalprice double, o_orderstatus string,"
+        " o_orderpriority string, o_orderdate string",
+    ).createOrReplaceTempView("orders")
+    rows = spark.sql(penny_allocation_sql("spark")).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["orderkey"], []).append(r["alloc_cents"])
+    for o, total in orders:
+        t = round(total * 100)
+        ws = by_ok[o]
+        assert sum(got[o]) == t, o
+        W = sum(w for _, w in ws)
+        base = [(t * w) // W for _, w in ws]
+        leftover = t - sum(base)
+        order = sorted(
+            range(len(ws)),
+            key=lambda i: (-((t * ws[i][1]) % W), ws[i][0], ws[i][1]),
+        )
+        for i in order[:leftover]:
+            base[i] += 1
+        assert Counter(got[o]) == Counter(base), o
+    spark.catalog.dropTempView("lineitem")
+    spark.catalog.dropTempView("orders")
