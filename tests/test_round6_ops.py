@@ -964,3 +964,54 @@ def test_penny_allocation_adversarial_fuzz(spark):
         assert Counter(got[o]) == Counter(base), o
     spark.catalog.dropTempView("lineitem")
     spark.catalog.dropTempView("orders")
+
+
+def test_weighted_median_adversarial_fuzz(spark):
+    """Weighted median on adversarial synthetic months: single rows,
+    all-tied prices, one dominating weight, even-total half-exact
+    crossings — RANGE-frame pick equals the textbook cumulative scan
+    (fixed seed)."""
+    import random
+
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        weighted_median_price_sql,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    def month(y, mo, items):
+        for p_cents, q in items:
+            rows.append((y, mo, p_cents / 100.0, float(q)))
+    month(2001, 1, [(100, 1)])                      # single row
+    month(2001, 2, [(500, 3), (500, 9), (500, 2)])  # all prices tied
+    month(2001, 3, [(100, 1), (200, 1)])            # even total: 2*cum==tot at first row
+    month(2001, 4, [(100, 99), (9999, 1)])          # dominating weight
+    for mo in range(5, 11):
+        month(2001, mo, [(rng.randrange(1, 50) * 100, rng.randrange(1, 9))
+                         for _ in range(rng.randrange(1, 12))])
+    spark.createDataFrame(
+        [
+            (i, q, p, f"{y}-{mo:02d}-15")
+            for i, (y, mo, p, q) in enumerate(rows)
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_shipdate string",
+    ).createOrReplaceTempView("lineitem")
+    got = {
+        (r["y"], r["mo"]): (r["total_qty"], r["wmedian_price_cents"])
+        for r in spark.sql(weighted_median_price_sql("spark")).collect()
+    }
+    groups: dict = {}
+    for y, mo, p, q in rows:
+        groups.setdefault((y, mo), []).append((round(p * 100), int(q)))
+    expect = {}
+    for k, items in groups.items():
+        tot = sum(q for _, q in items)
+        cum = 0
+        for p, q in sorted(items):
+            cum += q
+            if 2 * cum >= tot:
+                expect[k] = (tot, p)
+                break
+    assert got == expect
+    spark.catalog.dropTempView("lineitem")
