@@ -189,3 +189,37 @@ def test_nearest_click_banding_equals_bruteforce(spark):
         )
     assert got == expect
     assert any(v == (None, None) for v in got.values())  # null side exercised
+
+
+def test_nearest_click_exact_boundary_inclusivity(spark, tmp_path):
+    """|lag| == 30min exactly must MATCH (<= bound, both directions);
+    30min + 1ms must not."""
+    import os
+
+    import pandas as pd
+
+    from adtech_log_data_pipeline_spark.plans.northstar import q_nearest_click
+
+    TOL = 1_800_000
+    base = 1_700_000_000_000
+    rows = [
+        # user 1: click exactly TOL before the purchase -> matches
+        (1, 1, "purchase", base), (2, 1, "click", base - TOL),
+        # user 2: click exactly TOL after -> matches
+        (3, 2, "purchase", base), (4, 2, "click", base + TOL),
+        # user 3: click TOL+1ms away -> no match
+        (5, 3, "purchase", base), (6, 3, "click", base + TOL + 1),
+    ]
+    pdf = pd.DataFrame(
+        [
+            {"event_id": i, "user_id": u, "event_type": t,
+             "ts": pd.Timestamp(ms, unit="ms"), "value": 1.0, "props": "{}"}
+            for i, u, t, ms in rows
+        ]
+    )
+    d = str(tmp_path)
+    pdf_df = spark.createDataFrame(pdf)
+    pdf_df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["purchase_id"]: (r["click_id"], r["lag_ms"])
+           for r in q_nearest_click(spark, d).collect()}
+    assert got == {1: (2, TOL), 3: (4, -TOL), 5: (None, None)}

@@ -1015,3 +1015,50 @@ def test_weighted_median_adversarial_fuzz(spark):
                 break
     assert got == expect
     spark.catalog.dropTempView("lineitem")
+
+
+def test_activity_streaks_synthetic_edges(spark):
+    """Single-day users, fully-consecutive runs, fully-isolated days —
+    the anchor formulation handles each; fixed-seed random day sets
+    cross-checked against the scan."""
+    import random
+
+    from adtech_log_data_pipeline_spark.plans.relational import (
+        activity_streaks_sql,
+    )
+
+    rng = random.Random(4)
+    data = {1: [10], 2: list(range(5, 15)), 3: [1, 5, 9, 40]}
+    for u in range(4, 12):
+        data[u] = sorted(rng.sample(range(0, 40), rng.randrange(1, 15)))
+    rows = [
+        (i, u, d * 86_400_000 + 12_345)
+        for i, (u, days) in enumerate(
+            (u, d) for u, ds in data.items() for d in ds
+        )
+        for d in [days]
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            {"event_id": i, "user_id": u,
+             "ts": pd.Timestamp(ms, unit="ms"),
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i, u, ms in rows
+        ]
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    got = {
+        r["user_id"]: (
+            r["longest_streak_days"], r["n_active_days"], r["n_streaks"]
+        )
+        for r in spark.sql(activity_streaks_sql("spark")).collect()
+    }
+    for u, ds in data.items():
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b == a + 1 else (runs.append(cur) or 1)
+        runs.append(cur)
+        assert got[u] == (max(runs), len(ds), len(runs)), u
+    spark.catalog.dropTempView("events")
