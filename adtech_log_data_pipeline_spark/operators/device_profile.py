@@ -40,9 +40,29 @@ from pyspark.sql import functions as F
 #   geos: array<struct<country, region>>
 
 
-def device_profiles(valid_logs: DataFrame) -> DataFrame:
+# Apps-per-device materialization cap (SURVEY.md §4's 100 TB note): the
+# nested `apps` array is the ONE unbounded-per-row collection in the parity
+# aggregation — a bot-like device with 10^5 distinct bundles would blow the
+# row. The default keeps every honest device intact by orders of magnitude
+# (synthetic data peaks at ~30 apps/device; real devices at ~10^2-10^3) and
+# exists so the worst row is bounded, with truncation OBSERVABLE via
+# plans/audits.py::q_profile_cap_audit — the same no-silent-caps law the
+# dedup band buckets follow.
+DEFAULT_PROFILE_APP_CAP = 10_000
+
+
+def device_profiles(
+    valid_logs: DataFrame, max_apps_per_device: int | None = None
+) -> DataFrame:
     """Build nested DeviceProfiles from validated bid logs (columns os, uuid,
-    app_bundle, exchange, received_at, geo_country, geo_region)."""
+    app_bundle, exchange, received_at, geo_country, geo_region).
+
+    `max_apps_per_device`: bound the materialized `apps` array to the N
+    most-active apps (ties broken by bundle — deterministic). The cap
+    truncates ONLY the array: device-level first_at/last_at/geos still
+    aggregate over ALL apps (reference bounds semantics,
+    DeviceProfileUtils.java:206-240, are never altered by the cap).
+    None (default) skips the ranking window entirely — no extra sort."""
     flat = valid_logs.select(
         "os",
         "uuid",
@@ -84,13 +104,40 @@ def device_profiles(valid_logs: DataFrame) -> DataFrame:
         F.array_distinct(F.flatten(F.collect_list("geos"))).alias("geos"),
     )
 
+    app_struct = "struct(bundle, first_at, last_at, count_per_exchange)"
+    if max_apps_per_device is not None:
+        # rank apps per device by activity (desc), bundle (asc) — one
+        # window over the already device×app-bounded relation — and
+        # collect only the top-N into the array. collect_list skips the
+        # NULLs the CASE produces for over-cap rows, while min/max/geos
+        # below still see every row: bounds stay exact under truncation.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("os", "uuid").orderBy(
+            F.desc("app_total"), F.asc("bundle")
+        )
+        apps = (
+            apps.withColumn(
+                "app_total",
+                F.expr(
+                    "aggregate(map_values(count_per_exchange), 0L,"
+                    " (acc, x) -> acc + x)"
+                ),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .drop("app_total")
+        )
+        app_struct = (
+            f"CASE WHEN __rk <= {int(max_apps_per_device)} THEN {app_struct} END"
+        )
+
     # sort_array can't order structs that contain maps; sort by the (unique)
     # bundle key with an explicit comparator instead.
     app_level = apps.groupBy("os", "uuid").agg(
         F.min("first_at").alias("first_at"),
         F.max("last_at").alias("last_at"),
         F.expr(
-            "array_sort(collect_list(struct(bundle, first_at, last_at, count_per_exchange)),"
+            f"array_sort(collect_list({app_struct}),"
             " (l, r) -> CASE WHEN l.bundle < r.bundle THEN -1"
             " WHEN l.bundle > r.bundle THEN 1 ELSE 0 END)"
         ).alias("apps"),

@@ -231,6 +231,68 @@ def q_tfexample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_tfrecord_parity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-fidelity gate for the reference's ACTUAL ingestion path
+    (BidLogJob.java:135: TFRecordIO.read + ProtoCoder): materialize the
+    bid logs as gzip TFRecord shards of wire-format BidLog protos
+    (sources/protowire.py::encode_wire_proto +
+    sources/tfrecord.py::write_tfrecord_partitioned), read them back
+    through the full S1+S3 decode chain (read_tfrecord_proto), and run
+    the REAL parity pipeline — isValid filter, canonical device key,
+    mergeDps aggregation — on the decoded rows.
+
+    The oracle is the device_profiles_flat SQL over the parquet-derived
+    bid_logs, so the gate proves encode → frame → gzip → unframe →
+    decode → validate → aggregate is bit-identical to the parquet path
+    end-to-end. DuckDB never needs to read TFRecord: equality of the
+    two paths IS the check.
+
+    The collect is bounded by DEVICE×APP×EXCHANGE cardinality (the
+    profile aggregate's output, not the input log count) and exists only
+    so the scratch shards can be deleted before returning; a production
+    deployment reads durable TFRecords and stays fully lazy."""
+    from ..operators.device_profile import (
+        device_profiles,
+        flatten_device_profiles,
+    )
+    from ..operators.validate import valid_bid_logs
+    from ..sources.bidlogs import load_bid_logs
+    from ..sources.protowire import (
+        BID_LOG,
+        BID_LOG_SQL_SCHEMA,
+        bidlog_to_row,
+        encode_wire_proto,
+        row_to_bidlog,
+    )
+    from ..sources.tfrecord import read_tfrecord_proto, write_tfrecord_partitioned
+
+    work = scratch_dir("tfrecord_parity_")
+    shards = os.path.join(work, "bidlogs")
+    try:
+        logs = load_bid_logs(spark, sf_dir)
+        write_tfrecord_partitioned(
+            encode_wire_proto(logs, BID_LOG, row_to_bidlog), shards
+        )
+        decoded = read_tfrecord_proto(
+            spark,
+            os.path.join(shards, "*.tfrecord.gz"),
+            BID_LOG,
+            BID_LOG_SQL_SCHEMA,
+            bidlog_to_row,
+        )
+        flat = flatten_device_profiles(device_profiles(valid_bid_logs(decoded)))
+        rows = flat.collect()
+        return _materialize(
+            spark,
+            rows,
+            "os string, uuid string, first_at bigint, last_at bigint,"
+            " bundle string, app_first_at bigint, app_last_at bigint,"
+            " exchange int, cnt int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export gate: run functions/export.py::
     export_training_shards (curated corpus → split-partitioned parquet +
@@ -553,6 +615,7 @@ MAINTENANCE_QUERIES = {
     "range_sort_audit": q_range_sort_audit,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "tfexample_roundtrip": q_tfexample_roundtrip,
+    "tfrecord_parity_check": q_tfrecord_parity_check,
     "shard_manifest": q_shard_manifest,
     "ingest_checkpoint_audit": q_ingest_checkpoint_audit,
     "compaction_audit": q_compaction_audit,

@@ -648,7 +648,7 @@ def q_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def prior_within(later: DataFrame, earlier: DataFrame, la: str, ea: str) -> DataFrame:
         """Rows of `later` having an `earlier` row by the same user in
-        (later-30m, later] — banded left semi."""
+        (later-TOL_MS, later] (12 h) — banded left semi."""
         e = earlier.select(
             "*",
             F.explode(

@@ -140,6 +140,28 @@ def _oracle_device_profile_summary() -> str:
     )
 
 
+def _oracle_profile_cap_audit() -> str:
+    from ..operators.device_profile import DEFAULT_PROFILE_APP_CAP as CAP
+
+    return _bidlog_base(
+        f"""
+per_device AS (
+  SELECT os, uuid, count(DISTINCT bundle) AS n_apps
+  FROM valid_logs GROUP BY os, uuid
+)""",
+        select=f"""
+        SELECT CAST({CAP} AS INT) AS cap,
+               count(*) AS n_devices,
+               CAST(max(n_apps) AS INT) AS max_apps,
+               CAST(sum(CASE WHEN n_apps > {CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_devices_over_cap,
+               CAST(sum(CASE WHEN n_apps > {CAP} THEN n_apps - {CAP} ELSE 0 END)
+                 AS BIGINT) AS apps_dropped
+        FROM per_device
+        """,
+    )
+
+
 def _oracle_app_profiles_flat() -> str:
     return _bidlog_base(
         select="""
@@ -247,7 +269,14 @@ ORACLES: dict[str, str] = {
     "suspicious_ids": _oracle_suspicious_ids(),
     "feature_inputs": _oracle_feature_inputs(),
     "predictions": _oracle_predictions(),
+    "profile_cap_audit": _oracle_profile_cap_audit(),
     **{name: sql_fn("duckdb") for name, (sql_fn, _t) in RELATIONAL_SQL.items()},
     **NORTHSTAR_ORACLES,
     **maintenance_oracles(),
+    # the TFRecord(gzip)-of-wire-protos ingestion gate: the Spark side
+    # runs the parity chain from REAL TFRecord bytes; the oracle states
+    # the identical aggregation over the parquet-derived bid_logs, so
+    # hash-equality proves the codec path lossless (DuckDB never needs a
+    # TFRecord reader).
+    "tfrecord_parity_check": _oracle_device_profiles_flat(),
 }

@@ -125,6 +125,38 @@ def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_pipeline_from_valid(v, load_iapp(spark, sf_dir), QUERY_THRESHOLDS)
 
 
+def q_profile_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 no-silent-caps audit: run the profile aggregation WITH the
+    apps-per-device materialization cap engaged and prove zero truncation
+    on honest data, the same conservation law the dedup band buckets get
+    (dedup_cap_audit). `apps_dropped` is measured against the CAPPED
+    implementation's actual output (uncapped distinct-app count minus
+    size(apps)), so a capping bug — not just a cap breach — flips the
+    audit; the oracle states the closed form sum(max(n_apps - cap, 0))."""
+    from ..operators.device_profile import DEFAULT_PROFILE_APP_CAP
+
+    cap = DEFAULT_PROFILE_APP_CAP
+    v = _valid(spark, sf_dir)
+    kept = device_profiles(v, max_apps_per_device=cap).select(
+        "os", "uuid", F.size("apps").alias("kept_apps")
+    )
+    actual = v.groupBy("os", "uuid").agg(
+        F.countDistinct("app_bundle").alias("n_apps")
+    )
+    return (
+        actual.join(kept, ["os", "uuid"])
+        .agg(
+            F.lit(cap).cast("int").alias("cap"),
+            F.count(F.lit(1)).alias("n_devices"),
+            F.max("n_apps").cast("int").alias("max_apps"),
+            F.sum(
+                F.when(F.col("n_apps") > cap, 1).otherwise(0)
+            ).alias("n_devices_over_cap"),
+            F.sum(F.col("n_apps") - F.col("kept_apps")).alias("apps_dropped"),
+        )
+    )
+
+
 def q_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2-R4: feature vectors + batched deterministic inference
     (pandas-UDF path; rows-only driver check — not SQL-expressible)."""
@@ -169,6 +201,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suspicious_ids": q_suspicious_ids,
     "feature_inputs": q_feature_inputs,
     "predictions": q_predictions,
+    "profile_cap_audit": q_profile_cap_audit,
     **{name: _relational(name) for name in RELATIONAL_SQL},
     **NORTHSTAR_QUERIES,
     **MAINTENANCE_QUERIES,

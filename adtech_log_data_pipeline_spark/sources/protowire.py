@@ -591,6 +591,27 @@ def encode_b64_proto(
     return df.mapInPandas(batches, schema="value string")
 
 
+def encode_wire_proto(
+    df: DataFrame,
+    spec: Spec,
+    from_row: Callable[[dict[str, Any]], dict[str, Any]],
+) -> DataFrame:
+    """Typed rows -> one raw wire-bytes binary column named `payload` —
+    the TFRecord-sink shape (each payload becomes one framed record via
+    sources/tfrecord.py::write_tfrecord_partitioned). Arrow-batched;
+    blobs are produced in place and never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = [
+                encode_message(from_row(rec), spec)
+                for rec in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"payload": vals})
+
+    return df.mapInPandas(batches, schema="payload binary")
+
+
 def write_b64_proto(
     df: DataFrame,
     path: str,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "range_sort_audit",
     "snapshot_diff_orders",
     "tfexample_roundtrip",
+    "tfrecord_parity_check",
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",

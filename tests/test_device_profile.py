@@ -78,3 +78,53 @@ def test_devices_keyed_by_os_and_uuid(spark):
     ]
     ps = profiles(spark, rows)
     assert len(ps) == 3
+
+
+def test_app_cap_truncates_array_only_keeps_bounds_exact(spark):
+    """The apps-per-device materialization cap: keeps the N most-ACTIVE
+    apps (ties by bundle), but device-level first_at/last_at/geos still
+    aggregate over ALL apps — truncation bounds the row, never corrupts
+    the reference's merge-law bounds (DeviceProfileUtils.java:206-240)."""
+    rows = [
+        # app 'busy' x3 (latest activity), 'mid' x2, 'rare' x1 with the
+        # extreme time bounds and a unique geo — the DROPPED app must
+        # still contribute bounds + geo
+        bid_log(app_bundle="busy", received_at=500, processed_at=501),
+        bid_log(app_bundle="busy", received_at=600, processed_at=601),
+        bid_log(app_bundle="busy", received_at=700, processed_at=701),
+        bid_log(app_bundle="mid", received_at=400, processed_at=401),
+        bid_log(app_bundle="mid", received_at=450, processed_at=451),
+        bid_log(
+            app_bundle="rare", received_at=100, processed_at=9000,
+            geo_country="ZZZ", geo_region="zz",
+        ),
+    ]
+    v = valid_bid_logs(bid_logs_df(spark, rows))
+    capped = {
+        (r["os"], r["uuid"]): r.asDict(recursive=True)
+        for r in device_profiles(v, max_apps_per_device=2).collect()
+    }
+    (p,) = capped.values()
+    assert [a["bundle"] for a in p["apps"]] == ["busy", "mid"]
+    assert p["first_at"] == 100 and p["last_at"] == 700  # rare still counts
+    assert ("ZZZ", "zz") in {(g["country"], g["region"]) for g in p["geos"]}
+
+    # a cap >= the true app count is the identity — bit-identical profiles
+    uncapped = device_profiles(v).collect()
+    wide = device_profiles(v, max_apps_per_device=10_000).collect()
+    assert sorted(map(repr, uncapped)) == sorted(map(repr, wide))
+
+
+def test_app_cap_activity_then_bundle_tiebreak(spark):
+    """Equal-activity apps are kept/dropped deterministically by bundle
+    order; size(apps) == least(n_apps, cap) — the profile_cap_audit
+    conservation law."""
+    rows = [
+        bid_log(app_bundle=b, received_at=100 + i, processed_at=200 + i)
+        for i, b in enumerate(["cc", "aa", "dd", "bb"])
+    ]
+    v = valid_bid_logs(bid_logs_df(spark, rows))
+    (p,) = device_profiles(v, max_apps_per_device=3).collect()
+    assert [a["bundle"] for a in p.asDict(recursive=True)["apps"]] == [
+        "aa", "bb", "cc",
+    ]
