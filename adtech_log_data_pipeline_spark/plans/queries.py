@@ -209,13 +209,69 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
-# Round-6 rotation: the 43 non-parity queries gated green in round 5 rotate
-# OUT (they re-enter if their code ever changes); the window now holds the 7
-# round-6-new audit queries plus the 36 least-proven of the 44 queries whose
-# last green row predates round 5 (every query with <= 3 green rows, plus
-# pricing_summary as the most load-bearing of the 4-green group).
+#
+# Round-7 rotation record. Round 6 left exactly 28 declared queries with
+# zero driver green rows (locally proven in LOCALGATE_r06 + the round-6
+# judge's own vanilla oracle runs, but the contract's hard signal is a
+# CORRECTNESS row); all 28 queue here, after the 2 round-7-new queries.
+# The remaining 13 slots (50 - 7 parity - 2 new - 28) go to the longest-
+# unregated greens: every rotation pick below last earned its green in
+# round 3, the oldest cohort on the board. The 43 round-6 window members
+# (all green in CORRECTNESS_r06) rotate to the tail.
 _GATE_FIRST = [
-    # round-6 NEW queries — never gated, so they sort first
+    # round-7 NEW queries - never gated, so they sort first
+    "tfrecord_parity_check",
+    "profile_cap_audit",
+    # the 28 never-driver-gated round-6 queries (0 greens beat all)
+    "weighted_median_price",
+    "penny_allocation",
+    "activity_streaks",
+    "frequent_part_pairs",
+    "value_deciles",
+    "type_transitions",
+    "segment_trend",
+    "wide_order_facts",
+    "customer_spend_rank",
+    "cohort_ltv",
+    "hourly_gapfill",
+    "cm_error_audit",
+    "cdc_customer_state",
+    "dim_truncation_recall",
+    "copurchase_triangles",
+    "click_attribution",
+    "concurrent_sessions",
+    "session_concurrency",
+    "embedding_covariance",
+    "kmv_overlap",
+    "incremental_rollup",
+    "stream_attribution_full",
+    "stream_cm_sketch",
+    "semantic_contamination",
+    "nearest_click",
+    "pareto_documents",
+    "funnel_pattern",
+    "event_pivot",
+    # 13 re-entries whose last green row is round 3 (the oldest cohort;
+    # the round-6 gate comment promised these re-enter first)
+    "embedding_outliers",
+    "frame_sample",
+    "monthly_revenue_trend",
+    "quiet_returners",
+    "brand_supplier_stats",
+    "conversion_funnel",
+    "customer_order_distribution",
+    "simhash_near_dup",
+    "repetition_stats",
+    "length_percentiles",
+    "packing_plan",
+    "label_centroids",
+    "multimodal_resize",
+]
+# The tail holds the queries with the MOST recent/most numerous green rows:
+# the 43 non-parity round-5-gated queries and the remaining 4-green
+# relational set (rotate any back in if its code changes).
+_GATE_LAST = [
+    # the 43 round-6 window members, all green in CORRECTNESS_r06
     "dup_span_stats",
     "dup_span_clean",
     "bloom_prune_join",
@@ -252,88 +308,13 @@ _GATE_FIRST = [
     "partition_prune_audit",
     "props_json_stats",
     "embedding_bucket_audit",
-    # round-6 NEW queries added mid-round (never gated): referential-
-    # integrity audit, bigram-LM perplexity filter, deletion-neighborhood
-    # record linkage, exact systematic weighted sampler — 0-green beats
-    # 1-green, so four of the one-green entries below rotated to the tail
-    # (embedding_outliers / frame_sample / monthly_revenue_trend /
-    # quiet_returners re-enter first in round 7)
     "fk_integrity_audit",
     "bigram_lm_score",
     "similar_parts",
     "weighted_sample",
-    # second mid-round batch (never gated): iterative graph ranking,
-    # streaming drift monitor, robust MAD outlier screen — the last three
-    # one-green entries (brand_supplier_stats / conversion_funnel /
-    # customer_order_distribution) rotate to the tail; the 19 remaining
-    # 0-green round-6 queries (frequent_part_pairs, hourly_gapfill,
-    # click_attribution, concurrent_sessions, session_concurrency,
-    # copurchase_triangles, value_deciles, type_transitions,
-    # segment_trend, wide_order_facts, customer_spend_rank, cohort_ltv,
-    # embedding_covariance, kmv_overlap, incremental_rollup,
-    # cm_error_audit, cdc_customer_state, dim_truncation_recall,
-    # stream_attribution_full, stream_cm_sketch, semantic_contamination,
-    # nearest_click, weighted_median_price, pareto_documents,
-    # funnel_pattern, penny_allocation, activity_streaks, event_pivot —
-    # 32 in all) are pytest- and full-board local-compare-proven (BOTH
-    # sessions at sf0.01; sf0.1 and conf-matrix coverage recorded in
-    # LOCALGATE_r06.json) and queue first for the round-7 window
     "copurchase_pagerank",
     "stream_drift_chi2",
     "user_value_outliers",
-    # Rotated OUT to make room for the 18 never-gated round-6 queries
-    # (span dedup trio, bloom join, streaming heavy hitters, schema
-    # drift, curation funnel, quantize audit, exact sampler, the Q6/Q7/
-    # Q8/Q14/Q15/Q18/Q20/Q22 relational set, pit temporal join), 0-green
-    # beats 1-2 greens, least-risky first — each rotated query's
-    # load-bearing machinery stays re-proven by an in-window sibling:
-    #   multimodal_resize (1 green, pure integer geometry) /
-    #     sliding_window_counts (1 green, equality-tested vs native
-    #     window()) / streaming_device_activity (1 green, and its gate is
-    #     the weak rows-only check) — the three 1-green rows whose gate
-    #     adds the least marginal proof; first 1-greens back in round 7
-    #   pii_redact / source_mix / streaming_sessionize (2 greens)
-    #   dedup_minhash / dedup_clusters (3 greens, r6 band-refactor
-    #     consumers) — band path gated via dedup_cap_audit +
-    #     dedup_incoming_indexed
-    #   similarity_lsh_topk / similarity_ivf_topk (3 greens,
-    #     r5-rewritten) — signature/centroid chains gated via
-    #     embedding_bucket_audit + ann_recall_audit
-    #   train_split (2 greens, untouched since r3) — a 10-line pure
-    #     md5-threshold expression, the smallest blast radius on the board
-    #   vocab_topk / tfidf_top_terms (2 greens, untouched) — both ride
-    #     the same shared tf relation; oov_rate's in-window-adjacent
-    #     vocab join and the text-suite greens cover the chain
-    #   simhash_near_dup / repetition_stats (2 greens, untouched since
-    #     their last green) — displaced by the Q15/Q20 relational pair;
-    #     first in line to rotate back in for round 7
-    #   label_centroids (2 greens, untouched) — displaced by
-    #     pit_purchase_state; its micros idiom is re-proven in-window by
-    #     embedding_quantize_audit/embedding_outliers every round
-    #   length_percentiles (2 greens, untouched pure rank-pick
-    #     expression) — displaced by dup_span_incoming; re-enters first
-    #     in round 7
-    #   packing_plan (2 greens, untouched pure sequence-fill expression)
-    #     — displaced by exact_stratified_sample; re-enters first in
-    #     round 7
-    # similarity_topk's chain is re-proven every round through
-    # ann_recall_audit (its exact top-k is that audit's baseline side)
-    # The pure-column-expression tail of the 3-green class (lang_id,
-    # text_stats, winnowing, doc_fingerprints, multimodal_meta — all
-    # untouched since r3) and pricing_summary (4 greens) yield their
-    # window slots to the 13 round-6-new audit/format queries.
-]
-# The tail holds the queries with the MOST recent/most numerous green rows:
-# the 43 non-parity round-5-gated queries and the remaining 4-green
-# relational set (rotate any back in if its code changes).
-_GATE_LAST = [
-    "brand_supplier_stats",
-    "conversion_funnel",
-    "customer_order_distribution",
-    "embedding_outliers",
-    "frame_sample",
-    "monthly_revenue_trend",
-    "quiet_returners",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_minhash",
@@ -341,15 +322,9 @@ _GATE_LAST = [
     "train_split",
     "vocab_topk",
     "tfidf_top_terms",
-    "simhash_near_dup",
-    "repetition_stats",
-    "label_centroids",
-    "length_percentiles",
-    "packing_plan",
     "pii_redact",
     "source_mix",
     "streaming_sessionize",
-    "multimodal_resize",
     "sliding_window_counts",
     "streaming_device_activity",
     "winnowing",

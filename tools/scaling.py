@@ -24,6 +24,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# the locally generated 10x point (tools/gen_sf1.py) — included when present;
+# this is the scale where fixed stage overheads stop dominating and a
+# super-linear plan becomes visible in the last alpha column
+_SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.sf1")
+if os.path.exists(os.path.join(_SF1, "lineitem.parquet")):
+    SFS = SFS + [_SF1]
 
 # one representative per cost family: scan+agg, shuffle join, banded
 # near-dup, iterative graph, window rank, streaming replay
@@ -64,13 +70,16 @@ def main() -> None:
         ]
         rows.append((name, times, alphas))
 
-    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | a(0.001->0.01) | a(0.01->0.1) |")
-    print("| --- | --- | --- | --- | --- | --- |")
+    labels = [os.path.basename(d.rstrip("/")).lstrip(".") for d in SFS]
+    head = (
+        [f"{l} s" for l in labels]
+        + [f"a({labels[i]}->{labels[i + 1]})" for i in range(len(labels) - 1)]
+    )
+    print("| query | " + " | ".join(head) + " |")
+    print("| --- |" + " --- |" * len(head))
     for name, t, a in rows:
-        print(
-            f"| {name} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f}"
-            f" | {a[0]:+.2f} | {a[1]:+.2f} |"
-        )
+        cells = [f"{x:.2f}" for x in t] + [f"{x:+.2f}" for x in a]
+        print(f"| {name} | " + " | ".join(cells) + " |")
     print(
         json.dumps(
             {
