@@ -80,7 +80,7 @@ def run_prediction_job(
     bq_table: str | None = None,
 ) -> DataFrame:
     """Execute pipeline 2; returns the predictions frame
-    (os, uuid, prediction, score)."""
+    (os, uuid, prediction, score, model_id)."""
     # duplicate-ID tripwire on the re-read profiles (Features.java:81-87)
     assert_unique_device_ids(device_profiles)
     preds = predict(feature_inputs(device_profiles, suspicious, iapp))

@@ -63,24 +63,56 @@ def _base_images() -> np.ndarray:
 
 
 MODEL_WEIGHTS_ENV = "SPARK_GRAFT_MODEL_WEIGHTS"
+MODEL_DIGEST_ENV = "SPARK_GRAFT_MODEL_WEIGHTS_SHA256"
+FORMULA_MODEL_ID = "formula-v1"
 
 
-def _load_weights(path: str | None) -> np.ndarray:
+def _file_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndarray:
     """(784, 10) float64 weight matrix, cached per (process, path).
 
     ``path`` names a ``.npy`` file holding a trained (784, 10) matrix —
     it must be worker-visible (shared FS or --files-shipped). ``None``
     selects the deterministic formula stand-in
     w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1] (the sandbox has
-    no TF; the batching/argmax/score contract is identical either way)."""
+    no TF; the batching/argmax/score contract is identical either way).
+
+    A wrong artifact fails LOUDLY, never silently: shape and float dtype
+    are checked (np.load's allow_pickle=False default already rejects
+    object payloads), and when ``expect_digest`` is given (sha256 hex,
+    usually pinned via $SPARK_GRAFT_MODEL_WEIGHTS_SHA256) the file bytes
+    are verified per worker process BEFORE deserialization — a stale or
+    divergent copy on a non-shared filesystem raises instead of serving
+    different predictions on different executors."""
     w = _MODEL_CACHE.get(path)
     if w is None:
         if path:
+            if expect_digest:
+                actual = _file_sha256(path)
+                if actual != expect_digest.lower():
+                    raise ValueError(
+                        f"{MODEL_WEIGHTS_ENV} file {path!r} sha256 {actual}"
+                        f" != expected {expect_digest}"
+                    )
             w = np.load(path)
             if w.shape != (FEATURE_DIM, N_CLASSES):
                 raise ValueError(
                     f"{MODEL_WEIGHTS_ENV} file {path!r} has shape {w.shape},"
                     f" expected {(FEATURE_DIM, N_CLASSES)}"
+                )
+            if not np.issubdtype(w.dtype, np.floating):
+                raise ValueError(
+                    f"{MODEL_WEIGHTS_ENV} file {path!r} has dtype {w.dtype},"
+                    " expected a float matrix"
                 )
             w = w.astype(np.float64)
         else:
@@ -131,14 +163,34 @@ def predict(
     The model artifact path ($SPARK_GRAFT_MODEL_WEIGHTS, or the
     ``weights_path`` arg) is resolved HERE on the driver and shipped in
     the task closure; each worker process loads the file once
-    (_load_weights cache)."""
+    (_load_weights cache).
+
+    Provenance: every output row carries ``model_id`` — "formula-v1" for
+    the deterministic stand-in, "npy-sha256:<12 hex>" for a file
+    artifact. The digest is computed on the DRIVER at plan-build time
+    (fails fast on a missing/wrong file) and shipped to workers as the
+    expected digest, so every worker process verifies its local copy's
+    bytes before serving predictions from it; pin an external expectation
+    via $SPARK_GRAFT_MODEL_WEIGHTS_SHA256 to also catch a wrong file
+    reaching the driver itself."""
     import os
 
     if weights_path is None:
         weights_path = os.environ.get(MODEL_WEIGHTS_ENV)
+    expect_digest = None
+    model_id = FORMULA_MODEL_ID
+    if weights_path:
+        expect_digest = _file_sha256(weights_path)
+        pinned = os.environ.get(MODEL_DIGEST_ENV)
+        if pinned and pinned.lower() != expect_digest:
+            raise ValueError(
+                f"{MODEL_WEIGHTS_ENV} file {weights_path!r} sha256"
+                f" {expect_digest} != pinned {MODEL_DIGEST_ENV}={pinned}"
+            )
+        model_id = f"npy-sha256:{expect_digest[:12]}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = _load_weights(weights_path)
+        w = _load_weights(weights_path, expect_digest)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -150,9 +202,12 @@ def predict(
                     "uuid": pdf["uuid"],
                     "prediction": logits.argmax(axis=1).astype(np.int32),
                     "score": logits.max(axis=1),
+                    "model_id": model_id,
                 }
             )
 
     return feature_inputs.mapInPandas(
-        run, schema="os string, uuid string, prediction int, score double"
+        run,
+        schema="os string, uuid string, prediction int, score double,"
+        " model_id string",
     )

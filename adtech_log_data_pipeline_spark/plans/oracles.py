@@ -256,7 +256,8 @@ lg AS (
 )
 SELECT os, uuid,
        CAST(list_position(logits, list_max(logits)) - 1 AS INT) AS prediction,
-       list_max(logits) AS score
+       list_max(logits) AS score,
+       'formula-v1' AS model_id
 FROM lg
 """
 

@@ -164,3 +164,55 @@ def test_scores_match_numpy_reference(spark):
     logits = np.round(build_vectors(pdf) @ _model_weights(), 6)
     assert got["prediction"] == int(logits.argmax(axis=1)[0])
     assert abs(got["score"] - float(logits.max(axis=1)[0])) < 1e-4
+
+
+def test_weight_artifact_digest_and_dtype_checks(tmp_path, monkeypatch):
+    """The checked-artifact seam: a digest mismatch (wrong/corrupted file)
+    and a non-float dtype both fail loudly before any prediction is
+    served; a correct pinned digest passes."""
+    import pytest
+
+    import adtech_log_data_pipeline_spark.operators.inference as inf
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((FEATURE_DIM, 10))
+    p = tmp_path / "w.npy"
+    np.save(p, w)
+    good = inf._file_sha256(str(p))
+
+    # correct digest: loads; wrong digest: refuses BEFORE deserializing
+    assert np.array_equal(inf._load_weights(str(p), good), w)
+    inf._MODEL_CACHE.clear()
+    with pytest.raises(ValueError, match="sha256"):
+        inf._load_weights(str(p), "0" * 64)
+
+    # integer matrix: right shape, wrong dtype — rejected
+    ints = tmp_path / "ints.npy"
+    np.save(ints, np.zeros((FEATURE_DIM, 10), dtype=np.int64))
+    with pytest.raises(ValueError, match="dtype"):
+        inf._load_weights(str(ints))
+
+    # env pin: predict() raises at PLAN BUILD time on a digest mismatch
+    # (the check precedes mapInPandas, so no DataFrame is needed to hit it)
+    monkeypatch.setenv(inf.MODEL_DIGEST_ENV, "f" * 64)
+    with pytest.raises(ValueError, match="pinned"):
+        inf.predict(None, weights_path=str(p))
+    inf._MODEL_CACHE.clear()
+
+
+def test_predictions_carry_model_id(spark, tmp_path):
+    """Provenance column: formula runs stamp formula-v1; artifact runs
+    stamp the file digest prefix — switching the artifact is visible in
+    the OUTPUT, not just in logs."""
+    import adtech_log_data_pipeline_spark.operators.inference as inf
+
+    fi = spark.createDataFrame([fi_row()], FI_SCHEMA)
+    assert predict(fi).select("model_id").distinct().collect()[0][0] == "formula-v1"
+
+    w = np.random.default_rng(3).standard_normal((FEATURE_DIM, 10))
+    p = tmp_path / "w.npy"
+    np.save(p, w)
+    expected = "npy-sha256:" + inf._file_sha256(str(p))[:12]
+    got = predict(fi, weights_path=str(p)).select("model_id").distinct().collect()
+    assert [r[0] for r in got] == [expected]
+    inf._MODEL_CACHE.clear()

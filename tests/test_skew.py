@@ -140,3 +140,135 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def _zipf_valid_bid_logs(spark, n=120_000, n_bundles=1_000, n_devices=30_000):
+    """Deterministic zipf-like bundle popularity over fully VALID bid-log
+    rows: the A5 bundle-skew fixture SURVEY.md §4 names. The head rank
+    carries 35% of all raw rows (a bot-scale hot app); the tail follows
+    the log-uniform inverse-CDF (P(rank k) ~ ln((k+1)/k)/ln(N)). The head
+    must be this hot because the level-1 aggregation dedups to distinct
+    (device, bundle) pairs before the join — a mild zipf head gets
+    diluted below AQE's skew factor by exactly that dedup (which is the
+    engine's first line of defense; see the test docstring)."""
+    return spark.range(n).selectExpr(
+        "cast(id as string) as bid_id",
+        "1 as exchange",
+        "1 as bid_result",
+        "5 as bid_price",
+        "1000 + id as received_at",
+        "2000 + id as processed_at",
+        "'android' as device_os",
+        "concat(substr(md5(cast(id % {d} as string)), 1, 8), '-',"
+        " substr(md5(cast(id % {d} as string)), 9, 4), '-',"
+        " substr(md5(cast(id % {d} as string)), 13, 4), '-',"
+        " substr(md5(cast(id % {d} as string)), 17, 4), '-',"
+        " substr(md5(cast(id % {d} as string)), 21, 12)) as device_ifa".format(
+            d=n_devices
+        ),
+        "case when pmod(id * 2654435761, 1000003) / 1000003.0 < 0.35"
+        " then 'app.0'"
+        " else concat('app.', 1 + cast(exp("
+        "((pmod(id * 2654435761, 1000003) / 1000003.0 - 0.35) / 0.65)"
+        f" * ln({n_bundles})) as int)) end as app_bundle",
+        "'USA' as geo_country",
+        "'ca' as geo_region",
+    )
+
+
+def test_aqe_splits_hot_bundle_in_popularity_anti_join(spark):
+    """The REAL A5 skew surface: suspicious_ids' popularity lookup is a
+    bundle-keyed anti-join (operators/suspicious.py:119-125). The engine
+    broadcasts the popular set — skew-immune — but at web scale a popular
+    set beyond broadcast capacity degrades to a shuffle join keyed by
+    bundle, and a zipf-hot bundle then skews one partition >10x. This
+    pins the RUNTIME safety net for exactly that regime and records two
+    empirical constraints (this Spark build, measured here) that the
+    SURVEY §8 scale notes state:
+
+      * AQE's OptimizeSkewedJoin does NOT split LEFT ANTI / LEFT SEMI
+        joins — the equivalent LEFT OUTER + is-popular-null filter (row-
+        identical, asserted below) is the AQE-splittable formulation.
+      * It also requires both join children to be plain
+        ENSURE_REQUIREMENTS shuffles: a popularity aggregate flowing
+        STRAIGHT into the join arrives pre-partitioned on bundle and the
+        skew pattern never matches. The production shape — the popular
+        set PRECOMPUTED and read back from storage (modeled with
+        localCheckpoint) — is exactly the shape AQE can split.
+
+    When manual salting (operators/skew.py) still beats AQE: AQE splits
+    AFTER the map stage wrote the skewed shuffle files (reducer-side fix
+    only), inside one join only, and not for anti/semi shapes it cannot
+    rewrite; a deliberate salt spreads the hot key at map time and
+    composes across stages. The engine's first defense remains that the
+    level-1 aggregation key (os, uuid, bundle) is high-cardinality and
+    hash-uniform even under bundle zipf — only the bundle-keyed JOIN
+    ever skews, and only when the dim side cannot broadcast."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.operators.validate import valid_bid_logs
+
+    v = valid_bid_logs(_zipf_valid_bid_logs(spark, n=400_000, n_devices=100_000))
+    # the operator's level-0/level-1 reduction (suspicious.py:101-112),
+    # sans hold(): device-app relation with one row per (os, uuid, bundle)
+    level1 = (
+        v.groupBy("os", "uuid", F.col("app_bundle").alias("bundle"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # measured data skew at the join key (recorded in SURVEY §8): rows per
+    # bundle-hash partition — the shuffle sizes AQE sees. Observed at this
+    # fixture: hot partition ~105k rows vs ~7k median (15x, >> factor 2).
+    parts = (
+        level1.groupBy(F.pmod(F.hash("bundle"), F.lit(32)).alias("p"))
+        .count()
+        .collect()
+    )
+    sizes = sorted((r["count"] for r in parts), reverse=True)
+    med = sorted(sizes)[len(sizes) // 2]
+    assert sizes[0] > 5 * med, sizes[:5]  # genuinely skewed at the join key
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    saved["spark.sql.shuffle.partitions"] = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # popular can't broadcast
+    # enough reducers that the median partition is small vs the hot one
+    # (skew detection compares against factor x MEDIAN partition size)
+    conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # the precomputed popular set, as read back from storage
+        popular = (
+            level1.groupBy("bundle")
+            .agg(F.count(F.lit(1)).alias("user_count"))
+            .filter(F.col("user_count") > 300)
+            .select("bundle", F.lit(1).alias("is_pop"))
+            .localCheckpoint()
+        )
+        shuffled = level1.join(popular, "bundle", "left_outer").filter(
+            F.col("is_pop").isNull()
+        )
+        n_shuffled = len(shuffled.collect())  # same QueryExecution as the plan
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, plan[:2000]
+        # row-identical to the engine's broadcast anti-join formulation
+        n_broadcast = level1.join(
+            F.broadcast(popular.select("bundle")), "bundle", "left_anti"
+        ).count()
+        assert n_shuffled == n_broadcast > 0
+    finally:
+        for k, v2 in saved.items():
+            if v2 is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v2)
