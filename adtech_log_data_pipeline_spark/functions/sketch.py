@@ -268,3 +268,98 @@ def cm_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
     return probed
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+_HLL_HASH_BITS = 48
+_HLL_RHO_BITS = _HLL_HASH_BITS - HLL_P  # 39 usable bits above the index
+# alpha_m * m^2 * 2^RHO_MAX as ONE Python-precomputed double literal, so
+# both engines evaluate the estimator as (constant / exact-integer) — a
+# single correctly-rounded IEEE division, never a float reduction.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_HLL_RHO_MAX = _HLL_RHO_BITS + 1  # rho for a zero remainder
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
+
+
+def hll_state(df: DataFrame, col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """HyperLogLog sketch STATE (Flajolet et al. 2007) per group: at most
+    HLL_M rows (group..., idx, max_rho) — the register array as a
+    relation, the cardinality counterpart of cm_sketch_state's frequency
+    counters.
+
+    Integer-exact and engine-portable end to end: the 48-bit md5 hash
+    (kmv_hash convention) splits into a 9-bit register index (low bits)
+    and a 39-bit remainder whose leading-zero rank rho is computed with
+    the bin()-length idiom — rho = 40 - bit_length(remainder), with
+    remainder 0 -> 40. No floats anywhere in the state.
+
+    Merge law (the reason HLL beats exact countDistinct at scale): the
+    register is a MAX — idempotent AND commutative — so re-aggregating
+    the union of any two states per (group, idx) IS the state of the
+    concatenated inputs, and a RETRIED micro-batch merges for free
+    (contrast the CM stream's per-batch-partial machinery, which exists
+    because sums are not idempotent). Scale shape: one projection, one
+    hash agg with map-side combine to <= m groups per task; the shuffle
+    carries at most m rows per group regardless of input size."""
+    group_cols = group_cols or []
+    h = kmv_hash(col, salt="hll")
+    rho = F.when(F.col("__hll_rem") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.expr("bin(__hll_rem)"))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *group_cols,
+            (h % F.lit(HLL_M)).cast("int").alias("idx"),
+            F.shiftright(h, HLL_P).alias("__hll_rem"),  # exact integer h div m
+        )
+        .select(*group_cols, "idx", rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_report(state: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Estimate per group from a register state: the raw HLL estimator
+    E = alpha_m * m^2 / sum_j 2^(-M_j), restated exactly: the harmonic
+    denominator is the INTEGER z_scaled = sum over set registers of
+    2^(RHO_MAX - max_rho) plus 2^RHO_MAX per unset register (M_j = 0), so
+    est_raw = HLL_EST_NUM / z_scaled is one float division on exact
+    inputs — bit-reproducible across engines and partitionings.
+
+    Output: (group..., n_set, n_zero, z_scaled, est_raw, est). est is
+    floor(est_raw) as bigint. The small-range linear-counting correction
+    (m * ln(m / V)) is deliberately NOT applied — ln() is not
+    bit-portable; consumers below 2.5m can apply it to the reported
+    n_zero themselves (documented contract, same stance as kmv_report's
+    exact-below-k behavior)."""
+    group_cols = group_cols or []
+    agg = state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_set"),
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), {_HLL_RHO_MAX} - max_rho)"
+            )
+        ).alias("z_set"),
+    )
+    z = (
+        F.col("z_set")
+        + (F.lit(HLL_M) - F.col("n_set")).cast("bigint") * F.lit(1 << _HLL_RHO_MAX)
+    ).alias("z_scaled")
+    return agg.select(
+        *group_cols,
+        "n_set",
+        (F.lit(HLL_M) - F.col("n_set")).cast("int").alias("n_zero"),
+        z,
+        (F.lit(HLL_EST_NUM) / F.col("z_scaled")).alias("est_raw"),
+    ).withColumn("est", F.floor("est_raw").cast("bigint"))
+
+
+def hll_distinct(
+    df: DataFrame, col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """hll_state |> hll_report — per-group approximate distinct count."""
+    return hll_report(hll_state(df, col, group_cols), group_cols)

@@ -1320,3 +1320,88 @@ def weighted_systematic_sample(
             ).alias("n_hits"),
         )
     )
+
+
+BM25_TOP_K = 20
+BM25_QUERY_TERMS = ("spark", "join", "query", "window", "stream")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones) over the corpus for a
+    pinned query-term set — the relevance-ranked search primitive of a
+    curation pipeline (pull the documents most about X), stated in the
+    engine's integer-exact, ln-free convention so the DuckDB oracle
+    matches bit-for-bit:
+
+      * idf is the log2 BUCKET of the BM25+ odds, computed exactly on
+        integers: floor(log2((N - df + 1/2)/(df + 1/2) + 1)) ==
+        bit_length((2N + 2) div (2df + 1)) - 1 (floor(log2(floor(x)))
+        == floor(log2(x)) for x >= 1, and the +1 keeps it >= 0 for
+        corpus-wide terms) — the same bin()-length idiom as
+        doc_quality_zipf / bigram_lm_score.
+      * the tf saturation with k1 = 6/5, b = 3/4 is EXACTLY rational:
+        tf(k1+1)/(tf + k1(1 - b + b*dl*N/T)) ==
+        44*tf*T / (20*tf*T + 6*T + 18*dl*N) with T = total corpus
+        tokens, dl = doc length — scored in ppm by one bigint division.
+      * contribution = idf_bucket * tf_ppm; the per-doc score is an exact
+        bigint sum — partial-aggregation order can never flip a bit.
+
+    Scale shape: the token explode is FILTERED to the query terms before
+    any shuffle (a |Q|-membership check on the scan — the relation that
+    aggregates is hits, not tokens); df/totals are broadcast 1-row/|Q|-row
+    aggregates; dl is a map-side size() per doc. Top-k plans as
+    TakeOrderedAndProject (per-partition heaps), with the rank window
+    applied to the k-row result only. At web scale (tf*T beyond 2^53*...)
+    swap the exact T products for a precomputed avgdl rational with the
+    same div — documented, not needed at any gated SF (peak product here
+    is ~1e16 of int64's 9.2e18).
+
+    Output: (doc_id, n_hits, score, rank), rank 1..k, ties by doc_id.
+    """
+    from ._cache import hold
+
+    qt = sorted({t.lower() for t in query_terms})
+    toks = documents.select("doc_id", tokens_col().alias("toks"))
+    dl = hold(
+        toks.select("doc_id", F.size("toks").cast("bigint").alias("dl")),
+        # eager: feeds the totals aggregate AND the scoring join
+        eager=True,
+    )
+    totals = dl.agg(
+        F.sum("dl").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                (F.length(F.expr("bin((2 * n_docs + 2) div (2 * df + 1))")) - 1)
+                * F.expr(
+                    "(44 * tf * t_tokens * 1000000) div"
+                    " (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)"
+                )
+            ).cast("bigint").alias("contrib"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.sum("contrib").cast("bigint").alias("score"),
+    )
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -402,6 +402,15 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_docs(spark, sf_dir))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 relevance retrieval for the pinned query-term set
+    (integer-exact bucketed idf + rational tf saturation; see
+    functions/text.py::bm25_topk)."""
+    from ..functions.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by occurrence with doc frequency."""
     from ..functions.text import vocab_topk
@@ -1116,6 +1125,46 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_manifest(with_blob_column(_docs(spark, sf_dir)))
 
 
+def q_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user registers + raw estimate per event_type
+    (integer-exact registers, one-division estimator; see
+    functions/sketch.py::hll_distinct). The max-merge register law makes
+    this the idempotently-mergeable counterpart of kmv_user_distinct."""
+    from ..functions.sketch import hll_distinct
+
+    out = hll_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+    return out.withColumn("est_raw", F.round("est_raw", 6))
+
+
+def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL accuracy conservation law, audited the cm_error_audit way: the
+    sketch estimate per event_type vs the EXACT distinct count, with the
+    integer ppm error pinned under 3x the theoretical standard error
+    (1.04/sqrt(512) = 4.6% -> bound 150000 ppm). A silent estimator or
+    register regression flips within_bound."""
+    from ..functions.sketch import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"]).select("event_type", "est")
+    exact = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "est",
+            F.expr(
+                "abs(est - exact_distinct) * 1000000 div exact_distinct"
+            ).alias("err_ppm"),
+        )
+        .withColumn("within_bound", F.col("err_ppm") <= 150_000)
+    )
+
+
 def q_kmv_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event_type — the mergeable,
     cross-engine-reproducible alternative to approx_count_distinct."""
@@ -1421,6 +1470,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
     "kmv_user_distinct": q_kmv_user_distinct,
+    "hll_user_distinct": q_hll_user_distinct,
+    "hll_error_audit": q_hll_error_audit,
     "quality_expectations": q_quality_expectations,
     "quarantined_docs": q_quarantined_docs,
     "key_skew_report": q_key_skew_report,
@@ -1480,6 +1531,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_embed": q_image_embed,
     "simhash_near_dup": q_simhash_near_dup,
     "vocab_topk": q_vocab_topk,
+    "bm25_search": q_bm25_search,
     "train_split": q_train_split,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
@@ -3010,6 +3062,54 @@ GROUP BY event_type
 """
 
 
+def _oracle_hll(report: bool) -> str:
+    """functions/sketch.py HLL conventions: 48-bit md5-prefix hash 'hll:'
+    salt, 9-bit index, 39-bit remainder, rho via bin()-length, exact
+    integer harmonic denominator, one-division estimator."""
+    from ..functions.sketch import HLL_EST_NUM, HLL_M, _HLL_RHO_MAX
+
+    shift = f"(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - max_rho))"
+    base = f"""
+WITH hsh AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+reg AS (
+  SELECT event_type, CAST(h % {HLL_M} AS INT) AS idx,
+         CAST(max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_RHO_MAX}
+                       ELSE {_HLL_RHO_MAX} - length(bin(h // {HLL_M})) END) AS INT)
+           AS max_rho
+  FROM hsh GROUP BY event_type, idx),
+agg AS (
+  SELECT event_type, CAST(count(*) AS INT) AS n_set,
+         CAST(sum({shift}) AS BIGINT)
+         + CAST({HLL_M} - count(*) AS BIGINT)
+           * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS z_scaled
+  FROM reg GROUP BY event_type)"""
+    if report:
+        return base + f"""
+SELECT event_type, n_set, CAST({HLL_M} - n_set AS INT) AS n_zero, z_scaled,
+       round({HLL_EST_NUM!r} / CAST(z_scaled AS DOUBLE), 6) AS est_raw,
+       CAST(floor({HLL_EST_NUM!r} / CAST(z_scaled AS DOUBLE)) AS BIGINT) AS est
+FROM agg
+"""
+    return base + f"""
+, est AS (
+  SELECT event_type,
+         CAST(floor({HLL_EST_NUM!r} / CAST(z_scaled AS DOUBLE)) AS BIGINT) AS est
+  FROM agg),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT event_type, exact_distinct, est,
+       CAST(abs(est - exact_distinct) * 1000000 // exact_distinct AS BIGINT)
+         AS err_ppm,
+       (abs(est - exact_distinct) * 1000000 // exact_distinct) <= 150000
+         AS within_bound
+FROM exact JOIN est USING (event_type)
+"""
+
+
 def _oracle_expectations() -> str:
     """Rule-by-rule SQL restatement of
     functions/expectations.py::DOCUMENT_RULES (independent evidence:
@@ -3234,6 +3334,32 @@ FROM ivals a LEFT JOIN ivals b
 GROUP BY 1, 2, 3, 4
 """
 
+_ORACLE_BM25 = f"""
+WITH dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+totals AS (SELECT SUM(dl) AS t_tokens, count(*) AS n_docs FROM dl),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+       WHERE term IN ('join', 'query', 'spark', 'stream', 'window')
+       GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         (length(bin((2 * n_docs + 2) // (2 * df + 1))) - 1)
+         * ((44 * tf * t_tokens * 1000000)
+            // (20 * tf * t_tokens + 6 * t_tokens + 18 * dl.dl * n_docs))
+           AS contrib
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), totals),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+         CAST(sum(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_hits, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM per_doc
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
 NORTHSTAR_ORACLES: dict[str, str] = {
     # Count-Min restated: same per-row salts (cm0..cm3), same 48-bit md5
     # hash mod 512, same top-20 keyset and min-over-rows point query
@@ -3407,6 +3533,8 @@ JOIN s si ON si.dim = g.i
 JOIN s sj ON sj.dim = g.j
 """,
     "kmv_user_distinct": _oracle_kmv(),
+    "hll_user_distinct": _oracle_hll(True),
+    "hll_error_audit": _oracle_hll(False),
     "quality_expectations": _oracle_expectations(),
     "quarantined_docs": _oracle_quarantine(),
     "key_skew_report": _ORACLE_KEY_SKEW,
@@ -3577,6 +3705,7 @@ FROM documents
     "image_embed": _ORACLE_IMAGE_EMBED,
     "simhash_near_dup": _oracle_simhash_near_dup(),
     "vocab_topk": _ORACLE_VOCAB_TOPK,
+    "bm25_search": _ORACLE_BM25,
     "train_split": _ORACLE_TRAIN_SPLIT,
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,

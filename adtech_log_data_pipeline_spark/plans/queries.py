@@ -222,6 +222,9 @@ _GATE_FIRST = [
     # round-7 NEW queries - never gated, so they sort first
     "tfrecord_parity_check",
     "profile_cap_audit",
+    "bm25_search",
+    "hll_user_distinct",
+    "hll_error_audit",
     # the 28 never-driver-gated round-6 queries (0 greens beat all)
     "weighted_median_price",
     "penny_allocation",
@@ -263,14 +266,14 @@ _GATE_FIRST = [
     "simhash_near_dup",
     "repetition_stats",
     "length_percentiles",
-    "packing_plan",
-    "label_centroids",
-    "multimodal_resize",
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "multimodal_resize",
+    "packing_plan",
+    "label_centroids",
     # the 43 round-6 window members, all green in CORRECTNESS_r06
     "dup_span_stats",
     "dup_span_clean",

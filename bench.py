@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "tfexample_roundtrip",
     "tfrecord_parity_check",
+    "bm25_search",
+    "hll_user_distinct",
+    "hll_error_audit",
+    "profile_cap_audit",
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",

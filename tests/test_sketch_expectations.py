@@ -317,3 +317,69 @@ def test_cm_ignores_nulls(spark):
         F.sum("cnt").alias("n")
     )
     assert all(r["n"] == 2 for r in total.collect())
+
+
+def test_hll_register_max_merge_law(spark):
+    """The HLL register is a MAX — idempotent and commutative — so (a) the
+    state over a union equals the per-(idx) max-merge of the slice
+    states, and (b) re-merging a slice (a retried micro-batch) changes
+    nothing. This is the law that lets the streaming sink skip the CM
+    stream's per-batch-partial machinery."""
+    from adtech_log_data_pipeline_spark.functions.sketch import hll_state
+
+    a = spark.range(0, 3000).selectExpr("cast(id as string) as v")
+    b = spark.range(2000, 6000).selectExpr("cast(id as string) as v")
+
+    whole = {
+        (r["idx"], r["max_rho"])
+        for r in hll_state(a.unionByName(b), "v").collect()
+    }
+    sa, sb = hll_state(a, "v"), hll_state(b, "v")
+    merged_df = (
+        sa.unionByName(sb)
+        .unionByName(sb)  # retry of slice b: idempotent
+        .groupBy("idx")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert {(r["idx"], r["max_rho"]) for r in merged_df.collect()} == whole
+
+
+def test_hll_estimator_accuracy_and_duplicate_invariance(spark):
+    """Raw estimate within 3 standard errors (3 * 1.04/sqrt(512) = 13.8%)
+    of the true cardinality at several scales, and duplicates never move
+    a register (distinct-ness is intrinsic to the max)."""
+    from adtech_log_data_pipeline_spark.functions.sketch import (
+        HLL_M,
+        hll_distinct,
+    )
+
+    for n in (2_000, 5_000, 20_000):  # >= ~2.5m: raw-estimator regime
+        df = spark.range(n).selectExpr("cast(id as string) as v")
+        (row,) = hll_distinct(df, "v").collect()
+        assert abs(row["est_raw"] - n) / n < 0.138, (n, row["est_raw"])
+        assert row["n_set"] + row["n_zero"] == HLL_M
+        dup = df.unionByName(df).unionByName(df)
+        (row2,) = hll_distinct(dup, "v").collect()
+        assert row2["z_scaled"] == row["z_scaled"]
+
+    # below 2.5m the raw estimate biases high by design; the DOCUMENTED
+    # consumer correction — linear counting m*ln(m/n_zero) from the
+    # reported n_zero — recovers the cardinality
+    import math
+
+    (small,) = hll_distinct(
+        spark.range(800).selectExpr("cast(id as string) as v"), "v"
+    ).collect()
+    assert small["n_zero"] > 0
+    linear = HLL_M * math.log(HLL_M / small["n_zero"])
+    assert abs(linear - 800) / 800 < 0.10, linear
+
+
+def test_hll_ignores_nulls_and_partitioning(spark):
+    from adtech_log_data_pipeline_spark.functions.sketch import hll_distinct
+
+    rows = [(str(i),) for i in range(1000)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "v string")
+    (r1,) = hll_distinct(df, "v").collect()
+    (r4,) = hll_distinct(df.repartition(13), "v").collect()
+    assert (r1["z_scaled"], r1["est"]) == (r4["z_scaled"], r4["est"])

@@ -375,3 +375,54 @@ def test_script_mix_counts_and_ratio_laws(spark):
     for r in out.values():
         for c in ("n_non_ascii", "n_digits", "n_upper", "n_ws"):
             assert 0 <= r[c] <= r["n_chars_m"]
+
+
+def test_bm25_matches_pure_python_integer_replay(spark):
+    """bm25_topk == an independent pure-Python replay of the integer-exact
+    formula (bucketed idf via bit_length, rational tf saturation, bigint
+    contributions) on a hand-sized corpus — plus the contract details:
+    only query terms score, ties rank by doc_id, k bounds the output."""
+    from adtech_log_data_pipeline_spark.functions.text import bm25_topk
+
+    docs = [
+        (1, "spark join query window stream spark spark"),
+        (2, "join join join filler filler filler filler filler"),
+        (3, "nothing relevant here at all whatsoever truly"),
+        (4, "spark stream stream stream window"),
+        (5, "query"),
+        (6, "spark join query window stream"),  # all five terms once
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["n_hits"], r["score"], r["rank"])
+        for r in bm25_topk(df, k=4).collect()
+    ]
+
+    # pure-Python replay
+    toks = {d: t.lower().split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    T = sum(dl.values())
+    N = len(docs)
+    Q = sorted({"spark", "join", "query", "window", "stream"})
+    tf = {}
+    for d, ts in toks.items():
+        for t in ts:
+            if t in Q:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq = {}
+    for (d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    score = {}
+    hits = {}
+    for (d, t), f in tf.items():
+        idf = ((2 * N + 2) // (2 * dfreq[t] + 1)).bit_length() - 1
+        tfp = (44 * f * T * 1_000_000) // (20 * f * T + 6 * T + 18 * dl[d] * N)
+        score[d] = score.get(d, 0) + idf * tfp
+        hits[d] = hits.get(d, 0) + 1
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    want = [
+        (d, hits[d], s, i + 1) for i, (d, s) in enumerate(ranked)
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(got) == 4  # k bounds output; doc 3 (no hits) never appears
+    assert all(d != 3 for d, *_ in got)
