@@ -363,3 +363,101 @@ def hll_distinct(
 ) -> DataFrame:
     """hll_state |> hll_report — per-group approximate distinct count."""
     return hll_report(hll_state(df, col, group_cols), group_cols)
+
+
+# --- Quantile sketch (deterministic log-bucket histogram) -------------------
+
+QS_SUB = 32  # sub-buckets per octave -> guaranteed relative error <= 1/32
+QS_QUANTILES_PPM = (500_000, 900_000, 990_000)  # q50, q90, q99
+
+
+def quantile_sketch_state(
+    df: DataFrame, col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Mergeable quantile sketch STATE over a POSITIVE bigint column: a
+    (group..., bucket, cnt) histogram on log-spaced buckets — octave e =
+    bit_length(x) - 1 (the bin()-length idiom) split into QS_SUB linear
+    sub-buckets, bucket = e * QS_SUB + (x - 2^e) * QS_SUB div 2^e. All
+    integer arithmetic, so the state is bit-identical across engines and
+    partitionings — the DETERMINISTIC alternative to t-digest/KLL (whose
+    centroids/compactions are input-order- or randomness-dependent) with
+    an a-priori bound instead of a probabilistic one: every value in a
+    bucket is within a 33/32 ratio of its lower bound.
+
+    Merge law: counts are sums (same additive law as the CM sketch), and
+    the bucket count is bounded by 64 * QS_SUB ~ 2k rows per group
+    regardless of input size — shuffle carries a fixed-size state.
+    NULLs and non-positive values are excluded (stated contract)."""
+    group_cols = group_cols or []
+    x = F.col(col)
+    e = (F.length(F.expr(f"bin({col})")) - 1).cast("bigint")
+    sub = F.expr(
+        f"(({col} - shiftleft(cast(1 as bigint), length(bin({col})) - 1))"
+        f" * {QS_SUB}) div shiftleft(cast(1 as bigint), length(bin({col})) - 1)"
+    )
+    return (
+        df.filter(x.isNotNull() & (x > 0))
+        .select(*group_cols, (e * QS_SUB + sub).cast("int").alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def quantile_sketch_estimates(
+    state: DataFrame,
+    group_cols: list[str] | None = None,
+    quantiles_ppm: tuple[int, ...] = QS_QUANTILES_PPM,
+) -> DataFrame:
+    """Quantile estimates from a histogram state: for each q (ppm), rank
+    = ceil(q * n) as integers, the answering bucket is the first whose
+    cumulative count reaches the rank, and the estimate is the bucket's
+    exact lower bound lb = 2^e * (QS_SUB + sub) div QS_SUB. The rank-th
+    smallest true value v obeys lb <= v < lb * (QS_SUB + 1)/QS_SUB — a
+    GUARANTEED (not probabilistic) relative bound, which
+    quantile_sketch_audit pins against the exact order statistic.
+
+    Scale shape: one bounded-width window per group over <= ~2k bucket
+    rows (the heavy reduction already happened in the state agg); the
+    per-group total rides the same window — no second shuffle.
+    Output: (group..., q_ppm, rank, n, est)."""
+    from pyspark.sql.window import Window
+
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = (
+        state.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wn))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("bigint") for q in quantiles_ppm])
+    ).alias("q_ppm")
+    probes = cum.select(*group_cols, "bucket", "cnt", "cum", "n", qs).withColumn(
+        "rank", F.expr("(n * q_ppm + 999999) div 1000000")
+    )
+    hits = probes.filter(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("cnt") < F.col("rank"))
+    )
+    lb = F.expr(
+        f"shiftleft(cast(1 as bigint), bucket div {QS_SUB})"
+        f" * ({QS_SUB} + bucket % {QS_SUB}) div {QS_SUB}"
+    )
+    return hits.select(
+        *group_cols, "q_ppm", "rank", "n", lb.alias("est")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    quantiles_ppm: tuple[int, ...] = QS_QUANTILES_PPM,
+) -> DataFrame:
+    """state |> estimates — per-group quantile estimates."""
+    return quantile_sketch_estimates(
+        quantile_sketch_state(df, col, group_cols), group_cols, quantiles_ppm
+    )

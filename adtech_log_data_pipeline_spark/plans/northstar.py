@@ -1165,6 +1165,68 @@ def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic log-bucket quantile sketch (q50/q90/q99) of lineitem
+    price cents per return flag — the mergeable, bounded-state percentile
+    path (functions/sketch.py::quantile_sketch; guaranteed <= 1/32
+    relative error, audited by quantile_sketch_audit)."""
+    from ..functions.sketch import quantile_sketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    return quantile_sketch(li, "cents", ["l_returnflag"])
+
+
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's GUARANTEED error law, pinned against the exact order
+    statistic: for each (flag, q), the rank-th smallest true value v must
+    satisfy est <= v AND 32 * v < 33 * est (the bucket bracket) — checked
+    in scaled integers so no division truncates the law. The exact side
+    sorts within groups (audit-sized by design, like every *_audit
+    baseline). A bucketing or rank-selection regression flips a boolean."""
+    from pyspark.sql.window import Window as W
+
+    from ..functions.sketch import quantile_sketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias(
+            "cents"
+        ),
+    )
+    est = quantile_sketch(li, "cents", ["l_returnflag"])
+    ordered = li.withColumn(
+        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("cents"))
+    )
+    return (
+        est.join(
+            ordered.select(
+                "l_returnflag", F.col("rn").cast("bigint").alias("rank"),
+                F.col("cents").alias("exact_cents"),
+            ),
+            ["l_returnflag", "rank"],
+        )
+        .select(
+            "l_returnflag",
+            "q_ppm",
+            "rank",
+            "est",
+            "exact_cents",
+            (F.col("est") <= F.col("exact_cents")).alias("lower_ok"),
+            (
+                F.col("exact_cents") * 32 < F.col("est") * 33
+            ).alias("upper_ok"),
+            F.expr(
+                "(exact_cents - est) * 1000000 div exact_cents"
+            ).alias("err_ppm"),
+        )
+    )
+
+
 def q_kmv_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-user sketch per event_type — the mergeable,
     cross-engine-reproducible alternative to approx_count_distinct."""
@@ -1472,6 +1534,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_user_distinct": q_kmv_user_distinct,
     "hll_user_distinct": q_hll_user_distinct,
     "hll_error_audit": q_hll_error_audit,
+    "quantile_sketch_prices": q_quantile_sketch_prices,
+    "quantile_sketch_audit": q_quantile_sketch_audit,
     "quality_expectations": q_quality_expectations,
     "quarantined_docs": q_quarantined_docs,
     "key_skew_report": q_key_skew_report,
@@ -3110,6 +3174,58 @@ FROM exact JOIN est USING (event_type)
 """
 
 
+def _oracle_quantile_sketch(audit: bool) -> str:
+    """functions/sketch.py quantile-sketch conventions: positive cents,
+    octave via bin()-length, 32 linear sub-buckets, ceil-rank pick,
+    exact-integer lower-bound estimate."""
+    base = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+b AS (
+  SELECT flag, cents,
+         CAST((length(bin(cents)) - 1) * 32
+              + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))) * 32)
+                // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)) AS INT)
+           AS bucket
+  FROM x WHERE cents IS NOT NULL AND cents > 0),
+st AS (SELECT flag, bucket, CAST(count(*) AS BIGINT) AS cnt
+       FROM b GROUP BY flag, bucket),
+cum AS (
+  SELECT flag, bucket, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+  FROM st),
+probes AS (
+  SELECT flag, bucket, cnt, cum, n, q_ppm,
+         CAST((n * q_ppm + 999999) // 1000000 AS BIGINT) AS rank
+  FROM cum CROSS JOIN (VALUES (CAST(500000 AS BIGINT)), (CAST(900000 AS BIGINT)),
+                              (CAST(990000 AS BIGINT))) q(q_ppm)),
+hits AS (
+  SELECT flag AS l_returnflag, q_ppm, rank, n,
+         CAST((CAST(1 AS BIGINT) << (bucket // 32)) * (32 + bucket % 32) // 32
+              AS BIGINT) AS est
+  FROM probes WHERE cum >= rank AND cum - cnt < rank)"""
+    if not audit:
+        return base + """
+SELECT l_returnflag, q_ppm, rank, n, est FROM hits
+"""
+    return base + """
+, ordered AS (
+  SELECT flag AS l_returnflag, cents,
+         CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT)
+           AS rank
+  FROM b)
+SELECT h.l_returnflag, h.q_ppm, h.rank, h.est,
+       o.cents AS exact_cents,
+       h.est <= o.cents AS lower_ok,
+       o.cents * 32 < h.est * 33 AS upper_ok,
+       CAST((o.cents - h.est) * 1000000 // o.cents AS BIGINT) AS err_ppm
+FROM hits h JOIN ordered o USING (l_returnflag, rank)
+"""
+
+
 def _oracle_expectations() -> str:
     """Rule-by-rule SQL restatement of
     functions/expectations.py::DOCUMENT_RULES (independent evidence:
@@ -3535,6 +3651,8 @@ JOIN s sj ON sj.dim = g.j
     "kmv_user_distinct": _oracle_kmv(),
     "hll_user_distinct": _oracle_hll(True),
     "hll_error_audit": _oracle_hll(False),
+    "quantile_sketch_prices": _oracle_quantile_sketch(False),
+    "quantile_sketch_audit": _oracle_quantile_sketch(True),
     "quality_expectations": _oracle_expectations(),
     "quarantined_docs": _oracle_quarantine(),
     "key_skew_report": _ORACLE_KEY_SKEW,

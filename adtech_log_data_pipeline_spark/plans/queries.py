@@ -225,6 +225,8 @@ _GATE_FIRST = [
     "bm25_search",
     "hll_user_distinct",
     "hll_error_audit",
+    "quantile_sketch_prices",
+    "quantile_sketch_audit",
     # the 28 never-driver-gated round-6 queries (0 greens beat all)
     "weighted_median_price",
     "penny_allocation",
@@ -264,14 +266,14 @@ _GATE_FIRST = [
     "conversion_funnel",
     "customer_order_distribution",
     "simhash_near_dup",
-    "repetition_stats",
-    "length_percentiles",
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
     "multimodal_resize",
+    "repetition_stats",
+    "length_percentiles",
     "packing_plan",
     "label_centroids",
     # the 43 round-6 window members, all green in CORRECTNESS_r06

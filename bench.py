@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "hll_user_distinct",
     "hll_error_audit",
     "profile_cap_audit",
+    "quantile_sketch_prices",
+    "quantile_sketch_audit",
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",

@@ -383,3 +383,66 @@ def test_hll_ignores_nulls_and_partitioning(spark):
     (r1,) = hll_distinct(df, "v").collect()
     (r4,) = hll_distinct(df.repartition(13), "v").collect()
     assert (r1["z_scaled"], r1["est"]) == (r4["z_scaled"], r4["est"])
+
+
+def test_quantile_sketch_guarantee_and_merge_law(spark):
+    """(a) The additive merge law: the state over a union equals the
+    per-bucket sum of slice states. (b) The GUARANTEED bracket: for every
+    group and quantile, est <= exact rank-th value < est * 33/32 — on an
+    adversarial mix of tiny, huge, near-power-of-two and duplicated
+    values. (c) rank = ceil(q*n) pins the edge: q=1.0 would pick the max;
+    q50 of 2 rows picks the 1st."""
+    from pyspark.sql.window import Window as W
+
+    from adtech_log_data_pipeline_spark.functions.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+        quantile_sketch_state,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vals = (
+        [rng.randrange(1, 10) for _ in range(50)]
+        + [2 ** rng.randrange(1, 40) + rng.randrange(-1, 2) for _ in range(100)]
+        + [rng.randrange(10**6, 10**12) for _ in range(200)]
+        + [777] * 60
+    )
+    rows = [("g%d" % (i % 3), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    # (a) merge law
+    a, b = df.filter("v % 2 = 0"), df.filter("v % 2 = 1")
+    whole = {
+        (r["g"], r["bucket"], r["cnt"])
+        for r in quantile_sketch_state(df, "v", ["g"]).collect()
+    }
+    merged = (
+        quantile_sketch_state(a, "v", ["g"])
+        .unionByName(quantile_sketch_state(b, "v", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r["g"], r["bucket"], r["cnt"]) for r in merged.collect()} == whole
+
+    # (b) bracket guarantee vs the exact order statistic
+    est = quantile_sketch(df, "v", ["g"]).collect()
+    ordered = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("v"))
+    ).collect()
+    byrank = {(r["g"], r["rn"]): r["v"] for r in ordered}
+    assert len(est) == 9
+    for r in est:
+        exact = byrank[(r["g"], r["rank"])]
+        assert r["est"] <= exact < r["est"] * 33 / 32, (r, exact)
+
+    # (c) rank edges
+    two = spark.createDataFrame([("g", 10), ("g", 1000)], "g string, v long")
+    got = {
+        r["q_ppm"]: r["rank"]
+        for r in quantile_sketch_estimates(
+            quantile_sketch_state(two, "v", ["g"]), ["g"], (500_000, 1_000_000)
+        ).collect()
+    }
+    assert got == {500_000: 1, 1_000_000: 2}
