@@ -1,0 +1,340 @@
+"""Model-evaluation operators: exact ROC-AUC and equi-depth calibration.
+
+The training-data pipeline's closing loop — after features
+(operators/features.py) and inference (operators/inference.py) comes
+evaluation: does the score actually rank positives above negatives
+(AUC), and does the score's magnitude mean what it claims
+(calibration)? Both are exact-integer formulations so the DuckDB
+oracle hash-compares bit-for-bit.
+
+Scale discipline shared by both operators: neither uses a GLOBAL sort
+window over the row relation. Ranks/prefix-counts come from the same
+textbook two-phase bucket-partitioned prefix scan as
+operators/sweep.py::interval_concurrency — phase 1 is a window
+PARTITIONED by score bucket (parallel, spillable), phase 2 prefix-sums
+the bounded one-row-per-bucket totals relation. Two keyed shuffles at
+any scale; the oracle deliberately restates the naive single-window
+form so the decomposition is checked against the textbook definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _neg_below(per_score: DataFrame, bucket_width: int) -> DataFrame:
+    """Given one row per distinct score with (score, pos, neg) counts,
+    add `neg_below` = total negatives with a strictly smaller score.
+
+    Two-phase prefix scan keyed on score div bucket_width; the phase-2
+    window runs over the bounded per-bucket totals only."""
+    b = int(bucket_width)
+    bucketed = per_score.withColumn("bucket", F.expr(f"score div {b}"))
+    local = bucketed.withColumn(
+        "local_cum_neg",
+        F.sum("neg").over(
+            Window.partitionBy("bucket")
+            .orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = local.groupBy("bucket").agg(F.sum("neg").alias("bucket_neg"))
+    offsets = totals.withColumn(
+        "entering_neg",
+        F.coalesce(
+            F.sum("bucket_neg").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "entering_neg")
+    return local.join(offsets, "bucket").withColumn(
+        "neg_below",
+        F.col("entering_neg") + F.col("local_cum_neg") - F.col("neg"),
+    )
+
+
+def auc_exact(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC of an integer score against a 0/1 label.
+
+    Mann-Whitney formulation kept in integers: over all positive ×
+    negative pairs, a correctly-ordered pair scores 2, a tie scores 1,
+    an inversion 0 — so ``auc_2u = sum(pos_s * (2*neg_below_s +
+    neg_at_s))`` over distinct scores s, and AUC = auc_2u / (2 P N).
+    ``auc_micro`` is the floor-divided micro-unit quotient (both engines
+    floor: operands are non-negative, so Spark's `div` truncation equals
+    DuckDB's `//`).
+
+    Output (one row): n_pos, n_neg, auc_2u, auc_micro — all bigint.
+    With a degenerate label column (no positives or no negatives) there
+    are no pairs and AUC is undefined: auc_micro = -1 sentinel, stated
+    identically in the oracle.
+
+    Scale shape: one hash agg to distinct scores (bounded by the score
+    domain, not the row count), the two-phase prefix scan above, one
+    final 1-row agg. Nothing collects; no global row sort.
+    """
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("long").alias("score"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("pos"),
+            F.sum(F.lit(1) - F.col("label")).alias("neg"),
+        )
+    )
+    with_below = _neg_below(per_score, bucket_width)
+    return with_below.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+        )
+        .cast("long")
+        .alias("auc_2u"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_2u",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1"
+            " ELSE (1000000 * auc_2u) div (2 * n_pos * n_neg) END"
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "uid",
+    n_bins: int = 10,
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Equi-depth calibration report: NTILE(n_bins) of the score WITHOUT
+    a global sort window, then per-bin positive rate.
+
+    The rank of each row under the total order (score, id) is computed
+    distributed: the prefix scan gives the count of rows with a strictly
+    smaller score, and a window PARTITIONED BY score (small groups)
+    ordered by id gives the intra-tie offset. The NTILE split then
+    follows SQL semantics exactly — with n rows, q = n div n_bins,
+    r = n mod n_bins, the first r tiles hold q+1 rows — as a closed-form
+    CASE on the rank, so the oracle can state plain ntile() and still
+    hash-match.
+
+    Output: one row per bin — bin (1-based int), n_rows, n_pos,
+    pos_rate_micro, lo_score, hi_score.
+    """
+    rows = scored.select(
+        F.col(score_col).cast("long").alias("score"),
+        F.col(label_col).cast("long").alias("label"),
+        F.col(id_col).alias("uid"),
+    )
+    per_score = rows.groupBy("score").agg(
+        F.count(F.lit(1)).alias("pos"),  # reuse prefix helper: neg=count
+        F.count(F.lit(1)).alias("neg"),
+    )
+    below = _neg_below(per_score, bucket_width).select(
+        "score", F.col("neg_below").alias("rows_below")
+    )
+    ranked = (
+        rows.join(below, "score")
+        .withColumn(
+            "intra",
+            F.row_number().over(
+                Window.partitionBy("score").orderBy("uid")
+            ),
+        )
+        .withColumn("rnk", F.col("rows_below") + F.col("intra"))
+    )
+    n_total = rows.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    k = int(n_bins)
+    binned = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "bin",
+        F.expr(
+            f"CASE WHEN n_total div {k} = 0 THEN rnk "
+            f"WHEN rnk <= (n_total % {k}) * (n_total div {k} + 1) "
+            f"THEN (rnk - 1) div (n_total div {k} + 1) + 1 "
+            f"ELSE n_total % {k} + (rnk - 1 - (n_total % {k}) "
+            f"* (n_total div {k} + 1)) div (n_total div {k}) + 1 END"
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.min("score").cast("long").alias("lo_score"),
+            F.max("score").cast("long").alias("hi_score"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            F.expr("(1000000 * n_pos) div n_rows")
+            .cast("long")
+            .alias("pos_rate_micro"),
+            "lo_score",
+            "hi_score",
+        )
+    )
+
+
+# hard bound on the exact self-kNN corpus: above this the O(n^2) brute
+# baseline is the wrong tool at ANY speed — callers route ivf_topk/lsh_topk
+KNN_BRUTE_MAX = 100_000
+
+
+def _self_knn_topk(embeddings: DataFrame, k: int) -> DataFrame:
+    """Exact all-vectors cosine top-k (query_id, neighbor_id, rank), two
+    stages so the O(n^2) work is an Arrow matmul, not 25M interpreted
+    SQL-lambda folds (37 s -> ~1.5 s at sf0.1):
+
+    1. CANDIDATES (mapInPandas): the corpus matrix (bounded — raises
+       over KNN_BRUTE_MAX; the 100 TB path is ivf_topk/lsh_topk) rides
+       the task closure; each Arrow batch of queries does one BLAS
+       matmul and keeps every neighbor whose unrounded cosine is within
+       MARGIN of its k-th best. Selection-only: BLAS pairwise-summation
+       error (~1e-12) plus the 0.5e-6 rounding shift both sit far
+       inside MARGIN = 3e-6, so every pair that could make the ROUNDED
+       top-k (ties included) provably survives to stage 2.
+    2. EXACT RE-RANK: the ~k+ties candidates per query are re-scored
+       with the very same 1e-6-rounded sequential-fold cosine + id
+       tiebreak as functions/similarity.py::brute_force_topk (the
+       arithmetic every similarity gate already proves against DuckDB),
+       then row_number <= k. Bit-identical ranking, none of the n^2
+       cost."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _cosine_r6, _norm
+
+    n = embeddings.count()
+    if n > KNN_BRUTE_MAX:
+        raise ValueError(
+            f"exact self-kNN is O(n^2): corpus {n} > {KNN_BRUTE_MAX}; "
+            "use ivf_topk/lsh_topk for the at-scale report"
+        )
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    margin = 3e-6
+    out_schema = "query_id long, neighbor_id long"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qids = pdf["vec_id"].to_numpy().astype(np.int64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            denom = qn[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, (q @ mat.T) / denom, -np.inf)
+            sim[np.isnan(sim)] = -np.inf
+            sim[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, sim.shape[1] - 1)
+            if kk <= 0:
+                continue
+            kth = np.partition(sim, -kk, axis=1)[:, -kk]
+            keep = sim >= (kth[:, None] - margin)
+            qi, ni = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"query_id": qids[qi], "neighbor_id": ids[ni]}
+            )
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        gen, out_schema
+    )
+    a = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("a"),
+        _norm("embedding").alias("na"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine_r6().alias("cos_sim_r6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def knn_label_agreement(
+    embeddings: DataFrame, *, k: int = 5
+) -> DataFrame:
+    """Mislabeled-example screen: for every vector, the fraction of its
+    k exact cosine nearest neighbors sharing its label, reported per
+    label — the standard kNN label-noise audit run before training on a
+    labeled embedding set (low agreement for a label = suspect annotations).
+
+    Neighbors come from _self_knn_topk: Arrow-matmul candidate
+    generation + exact re-rank with the same 1e-6-rounded cosine and id
+    tiebreak as functions/similarity.py::brute_force_topk, so results
+    are rank-stable under any float schedule. Brute-force is the
+    exactness baseline the recall audits pin the approximate paths
+    against; at 100 TB the same report runs over ivf_topk/lsh_topk
+    instead (identical downstream agg).
+
+    Output: one row per label — label, n_vecs, n_neighbor_hits,
+    agreement_micro = 1e6 * hits div (k * n_vecs).
+    """
+    topk = _self_knn_topk(embeddings, k)
+    labels = embeddings.select("vec_id", "label")
+    q_lab = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "q_label"
+    )
+    n_lab = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "n_label"
+    )
+    hits = (
+        topk.join(q_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count_distinct("query_id").cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_neighbor_hits"),
+        )
+    )
+    return hits.select(
+        "label",
+        "n_vecs",
+        "n_neighbor_hits",
+        F.expr(f"(1000000 * n_neighbor_hits) div ({int(k)} * n_vecs)")
+        .cast("long")
+        .alias("agreement_micro"),
+    )

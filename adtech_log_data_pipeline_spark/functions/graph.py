@@ -254,3 +254,77 @@ def triangle_stats(pairs: DataFrame, broadcast_adj: bool = True) -> DataFrame:
             " ELSE (3000000 * n_triangles) div n_wedges END"
         ).alias("clustering_ppm"),
     )
+
+
+def khop_reachability(
+    pairs: DataFrame,
+    *,
+    seed_mod: int = 50,
+    k: int = 3,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set, bounded at k hops — BFS by
+    frontier expansion (the reachability / influence-radius primitive;
+    same iterative-relational shape a recursive CTE states declaratively,
+    which is exactly what the DuckDB oracle uses, bounded to the same k).
+
+    `pairs` is an undirected edge list (p1 < p2); seeds are the nodes
+    with node % seed_mod == 0. Each round joins ONLY the newest frontier
+    (nodes first reached last round) against the cached bidirectional
+    adjacency, then folds new reaches into the distance relation —
+    already-settled nodes are never re-expanded, so total work is
+    O(edges incident to the reached set) per round, the textbook
+    distributed BFS. k is a constant (3): the lineage stays shallow and
+    each round's frontier/distance relations are persisted eagerly (a
+    lazy persist lets next round's three consumers race the cache and
+    re-execute the union lineage — measured 2x slower than the two
+    count() actions).
+
+    Same broadcast discipline as weighted_pagerank: the frontier and
+    settled-node relations are NODE-sized (dimension-scale for catalog
+    graphs) and broadcast into the expansion join and the first-time
+    filter, so the EDGE relation never reshuffles across rounds — the
+    per-round shuffle is just the distinct over newly-reached nodes.
+    Pass broadcast_frontier=False for web-scale node sets and both
+    joins fall back to shuffle-hash on the cached edges.
+
+    Output: one row per reached node — (node, hops int), hops = exact
+    minimum distance <= k.
+
+    Scale shape: k keyed join + distinct rounds over the edge relation;
+    no driver collect, no global sort. At web scale the only change is
+    unpersisting round i-1 state (constant memory in k)."""
+    from ._cache import hold
+
+    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    # pairs carries ONE row per undirected edge (p1 < p2 contract), so
+    # the two orientations are disjoint — no distinct needed, saving a
+    # full shuffle of the edge relation
+    edges = hold(
+        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))),
+        eager=True,
+    )
+    # seed filter BEFORE the dedup: the distinct shuffles only the
+    # seed_mod-th fraction of endpoint rows
+    dist = hold(
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % seed_mod == 0)
+        .distinct()
+        .select("node", F.lit(0).alias("hops")),
+        eager=True,
+    )
+    frontier = dist
+    for i in range(1, int(k) + 1):
+        reached = (
+            edges.join(maybe_bc(frontier), frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(i).alias("hops"))
+            .distinct()
+        )
+        # new frontier = nodes reached this round for the first time
+        frontier = hold(
+            reached.join(maybe_bc(dist.select("node")), "node", "left_anti"),
+            eager=True,
+        )
+        dist = hold(dist.union(frontier), eager=True)
+    return dist.select("node", F.col("hops").cast("int").alias("hops"))

@@ -1527,6 +1527,73 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRUNC_DIMS = 16  # dim_truncation_recall's truncated prefix width
 
 
+def _user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (score, label) for the evaluation queries: score = total
+    click+view spend in exact cents, label = 1 iff the user ever
+    purchased. One hash agg over events; the cents quantization is the
+    board's standard floor(x*100 + 0.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("click", "view"),
+                    F.expr("cast(floor(value * 100 + 0.5) as bigint)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+
+
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of engagement spend predicting purchase —
+    the ranking-quality eval closing the feature->inference loop
+    (functions/evaluate.py::auc_exact; two-phase prefix scan, no global
+    sort; oracle restates the naive single-window Mann-Whitney form)."""
+    from ..functions.evaluate import auc_exact
+
+    return auc_exact(_user_scores(spark, sf_dir), bucket_width=10_000)
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile calibration of the same score: NTILE(10)
+    computed WITHOUT a global sort window (distributed rank = prefix
+    scan + per-tie-group offset, closed-form SQL-ntile split), then the
+    per-bin positive rate — does spend magnitude mean purchase
+    propensity? Oracle states plain ntile() over (score, user_id)."""
+    from ..functions.evaluate import calibration_bins
+
+    return calibration_bins(
+        _user_scores(spark, sf_dir), n_bins=10, bucket_width=10_000
+    )
+
+
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS minimum-distance from seed parts (partkey % 50 == 0)
+    over the co-purchase graph — the iterative frontier-expansion twin of
+    a bounded recursive CTE, which is exactly the oracle's form
+    (functions/graph.py::khop_reachability; frontier-only re-expansion,
+    cached adjacency, k keyed joins)."""
+    from ..functions.graph import copurchase_edges, khop_reachability
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return khop_reachability(copurchase_edges(li), seed_mod=50, k=3)
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise screen over the labeled embedding set: per label,
+    the fraction of each vector's 5 exact cosine neighbors sharing its
+    label (functions/evaluate.py::knn_label_agreement on
+    brute_force_topk's rank-stable r6 cosine)."""
+    from ..functions.evaluate import knn_label_agreement
+
+    return knn_label_agreement(_emb(spark, sf_dir), k=5)
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
@@ -1632,6 +1699,10 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_spend_sessions": q_streaming_spend_sessions,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_device_activity": q_streaming_device_activity,
+    "score_auc": q_score_auc,
+    "score_calibration": q_score_calibration,
+    "graph_reachability": q_graph_reachability,
+    "knn_label_agreement": q_knn_label_agreement,
 }
 
 
@@ -4115,4 +4186,91 @@ FROM s GROUP BY doc_id
     "dup_span_incoming": _oracle_dup_span_incoming(),
     "cross_source_overlap": _ORACLE_CROSS_SOURCE_OVERLAP,
     "audio_chunks": _ORACLE_AUDIO_CHUNKS,
+    # the oracle deliberately states the NAIVE single-window Mann-Whitney
+    # form so the engine's two-phase bucketed prefix decomposition is
+    # checked against the textbook definition (cf. weighted_sample)
+    "score_auc": """
+WITH u AS (SELECT user_id,
+        coalesce(sum(CASE WHEN event_type IN ('click', 'view')
+            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+            ELSE 0 END), 0) AS score,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+     FROM events GROUP BY user_id),
+s AS (SELECT score, sum(label) AS pos, sum(1 - label) AS neg
+      FROM u GROUP BY score),
+c AS (SELECT score, pos, neg,
+        coalesce(sum(neg) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM s)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS auc_2u,
+       CAST(CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN -1
+            ELSE (1000000 * sum(pos * (2 * neg_below + neg)))
+                 // (2 * sum(pos) * sum(neg)) END AS BIGINT) AS auc_micro
+FROM c
+""",
+    # plain ntile() over the (score, user_id) total order — the engine's
+    # distributed closed-form split must reproduce it exactly
+    "score_calibration": """
+WITH u AS (SELECT user_id,
+        coalesce(sum(CASE WHEN event_type IN ('click', 'view')
+            THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+            ELSE 0 END), 0) AS score,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+     FROM events GROUP BY user_id),
+r AS (SELECT score, label,
+             ntile(10) OVER (ORDER BY score, user_id) AS bin
+      FROM u)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST((1000000 * sum(label)) // count(*) AS BIGINT) AS pos_rate_micro,
+       CAST(min(score) AS BIGINT) AS lo_score,
+       CAST(max(score) AS BIGINT) AS hi_score
+FROM r GROUP BY bin
+""",
+    # bounded-depth recursive CTE — the declarative statement of the
+    # engine's iterative frontier BFS (same co-purchase edge CTEs as
+    # copurchase_pagerank)
+    "graph_reachability": """
+WITH RECURSIVE
+bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pr AS (SELECT a.pk AS p1, b.pk AS p2
+       FROM bask a JOIN bask b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+e AS (SELECT p1 AS src, p2 AS dst FROM pr UNION SELECT p2, p1 FROM pr),
+reach(node, hops) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src % 50 = 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.hops < 3)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
+""",
+    # same r6-rounded cosine + id-tiebreak chain as similarity_topk,
+    # aggregated to the per-label agreement report
+    "knn_label_agreement": """
+WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                  embedding::DOUBLE[] AS a FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+             embedding::DOUBLE[] AS b FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.q_label, c.neighbor_id, c.n_label,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a))
+                  * sqrt(list_dot_product(c.b, c.b))), 6) AS cos_sim_r6
+  FROM q, c WHERE c.neighbor_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rnk
+  FROM scored),
+top AS (SELECT * FROM ranked WHERE rnk <= 5)
+SELECT q_label AS label,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neighbor_hits,
+       CAST((1000000 * sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END))
+            // (5 * count(DISTINCT query_id)) AS BIGINT) AS agreement_micro
+FROM top GROUP BY q_label
+""",
 }

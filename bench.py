@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "profile_cap_audit",
     "quantile_sketch_prices",
     "quantile_sketch_audit",
+    "score_auc",
+    "score_calibration",
+    "graph_reachability",
+    "knn_label_agreement",
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",

@@ -1,0 +1,246 @@
+"""Evaluation operators (functions/evaluate.py) + k-hop BFS
+(functions/graph.py::khop_reachability): laws against transparent
+pure-Python references, never snapshots."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "uid long, score long, label int"
+    )
+
+
+def _py_auc_2u(rows):
+    """Quadratic reference: sum over (pos, neg) pairs of 2*win + tie."""
+    pos = [s for _, s, l in rows if l == 1]
+    neg = [s for _, s, l in rows if l == 0]
+    return sum(
+        2 * (p > n) + (p == n) for p in pos for n in neg
+    ), len(pos), len(neg)
+
+
+class TestAucExact:
+    def test_perfect_ranking(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import auc_exact
+
+        rows = [(1, 10, 0), (2, 20, 0), (3, 30, 1), (4, 40, 1)]
+        r = auc_exact(_scored(spark, rows)).collect()[0]
+        assert (r["n_pos"], r["n_neg"]) == (2, 2)
+        assert r["auc_2u"] == 2 * 2 * 2  # every pair correctly ordered
+        assert r["auc_micro"] == 1_000_000
+
+    def test_all_tied_is_half(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import auc_exact
+
+        rows = [(i, 7, i % 2) for i in range(6)]
+        r = auc_exact(_scored(spark, rows)).collect()[0]
+        assert r["auc_micro"] == 500_000
+
+    def test_degenerate_labels_sentinel(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import auc_exact
+
+        r = auc_exact(_scored(spark, [(1, 5, 1), (2, 9, 1)])).collect()[0]
+        assert r["n_neg"] == 0 and r["auc_micro"] == -1
+
+    def test_fuzz_vs_quadratic_reference(self, spark):
+        """Random scores with heavy ties, tiny bucket width so the
+        two-phase scan crosses many bucket boundaries."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import auc_exact
+
+        rng = random.Random(7)
+        for trial in range(3):
+            rows = [
+                (i, rng.randrange(0, 25), rng.randrange(0, 2))
+                for i in range(120)
+            ]
+            want_2u, n_pos, n_neg = _py_auc_2u(rows)
+            r = auc_exact(
+                _scored(spark, rows), bucket_width=4
+            ).collect()[0]
+            assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+            assert r["auc_2u"] == want_2u
+            assert r["auc_micro"] == (1_000_000 * want_2u) // (
+                2 * n_pos * n_neg
+            )
+
+
+class TestCalibrationBins:
+    def test_matches_sql_ntile(self, spark):
+        """The distributed closed-form split must equal Spark's own
+        ntile() window over (score, uid) — including the uneven case
+        n % bins != 0."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            calibration_bins,
+        )
+        from pyspark.sql.window import Window
+
+        rng = random.Random(11)
+        for n in (23, 40):  # 23 % 10 = 3 uneven; 40 even
+            rows = [
+                (i, rng.randrange(0, 9), rng.randrange(0, 2))
+                for i in range(n)
+            ]
+            df = _scored(spark, rows)
+            got = {
+                r["bin"]: r
+                for r in calibration_bins(
+                    df, n_bins=10, bucket_width=3
+                ).collect()
+            }
+            want = (
+                df.withColumn(
+                    "bin",
+                    F.ntile(10).over(Window.orderBy("score", "uid")),
+                )
+                .groupBy("bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("label").alias("n_pos"),
+                    F.min("score").alias("lo_score"),
+                    F.max("score").alias("hi_score"),
+                )
+                .collect()
+            )
+            assert len(got) == len(want) == 10
+            for w in want:
+                g = got[w["bin"]]
+                assert g["n_rows"] == w["n_rows"]
+                assert g["n_pos"] == w["n_pos"]
+                assert g["lo_score"] == w["lo_score"]
+                assert g["hi_score"] == w["hi_score"]
+                assert g["pos_rate_micro"] == (
+                    1_000_000 * w["n_pos"]
+                ) // w["n_rows"]
+
+
+class TestKhopReachability:
+    def test_matches_python_bfs(self, spark):
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            khop_reachability,
+        )
+
+        rng = random.Random(3)
+        edges = set()
+        while len(edges) < 60:
+            a, b = rng.randrange(0, 40), rng.randrange(0, 40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            [(a, b, 1) for a, b in sorted(edges)], "p1 long, p2 long, w long"
+        )
+        got = {
+            r["node"]: r["hops"]
+            for r in khop_reachability(pairs, seed_mod=10, k=3).collect()
+        }
+        # pure-Python BFS
+        adj = {}
+        nodes = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            nodes |= {a, b}
+        dist = {n: 0 for n in nodes if n % 10 == 0}
+        frontier = set(dist)
+        for h in range(1, 4):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        assert got == dist
+
+    def test_seed_distance_zero_and_monotone(self, spark):
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            khop_reachability,
+        )
+
+        pairs = spark.createDataFrame(
+            [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+            "p1 long, p2 long, w long",
+        )
+        got = {
+            r["node"]: r["hops"]
+            for r in khop_reachability(pairs, seed_mod=100, k=3).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 unreached within k=3
+
+
+class TestKnnLabelAgreement:
+    def test_pure_label_clusters_agree_fully(self, spark):
+        """Two well-separated label clusters: every neighbor shares the
+        query's label -> agreement_micro = 1e6 for both labels."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            knn_label_agreement,
+        )
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(8):
+            rows.append((i, [10.0 + rng.random() for _ in range(4)], 0))
+        for i in range(8, 16):
+            rows.append((i, [-10.0 - rng.random() for _ in range(4)], 1))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = {r["label"]: r for r in knn_label_agreement(emb, k=5).collect()}
+        assert out[0]["n_vecs"] == out[1]["n_vecs"] == 8
+        assert out[0]["agreement_micro"] == 1_000_000
+        assert out[1]["agreement_micro"] == 1_000_000
+
+
+class TestSelfKnnTopk:
+    def test_matches_brute_force_sql_path(self, spark):
+        """The Arrow candidate + exact re-rank pipeline must reproduce
+        brute_force_topk (the gate-proven SQL-expression path) exactly —
+        heavy rounded-cosine ties included."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            _self_knn_topk,
+        )
+        from adtech_log_data_pipeline_spark.functions.similarity import (
+            brute_force_topk,
+        )
+        from pyspark.sql import functions as F
+
+        rng = random.Random(17)
+        # low-dim integer grid vectors force many exactly-tied cosines
+        rows = [
+            (i, [float(rng.randrange(0, 3)) for _ in range(4)])
+            for i in range(60)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in _self_knn_topk(emb, 5).collect()
+        }
+        q = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        want = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        assert got == want
+
+    def test_brute_cap_raises(self, spark):
+        from adtech_log_data_pipeline_spark.functions import evaluate
+
+        emb = spark.createDataFrame(
+            [(0, [1.0]), (1, [2.0])], "vec_id long, embedding array<double>"
+        )
+        saved = evaluate.KNN_BRUTE_MAX
+        evaluate.KNN_BRUTE_MAX = 1
+        try:
+            import pytest
+
+            with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+                evaluate._self_knn_topk(emb, 5).collect()
+        finally:
+            evaluate.KNN_BRUTE_MAX = saved
