@@ -263,68 +263,85 @@ def khop_reachability(
     k: int = 3,
     broadcast_frontier: bool = True,
 ) -> DataFrame:
-    """Minimum-hop distance from a seed set, bounded at k hops — BFS by
-    frontier expansion (the reachability / influence-radius primitive;
+    """Minimum-hop distance from a seed set, bounded at k hops — BFS as
+    ONE composed job (the reachability / influence-radius primitive; the
     same iterative-relational shape a recursive CTE states declaratively,
     which is exactly what the DuckDB oracle uses, bounded to the same k).
 
-    `pairs` is an undirected edge list (p1 < p2); seeds are the nodes
-    with node % seed_mod == 0. Each round joins ONLY the newest frontier
-    (nodes first reached last round) against the cached bidirectional
-    adjacency, then folds new reaches into the distance relation —
-    already-settled nodes are never re-expanded, so total work is
-    O(edges incident to the reached set) per round, the textbook
-    distributed BFS. k is a constant (3): the lineage stays shallow and
-    each round's frontier/distance relations are persisted eagerly (a
-    lazy persist lets next round's three consumers race the cache and
-    re-execute the union lineage — measured 2x slower than the two
-    count() actions).
+    `pairs` is an undirected edge list with ONE row per edge (p1 < p2
+    contract — the two orientations below are therefore disjoint and
+    need no dedup); seeds are the nodes with node % seed_mod == 0.
 
-    Same broadcast discipline as weighted_pagerank: the frontier and
-    settled-node relations are NODE-sized (dimension-scale for catalog
-    graphs) and broadcast into the expansion join and the first-time
-    filter, so the EDGE relation never reshuffles across rounds — the
-    per-round shuffle is just the distinct over newly-reached nodes.
-    Pass broadcast_frontier=False for web-scale node sets and both
-    joins fall back to shuffle-hash on the cached edges.
+    Formulation: level_i = distinct(level_{i-1} JOIN edges), a linear
+    chain of k expansion joins, then min(hops) over the union of all
+    levels — re-reaching a settled node at a later hop is collapsed by
+    the min, so the result is exactly BFS distance. The chain composes
+    into a SINGLE action: only the edge relation is held (it feeds all k
+    joins); each level is node-sized and — same broadcast discipline as
+    weighted_pagerank — broadcast into its expansion join, so edges
+    never reshuffle and the per-level shuffle is just the distinct over
+    reached nodes. Measured ~2x faster end-to-end than the
+    frontier-pruned variant (anti-join per round + eager
+    materializations = 2k extra jobs), because at k = 3 on a dense
+    catalog graph the frontier is nearly the whole reached set and
+    pruning saves almost no join work.
+
+    The classic frontier-pruned BFS wins back when k is large and the
+    per-round frontier shrinks far below the settled set (long-radius
+    sparse graphs) — at this operator's bounded-k contract the composed
+    form is the right plan. Pass broadcast_frontier=False for web-scale
+    node sets and the expansion joins fall back to shuffle-hash.
 
     Output: one row per reached node — (node, hops int), hops = exact
-    minimum distance <= k.
-
-    Scale shape: k keyed join + distinct rounds over the edge relation;
-    no driver collect, no global sort. At web scale the only change is
-    unpersisting round i-1 state (constant memory in k)."""
+    minimum distance <= k. Scale shape: k keyed join + distinct stages
+    over the cached edge relation; no driver collect, no global sort."""
     from ._cache import hold
 
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
-    # pairs carries ONE row per undirected edge (p1 < p2 contract), so
-    # the two orientations are disjoint — no distinct needed, saving a
-    # full shuffle of the edge relation
+    # map-side orientation doubling (same shape as weighted_pagerank's
+    # directed expansion): one pass over pairs, no union — a two-branch
+    # union would double the cached partition count and with it every
+    # downstream expansion join's task count
     edges = hold(
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .union(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))),
+        pairs.select(
+            F.explode(
+                F.expr("array(struct(p1 AS src, p2 AS dst), struct(p2 AS src, p1 AS dst))")
+            ).alias("x")
+        ).select("x.src", "x.dst"),
         eager=True,
     )
+    # level relations are NODE-sized: pin their dedup exchanges to the
+    # core count instead of inheriting the session's fact-sized
+    # spark.sql.shuffle.partitions (a bare vanilla session's 200-wide
+    # default costs ~2k near-empty tasks across the k levels — measured
+    # 35 s -> ~8 s at sf0.01 on exactly that session). A hash
+    # repartition on the dedup key satisfies dropDuplicates' clustering
+    # requirement, so each level still pays exactly ONE exchange.
+    width = pairs.sparkSession.sparkContext.defaultParallelism
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        return df.repartition(width, "node").dropDuplicates(["node"])
+
     # seed filter BEFORE the dedup: the distinct shuffles only the
     # seed_mod-th fraction of endpoint rows
-    dist = hold(
-        edges.select(F.col("src").alias("node"))
-        .filter(F.col("node") % seed_mod == 0)
-        .distinct()
-        .select("node", F.lit(0).alias("hops")),
-        eager=True,
+    level = _dedup(
+        edges.select(F.col("src").alias("node")).filter(
+            F.col("node") % seed_mod == 0
+        )
     )
-    frontier = dist
+    levels = [level.select("node", F.lit(0).alias("hops"))]
     for i in range(1, int(k) + 1):
-        reached = (
-            edges.join(maybe_bc(frontier), frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"), F.lit(i).alias("hops"))
-            .distinct()
+        level = _dedup(
+            edges.join(maybe_bc(level), level["node"] == edges["src"]).select(
+                F.col("dst").alias("node")
+            )
         )
-        # new frontier = nodes reached this round for the first time
-        frontier = hold(
-            reached.join(maybe_bc(dist.select("node")), "node", "left_anti"),
-            eager=True,
-        )
-        dist = hold(dist.union(frontier), eager=True)
-    return dist.select("node", F.col("hops").cast("int").alias("hops"))
+        levels.append(level.select("node", F.lit(i).alias("hops")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return (
+        out.repartition(width, "node")
+        .groupBy("node")
+        .agg(F.min("hops").cast("int").alias("hops"))
+    )
