@@ -117,6 +117,67 @@ def auc_exact(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    n_bins: int,
+    bucket_width: int = 100_000,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """NTILE(n_bins) over the total order (value, id) WITHOUT a global
+    sort window — the building block of every equi-depth report here
+    (calibration deciles, RFM quintiles).
+
+    The rank of each row is computed distributed: the two-phase prefix
+    scan gives the count of rows with a strictly smaller value, and a
+    window PARTITIONED BY value (small tie groups) ordered by id gives
+    the intra-tie offset. The NTILE split then follows SQL semantics
+    exactly — with n rows, q = n div n_bins, r = n mod n_bins, the
+    first r tiles hold q+1 rows — as a closed-form CASE on the rank, so
+    an oracle can state plain ntile() and still hash-match (law test:
+    tests/test_evaluate.py pins equality against Spark's own ntile()).
+
+    Returns ``df``'s rows (value aliased to ``value_col``'s name,
+    untouched other columns preserved) plus the 1-based int ``bin_col``.
+    """
+    tagged = df.withColumn("__v", F.col(value_col).cast("long"))
+    per_value = tagged.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("pos"),  # prefix helper contract: the
+        F.count(F.lit(1)).alias("neg"),  # scanned measure is `neg`
+    ).withColumnRenamed("__v", "score")
+    below = _neg_below(per_value, bucket_width).select(
+        F.col("score").alias("__v"), F.col("neg_below").alias("rows_below")
+    )
+    ranked = (
+        tagged.join(below, "__v")
+        .withColumn(
+            "intra",
+            F.row_number().over(
+                Window.partitionBy("__v").orderBy(id_col)
+            ),
+        )
+        .withColumn("rnk", F.col("rows_below") + F.col("intra"))
+    )
+    n_total = tagged.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    k = int(n_bins)
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            bin_col,
+            F.expr(
+                f"CASE WHEN n_total div {k} = 0 THEN rnk "
+                f"WHEN rnk <= (n_total % {k}) * (n_total div {k} + 1) "
+                f"THEN (rnk - 1) div (n_total div {k} + 1) + 1 "
+                f"ELSE n_total % {k} + (rnk - 1 - (n_total % {k}) "
+                f"* (n_total div {k} + 1)) div (n_total div {k}) + 1 END"
+            ).cast("int"),
+        )
+        .drop("__v", "rows_below", "intra", "rnk", "n_total")
+    )
+
+
 def calibration_bins(
     scored: DataFrame,
     *,
@@ -126,17 +187,9 @@ def calibration_bins(
     n_bins: int = 10,
     bucket_width: int = 100_000,
 ) -> DataFrame:
-    """Equi-depth calibration report: NTILE(n_bins) of the score WITHOUT
-    a global sort window, then per-bin positive rate.
-
-    The rank of each row under the total order (score, id) is computed
-    distributed: the prefix scan gives the count of rows with a strictly
-    smaller score, and a window PARTITIONED BY score (small groups)
-    ordered by id gives the intra-tie offset. The NTILE split then
-    follows SQL semantics exactly — with n rows, q = n div n_bins,
-    r = n mod n_bins, the first r tiles hold q+1 rows — as a closed-form
-    CASE on the rank, so the oracle can state plain ntile() and still
-    hash-match.
+    """Equi-depth calibration report: distributed_ntile over the score,
+    then per-bin positive rate — does the score's magnitude mean what it
+    claims?
 
     Output: one row per bin — bin (1-based int), n_rows, n_pos,
     pos_rate_micro, lo_score, hi_score.
@@ -146,34 +199,12 @@ def calibration_bins(
         F.col(label_col).cast("long").alias("label"),
         F.col(id_col).alias("uid"),
     )
-    per_score = rows.groupBy("score").agg(
-        F.count(F.lit(1)).alias("pos"),  # reuse prefix helper: neg=count
-        F.count(F.lit(1)).alias("neg"),
-    )
-    below = _neg_below(per_score, bucket_width).select(
-        "score", F.col("neg_below").alias("rows_below")
-    )
-    ranked = (
-        rows.join(below, "score")
-        .withColumn(
-            "intra",
-            F.row_number().over(
-                Window.partitionBy("score").orderBy("uid")
-            ),
-        )
-        .withColumn("rnk", F.col("rows_below") + F.col("intra"))
-    )
-    n_total = rows.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-    k = int(n_bins)
-    binned = ranked.crossJoin(F.broadcast(n_total)).withColumn(
-        "bin",
-        F.expr(
-            f"CASE WHEN n_total div {k} = 0 THEN rnk "
-            f"WHEN rnk <= (n_total % {k}) * (n_total div {k} + 1) "
-            f"THEN (rnk - 1) div (n_total div {k} + 1) + 1 "
-            f"ELSE n_total % {k} + (rnk - 1 - (n_total % {k}) "
-            f"* (n_total div {k} + 1)) div (n_total div {k}) + 1 END"
-        ).cast("int"),
+    binned = distributed_ntile(
+        rows,
+        value_col="score",
+        id_col="uid",
+        n_bins=n_bins,
+        bucket_width=bucket_width,
     )
     return (
         binned.groupBy("bin")
@@ -337,4 +368,39 @@ def knn_label_agreement(
         F.expr(f"(1000000 * n_neighbor_hits) div ({int(k)} * n_vecs)")
         .cast("long")
         .alias("agreement_micro"),
+    )
+
+
+def zscore_anomaly_cells(
+    cells: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "cents",
+    z: int = 2,
+) -> DataFrame:
+    """Integer-exact z-score screen: keep the rows of ``cells`` whose
+    ``value_col`` deviates more than ``z`` population sigmas from their
+    group's mean — stated WITHOUT division or sqrt, so both engines
+    agree bit-for-bit: (n*x - s1)^2 > z^2 * (n*s2 - s1^2) is the
+    z^2 inequality cleared of denominators (n^2 cancels on both sides).
+
+    Arithmetic runs in decimal(38,0) (DuckDB: HUGEINT) because the sum
+    of squares overflows bigint at warehouse scale. Plan: one hash agg
+    to per-group scalars, broadcast back, map-side filter — the
+    anomaly-detection primitive over any pre-aggregated cell relation.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    stats = cells.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    dev = F.col("__n") * F.col(value_col).cast("decimal(38,0)") - F.col("__s1")
+    bound = F.lit(int(z) * int(z)) * (
+        F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    )
+    return (
+        cells.join(F.broadcast(stats), group_col)
+        .filter(dev * dev > bound)
+        .drop("__n", "__s1", "__s2")
     )

@@ -345,3 +345,77 @@ def khop_reachability(
         .groupBy("node")
         .agg(F.min("hops").cast("int").alias("hops"))
     )
+
+
+def bounded_shortest_path(
+    pairs: DataFrame,
+    *,
+    seed_mod: int = 50,
+    k: int = 3,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Minimum-COST path from a seed set within k edges — distributed
+    Bellman-Ford over the weighted co-occurrence graph, edge length =
+    1_000_000 div w (stronger co-occurrence = shorter), all exact
+    integers so the bounded recursive-CTE oracle matches bit-for-bit.
+
+    Formulation: lv_i = per-node min cost among paths of EXACTLY i
+    edges — optimal substructure holds per exact hop count (the prefix
+    of an optimal exact-i path is an optimal exact-(i-1) path to its
+    endpoint), so lv_i derives from lv_{i-1} alone: a LINEAR chain of k
+    (expand join + min hash-agg) stages, then min(cost) over the union
+    of all levels. Each level subplan is referenced twice (chain + final
+    union) — bounded re-evaluation, unlike the classic running-minimum
+    relaxation whose dist_i feeds dist_{i+1} twice and re-executes its
+    prefix exponentially unless every round materializes. Same broadcast
+    and width discipline as khop_reachability: node-sized levels
+    broadcast into the expansion joins (edges never reshuffle),
+    min-aggs width-pinned to the core count.
+
+    Output: (node, cost_micro bigint) — exact min cost over paths of
+    <= k edges from any seed (seeds themselves at cost 0)."""
+    from ._cache import hold
+
+    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    width = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = hold(
+        pairs.select(
+            F.explode(
+                F.expr(
+                    "array(struct(p1 AS src, p2 AS dst, w),"
+                    "      struct(p2 AS src, p1 AS dst, w))"
+                )
+            ).alias("x")
+        ).select("x.src", "x.dst", F.expr("1000000 div x.w").alias("len")),
+        eager=True,
+    )
+
+    def _min_cost(df: DataFrame) -> DataFrame:
+        return (
+            df.repartition(width, "node")
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+
+    level = _min_cost(
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % seed_mod == 0)
+        .select("node", F.lit(0).cast("long").alias("cost"))
+    )
+    levels = [level]
+    for _ in range(int(k)):
+        level = _min_cost(
+            edges.join(maybe_bc(level), level["node"] == edges["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("len")).alias("cost"),
+            )
+        )
+        levels.append(level)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return (
+        out.repartition(width, "node")
+        .groupBy("node")
+        .agg(F.min("cost").cast("bigint").alias("cost_micro"))
+    )

@@ -1594,6 +1594,99 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_agreement(_emb(spark, sf_dir), k=5)
 
 
+def q_shortest_path_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest path over the co-purchase graph: min
+    cost (edge length = 1e6 div co-purchase count) within 3 edges from
+    seed parts — distributed Bellman-Ford via per-exact-hop min levels
+    (functions/graph.py::bounded_shortest_path; oracle = bounded
+    recursive CTE enumerating <=3-edge walks, min(total))."""
+    from ..functions.graph import bounded_shortest_path, copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bounded_shortest_path(copurchase_edges(li), seed_mod=50, k=3)
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact z-score anomaly screen over hourly spend: flag
+    (event_type, hour) cells whose spend deviates > 2 population sigmas
+    from the type's hourly mean — stated WITHOUT division or sqrt:
+    (n*x - s1)^2 > 4 * (n*s2 - s1^2), the z^2 > 4 inequality cleared of
+    denominators, exact in decimal(38,0) on Spark / HUGEINT on DuckDB
+    (x^2 sums overflow bigint at warehouse scale; the comparison never
+    leaves 128-bit). One hash agg to hourly cells, then
+    functions/evaluate.py::zscore_anomaly_cells (per-type scalars
+    broadcast back, map-side flag; law-fuzzed vs a float z-score
+    reference). Output: the anomalous cells only
+    (event_type, hour_bucket, cents)."""
+    from ..functions.evaluate import zscore_anomaly_cells
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_millis(cast(ts as timestamp_ltz)) div 3600000"
+            ).alias("hour_bucket"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+            ).alias("cents")
+        )
+    )
+    return zscore_anomaly_cells(cells, z=2).select(
+        "event_type",
+        F.col("hour_bucket").cast("long").alias("hour_bucket"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile-bin recency (days since last
+    order), frequency (order count), and monetary (lifetime cents) per
+    customer, then the segment-cell report — three applications of
+    functions/evaluate.py::distributed_ntile (equi-depth bins WITHOUT a
+    global sort window; oracle states three plain ntile() windows over
+    (value, custkey)). Output per (r_bin, f_bin, m_bin): customer count
+    and total cents."""
+    from ..functions.evaluate import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.expr("unix_millis(cast(o_orderdate as timestamp_ltz)) div 86400000")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        ).alias("cents"),
+    )
+    anchor = per_cust.groupBy().agg(F.max("last_day").alias("max_day"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "freq",
+        "cents",
+    )
+    b1 = distributed_ntile(
+        rfm, value_col="recency_days", id_col="custkey", n_bins=5,
+        bucket_width=30, bin_col="r_bin",
+    )
+    b2 = distributed_ntile(
+        b1, value_col="freq", id_col="custkey", n_bins=5,
+        bucket_width=8, bin_col="f_bin",
+    )
+    b3 = distributed_ntile(
+        b2, value_col="cents", id_col="custkey", n_bins=5,
+        bucket_width=10_000_000, bin_col="m_bin",
+    )
+    return b3.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
@@ -1703,6 +1796,9 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_calibration": q_score_calibration,
     "graph_reachability": q_graph_reachability,
     "knn_label_agreement": q_knn_label_agreement,
+    "shortest_path_parts": q_shortest_path_parts,
+    "event_anomaly": q_event_anomaly,
+    "rfm_segments": q_rfm_segments,
 }
 
 
@@ -4272,5 +4368,70 @@ SELECT q_label AS label,
        CAST((1000000 * sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END))
             // (5 * count(DISTINCT query_id)) AS BIGINT) AS agreement_micro
 FROM top GROUP BY q_label
+""",
+    # bounded recursive CTE over the WEIGHTED edges: enumerate every
+    # <=3-edge walk from the seeds, min total length per node — the
+    # declarative statement of the engine's per-exact-hop Bellman-Ford
+    "shortest_path_parts": """
+WITH RECURSIVE
+bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pr AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS w
+       FROM bask a JOIN bask b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY a.pk, b.pk),
+el AS (SELECT p1 AS src, p2 AS dst, 1000000 // w AS len FROM pr
+       UNION ALL SELECT p2, p1, 1000000 // w FROM pr),
+walk(node, cost, hops) AS (
+  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM el WHERE src % 50 = 0
+  UNION ALL
+  SELECT el.dst, wk.cost + el.len, wk.hops + 1
+  FROM walk wk JOIN el ON el.src = wk.node WHERE wk.hops < 3)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost_micro
+FROM walk GROUP BY node
+""",
+    # z^2 > 4 cleared of denominators — (n*x - s1)^2 > 4*(n*s2 - s1^2)
+    # — in HUGEINT, the 128-bit twin of Spark's decimal(38,0)
+    "event_anomaly": """
+WITH cells AS (
+  SELECT event_type,
+         epoch_ms(ts) // 3600000 AS hour_bucket,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, epoch_ms(ts) // 3600000),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(cents AS HUGEINT)) AS s1,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
+  FROM cells GROUP BY event_type)
+SELECT c.event_type,
+       CAST(c.hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(c.cents AS BIGINT) AS cents
+FROM cells c JOIN stats s ON c.event_type = s.event_type
+WHERE (s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
+      > 4 * (s.n * s.s2 - s.s1 * s.s1)
+""",
+    # three plain ntile() windows over (value, custkey) — the engine's
+    # distributed closed-form split must reproduce each exactly
+    "rfm_segments": """
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         max(epoch_ms(o_orderdate) // 86400000) AS last_day,
+         count(*) AS freq,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+a AS (SELECT max(last_day) AS max_day FROM pc),
+rfm AS (SELECT custkey, max_day - last_day AS recency_days, freq, cents
+        FROM pc CROSS JOIN a),
+b AS (SELECT custkey, cents,
+             ntile(5) OVER (ORDER BY recency_days, custkey) AS r_bin,
+             ntile(5) OVER (ORDER BY freq, custkey) AS f_bin,
+             ntile(5) OVER (ORDER BY cents, custkey) AS m_bin
+      FROM rfm)
+SELECT CAST(r_bin AS INT) AS r_bin, CAST(f_bin AS INT) AS f_bin,
+       CAST(m_bin AS INT) AS m_bin,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY r_bin, f_bin, m_bin
 """,
 }

@@ -213,8 +213,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-7 rotation record. Round 6 left exactly 28 declared queries with
 # zero driver green rows (locally proven in LOCALGATE_r06 + the round-6
 # judge's own vanilla oracle runs, but the contract's hard signal is a
-# CORRECTNESS row); all 28 queue here, after the 11 round-7-new queries.
-# The remaining 4 slots (50 - 7 parity - 11 new - 28) go to the longest-
+# CORRECTNESS row); all 28 queue here, after the 14 round-7-new queries.
+# The remaining 1 slot (50 - 7 parity - 14 new - 28) go to the longest-
 # ungated greens: every rotation pick below last earned its green in
 # round 3, the oldest cohort on the board. The 43 round-6 window members
 # (all green in CORRECTNESS_r06) rotate to the tail.
@@ -231,6 +231,9 @@ _GATE_FIRST = [
     "score_calibration",
     "graph_reachability",
     "knn_label_agreement",
+    "shortest_path_parts",
+    "event_anomaly",
+    "rfm_segments",
     # the 28 never-driver-gated round-6 queries (0 greens beat all)
     "weighted_median_price",
     "penny_allocation",
@@ -260,19 +263,19 @@ _GATE_FIRST = [
     "pareto_documents",
     "funnel_pattern",
     "event_pivot",
-    # 4 re-entries whose last green row is round 3 (the oldest cohort;
+    # 1 re-entry whose last green row is round 3 (the oldest cohort;
     # the round-6 gate comment promised these re-enter first — the other
-    # 4 round-3 picks were displaced to the tail head by the 4
+    # 7 round-3 picks were displaced to the tail head by the 7
     # late-round-7 new queries and re-enter next round)
     "embedding_outliers",
-    "frame_sample",
-    "monthly_revenue_trend",
-    "quiet_returners",
 ]
 # The tail holds the queries with the MOST recent/most numerous green rows:
 # the 43 non-parity round-5-gated queries and the remaining 4-green
 # relational set (rotate any back in if its code changes).
 _GATE_LAST = [
+    "frame_sample",
+    "monthly_revenue_trend",
+    "quiet_returners",
     "brand_supplier_stats",
     "conversion_funnel",
     "customer_order_distribution",

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "score_calibration",
     "graph_reachability",
     "knn_label_agreement",
+    "shortest_path_parts",
+    "event_anomaly",
+    "rfm_segments",
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",

@@ -244,3 +244,111 @@ class TestSelfKnnTopk:
                 evaluate._self_knn_topk(emb, 5).collect()
         finally:
             evaluate.KNN_BRUTE_MAX = saved
+
+
+class TestBoundedShortestPath:
+    def test_matches_python_bellman_ford(self, spark):
+        """Random weighted graph vs a pure-Python bounded Bellman-Ford
+        (min cost over paths of <= k edges from the seed set)."""
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            bounded_shortest_path,
+        )
+
+        rng = random.Random(23)
+        edges = {}
+        while len(edges) < 70:
+            a, b = rng.randrange(0, 40), rng.randrange(0, 40)
+            if a != b:
+                edges[(min(a, b), max(a, b))] = rng.randrange(1, 9)
+        pairs = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in sorted(edges.items())],
+            "p1 long, p2 long, w long",
+        )
+        got = {
+            r["node"]: r["cost_micro"]
+            for r in bounded_shortest_path(
+                pairs, seed_mod=10, k=3
+            ).collect()
+        }
+        adj = {}
+        for (a, b), w in edges.items():
+            ln = 1_000_000 // w
+            adj.setdefault(a, []).append((b, ln))
+            adj.setdefault(b, []).append((a, ln))
+        dist = {n: 0 for n in adj if n % 10 == 0}
+        best = dict(dist)
+        frontier = dist
+        for _ in range(3):
+            nxt = {}
+            for u, du in frontier.items():
+                for v, ln in adj.get(u, ()):
+                    c = du + ln
+                    if c < nxt.get(v, 1 << 60):
+                        nxt[v] = c
+            for v, c in nxt.items():
+                if c < best.get(v, 1 << 60):
+                    best[v] = c
+            frontier = nxt
+        assert got == best
+
+    def test_seed_cost_zero_shorter_via_heavier_edge(self, spark):
+        """Path 0-1-2 over weight-5 edges (len 200000 each) must beat
+        the direct weight-1 edge 0-2 (len 1000000)."""
+        from adtech_log_data_pipeline_spark.functions.graph import (
+            bounded_shortest_path,
+        )
+
+        pairs = spark.createDataFrame(
+            [(0, 1, 5), (1, 2, 5), (0, 2, 1)], "p1 long, p2 long, w long"
+        )
+        got = {
+            r["node"]: r["cost_micro"]
+            for r in bounded_shortest_path(
+                pairs, seed_mod=100, k=3
+            ).collect()
+        }
+        assert got == {0: 0, 1: 200_000, 2: 400_000}
+
+
+class TestZscoreAnomalyCells:
+    def test_matches_float_zscore_reference(self, spark):
+        """The denominator-free integer inequality must agree with the
+        plain float z-score on strict-> threshold crossings."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            zscore_anomaly_cells,
+        )
+
+        rng = random.Random(31)
+        rows = []
+        for g in ("a", "b", "c"):
+            base = rng.randrange(50, 200)
+            for h in range(40):
+                x = base + rng.randrange(-5, 6)
+                if h % 17 == 0:
+                    x += base * 2  # planted spikes
+                rows.append((g, h, x))
+        df = spark.createDataFrame(rows, "event_type string, hour_bucket long, cents long")
+        got = {
+            (r["event_type"], r["hour_bucket"])
+            for r in zscore_anomaly_cells(df, z=2).collect()
+        }
+        want = set()
+        for g in ("a", "b", "c"):
+            xs = [x for gg, _, x in rows if gg == g]
+            n = len(xs); mu = sum(xs) / n
+            var = sum((x - mu) ** 2 for x in xs) / n
+            for gg, h, x in rows:
+                if gg == g and (x - mu) ** 2 > 4 * var + 1e-9:
+                    want.add((g, h))
+        assert got == want
+
+    def test_uniform_group_has_no_anomalies(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            zscore_anomaly_cells,
+        )
+
+        df = spark.createDataFrame(
+            [("a", h, 100) for h in range(20)],
+            "event_type string, hour_bucket long, cents long",
+        )
+        assert zscore_anomaly_cells(df, z=2).count() == 0
