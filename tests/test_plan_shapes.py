@@ -229,3 +229,30 @@ def test_brand_supplier_stats_plan_pinned(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_graph_reachability_frontier_broadcast(spark):
+    """Every BFS expansion join must be broadcast-built (node-sized
+    frontier into the cached edge relation): a SortMergeJoin here means
+    the edge relation reshuffled per hop — the scale contract
+    khop_reachability documents."""
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    plan = _plan(spark, "graph_reachability", mode="simple")
+    release_cached()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # one per hop
+
+
+def test_shortest_path_levels_broadcast(spark):
+    """Same contract for the weighted Bellman-Ford levels: per-hop
+    expansion joins broadcast the node-sized level, edges never
+    reshuffle."""
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    plan = _plan(spark, "shortest_path_parts", mode="simple")
+    release_cached()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
