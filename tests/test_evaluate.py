@@ -78,7 +78,7 @@ class TestCalibrationBins:
         from pyspark.sql.window import Window
 
         rng = random.Random(11)
-        for n in (23, 40):  # 23 % 10 = 3 uneven; 40 even
+        for n in (7, 23, 40, 101):  # n < bins, uneven, even, prime
             rows = [
                 (i, rng.randrange(0, 9), rng.randrange(0, 2))
                 for i in range(n)
@@ -104,7 +104,7 @@ class TestCalibrationBins:
                 )
                 .collect()
             )
-            assert len(got) == len(want) == 10
+            assert len(got) == len(want) == min(n, 10)
             for w in want:
                 g = got[w["bin"]]
                 assert g["n_rows"] == w["n_rows"]
