@@ -141,8 +141,27 @@ def distributed_ntile(
 
     Returns ``df``'s rows (value aliased to ``value_col``'s name,
     untouched other columns preserved) plus the 1-based int ``bin_col``.
+
+    NON-NULL CONTRACT: ``value_col`` must not be NULL (and must not cast
+    to NULL). The rank join keys on the value, and a NULL key would
+    silently drop the row — while a plain ntile() oracle RANKS NULLs
+    (with engine-dependent NULL ordering, so there is no portable
+    semantics to match). A NULL therefore raises at execution time
+    instead of diverging silently.
     """
-    tagged = df.withColumn("__v", F.col(value_col).cast("long"))
+    tagged = df.withColumn(
+        "__v",
+        F.when(
+            F.col(value_col).cast("long").isNull(),
+            F.raise_error(
+                F.lit(
+                    f"distributed_ntile: NULL (or non-castable) {value_col};"
+                    " the operator's non-null contract — filter or impute"
+                    " upstream (plain ntile() NULL ordering is not portable)"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(value_col).cast("long")),
+    )
     per_value = tagged.groupBy("__v").agg(
         F.count(F.lit(1)).alias("pos"),  # prefix helper contract: the
         F.count(F.lit(1)).alias("neg"),  # scanned measure is `neg`
@@ -309,6 +328,11 @@ def _self_knn_topk(embeddings: DataFrame, k: int) -> DataFrame:
     scored = (
         cand.join(a, "query_id")
         .join(b, "neighbor_id")
+        # the self pair can leak through `keep` when a query's kth
+        # candidate sim is -inf (zero-norm vectors make every sim -inf
+        # and keep all-True) — stage 2 must mask it like stage 1 does,
+        # or a NULL-cosine self row can win the id tiebreak among NULLs
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cosine_r6().alias("cos_sim_r6"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -396,11 +420,30 @@ def zscore_anomaly_cells(
         F.sum(v * v).alias("__s2"),
     )
     dev = F.col("__n") * F.col(value_col).cast("decimal(38,0)") - F.col("__s1")
+    # decimal(38,0) x decimal(38,0) products overflow to NULL under
+    # non-ANSI Spark, which would evaluate the filter false and silently
+    # DROP a true anomaly — while the DuckDB oracle's HUGEINT overflow
+    # errors loudly. Fail like the oracle: a NULL product with non-NULL
+    # inputs can only be overflow, so raise instead of filtering.
+    dev2 = dev * dev
     bound = F.lit(int(z) * int(z)) * (
         F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
     )
+    # only flag overflow for non-NULL inputs; a NULL cell value keeps the
+    # SQL three-valued semantics (filter false) both engines share
+    overflow = F.col(value_col).isNotNull() & (dev2.isNull() | bound.isNull())
+    guarded = F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "zscore_anomaly_cells: decimal(38,0) overflow in the"
+                " cleared z^2 inequality — rescale value_col (the oracle's"
+                " HUGEINT errors here too; silence would drop anomalies)"
+            )
+        ).cast("boolean"),
+    ).otherwise(dev2 > bound)
     return (
         cells.join(F.broadcast(stats), group_col)
-        .filter(dev * dev > bound)
+        .filter(guarded)
         .drop("__n", "__s1", "__s2")
     )

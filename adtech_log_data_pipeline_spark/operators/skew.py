@@ -82,6 +82,47 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_anti_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "left_anti",
+) -> DataFrame:
+    """Skew-spread LEFT ANTI / LEFT SEMI join — the shape AQE cannot fix.
+
+    tests/test_skew.py empirically pins (this Spark build) that
+    OptimizeSkewedJoin does NOT split anti/semi joins, and the reference's
+    J1 popularity lookup (suspicious-ID filtering on a possibly-viral
+    bundle key) is exactly an anti join on a potentially hot key. When
+    the lookup side outgrows broadcast capacity AND the key is hot, this
+    operator is the documented fallback (SURVEY.md §4): fact rows get a
+    deterministic whole-row-hash salt, the lookup side's KEYS replicate
+    once per salt, and the join keys on (key, salt) — so within every
+    salt the lookup side holds the FULL key set, membership semantics are
+    exact, and the hot key's fact rows spread over ``n_salts`` reducers.
+
+    Left multiplicity is preserved exactly (anti/semi never duplicate
+    left rows); lookup-side duplicates are harmless (membership is
+    idempotent). Cost: the lookup side shuffles n_salts x its KEY COLUMN
+    only (projected before replication — the narrow relation is what
+    replicates, never the full dim row). Equivalence to the plain
+    anti/semi join is law-tested on the zipf fixture."""
+    if how not in ("left_anti", "left_semi"):
+        raise ValueError("salted_anti_join supports left_anti/left_semi")
+    fact_cols = [c for c in facts.columns]
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact_cols]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt)
+    d = dim.select(key).crossJoin(
+        F.broadcast(
+            facts.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
 def skew_report(
     df: DataFrame, key_cols: list[str], top_n: int = 5
 ) -> DataFrame:

@@ -1654,8 +1654,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        # timezone-FREE day bucket (functions/profile.py convention): the
+        # timestamp_ltz cast reads spark.sql.session.timeZone, and on a
+        # non-UTC driver session DST would shift per-date buckets by ±1
+        # non-uniformly vs the oracle's epoch_ms // 86400000
         F.max(
-            F.expr("unix_millis(cast(o_orderdate as timestamp_ltz)) div 86400000")
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long")
         ).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(

@@ -352,3 +352,89 @@ class TestZscoreAnomalyCells:
             "event_type string, hour_bucket long, cents long",
         )
         assert zscore_anomaly_cells(df, z=2).count() == 0
+
+
+class TestLoudContracts:
+    """Round-8 advisor fixes: silent divergences became loud failures."""
+
+    def test_ntile_null_value_raises(self, spark):
+        """distributed_ntile's rank join would silently DROP a NULL value
+        row (and plain ntile() NULL ordering is engine-dependent) — the
+        non-null contract raises at execution instead."""
+        import pytest
+
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            distributed_ntile,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "uid long, v long"
+        )
+        binned = distributed_ntile(df, value_col="v", id_col="uid", n_bins=2)
+        with pytest.raises(Exception, match="non-null contract"):
+            binned.collect()
+
+    def test_ntile_non_null_unaffected_by_guard(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            distributed_ntile,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i * 3 % 7) for i in range(20)], "uid long, v long"
+        )
+        got = {
+            (r["uid"], r["bin"])
+            for r in distributed_ntile(
+                df, value_col="v", id_col="uid", n_bins=4
+            ).collect()
+        }
+        want = {
+            (r["uid"], r["b"])
+            for r in df.selectExpr(
+                "uid", "ntile(4) over (order by v, uid) as b"
+            ).collect()
+        }
+        assert got == want
+
+    def test_zscore_overflow_raises_like_hugeint(self, spark):
+        """A decimal(38,0) overflow in the cleared z^2 inequality must
+        raise (matching DuckDB's HUGEINT error), not silently filter the
+        row out — under ANSI Spark the arithmetic itself errors; under
+        the non-ANSI vanilla session the product silently NULLs and the
+        engine-side guard must fire instead. Both paths are pinned."""
+        import pytest
+
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            zscore_anomaly_cells,
+        )
+
+        big = 3 * 10**18  # n * sum(cents^2) ~ 3e38 > 38 decimal digits
+        df = spark.createDataFrame(
+            [("a", 0, big), ("a", 1, -big), ("a", 2, 3 * big)],
+            "event_type string, hour_bucket long, cents long",
+        )
+        prior = spark.conf.get("spark.sql.ansi.enabled")
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            try:
+                with pytest.raises(
+                    Exception, match="overflow|cannot be represented"
+                ):
+                    zscore_anomaly_cells(df, z=2).collect()
+            finally:
+                spark.conf.set("spark.sql.ansi.enabled", prior)
+
+    def test_self_knn_excludes_self_on_zero_norm_corpus(self, spark):
+        """Degenerate corpus (zero-norm vectors make every cosine NULL):
+        the self pair must never appear in the top-k (advisor: the -inf
+        kth-candidate path let it leak into stage 2)."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            _self_knn_topk,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [0.0, 0.0, 0.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = _self_knn_topk(emb, k=2).collect()
+        assert all(r["query_id"] != r["neighbor_id"] for r in rows)

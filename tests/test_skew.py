@@ -272,3 +272,77 @@ def test_aqe_splits_hot_bundle_in_popularity_anti_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v2)
+
+
+def test_salted_anti_semi_join_equals_plain_on_zipf(spark):
+    """Law: salted_anti_join == plain anti/semi join, row-multiset equal,
+    on the A5 zipf fixture (hot bundle key); and the salted shuffle key
+    (bundle, salt) measurably SPLITS the hot partition the plain
+    bundle-keyed shuffle funnels into one reducer (numbers recorded in
+    SURVEY §8)."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.operators.skew import salted_anti_join
+    from adtech_log_data_pipeline_spark.operators.validate import valid_bid_logs
+
+    v = valid_bid_logs(_zipf_valid_bid_logs(spark, n=120_000, n_devices=30_000))
+    level1 = v.groupBy("os", "uuid", F.col("app_bundle").alias("bundle")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    popular = (
+        level1.groupBy("bundle")
+        .agg(F.count(F.lit(1)).alias("user_count"))
+        .filter(F.col("user_count") > 300)
+        .select("bundle")
+    )
+
+    def key_multiset(df):
+        rows = df.select("os", "uuid", "bundle", "n").collect()
+        return sorted(map(tuple, rows))
+
+    for how in ("left_anti", "left_semi"):
+        plain = level1.join(popular, "bundle", how)
+        salted = salted_anti_join(level1, popular, "bundle", n_salts=8, how=how)
+        assert key_multiset(salted) == key_multiset(plain), how
+    assert salted_anti_join(level1, popular, "bundle", how="left_anti").count() > 0
+
+    # measured split: rows per shuffle partition keyed the plain way vs
+    # the salted way — the hot bundle's mass must spread by ~n_salts
+    n_parts = 32
+    plain_sizes = sorted(
+        (
+            r["count"]
+            for r in v.groupBy(
+                F.pmod(F.hash("app_bundle"), F.lit(n_parts)).alias("p")
+            )
+            .count()
+            .collect()
+        ),
+        reverse=True,
+    )
+    salt = F.pmod(F.hash(*[F.col(c) for c in v.columns]), F.lit(16))
+    salted_sizes = sorted(
+        (
+            r["count"]
+            for r in v.groupBy(
+                F.pmod(F.hash("app_bundle", salt), F.lit(n_parts)).alias("p")
+            )
+            .count()
+            .collect()
+        ),
+        reverse=True,
+    )
+    assert salted_sizes[0] * 3 < plain_sizes[0], (
+        plain_sizes[:3],
+        salted_sizes[:3],
+    )
+
+
+def test_salted_anti_join_rejects_other_hows(spark):
+    import pytest
+
+    from adtech_log_data_pipeline_spark.operators.skew import salted_anti_join
+
+    df = spark.range(2).selectExpr("id as k")
+    with pytest.raises(ValueError):
+        salted_anti_join(df, df, "k", how="inner")
