@@ -42,6 +42,7 @@ def main(argv: list[str] | None = None) -> int:
             "dedup-index", "dedup-update", "dedup-screen", "spanclean", "span-index",
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
+            "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
         ],
         required=True,
     )
@@ -62,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         " (cdc job; append a unique id as the final tiebreak)",
     )
     ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument(
+        "--keep-last", type=int, default=2,
+        help="versions to retain (snapshot-vacuum job)",
+    )
     ap.add_argument("--master", default=None, help="spark master (default: local[*])")
     # suspicious thresholds (reference MyOptions.java defaults)
     ap.add_argument("--threshold-user", type=int, default=4)
@@ -275,14 +280,61 @@ def main(argv: list[str] | None = None) -> int:
             "vec_id", "dim", "amax", "q"
         ).write.mode("overwrite").parquet(args.output)
         print(f"quantize done: 7-bit codes -> {args.output}")
-    elif args.job == "pagerank":
+    elif args.job == "graph-index":
         if not args.input:
             ap.error(
-                "--input (lineitem parquet dir) is required for --job pagerank"
+                "--input (lineitem parquet dir) is required for --job graph-index"
             )
-        from .functions.graph import copurchase_edges, weighted_pagerank
+        from .functions.graph import build_graph_index
 
-        ranks = weighted_pagerank(copurchase_edges(spark.read.parquet(args.input)))
+        build_graph_index(spark.read.parquet(args.input), args.output)
+        print(f"graph-index done: edges/batch=0 -> {args.output}")
+    elif args.job == "graph-index-append":
+        if not args.input or not args.against:
+            ap.error(
+                "--input (order-complete lineitem batch) and --against (index"
+                " dir from --job graph-index) are required for"
+                " --job graph-index-append"
+            )
+        from .functions.graph import append_graph_index
+
+        append_graph_index(spark.read.parquet(args.input), args.against)
+        print(f"graph-index-append done: appended to {args.against}")
+    elif args.job == "snapshot":
+        if not args.input:
+            ap.error(
+                "--input (parquet dir to publish) is required for --job snapshot"
+            )
+        from .jobs.maintenance import publish_snapshot
+
+        v = publish_snapshot(spark.read.parquet(args.input), args.output)
+        print(f"snapshot done: published v={v} -> {args.output}")
+    elif args.job == "snapshot-vacuum":
+        from .jobs.maintenance import vacuum_snapshots
+
+        removed = vacuum_snapshots(args.output, keep_last=args.keep_last)
+        print(
+            f"snapshot-vacuum done: removed versions {removed} from"
+            f" {args.output} (kept last {args.keep_last})"
+        )
+    elif args.job == "pagerank":
+        if not args.input and not args.against:
+            ap.error(
+                "--input (lineitem parquet dir) or --against (graph-index"
+                " dir) is required for --job pagerank"
+            )
+        from .functions.graph import (
+            copurchase_edges,
+            load_graph_edges,
+            weighted_pagerank,
+        )
+
+        edges = (
+            load_graph_edges(spark, args.against)
+            if args.against
+            else copurchase_edges(spark.read.parquet(args.input))
+        )
+        ranks = weighted_pagerank(edges)
         ranks.write.mode("overwrite").parquet(args.output)
         print(f"pagerank done: {ranks.count()} node ranks -> {args.output}")
     elif args.job == "triangles":

@@ -419,3 +419,83 @@ def bounded_shortest_path(
         .groupBy("node")
         .agg(F.min("cost").cast("bigint").alias("cost_micro"))
     )
+
+
+# --- persisted co-purchase edge index (maintenance artifact) ----------------
+#
+# Every graph query above starts from copurchase_edges — a full lineitem
+# groupBy + pair expansion. At 100 TB that rebuild inside EVERY query is
+# the dominant cost (the reference itself precomputes job-1 outputs that
+# job 2 consumes, D/jobs2/PredictionJob.java:101-103). The index persists
+# the weighted edge list once and lets every consumer (pagerank,
+# triangles, reachability, shortest path) start from the artifact.
+#
+# Incremental contract: pair weights are PER-ORDER counts, so the index
+# is an additive monoid over order-disjoint batches — as long as every
+# order's lineitems land wholly inside one batch (the natural ingest
+# unit), sum-merging per-batch partial edge lists equals the from-scratch
+# rebuild over the union, exactly (law-tested append == rebuild in
+# tests/test_round6_ops.py). The same partial-dir layout as the streaming
+# CM state: each build/append writes its own batch=<k> dir; the loader
+# sum-merges. batch dirs compact by the same additive law.
+
+GRAPH_INDEX_SUBDIR = "edges"
+
+
+def _graph_index_batches(index_dir: str) -> list[str]:
+    import glob
+    import os
+
+    return sorted(
+        glob.glob(os.path.join(index_dir, GRAPH_INDEX_SUBDIR, "batch=*"))
+    )
+
+
+def build_graph_index(lineitem: DataFrame, index_dir: str) -> None:
+    """Nightly build: persist the weighted undirected co-purchase edge
+    list (p1 < p2, w) for ``lineitem`` as the first batch of a parquet
+    artifact. Overwrites any existing index."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, GRAPH_INDEX_SUBDIR), ignore_errors=True)
+    copurchase_edges(lineitem).write.mode("overwrite").parquet(
+        os.path.join(index_dir, GRAPH_INDEX_SUBDIR, "batch=0")
+    )
+
+
+def append_graph_index(new_lineitem: DataFrame, index_dir: str) -> None:
+    """Incremental maintenance: add a new ORDER-COMPLETE lineitem batch's
+    partial edge weights as the next batch dir. Caller contract: the
+    batch holds entire orders only (an order split across batches would
+    under-count its cross-batch pairs — the additive law needs
+    order-disjoint batches); cost scales with the batch, not the graph."""
+    import os
+
+    nxt = 1 + max(
+        (
+            int(os.path.basename(p).split("=", 1)[1])
+            for p in _graph_index_batches(index_dir)
+        ),
+        default=-1,
+    )
+    copurchase_edges(new_lineitem).write.mode("overwrite").parquet(
+        os.path.join(index_dir, GRAPH_INDEX_SUBDIR, f"batch={nxt}")
+    )
+
+
+def load_graph_edges(spark, index_dir: str) -> DataFrame:
+    """Sum-merge the per-batch partial edge lists into the full weighted
+    edge list (p1, p2, w) — by the additive law this equals
+    copurchase_edges over the concatenated lineitem. One hash agg keyed
+    on the edge; a single-batch index short-circuits to a plain scan."""
+    batches = _graph_index_batches(index_dir)
+    if not batches:
+        raise FileNotFoundError(
+            f"no graph index batches under {index_dir}/{GRAPH_INDEX_SUBDIR};"
+            " run build_graph_index (CLI --job graph-index) first"
+        )
+    df = spark.read.schema("p1 bigint, p2 bigint, w bigint").parquet(*batches)
+    if len(batches) == 1:
+        return df
+    return df.groupBy("p1", "p2").agg(F.sum("w").alias("w"))

@@ -312,3 +312,133 @@ def snapshot_diff(
         j.select(*key_cols, status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+# --- snapshot-versioned tables (time travel) --------------------------------
+#
+# The capstone of the maintenance story: an atomic snapshot pointer over
+# immutable version directories — publish-then-flip, so readers see either
+# the old version or the new one, never a half-written mix (the minimal
+# engine-owned twin of a Delta/Iceberg table version chain). Layout:
+#
+#   table_dir/v=<n>/        immutable parquet snapshot n (1-based)
+#   table_dir/_CURRENT      atomic pointer: {"version": n}
+#
+# Commit protocol (same discipline as streaming/cm_stream.py's marker
+# commit): the new version dir is fully written FIRST (invisible —
+# readers only follow the pointer), then the pointer file is replaced
+# via write-tmp + os.replace, which is atomic on POSIX. Crash before the
+# replace: the pointer still names the old version and the orphan dir is
+# dead weight (vacuum removes it; the next publish never reuses its
+# number). Crash after: the publish is complete. There is no window
+# where a reader can observe a partial table.
+
+_SNAPSHOT_PTR = "_CURRENT"
+
+
+def _snapshot_dir_versions(table_dir: str) -> list[int]:
+    import glob
+    import os
+
+    out = []
+    for p in glob.glob(os.path.join(table_dir, "v=*")):
+        tail = os.path.basename(p).split("=", 1)[1]
+        if tail.isdigit():
+            out.append(int(tail))
+    return sorted(out)
+
+
+def snapshot_current_version(table_dir: str) -> int | None:
+    """The committed version the pointer names (None before any publish).
+    A leftover _CURRENT.tmp from a crashed publish is ignored — only the
+    atomic replace commits."""
+    import json
+    import os
+
+    ptr = os.path.join(table_dir, _SNAPSHOT_PTR)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        return int(json.load(fh)["version"])
+
+
+def publish_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next immutable version and atomically flip the
+    pointer to it. Returns the published version number. Crash-safe at
+    every step (see the protocol note above). Recovery-first: any on-disk
+    dir beyond the pointer is a crashed publish's garbage and is DELETED
+    before numbering — if it merely stayed, it would become spuriously
+    readable as a committed version once this publish flips the pointer
+    past its number. Single-maintenance-writer contract (same as the CM
+    compactor): concurrent publishers would see each other's in-progress
+    dirs as crash garbage."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(table_dir, exist_ok=True)
+    cur = snapshot_current_version(table_dir) or 0
+    for orphan in _snapshot_dir_versions(table_dir):
+        if orphan > cur:
+            shutil.rmtree(
+                os.path.join(table_dir, f"v={orphan}"), ignore_errors=True
+            )
+    n = cur + 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={n}"))
+    ptr = os.path.join(table_dir, _SNAPSHOT_PTR)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": n}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)  # the commit point
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current version (default) or an older retained version
+    (time travel / as-of read). An on-disk dir whose number exceeds the
+    pointer is an UNCOMMITTED crashed publish and is refused — commit
+    state lives in the pointer alone."""
+    import os
+
+    cur = snapshot_current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"{table_dir} has no committed snapshot (no {_SNAPSHOT_PTR});"
+            " publish_snapshot first"
+        )
+    v = cur if version is None else int(version)
+    if v > cur:
+        raise ValueError(
+            f"version {v} is not committed (current = {cur}); an on-disk"
+            " v= dir beyond the pointer is a crashed publish, not data"
+        )
+    path = os.path.join(table_dir, f"v={v}")
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"version {v} is not retained (vacuumed); available:"
+            f" {[x for x in _snapshot_dir_versions(table_dir) if x <= cur]}"
+        )
+    return spark.read.parquet(path)
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Remove old committed versions beyond the ``keep_last`` most recent,
+    plus any uncommitted orphan dirs from crashed publishes. Returns the
+    removed version numbers. The current version is always kept."""
+    import os
+    import shutil
+
+    cur = snapshot_current_version(table_dir)
+    if cur is None:
+        return []
+    committed = [v for v in _snapshot_dir_versions(table_dir) if v <= cur]
+    orphans = [v for v in _snapshot_dir_versions(table_dir) if v > cur]
+    drop = [v for v in committed if v < cur][: max(0, len(committed) - keep_last)]
+    removed = sorted(drop + orphans)
+    for v in removed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return removed

@@ -192,6 +192,57 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_snapshot_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel gate (jobs/maintenance.py::publish_snapshot /
+    read_snapshot — atomic pointer over immutable version dirs): publish
+    TWO versions of an orders table (v1 = keys ≢ 3 mod 1000; v2 = keys ≢
+    5 mod 997 with o_totalprice bumped +1.0 for keys ≡ 0 mod 11 — the
+    snapshot_diff fixtures), then read v1 back AS-OF through the version
+    pointer while v2 is current, and report content aggregates of BOTH
+    reads. Any break in version isolation — a v2 row leaking into the
+    as-of read, a pointer flip observed mid-write — moves a sum. The
+    oracle restates both version contents straight from orders."""
+    from ..jobs.maintenance import publish_snapshot, read_snapshot
+
+    work = scratch_dir("snapshot_tt_")
+    table = os.path.join(work, "orders_tbl")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = publish_snapshot(
+            orders.filter(F.col("o_orderkey") % 1000 != 3), table
+        )
+        v2 = publish_snapshot(
+            orders.filter(F.col("o_orderkey") % 997 != 5).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.0
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            table,
+        )
+
+        def content(df: DataFrame, v: int) -> list[Row]:
+            return df.agg(
+                F.lit(int(v)).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+                F.sum(
+                    F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+                ).alias("sum_cents"),
+            ).collect()
+
+        rows = content(read_snapshot(spark, table, version=v1), v1) + content(
+            read_snapshot(spark, table), v2
+        )
+        return _materialize(
+            spark,
+            rows,
+            "version int, n_rows bigint, sum_key bigint, sum_cents bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_tfexample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf.train.Example interchange gate: export documents with doc_id ≡
     TFEX_SLOT (mod 5) as gzip TFRecord Example shards
@@ -614,6 +665,7 @@ MAINTENANCE_QUERIES = {
     "zorder_audit": q_zorder_audit,
     "range_sort_audit": q_range_sort_audit,
     "snapshot_diff_orders": q_snapshot_diff_orders,
+    "snapshot_asof_read": q_snapshot_asof_read,
     "tfexample_roundtrip": q_tfexample_roundtrip,
     "tfrecord_parity_check": q_tfrecord_parity_check,
     "shard_manifest": q_shard_manifest,
@@ -690,6 +742,26 @@ j AS (
                 THEN 'changed' END AS status
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
 SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+"""
+
+
+_ORACLE_SNAPSHOT_ASOF_READ = """
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 1000 <> 3),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 <> 5)
+SELECT 1 AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM v1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM v2
 """
 
 
@@ -774,6 +846,7 @@ SELECT 'o_orderpriority', CAST(p_p AS BIGINT), CAST(n - p_p AS BIGINT),
         "zorder_audit": _oracle_zorder_audit(),
         "range_sort_audit": _ORACLE_RANGE_SORT_AUDIT,
         "snapshot_diff_orders": _ORACLE_SNAPSHOT_DIFF_ORDERS,
+        "snapshot_asof_read": _ORACLE_SNAPSHOT_ASOF_READ,
         "tfexample_roundtrip": _oracle_tfexample_roundtrip(),
         "shard_manifest": _oracle_shard_manifest(),
         "ingest_checkpoint_audit": _ORACLE_INGEST_CHECKPOINT,

@@ -1584,6 +1584,41 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_reachability(copurchase_edges(li), seed_mod=50, k=3)
 
 
+def q_graph_reachability_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-based graph query: build the persisted co-purchase edge
+    index in TWO order-disjoint increments (l_orderkey % 2 — exercising
+    the append path's additive-merge law), load the sum-merged edges from
+    parquet, and run the same 3-hop BFS as graph_reachability. The oracle
+    is graph_reachability's recursive CTE unchanged: append == rebuild is
+    the law (functions/graph.py::append_graph_index), so the indexed path
+    must produce the identical reachability relation. At 100 TB this is
+    the production shape — the edge list is built nightly (CLI
+    --job graph-index / graph-index-append) and every graph query starts
+    from the artifact instead of re-deriving the pair expansion."""
+    import shutil
+
+    from ..functions.graph import (
+        append_graph_index,
+        build_graph_index,
+        khop_reachability,
+        load_graph_edges,
+    )
+    from ..streaming._replay import scratch_dir
+
+    work = scratch_dir("graph_index_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        build_graph_index(li.filter(F.col("l_orderkey") % 2 == 0), work)
+        append_graph_index(li.filter(F.col("l_orderkey") % 2 == 1), work)
+        reach = khop_reachability(
+            load_graph_edges(spark, work), seed_mod=50, k=3
+        )
+        rows = reach.collect()
+        return spark.createDataFrame(rows, "node bigint, hops int")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-noise screen over the labeled embedding set: per label,
     the fraction of each vector's 5 exact cosine neighbors sharing its
@@ -1799,6 +1834,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_auc": q_score_auc,
     "score_calibration": q_score_calibration,
     "graph_reachability": q_graph_reachability,
+    "graph_reachability_indexed": q_graph_reachability_indexed,
     "knn_label_agreement": q_knn_label_agreement,
     "shortest_path_parts": q_shortest_path_parts,
     "event_anomaly": q_event_anomaly,
@@ -4439,3 +4475,10 @@ SELECT CAST(r_bin AS INT) AS r_bin, CAST(f_bin AS INT) AS f_bin,
 FROM b GROUP BY r_bin, f_bin, m_bin
 """,
 }
+
+# append == rebuild is the index law, so the indexed BFS must reproduce
+# graph_reachability's recursive CTE verbatim — sharing the oracle TEXT
+# makes the gate prove exactly that equality
+NORTHSTAR_ORACLES["graph_reachability_indexed"] = NORTHSTAR_ORACLES[
+    "graph_reachability"
+]

@@ -210,69 +210,19 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-7 rotation record. Round 6 left exactly 28 declared queries with
-# zero driver green rows (locally proven in LOCALGATE_r06 + the round-6
-# judge's own vanilla oracle runs, but the contract's hard signal is a
-# CORRECTNESS row); all 28 queue here, after the 14 round-7-new queries.
-# The remaining 1 slot (50 - 7 parity - 14 new - 28) go to the longest-
-# ungated greens: every rotation pick below last earned its green in
-# round 3, the oldest cohort on the board. The 43 round-6 window members
-# (all green in CORRECTNESS_r06) rotate to the tail.
+# Round-8 rotation record. The round-7 verdict's queue contract: round-8
+# NEW queries first (0 greens beat all), then the 7 round-3-green queries
+# displaced from the r7 window by late round-7 additions (the promise at
+# the head of the old tail), then the longest-ungated greens — computed
+# from the CORRECTNESS_r01..r07 artifacts as last-green ascending, stable
+# by declared order (25 remaining round-3 greens, then the round-4
+# cohort). The 50 r7-window members and the 43 r6-window members hold the
+# most recent greens and rotate to the tail.
 _GATE_FIRST = [
-    # round-7 NEW queries - never gated, so they sort first
-    "tfrecord_parity_check",
-    "profile_cap_audit",
-    "bm25_search",
-    "hll_user_distinct",
-    "hll_error_audit",
-    "quantile_sketch_prices",
-    "quantile_sketch_audit",
-    "score_auc",
-    "score_calibration",
-    "graph_reachability",
-    "knn_label_agreement",
-    "shortest_path_parts",
-    "event_anomaly",
-    "rfm_segments",
-    # the 28 never-driver-gated round-6 queries (0 greens beat all)
-    "weighted_median_price",
-    "penny_allocation",
-    "activity_streaks",
-    "frequent_part_pairs",
-    "value_deciles",
-    "type_transitions",
-    "segment_trend",
-    "wide_order_facts",
-    "customer_spend_rank",
-    "cohort_ltv",
-    "hourly_gapfill",
-    "cm_error_audit",
-    "cdc_customer_state",
-    "dim_truncation_recall",
-    "copurchase_triangles",
-    "click_attribution",
-    "concurrent_sessions",
-    "session_concurrency",
-    "embedding_covariance",
-    "kmv_overlap",
-    "incremental_rollup",
-    "stream_attribution_full",
-    "stream_cm_sketch",
-    "semantic_contamination",
-    "nearest_click",
-    "pareto_documents",
-    "funnel_pattern",
-    "event_pivot",
-    # 1 re-entry whose last green row is round 3 (the oldest cohort;
-    # the round-6 gate comment promised these re-enter first — the other
-    # 7 round-3 picks were displaced to the tail head by the 7
-    # late-round-7 new queries and re-enter next round)
-    "embedding_outliers",
-]
-# The tail holds the queries with the MOST recent/most numerous green rows:
-# the 43 non-parity round-5-gated queries and the remaining 4-green
-# relational set (rotate any back in if its code changes).
-_GATE_LAST = [
+    # round-8 NEW queries - never gated, so they sort first
+    "graph_reachability_indexed",
+    "snapshot_asof_read",
+    # the 7 round-3-green queries displaced from the r7 window
     "frame_sample",
     "monthly_revenue_trend",
     "quiet_returners",
@@ -280,55 +230,12 @@ _GATE_LAST = [
     "conversion_funnel",
     "customer_order_distribution",
     "simhash_near_dup",
+    # oldest-green rotation: last green r3 ...
     "multimodal_resize",
     "repetition_stats",
     "length_percentiles",
     "packing_plan",
     "label_centroids",
-    # the 43 round-6 window members, all green in CORRECTNESS_r06
-    "dup_span_stats",
-    "dup_span_clean",
-    "bloom_prune_join",
-    "stream_top_users",
-    "schema_drift_audit",
-    "curation_funnel",
-    "embedding_quantize_audit",
-    "top_supplier_revenue",
-    "part_share_suppliers",
-    "pit_purchase_state",
-    "dup_span_incoming",
-    "exact_stratified_sample",
-    "forecast_revenue",
-    "volume_shipping",
-    "market_share",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "idle_rich_customers",
-    "dedup_cap_audit",
-    "semantic_cap_audit",
-    "zorder_audit",
-    "range_sort_audit",
-    "snapshot_diff_orders",
-    "tfexample_roundtrip",
-    "shard_manifest",
-    "ingest_checkpoint_audit",
-    "compaction_audit",
-    "ann_recall_audit",
-    "salted_hot_join",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "dedup_incoming_indexed",
-    "script_mix",
-    "partition_prune_audit",
-    "props_json_stats",
-    "embedding_bucket_audit",
-    "fk_integrity_audit",
-    "bigram_lm_score",
-    "similar_parts",
-    "weighted_sample",
-    "copurchase_pagerank",
-    "stream_drift_chi2",
-    "user_value_outliers",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "dedup_minhash",
@@ -338,9 +245,7 @@ _GATE_LAST = [
     "tfidf_top_terms",
     "pii_redact",
     "source_mix",
-    "streaming_sessionize",
     "sliding_window_counts",
-    "streaming_device_activity",
     "winnowing",
     "text_stats",
     "lang_id",
@@ -351,6 +256,23 @@ _GATE_LAST = [
     "dedup_simhash",
     "ngram_jaccard",
     "dedup_exact",
+    # ... then last green r4
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "sessionized_events",
+    "top_orders_per_customer",
+    "revenue_cube",
+    "asof_last_signup",
+    "order_priority",
+    "returned_customers",
+]
+# The tail holds the queries with the MOST recent green rows (r5-r7
+# windows), ordered last-green ascending so future rotations can keep
+# promoting from the tail head.
+_GATE_LAST = [
+    "streaming_sessionize",
+    "streaming_device_activity",
     "kmv_user_distinct",
     "quality_expectations",
     "scd2_intervals",
@@ -394,6 +316,92 @@ _GATE_LAST = [
     "stream_upsert_latest",
     "stream_session_windows",
     "streaming_spend_sessions",
+    "dup_span_stats",
+    "dup_span_clean",
+    "bloom_prune_join",
+    "stream_top_users",
+    "schema_drift_audit",
+    "curation_funnel",
+    "embedding_quantize_audit",
+    "top_supplier_revenue",
+    "part_share_suppliers",
+    "pit_purchase_state",
+    "dup_span_incoming",
+    "exact_stratified_sample",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "dedup_cap_audit",
+    "semantic_cap_audit",
+    "zorder_audit",
+    "range_sort_audit",
+    "snapshot_diff_orders",
+    "tfexample_roundtrip",
+    "shard_manifest",
+    "ingest_checkpoint_audit",
+    "compaction_audit",
+    "ann_recall_audit",
+    "salted_hot_join",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "dedup_incoming_indexed",
+    "script_mix",
+    "partition_prune_audit",
+    "props_json_stats",
+    "embedding_bucket_audit",
+    "fk_integrity_audit",
+    "bigram_lm_score",
+    "similar_parts",
+    "weighted_sample",
+    "copurchase_pagerank",
+    "stream_drift_chi2",
+    "user_value_outliers",
+    "tfrecord_parity_check",
+    "profile_cap_audit",
+    "bm25_search",
+    "hll_user_distinct",
+    "hll_error_audit",
+    "quantile_sketch_prices",
+    "quantile_sketch_audit",
+    "score_auc",
+    "score_calibration",
+    "graph_reachability",
+    "knn_label_agreement",
+    "shortest_path_parts",
+    "event_anomaly",
+    "rfm_segments",
+    "weighted_median_price",
+    "penny_allocation",
+    "activity_streaks",
+    "frequent_part_pairs",
+    "value_deciles",
+    "type_transitions",
+    "segment_trend",
+    "wide_order_facts",
+    "customer_spend_rank",
+    "cohort_ltv",
+    "hourly_gapfill",
+    "cm_error_audit",
+    "cdc_customer_state",
+    "dim_truncation_recall",
+    "copurchase_triangles",
+    "click_attribution",
+    "concurrent_sessions",
+    "session_concurrency",
+    "embedding_covariance",
+    "kmv_overlap",
+    "incremental_rollup",
+    "stream_attribution_full",
+    "stream_cm_sketch",
+    "semantic_contamination",
+    "nearest_click",
+    "pareto_documents",
+    "funnel_pattern",
+    "event_pivot",
+    "embedding_outliers",
 ]
 _PARITY = [
     "bidlog_validation",

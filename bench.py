@@ -51,8 +51,10 @@ BENCH_QUERIES = [
     "score_auc",
     "score_calibration",
     "graph_reachability",
+    "graph_reachability_indexed",
     "knn_label_agreement",
     "shortest_path_parts",
+    "snapshot_asof_read",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",
