@@ -5,16 +5,38 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (no driver-side collect — we
 measure engine execution, not Arrow transfer of results).
+
+Measurement protocol (round-8 rework — the round-7 artifact was noise-
+dominated and useless as a regression gate):
+
+* FRESH JVM PER CHUNK: the board runs as ~CHUNK_SIZE-query child
+  processes (``--run-chunk lo hi``), each a brand-new Spark session, so
+  JVM aging (codegen cache growth, GC heap creep) can never inflate the
+  late queries of a long board. Warmup (parquet readers, Python worker
+  pool) happens per child and is excluded from per-query numbers.
+* LOAD RECORDED IN-ARTIFACT: /proc/loadavg is sampled before and after
+  every chunk and published in the final totals trailer, so a
+  noisy-neighbor window is visible in the artifact itself instead of
+  being indistinguishable from a plan regression.
+* DELTAS VS THE PRIOR ROUND: the newest BENCH_r*.json's recorded tail is
+  parsed and per-query ratios are summarized (median + top regressions)
+  in the trailer — the artifact carries its own regression verdict.
+* best-of-2 per query within a chunk (cache-cleared between runs), as
+  before: the min of two cold-cache runs is attributable to the plan.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CHUNK_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "38"))
 
 BENCH_QUERIES = [
     "dup_span_stats",
@@ -201,16 +223,31 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from adtech_log_data_pipeline_spark.session import get_spark
+PARITY7 = [
+    "bidlog_validation", "device_profiles_flat", "device_profile_summary",
+    "app_profiles_flat", "suspicious_ids", "feature_inputs", "predictions",
+]
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg", encoding="utf-8") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
+    """One fresh-session measurement pass over ``names``: warm the JVM,
+    then best-of-2 cold-cache runs per query via the noop sink."""
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
     from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+    from adtech_log_data_pipeline_spark.session import get_spark
+    from adtech_log_data_pipeline_spark.sources.bidlogs import load_bid_logs
 
     spark = get_spark("bench")
     # warm the JVM (codegen infra, parquet readers, Python workers) so
     # per-query numbers measure the queries, not first-touch costs
-    from adtech_log_data_pipeline_spark.sources.bidlogs import load_bid_logs
-
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     load_bid_logs(spark, sf_dir).count()
     # fork the Python worker pool once up front — otherwise the first
@@ -218,15 +255,8 @@ def main() -> None:
     # session, not the query
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
 
-    # best-of-2 per query: one pass is noisy at these runtimes (round-1 vs
-    # round-3 swings of 3-6x traced to cache-state luck, not plan changes);
-    # the min of two back-to-back cold-cache runs is attributable to the
-    # plan. Caches are cleared after every run, so neither run sees
-    # leftover persisted frames — "cold" means cache-cold, same-JVM.
     timings: dict[str, float] = {}
-    from adtech_log_data_pipeline_spark.functions._cache import release_cached
-
-    for name in BENCH_QUERIES:
+    for name in names:
         if name not in QUERIES:
             continue
         best = float("inf")
@@ -240,13 +270,87 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    # unpersist audit: a full bench session must end with ZERO cached RDDs
+    # unpersist audit: a chunk session must end with ZERO cached RDDs
     # (a leaked persisted relation is executor memory lost for the rest of
     # a long-lived session) — fail loudly, not silently
     leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert leaked == 0, f"{leaked} persisted RDDs leaked after bench run"
+    assert leaked == 0, f"{leaked} persisted RDDs leaked after bench chunk"
+    return timings
 
+
+def _prev_round_tail_queries() -> tuple[str | None, dict[str, float]]:
+    """Parse the newest BENCH_r*.json's recorded stdout tail into the
+    per-query map it managed to capture (the driver stores a bounded
+    tail, so this is the LAST ~70-120 queries of the prior round — enough
+    for a regression signal, and exactly what tools/bench_diff.py uses)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if not benches:
+        return None, {}
+    path = os.path.join(here, benches[-1])
+    try:
+        with open(path, encoding="utf-8") as fh:
+            tail = json.load(fh).get("tail", "") or ""
+    except (OSError, ValueError):
+        return benches[-1], {}
+    out: dict[str, float] = {}
+    for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
+        name, val = m.group(1), m.group(2)
+        if name in (
+            "value", "n_queries", "parity7", "sf", "chunks",
+            "median_ratio", "n_common",
+        ):
+            continue
+        try:
+            out[name] = float(val)
+        except ValueError:
+            pass
+    return benches[-1], out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # smoke knob: truncate the board (protocol testing, never for records)
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    board = BENCH_QUERIES[:limit] if limit else BENCH_QUERIES
+
+    if len(sys.argv) >= 4 and sys.argv[1] == "--run-chunk":
+        lo, hi = int(sys.argv[2]), int(sys.argv[3])
+        timings = run_chunk(BENCH_QUERIES[lo:hi], sf_dir)
+        print("BENCH_CHUNK_JSON " + json.dumps(timings), flush=True)
+        return
+
+    # orchestrator: fresh child JVM per chunk, load sampled around each
+    timings: dict[str, float] = {}
+    loads: list[list[float]] = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for lo in range(0, len(board), CHUNK_SIZE):
+        hi = min(lo + CHUNK_SIZE, len(board))
+        before = _loadavg()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-chunk", str(lo), str(hi)],
+            capture_output=True,
+            text=True,
+            cwd=here,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        after = _loadavg()
+        loads.append([round(x, 2) for x in (before[:1] + after[:1])])
+        chunk: dict[str, float] = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_CHUNK_JSON "):
+                chunk = json.loads(line.split(" ", 1)[1])
+        if proc.returncode != 0 or not chunk:
+            sys.stderr.write(
+                f"bench chunk {lo}:{hi} failed rc={proc.returncode}\n"
+                + proc.stderr[-4000:]
+            )
+            raise SystemExit(1)
+        timings.update(chunk)
+
     print(
         json.dumps(
             {
@@ -258,14 +362,26 @@ def main() -> None:
             }
         )
     )
+
+    # regression summary vs the prior round's recorded tail
+    prev_name, prev = _prev_round_tail_queries()
+    common = sorted(set(prev) & set(timings))
+    delta: dict[str, object] = {"prev": prev_name, "n_common": len(common)}
+    if common:
+        ratios = sorted(
+            (round(timings[q] / prev[q], 2) if prev[q] > 0 else 1.0, q)
+            for q in common
+        )
+        delta["median_ratio"] = ratios[len(ratios) // 2][0]
+        delta["top_regressions"] = {
+            q: r for r, q in ratios[-3:][::-1] if r >= 1.5
+        }
+
     # The driver records only a fixed-size stdout TAIL; the full per-query
     # line above overflows it at 80+ queries (round 4 recorded
     # "parsed: null"). Print a compact totals trailer LAST so the tail
-    # always holds one parseable JSON line.
-    parity7 = [
-        "bidlog_validation", "device_profiles_flat", "device_profile_summary",
-        "app_profiles_flat", "suspicious_ids", "feature_inputs", "predictions",
-    ]
+    # always holds one parseable JSON line — now carrying the in-artifact
+    # load record and the regression verdict.
     print(
         json.dumps(
             {
@@ -274,9 +390,12 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "parity7": round(
-                    sum(timings.get(q, 0.0) for q in parity7), 3
+                    sum(timings.get(q, 0.0) for q in PARITY7), 3
                 ),
                 "sf": float(sf) if sf else None,
+                "chunks": len(loads),
+                "load1_per_chunk": loads,
+                "delta_vs_prev": delta,
             }
         )
     )

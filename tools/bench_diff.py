@@ -33,7 +33,7 @@ def load_queries(path: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for m in re.finditer(r'"([a-z][a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', text):
         name, val = m.group(1), float(m.group(2))
-        if name in ("value", "sf", "parity7"):
+        if name in ("value", "sf", "parity7", "median_ratio"):
             continue
         out[name] = val
     for drop in ("value", "sf", "parity7", "n_queries"):

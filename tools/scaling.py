@@ -51,9 +51,26 @@ def main() -> None:
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scaling")
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
+
+    def parity7_chain(spark, sf_dir):
+        """The reference's two pipelines END TO END as one composed job:
+        all 7 parity queries executed back-to-back (validate → profiles →
+        app profiles → suspicious → features → predictions) — the shape
+        whose super-linearity would matter most and which single-query
+        curves can't see (shared scans, cache pressure across stages)."""
+        from pyspark.sql import functions as F
+
+        for q in (
+            "bidlog_validation", "device_profiles_flat",
+            "device_profile_summary", "app_profiles_flat", "suspicious_ids",
+            "feature_inputs", "predictions",
+        ):
+            QUERIES[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return spark.range(0).select(F.lit(0).alias("done"))
+
     rows = []
     for name in names:
-        fn = QUERIES[name]
+        fn = parity7_chain if name == "parity7_chain" else QUERIES[name]
         times = []
         for sf_dir in SFS:
             best = float("inf")
