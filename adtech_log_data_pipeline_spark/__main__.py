@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
             "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
+            "snapshot-merge",
         ],
         required=True,
     )
@@ -309,6 +310,21 @@ def main(argv: list[str] | None = None) -> int:
 
         v = publish_snapshot(spark.read.parquet(args.input), args.output)
         print(f"snapshot done: published v={v} -> {args.output}")
+    elif args.job == "snapshot-merge":
+        if not args.input or not args.bucket_cols or not args.seq_cols:
+            ap.error(
+                "--input (changelog parquet), --bucket-cols (key columns)"
+                " and --seq-cols are required for --job snapshot-merge"
+                " (--output = the versioned table dir)"
+            )
+        from .jobs.maintenance import merge_snapshot
+
+        keys = [c.strip() for c in args.bucket_cols.split(",") if c.strip()]
+        seqs = [c.strip() for c in args.seq_cols.split(",") if c.strip()]
+        v = merge_snapshot(
+            spark, args.output, spark.read.parquet(args.input), keys, seqs
+        )
+        print(f"snapshot-merge done: published v={v} -> {args.output}")
     elif args.job == "snapshot-vacuum":
         from .jobs.maintenance import vacuum_snapshots
 

@@ -442,3 +442,30 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
     for v in removed:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
     return removed
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> int:
+    """MERGE INTO a snapshot-versioned table: roll the CURRENT version
+    forward by a changelog (operators/cdc.py::apply_changelog — the
+    law-tested latest-wins upsert/delete) and publish the result as the
+    next version, atomically. Readers of the old version are untouched
+    (version isolation across the merge — the property the
+    snapshot_merge_state gate pins); a crash mid-merge leaves the old
+    version current (publish_snapshot's pointer protocol).
+
+    This is the warehouse maintenance loop composed end-to-end: nightly
+    CDC batch -> MERGE -> new immutable version, with time travel back
+    across merges and vacuum retention. Returns the new version."""
+    from ..operators.cdc import apply_changelog
+
+    merged = apply_changelog(
+        read_snapshot(spark, table_dir), changes, key_cols, seq_cols, op_col
+    )
+    return publish_snapshot(merged, table_dir)

@@ -243,6 +243,81 @@ def q_snapshot_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_snapshot_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-into-versioned-table gate (jobs/maintenance.py::
+    merge_snapshot = apply_changelog ∘ publish_snapshot): publish v1 =
+    orders minus keys ≡ 0 (mod 7), then merge ONE changelog carrying all
+    three MERGE verbs — inserts (the held-out mod-7 keys, seq 1), updates
+    (+10.0 price for keys ≡ 0 mod 5 still in the base, seq 1), deletes
+    (keys ≡ 0 mod 11, seq 2 — beating same-key updates per latest-wins)
+    — and read BOTH versions back: v1 as-of (must be bit-untouched by
+    the merge — version isolation) and v2 current (must equal the
+    closed-form final state the oracle derives straight from orders).
+    Output: per (version, o_orderstatus) content sums."""
+    from ..jobs.maintenance import (
+        merge_snapshot,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    work = scratch_dir("snapshot_merge_")
+    table = os.path.join(work, "orders_tbl")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        v1 = publish_snapshot(o.filter(k % 7 != 0), table)
+        ins = o.filter(k % 7 == 0)
+        upd = o.filter((k % 5 == 0) & (k % 7 != 0)).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10.0
+        )
+        changes = (
+            ins.unionByName(upd)
+            .withColumn("op", F.lit("U"))
+            .withColumn("seq", F.lit(1))
+            .unionByName(
+                o.filter(k % 11 == 0)
+                .withColumn("op", F.lit("D"))
+                .withColumn("seq", F.lit(2))
+            )
+        )
+        v2 = merge_snapshot(
+            spark, table, changes, ["o_orderkey"], ["seq"], "op"
+        )
+
+        def content(df: DataFrame, v: int) -> list[Row]:
+            return (
+                df.groupBy("o_orderstatus")
+                .agg(
+                    F.lit(int(v)).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("o_orderkey").alias("sum_key"),
+                    F.sum(
+                        F.expr(
+                            "cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+                        )
+                    ).alias("sum_cents"),
+                )
+                .select(
+                    "version", "o_orderstatus", "n_rows", "sum_key", "sum_cents"
+                )
+                .collect()
+            )
+
+        rows = content(read_snapshot(spark, table, version=v1), v1) + content(
+            read_snapshot(spark, table), v2
+        )
+        return _materialize(
+            spark,
+            rows,
+            "version int, o_orderstatus string, n_rows bigint,"
+            " sum_key bigint, sum_cents bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_tfexample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf.train.Example interchange gate: export documents with doc_id ≡
     TFEX_SLOT (mod 5) as gzip TFRecord Example shards
@@ -666,6 +741,7 @@ MAINTENANCE_QUERIES = {
     "range_sort_audit": q_range_sort_audit,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "snapshot_asof_read": q_snapshot_asof_read,
+    "snapshot_merge_state": q_snapshot_merge_state,
     "tfexample_roundtrip": q_tfexample_roundtrip,
     "tfrecord_parity_check": q_tfrecord_parity_check,
     "shard_manifest": q_shard_manifest,
@@ -765,6 +841,32 @@ FROM v2
 """
 
 
+# v1 = the pre-merge base, untouched; v2 = the closed-form merged state:
+# every key survives except deletes (mod 11), held-out keys (mod 7) are
+# inserted back, and surviving base keys ≡ 0 (mod 5) carry +10.0 price
+_ORACLE_SNAPSHOT_MERGE_STATE = """
+WITH v1 AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0),
+v2 AS (
+  SELECT o_orderstatus, o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0)
+SELECT 1 AS version, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM v1 GROUP BY o_orderstatus
+UNION ALL
+SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT),
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM v2 GROUP BY o_orderstatus
+"""
+
+
 def _oracle_tfexample_roundtrip() -> str:
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -847,6 +949,7 @@ SELECT 'o_orderpriority', CAST(p_p AS BIGINT), CAST(n - p_p AS BIGINT),
         "range_sort_audit": _ORACLE_RANGE_SORT_AUDIT,
         "snapshot_diff_orders": _ORACLE_SNAPSHOT_DIFF_ORDERS,
         "snapshot_asof_read": _ORACLE_SNAPSHOT_ASOF_READ,
+        "snapshot_merge_state": _ORACLE_SNAPSHOT_MERGE_STATE,
         "tfexample_roundtrip": _oracle_tfexample_roundtrip(),
         "shard_manifest": _oracle_shard_manifest(),
         "ingest_checkpoint_audit": _ORACLE_INGEST_CHECKPOINT,

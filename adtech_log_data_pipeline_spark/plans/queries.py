@@ -222,6 +222,7 @@ _GATE_FIRST = [
     # round-8 NEW queries - never gated, so they sort first
     "graph_reachability_indexed",
     "snapshot_asof_read",
+    "snapshot_merge_state",
     # the 7 round-3-green queries displaced from the r7 window
     "frame_sample",
     "monthly_revenue_trend",
@@ -265,12 +266,12 @@ _GATE_FIRST = [
     "revenue_cube",
     "asof_last_signup",
     "order_priority",
-    "returned_customers",
 ]
 # The tail holds the queries with the MOST recent green rows (r5-r7
 # windows), ordered last-green ascending so future rotations can keep
 # promoting from the tail head.
 _GATE_LAST = [
+    "returned_customers",
     "streaming_sessionize",
     "streaming_device_activity",
     "kmv_user_distinct",

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "knn_label_agreement",
     "shortest_path_parts",
     "snapshot_asof_read",
+    "snapshot_merge_state",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",

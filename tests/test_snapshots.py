@@ -136,3 +136,49 @@ def test_cli_snapshot_jobs(spark, tmp_path):
     assert sorted(
         p for p in os.listdir(t) if p.startswith("v=")
     ) == ["v=3"]
+
+
+def test_merge_snapshot_isolation_and_semantics(spark, tmp_path):
+    """merge_snapshot = apply_changelog ∘ publish_snapshot: the merged
+    version equals the CDC law's result, the pre-merge version stays
+    readable bit-unchanged, and a crash during the merge's publish leaves
+    the old version current."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.jobs.maintenance import (
+        merge_snapshot,
+        publish_snapshot,
+        read_snapshot,
+        snapshot_current_version,
+    )
+    from adtech_log_data_pipeline_spark.operators.cdc import apply_changelog
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    publish_snapshot(base, t)
+    changes = spark.createDataFrame(
+        [(3, 999, "U", 1), (10, 100, "U", 1), (5, 0, "D", 1), (3, 777, "U", 2)],
+        "k long, v long, op string, seq int",
+    )
+    v2 = merge_snapshot(spark, t, changes, ["k"], ["seq"], "op")
+    assert v2 == 2
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    want = {
+        r["k"]: r["v"]
+        for r in apply_changelog(base, changes, ["k"], ["seq"], "op").collect()
+    }
+    assert got == want
+    assert got[3] == 777 and got[10] == 100 and 5 not in got
+    # version isolation: v1 is bit-unchanged
+    assert {r["k"]: r["v"] for r in read_snapshot(spark, t, version=1).collect()} == {
+        i: i * 10 for i in range(10)
+    }
+    # crash during a second merge's publish (dir written, pointer not
+    # flipped): simulate by hand-writing the would-be v=3 dir
+    spark.range(1).selectExpr("id as k", "id as v").write.parquet(
+        os.path.join(t, "v=3")
+    )
+    assert snapshot_current_version(t) == 2
+    assert {r["k"] for r in read_snapshot(spark, t).collect()} == set(want)
