@@ -217,7 +217,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # from the CORRECTNESS_r01..r07 artifacts as last-green ascending, stable
 # by declared order (25 remaining round-3 greens, then the round-4
 # cohort). The 50 r7-window members and the 43 r6-window members hold the
-# most recent greens and rotate to the tail.
+# most recent greens and rotate to the tail. Each round-8 addition after
+# the initial two (snapshot_merge_state) displaced the LAST rotation pick
+# (returned_customers, r4-green — now at the tail head, first to re-enter
+# next round) so the window stays exactly parity-7 + 43.
 _GATE_FIRST = [
     # round-8 NEW queries - never gated, so they sort first
     "graph_reachability_indexed",
