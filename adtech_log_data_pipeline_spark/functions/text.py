@@ -162,6 +162,36 @@ def train_split(documents: DataFrame) -> DataFrame:
     )
 
 
+def group_split(
+    documents: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """GROUP-aware train/val/test assignment — the leakage-preventing
+    twin of train_split: the split is a pure function of the GROUP key
+    (md5(group) mod 100, same cross-engine recipe), so every row of a
+    group lands in the same split BY CONSTRUCTION. This is the split a
+    training pipeline needs when rows within a group are correlated
+    (near-duplicate documents from one source/site/author): a row-level
+    split would leak train-set phrasing into val/test and overstate every
+    metric. Map-only, no shuffle, reshuffle/ingestion-order-proof.
+    Output: one row per kept document — (doc_id, group, bucket, split)."""
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast("
+        + group_col
+        + " as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    return documents.select(
+        "doc_id", F.col(group_col).alias("grp"), bucket.alias("bucket")
+    ).select(
+        "doc_id",
+        "grp",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+        .when(F.col("bucket") < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 SAMPLE_TARGET_PER_SOURCE = 15  # approx docs kept per source (binds at sf>=0.01)
 SAMPLE_BUCKETS = 1_000_000  # hash-bucket resolution (ppm)
 

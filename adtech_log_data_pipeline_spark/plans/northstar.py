@@ -1726,6 +1726,61 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance gate (operators/viewmaint.py::
+    delta_join_rows — classic IVM): split orders/lineitem into bases and
+    append batches (ΔA = orderkey ≡ 0 mod 5, ΔB = orderkey ≡ 0 mod 3 —
+    deliberately misaligned so every delta term is non-trivially
+    exercised), maintain V = orders ⋈ lineitem as V_old ∪ ΔV, and report
+    per-status content sums. The oracle states the DIRECT full join —
+    equality proves ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB end-to-end, multiset-exact,
+    without ever re-joining base to base."""
+    from ..operators.viewmaint import delta_join_rows
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("price_cents"),
+    )
+    da = F.col("o_orderkey") % 5 == 0
+    db = F.col("o_orderkey") % 3 == 0
+    v_old = o.filter(~da).join(li.filter(~db), "o_orderkey")
+    dv = delta_join_rows(
+        o.filter(~da), o.filter(da), li.filter(~db), li.filter(db),
+        "o_orderkey",
+    )
+    return (
+        v_old.unionByName(dv)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+    )
+
+
+def q_group_split_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free GROUP split gate (functions/text.py::group_split):
+    assignment is a pure function of the source key, so a source's
+    documents can never straddle train/val/test. Output one row per
+    source — (grp, split, n_docs): the single-split-per-group property
+    is structural in the shape itself (grouping by (grp, split) yields
+    exactly one row per grp, which the oracle's count restates)."""
+    from ..functions.text import group_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        group_split(docs, "source")
+        .groupBy("grp", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
@@ -1796,6 +1851,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bm25_search": q_bm25_search,
     "train_split": q_train_split,
+    "group_split_sources": q_group_split_sources,
+    "join_view_delta": q_join_view_delta,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
@@ -4032,6 +4089,30 @@ FROM documents
     "vocab_topk": _ORACLE_VOCAB_TOPK,
     "bm25_search": _ORACLE_BM25,
     "train_split": _ORACLE_TRAIN_SPLIT,
+    # the group hash reuses train_split's cross-engine md5 recipe on the
+    # SOURCE key; the direct full join restates the IVM delta algebra
+    "group_split_sources": """
+WITH b AS (
+  SELECT doc_id, source AS grp,
+         CAST(('0x' || substr(md5(CAST(source AS STRING)), 1, 4))::BIGINT
+              % 100 AS INT) AS bucket
+  FROM documents)
+SELECT grp,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY grp, split
+""",
+    "join_view_delta": """
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS sum_key,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
     "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
     "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
     "contamination_check": _ORACLE_CONTAMINATION_CHECK,

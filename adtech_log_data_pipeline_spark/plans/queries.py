@@ -226,6 +226,8 @@ _GATE_FIRST = [
     "graph_reachability_indexed",
     "snapshot_asof_read",
     "snapshot_merge_state",
+    "join_view_delta",
+    "group_split_sources",
     # the 7 round-3-green queries displaced from the r7 window
     "frame_sample",
     "monthly_revenue_trend",
@@ -267,13 +269,13 @@ _GATE_FIRST = [
     "sessionized_events",
     "top_orders_per_customer",
     "revenue_cube",
-    "asof_last_signup",
-    "order_priority",
 ]
 # The tail holds the queries with the MOST recent green rows (r5-r7
 # windows), ordered last-green ascending so future rotations can keep
 # promoting from the tail head.
 _GATE_LAST = [
+    "asof_last_signup",
+    "order_priority",
     "returned_customers",
     "streaming_sessionize",
     "streaming_device_activity",

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "shortest_path_parts",
     "snapshot_asof_read",
     "snapshot_merge_state",
+    "join_view_delta",
+    "group_split_sources",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",
