@@ -1764,6 +1764,44 @@ def q_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTI_TOUCH_WINDOW_MS = 6 * 3600 * 1000
+
+
+def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution rollup (operators/attribution.py::
+    linear_attribution): every purchase distributes EXACTLY 1000
+    milli-credits linearly across the same user's click/view touches in
+    the preceding 6 h (largest-remainder to the earliest touches), then
+    per-channel totals. The conservation law (sum per conversion ==
+    1000, unit-exact) is pinned in tests/test_attribution.py against a
+    pure-Python reference; the oracle restates the credit arithmetic
+    with plain window functions."""
+    from ..operators.attribution import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ms").alias("ts_ms"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ms").alias("conv_ms"),
+    )
+    credit = linear_attribution(
+        touches, convs, window_ms=MULTI_TOUCH_WINDOW_MS
+    )
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.sum("credit").alias("sum_credit"),
+    )
+
+
 def q_group_split_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free GROUP split gate (functions/text.py::group_split):
     assignment is a pure function of the source key, so a source's
@@ -1853,6 +1891,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "group_split_sources": q_group_split_sources,
     "join_view_delta": q_join_view_delta,
+    "multi_touch_credit": q_multi_touch_credit,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
@@ -4103,6 +4142,32 @@ SELECT grp,
             ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM b GROUP BY grp, split
+""",
+    # the engine's largest-remainder credit restated with plain window
+    # functions: 1000 // n + 1 for the first 1000 % n touches by (ts, id)
+    "multi_touch_credit": """
+WITH t AS (
+  SELECT event_id AS touch_id, user_id, epoch_ms(ts) AS ts_ms,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (
+  SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS conv_ms
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.channel, t.ts_ms
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND t.ts_ms >= c.conv_ms - 21600000 AND t.ts_ms < c.conv_ms),
+r AS (
+  SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts_ms, touch_id) AS rk
+  FROM j)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(sum(1000 // n + CASE WHEN rk <= 1000 % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS sum_credit
+FROM r GROUP BY channel
 """,
     "join_view_delta": """
 SELECT o.o_orderstatus,

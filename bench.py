@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "snapshot_merge_state",
     "join_view_delta",
     "group_split_sources",
+    "multi_touch_credit",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",
