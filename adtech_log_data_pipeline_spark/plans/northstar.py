@@ -1764,6 +1764,87 @@ def q_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (functions/bpe.py): the first
+    8 merge rules learned over the corpus word-frequency table — K
+    iterations of (pair count, deterministic argmax, exact greedy
+    left-to-right merge), all JVM-side. Law-pinned against a pure-Python
+    Sennrich-style reference (tests/test_bpe.py); the oracle restates all
+    8 rounds as chained CTEs (pair counts by per-position unnest, merges
+    by the run-parity window formulation)."""
+    from ..functions.bpe import bpe_merge_rules
+
+    return bpe_merge_rules(load_table(spark, sf_dir, "documents"), k=8)
+
+
+def _oracle_bpe(k: int = 8) -> str:
+    """Generate the chained-CTE DuckDB restatement of k BPE rounds.
+
+    The corpus rides as a DOUBLE-SEPARATOR string per word: every symbol
+    boundary carries chr(1)chr(1) (symbols are ASCII letters + '</w>', so
+    chr(1) never occurs in one). One plain replace() of
+    SEP x SEP SEP y SEP -> SEP xy SEP is then EXACT greedy left-to-right
+    non-overlapping BPE merging: two abutting merge sites share a
+    two-separator boundary, and each site's pattern consumes only its own
+    half, so a replacement never starves the next site (with a SINGLE
+    separator it would — the classic replace-rescan bug); for x == y runs
+    the pattern overlap makes replace() naturally take every other site,
+    which is greedy semantics. Pair counts unnest the split symbol list
+    per position, weighted by word count; the winner takes
+    (count DESC, x, y)."""
+    sep = "chr(1)"
+    sep2 = "(chr(1) || chr(1))"
+    parts = [
+        f"""wf AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT lower(t.w0) AS w
+    FROM documents, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t(w0)
+    WHERE t.w0 <> ''
+  ) GROUP BY w
+),
+c0 AS (
+  SELECT w, cnt,
+         {sep2} || array_to_string(
+           list_append(
+             list_transform(range(length(w)), i -> substr(w, i + 1, 1)),
+             '</w>'),
+           {sep2}) || {sep2} AS enc
+  FROM wf
+)"""
+    ]
+    for r in range(1, int(k) + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""s{r} AS (
+  SELECT w, cnt, string_split(trim(enc, chr(1)), {sep2}) AS s FROM {prev}
+),
+u{r} AS (
+  SELECT cnt, s, unnest(range(1, len(s))) AS i FROM s{r}
+),
+p{r} AS (
+  SELECT s[i] AS x, s[i + 1] AS y, sum(cnt) AS pair_count
+  FROM u{r} GROUP BY 1, 2
+),
+t{r} AS (
+  SELECT x, y, pair_count FROM p{r}
+  ORDER BY pair_count DESC, x, y LIMIT 1
+),
+c{r} AS (
+  SELECT c.w, c.cnt,
+         replace(c.enc,
+                 {sep} || t.x || {sep2} || t.y || {sep},
+                 {sep} || t.x || t.y || {sep}) AS enc
+  FROM {prev} c, t{r} t
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, x, y,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, int(k) + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
 MULTI_TOUCH_WINDOW_MS = 6 * 3600 * 1000
 
 
@@ -1892,6 +1973,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split_sources": q_group_split_sources,
     "join_view_delta": q_join_view_delta,
     "multi_touch_credit": q_multi_touch_credit,
+    "bpe_merge_rules": q_bpe_merge_rules,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
@@ -4628,3 +4710,5 @@ FROM b GROUP BY r_bin, f_bin, m_bin
 NORTHSTAR_ORACLES["graph_reachability_indexed"] = NORTHSTAR_ORACLES[
     "graph_reachability"
 ]
+
+NORTHSTAR_ORACLES["bpe_merge_rules"] = _oracle_bpe(8)

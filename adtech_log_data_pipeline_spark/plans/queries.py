@@ -229,6 +229,7 @@ _GATE_FIRST = [
     "join_view_delta",
     "group_split_sources",
     "multi_touch_credit",
+    "bpe_merge_rules",
     # the 7 round-3-green queries displaced from the r7 window
     "frame_sample",
     "monthly_revenue_trend",
@@ -268,12 +269,12 @@ _GATE_FIRST = [
     "top_revenue_orders",
     "nation_revenue",
     "sessionized_events",
-    "top_orders_per_customer",
 ]
 # The tail holds the queries with the MOST recent green rows (r5-r7
 # windows), ordered last-green ascending so future rotations can keep
 # promoting from the tail head.
 _GATE_LAST = [
+    "top_orders_per_customer",
     "revenue_cube",
     "asof_last_signup",
     "order_priority",

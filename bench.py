@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "join_view_delta",
     "group_split_sources",
     "multi_touch_credit",
+    "bpe_merge_rules",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",
