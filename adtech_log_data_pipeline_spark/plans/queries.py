@@ -218,9 +218,13 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # by declared order (25 remaining round-3 greens, then the round-4
 # cohort). The 50 r7-window members and the 43 r6-window members hold the
 # most recent greens and rotate to the tail. Each round-8 addition after
-# the initial two (snapshot_merge_state) displaced the LAST rotation pick
-# (returned_customers, r4-green — now at the tail head, first to re-enter
-# next round) so the window stays exactly parity-7 + 43.
+# the initial two (snapshot_merge_state, join_view_delta,
+# group_split_sources, multi_touch_credit, bpe_merge_rules) displaced the
+# then-LAST rotation pick, so the window stays exactly parity-7 + 43; the
+# displaced r4 greens sit at the tail head in most-overdue order
+# (top_orders_per_customer, revenue_cube, asof_last_signup,
+# order_priority, returned_customers) and re-enter first next round,
+# after any round-9-new queries.
 _GATE_FIRST = [
     # round-8 NEW queries - never gated, so they sort first
     "graph_reachability_indexed",

@@ -15,9 +15,11 @@ dominated and useless as a regression gate):
   late queries of a long board. Warmup (parquet readers, Python worker
   pool) happens per child and is excluded from per-query numbers.
 * LOAD RECORDED IN-ARTIFACT: /proc/loadavg is sampled before and after
-  every chunk and published in the final totals trailer, so a
-  noisy-neighbor window is visible in the artifact itself instead of
-  being indistinguishable from a plan regression.
+  every chunk, and the run's CPU-STEAL percentage (/proc/stat jiffies —
+  the signal load average can't give, since the bench's own local[32]
+  load looks identical to contention) is published in the totals
+  trailer, so a noisy-neighbor window is visible in the artifact itself
+  instead of being indistinguishable from a plan regression.
 * DELTAS VS THE PRIOR ROUND: the newest BENCH_r*.json's recorded tail is
   parsed and per-query ratios are summarized (median + top regressions)
   in the trailer — the artifact carries its own regression verdict.
@@ -242,6 +244,21 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the decisive noisy-
+    neighbor signal: load average cannot distinguish the bench's OWN
+    local[32] load from host contention, but steal time is cycles the
+    hypervisor gave to someone else while this guest was runnable."""
+    try:
+        with open("/proc/stat", encoding="utf-8") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
     """One fresh-session measurement pass over ``names``: warm the JVM,
     then best-of-2 cold-cache runs per query via the noop sink."""
@@ -331,6 +348,7 @@ def main() -> None:
     # orchestrator: fresh child JVM per chunk, load sampled around each
     timings: dict[str, float] = {}
     loads: list[list[float]] = []
+    steal0, total0 = _cpu_jiffies()
     here = os.path.dirname(os.path.abspath(__file__))
     for lo in range(0, len(board), CHUNK_SIZE):
         hi = min(lo + CHUNK_SIZE, len(board))
@@ -378,8 +396,12 @@ def main() -> None:
             for q in common
         )
         delta["median_ratio"] = ratios[len(ratios) // 2][0]
+        # same thresholds as tools/bench_diff.py: a ratio alone flags
+        # sub-second noise on tiny queries — require a real absolute delta
         delta["top_regressions"] = {
-            q: r for r, q in ratios[-3:][::-1] if r >= 1.5
+            q: r
+            for r, q in ratios[-5:][::-1]
+            if r >= 1.5 and timings[q] - prev[q] >= 0.5
         }
 
     # The driver records only a fixed-size stdout TAIL; the full per-query
@@ -400,6 +422,13 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "chunks": len(loads),
                 "load1_per_chunk": loads,
+                "steal_pct": (
+                    round(
+                        100.0 * (_cpu_jiffies()[0] - steal0)
+                        / max(1, _cpu_jiffies()[1] - total0),
+                        2,
+                    )
+                ),
                 "delta_vs_prev": delta,
             }
         )
