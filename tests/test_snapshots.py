@@ -136,6 +136,21 @@ def test_cli_snapshot_jobs(spark, tmp_path):
     assert sorted(
         p for p in os.listdir(t) if p.startswith("v=")
     ) == ["v=3"]
+    # MERGE via the CLI: one upsert (k=0 -> stays), one insert (k=9),
+    # one delete (k=3)
+    chg = str(tmp_path / "chg")
+    spark.createDataFrame(
+        [(0, "U", 1), (9, "U", 1), (3, "D", 1)], "k long, op string, seq int"
+    ).write.parquet(chg)
+    assert (
+        main(
+            ["--job", "snapshot-merge", "--input", chg, "--output", t,
+             "--bucket-cols", "k", "--seq-cols", "seq"]
+        )
+        in (0, None)
+    )
+    assert snapshot_current_version(t) == 4
+    assert _keys(read_snapshot(spark, t)) == [0, 1, 2, 4, 5, 6, 9]
 
 
 def test_merge_snapshot_isolation_and_semantics(spark, tmp_path):
