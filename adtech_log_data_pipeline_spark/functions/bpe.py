@@ -27,11 +27,13 @@ footprint.
 
 Words are restricted to pure-ASCII letter runs before lower() so the
 char-level symbol alphabet is engine-portable (unicode lower() is not).
-The DuckDB oracle (plans/northstar.py) restates all K rounds as chained
-CTEs: pair counts via per-position unnest, greedy merges via the
-run-parity window formulation (within a run of consecutive hit
-positions, greedy keeps every other one — equivalent to the lambda's
-left-to-right scan; runs longer than 1 only occur for x == y pairs).
+The DuckDB oracle (plans/northstar.py::_oracle_bpe) restates all K
+rounds as chained CTEs: pair counts via per-position unnest, and each
+round's merge applied with the chr(1) double-separator replace()
+encoding — symbols joined on chr(1)||chr(1), the winning pair rewritten
+by one replace() over that string (the doubled separator makes matches
+non-overlapping, reproducing the greedy left-to-right scan), then
+re-split. Independent of the DataFrame-side per-position lambda.
 """
 
 from __future__ import annotations

@@ -469,15 +469,21 @@ def append_graph_index(new_lineitem: DataFrame, index_dir: str) -> None:
     partial edge weights as the next batch dir. Caller contract: the
     batch holds entire orders only (an order split across batches would
     under-count its cross-batch pairs — the additive law needs
-    order-disjoint batches); cost scales with the batch, not the graph."""
+    order-disjoint batches); cost scales with the batch, not the graph.
+
+    A missing/never-built index is an ERROR (like load_graph_edges):
+    silently creating batch=0 would let a mistyped path masquerade as a
+    tiny index that later loads as the full graph."""
     import os
 
+    batches = _graph_index_batches(index_dir)
+    if not batches:
+        raise FileNotFoundError(
+            f"no graph index batches under {index_dir}/{GRAPH_INDEX_SUBDIR};"
+            " run build_graph_index (CLI --job graph-index) before append"
+        )
     nxt = 1 + max(
-        (
-            int(os.path.basename(p).split("=", 1)[1])
-            for p in _graph_index_batches(index_dir)
-        ),
-        default=-1,
+        int(os.path.basename(p).split("=", 1)[1]) for p in batches
     )
     copurchase_edges(new_lineitem).write.mode("overwrite").parquet(
         os.path.join(index_dir, GRAPH_INDEX_SUBDIR, f"batch={nxt}")

@@ -259,6 +259,13 @@ def _cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
+def _steal_pct_since(steal0: int, total0: int) -> float:
+    """Steal percentage since a (steal, total) baseline, from ONE
+    /proc/stat read so numerator and denominator share a snapshot."""
+    steal1, total1 = _cpu_jiffies()
+    return round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
     """One fresh-session measurement pass over ``names``: warm the JVM,
     then best-of-2 cold-cache runs per query via the noop sink."""
@@ -317,12 +324,18 @@ def _prev_round_tail_queries() -> tuple[str | None, dict[str, float]]:
             tail = json.load(fh).get("tail", "") or ""
     except (OSError, ValueError):
         return benches[-1], {}
+    # The totals trailer's delta_vs_prev object maps REAL query names to
+    # ratios (top_regressions), which would overwrite that query's seconds
+    # if parsed — drop everything from the trailer's delta record on.
+    cut = tail.find('"delta_vs_prev"')
+    if cut != -1:
+        tail = tail[:cut]
     out: dict[str, float] = {}
     for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
         name, val = m.group(1), m.group(2)
         if name in (
             "value", "n_queries", "parity7", "sf", "chunks",
-            "median_ratio", "n_common",
+            "median_ratio", "n_common", "steal_pct",
         ):
             continue
         try:
@@ -422,13 +435,7 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "chunks": len(loads),
                 "load1_per_chunk": loads,
-                "steal_pct": (
-                    round(
-                        100.0 * (_cpu_jiffies()[0] - steal0)
-                        / max(1, _cpu_jiffies()[1] - total0),
-                        2,
-                    )
-                ),
+                "steal_pct": _steal_pct_since(steal0, total0),
                 "delta_vs_prev": delta,
             }
         )

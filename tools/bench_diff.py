@@ -29,11 +29,16 @@ def load_queries(path: str) -> dict[str, float]:
     except json.JSONDecodeError:
         pass
     # the full per-query line may be truncated in driver artifacts (fixed-
-    # size tail) — scrape every "name": seconds pair instead of parsing
+    # size tail) — scrape every "name": seconds pair instead of parsing.
+    # The totals trailer's delta_vs_prev object maps real query names to
+    # RATIOS — cut it (and everything after) so ratios never shadow seconds.
+    cut = text.find('"delta_vs_prev"')
+    if cut != -1:
+        text = text[:cut]
     out: dict[str, float] = {}
     for m in re.finditer(r'"([a-z][a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', text):
         name, val = m.group(1), float(m.group(2))
-        if name in ("value", "sf", "parity7", "median_ratio"):
+        if name in ("value", "sf", "parity7", "median_ratio", "steal_pct"):
             continue
         out[name] = val
     for drop in ("value", "sf", "parity7", "n_queries"):

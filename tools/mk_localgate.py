@@ -12,9 +12,9 @@ green boards). Usage:
 
 from __future__ import annotations
 
+import argparse
 import json
 import re
-import sys
 
 
 def parse_log(path: str) -> dict[str, dict[str, float]]:
@@ -33,18 +33,17 @@ def parse_log(path: str) -> dict[str, dict[str, float]]:
 
 
 def main() -> None:
-    target = sys.argv[1]
-    note = ""
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("target")
+    ap.add_argument("sections", nargs="+", metavar="name=logpath")
+    ap.add_argument("--note", default="")
+    args = ap.parse_args()
+    target = args.target
     sections: dict[str, object] = {}
-    for arg in sys.argv[2:]:
-        if arg == "--note":
-            note = "NEXT"
-        elif note == "NEXT":
-            note = arg
-        else:
-            name, path = arg.split("=", 1)
-            sections[name] = parse_log(path)
-    doc: dict[str, object] = {"note": note}
+    for arg in args.sections:
+        name, path = arg.split("=", 1)
+        sections[name] = parse_log(path)
+    doc: dict[str, object] = {"note": args.note}
     doc.update(sections)
     with open(target, "w", encoding="utf-8") as fh:
         json.dump(doc, fh, indent=1)
