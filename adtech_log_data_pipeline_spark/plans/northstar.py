@@ -1859,6 +1859,18 @@ def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with plain window functions."""
     from ..operators.attribution import linear_attribution
 
+    touches, convs = _touches_convs(spark, sf_dir)
+    credit = linear_attribution(
+        touches, convs, window_ms=MULTI_TOUCH_WINDOW_MS
+    )
+    return _credit_rollup(credit)
+
+
+TIME_DECAY_HALF_LIFE_MS = 2 * 3600 * 1000
+
+
+def _touches_convs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared touch/conversion derivation for the attribution family."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_millis("ts").alias("ms")
     )
@@ -1873,14 +1885,51 @@ def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ms").alias("conv_ms"),
     )
-    credit = linear_attribution(
-        touches, convs, window_ms=MULTI_TOUCH_WINDOW_MS
-    )
+    return touches, convs
+
+
+def _credit_rollup(credit: DataFrame) -> DataFrame:
     return credit.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("conv_id").alias("n_conversions"),
         F.sum("credit").alias("sum_credit"),
     )
+
+
+def q_time_decay_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay attribution rollup (operators/attribution.py::
+    time_decay_attribution): the 6 h lookback splits into three 2 h
+    half-life buckets with integer weights 4/2/1 (each half-life of age
+    halves the weight), and every purchase distributes EXACTLY 1000
+    milli-credits weight-proportionally (largest remainder, most-recent
+    ties first). Conservation law pinned in tests/test_attribution.py;
+    the oracle restates the bucket/weight/remainder arithmetic with plain
+    window functions."""
+    from ..operators.attribution import time_decay_attribution
+
+    touches, convs = _touches_convs(spark, sf_dir)
+    credit = time_decay_attribution(
+        touches,
+        convs,
+        window_ms=MULTI_TOUCH_WINDOW_MS,
+        half_life_ms=TIME_DECAY_HALF_LIFE_MS,
+    )
+    return _credit_rollup(credit)
+
+
+def q_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution rollup (operators/
+    attribution.py::position_attribution): first and last touch take 40%
+    each, the middle touches split the remaining 20% evenly (largest
+    remainder, earliest first); 1-touch takes all, 2-touch splits evenly.
+    Unit-exact conservation pinned in tests/test_attribution.py."""
+    from ..operators.attribution import position_attribution
+
+    touches, convs = _touches_convs(spark, sf_dir)
+    credit = position_attribution(
+        touches, convs, window_ms=MULTI_TOUCH_WINDOW_MS
+    )
+    return _credit_rollup(credit)
 
 
 def q_group_split_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,6 +2022,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split_sources": q_group_split_sources,
     "join_view_delta": q_join_view_delta,
     "multi_touch_credit": q_multi_touch_credit,
+    "time_decay_credit": q_time_decay_credit,
+    "position_credit": q_position_credit,
     "bpe_merge_rules": q_bpe_merge_rules,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
@@ -4249,6 +4300,72 @@ SELECT channel,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
        CAST(sum(1000 // n + CASE WHEN rk <= 1000 % n THEN 1 ELSE 0 END)
             AS BIGINT) AS sum_credit
+FROM r GROUP BY channel
+""",
+    # weights 4/2/1 per 2h age bucket inside the 6h window; floor shares
+    # then largest-remainder (+1 most-recent-first) — all integer, so the
+    # channel totals hash-match the Spark side bit-for-bit
+    "time_decay_credit": """
+WITH t AS (
+  SELECT event_id AS touch_id, user_id, epoch_ms(ts) AS ts_ms,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (
+  SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS conv_ms
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.channel, t.ts_ms, c.conv_ms
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND t.ts_ms >= c.conv_ms - 21600000 AND t.ts_ms < c.conv_ms),
+w AS (
+  SELECT *, (1::BIGINT << CAST(2 - (conv_ms - 1 - ts_ms) // 7200000 AS INT))
+              AS wt
+  FROM j),
+s AS (SELECT *, sum(wt) OVER (PARTITION BY conv_id) AS w_total FROM w),
+sh AS (SELECT *, (1000 * wt) // w_total AS share,
+              (1000 * wt) % w_total AS rem
+       FROM s),
+r AS (
+  SELECT *, 1000 - sum(share) OVER (PARTITION BY conv_id) AS leftover,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY rem DESC, ts_ms DESC, touch_id) AS rk
+  FROM sh)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(sum(share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS sum_credit
+FROM r GROUP BY channel
+""",
+    # U-shape: 400 to each endpoint, 200 split over the middles (largest
+    # remainder, earliest first); n=1 takes all, n=2 splits evenly
+    "position_credit": """
+WITH t AS (
+  SELECT event_id AS touch_id, user_id, epoch_ms(ts) AS ts_ms,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')),
+c AS (
+  SELECT event_id AS conv_id, user_id, epoch_ms(ts) AS conv_ms
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.channel, t.ts_ms
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND t.ts_ms >= c.conv_ms - 21600000 AND t.ts_ms < c.conv_ms),
+r AS (
+  SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts_ms, touch_id) AS rk
+  FROM j)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(sum(CASE WHEN n = 1 THEN 1000
+                     WHEN n = 2 THEN 500
+                     WHEN rk = 1 OR rk = n THEN 400
+                     ELSE 200 // (n - 2)
+                          + CASE WHEN rk - 1 <= 200 % (n - 2)
+                            THEN 1 ELSE 0 END
+                END) AS BIGINT) AS sum_credit
 FROM r GROUP BY channel
 """,
     "join_view_delta": """
