@@ -157,6 +157,64 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame, anchors: DataFrame, k: int = 5
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each labeled anchor vector,
+    the exact cosine top-k corpus neighbors whose ``label`` DIFFERS from
+    the anchor's — the near-misses a contrastive trainer wants as
+    negatives (training-data prep for embedding models).
+
+    ``anchors`` is (query_id, qvec, qlabel); the corpus is the full
+    (vec_id, embedding, label) table. Same scale shape and determinism
+    conventions as brute_force_topk (anchors broadcast, norms projected
+    per side, 1e-6-rounded cosine with id tiebreak); at corpus scale the
+    coarse stage composes with ivf_topk/lsh_topk exactly like the
+    positive-neighbor path. Output:
+    (query_id, anchor_label, neighbor_id, neighbor_label, rank,
+    cos_sim_r6)."""
+    from pyspark.sql.window import Window
+
+    q = anchors.select(
+        "query_id",
+        F.col("qvec").alias("a"),
+        _norm("qvec").alias("na"),
+        F.col("qlabel").alias("anchor_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            _cosine_r6().alias("cos_sim_r6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            "cos_sim_r6",
+        )
+    )
+
+
 def kmeans_seed_vectors(
     embeddings: DataFrame,
     k: int = KMEANS_K,
@@ -897,6 +955,118 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
                 " end"
             ).alias("q"),
             "m",
+        )
+    )
+
+
+SQ_COARSE_CANDIDATES = 20
+
+
+def sq_dequantized_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector bigint arrays of DEQUANTIZED 7-bit codes (integer
+    micros) — the compact representation a scalar-quantized ANN index
+    stores and scans at 100 TB (~4x smaller than float32). Exact integer
+    arithmetic end-to-end (quantize_embeddings' round-half-up mapping,
+    then deq = (q * 2 * amax) div 127 - amax, all operands non-negative
+    before the subtract), so the DuckDB oracle restates it bit-for-bit.
+
+    Output: (vec_id, dq: array<bigint>) with dims in order."""
+    renamed = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    q = quantize_embeddings(renamed).withColumn(
+        "deq",
+        F.expr(
+            "case when amax = 0 then 0"
+            " else (cast(q as bigint) * 2 * amax) div 127 - amax end"
+        ),
+    )
+    return q.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, deq))), s -> s.deq)"
+        ).alias("dq")
+    )
+
+
+def sq_rescore_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse: int = SQ_COARSE_CANDIDATES,
+) -> DataFrame:
+    """Two-stage scalar-quantized ANN — the production shape (FAISS-style
+    SQ int8 + refine): a COARSE pass ranks the corpus by the exact-integer
+    dot product of dequantized 7-bit codes (the index representation; the
+    float corpus is never touched), keeps ``coarse`` candidates per query,
+    then a RESCORE pass re-ranks only those with the exact float cosine
+    and returns the top ``k``.
+
+    Determinism: the coarse score is pure bigint arithmetic (identical on
+    any engine); the rescore uses the 1e-6-rounded cosine with id
+    tiebreak, same as brute_force_topk. Scale shape: coarse scans the
+    (4x smaller) code arrays with the quantized queries broadcast; the
+    rescore join touches only n_queries x coarse float rows.
+
+    Output: (query_id, neighbor_id, rank, cos_sim_r6, coarse_rank)."""
+    from pyspark.sql.window import Window
+
+    cd = sq_dequantized_vectors(embeddings).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qd = (
+        sq_dequantized_vectors(queries, "query_id", "qvec")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("dq", "qdq")
+    )
+    coarse_scored = (
+        cd.crossJoin(F.broadcast(qd))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(dq, qdq, (x, y) -> x * y),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("coarse_score"),
+        )
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse_scored.withColumn("coarse_rank", F.row_number().over(w_coarse))
+        .filter(F.col("coarse_rank") <= coarse)
+        .select("query_id", "neighbor_id", "coarse_rank")
+    )
+    qf = queries.select(
+        "query_id", F.col("qvec").alias("a"), _norm("qvec").alias("na")
+    )
+    cf = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+    )
+    rescored = (
+        cand.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id", "neighbor_id", "coarse_rank", _cosine_r6().alias("cos_sim_r6")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cos_sim_r6",
+            F.col("coarse_rank").cast("int").alias("coarse_rank"),
         )
     )
 

@@ -228,6 +228,45 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage scalar-quantized ANN (functions/similarity.py::
+    sq_rescore_topk): exact-integer coarse ranking over dequantized 7-bit
+    codes keeps 20 candidates/query, exact float cosine rescores to
+    top-5 — the FAISS SQ+refine production shape."""
+    from ..functions.similarity import sq_rescore_topk
+
+    return sq_rescore_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_sq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SQ+rescore chain vs exact brute force — the audit
+    that tells a deployment whether 7-bit codes plus a 20-candidate
+    refine budget preserve neighbor quality on ITS corpus. Same
+    join/rename discipline as q_ann_recall_audit."""
+    from ..functions._cache import hold
+    from ..functions.similarity import sq_rescore_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    approx = sq_rescore_topk(emb, q, k=5)
+    ex = exact.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hv = approx.select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        ex.join(hv, (ex.qid == hv.a_qid) & (ex.nid == hv.a_nid), "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.count("a_nid").alias("n_overlap"),
+            (F.count("a_nid") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
 def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket cap-pressure audit for the embedding near-dup path.
     Corpus size from the parquet footer (no count job)."""
@@ -353,6 +392,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors."""
     return brute_force_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (functions/similarity.py::
+    hard_negative_topk): exact cosine top-5 with a DIFFERENT label, per
+    labeled anchor — the near-miss negatives an embedding trainer mines."""
+    from ..functions.similarity import hard_negative_topk
+
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    return hard_negative_topk(e, anchors, k=5)
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,6 +2053,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cap_audit": q_dedup_cap_audit,
     "semantic_cap_audit": q_semantic_cap_audit,
     "ann_recall_audit": q_ann_recall_audit,
+    "sq_rescore_topk": q_sq_rescore_topk,
+    "sq_recall_audit": q_sq_recall_audit,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "salted_hot_join": q_salted_hot_join,
@@ -2006,6 +2062,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_topk": q_similarity_topk,
+    "hard_negatives": q_hard_negatives,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2339,6 +2396,83 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
+FROM ranked WHERE rank <= 5
+"""
+
+# same r6-rounded cosine + id-tiebreak chain, restricted to label-mismatch
+# pairs (the label filter also excludes self-pairs, so no id guard needed)
+_ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a,
+                  label AS anchor_label
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b,
+             label AS neighbor_label
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, q.anchor_label, c.neighbor_id, c.neighbor_label,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a)) * sqrt(list_dot_product(c.b, c.b))), 6)
+           AS cos_sim_r6
+  FROM q, c WHERE c.neighbor_label <> q.anchor_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+       CAST(rank AS INT) AS rank, cos_sim_r6
+FROM ranked WHERE rank <= 5
+"""
+
+# Two-stage SQ ANN: quantize -> dequantize in the same non-negative
+# integer arithmetic as embedding_quantize_audit, coarse-rank by the
+# exact bigint dot of dequantized codes (top-20/query), then rescore the
+# survivors with the r6-rounded float cosine (top-5, id tiebreak).
+_ORACLE_SQ_RESCORE = f"""
+WITH base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings),
+mm AS (SELECT vec_id, dim,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM base),
+aa AS (SELECT vec_id, dim, m,
+              max(abs(m)) OVER (PARTITION BY vec_id) AS amax
+       FROM mm),
+dq AS (SELECT vec_id, dim,
+              CASE WHEN amax = 0 THEN 0
+                   ELSE ((((m + amax) * 127 + amax) // (2 * amax))
+                         * 2 * amax) // 127 - amax END AS deq
+       FROM aa),
+qd AS (SELECT vec_id AS query_id, dim, deq FROM dq
+       WHERE vec_id < {N_QUERY_VECS}),
+coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         sum(q.deq * c.deq) AS coarse_score
+  FROM qd q JOIN dq c USING (dim)
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY coarse_score DESC, neighbor_id)
+              AS coarse_rank
+  FROM coarse),
+resc AS (
+  SELECT k.query_id, k.neighbor_id, k.coarse_rank,
+         round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))), 6)
+           AS cos_sim_r6
+  FROM cand k
+  JOIN embeddings qe ON qe.vec_id = k.query_id
+  JOIN embeddings ce ON ce.vec_id = k.neighbor_id
+  WHERE k.coarse_rank <= 20),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM resc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6,
+       CAST(coarse_rank AS INT) AS coarse_rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -4158,6 +4292,18 @@ FROM ex LEFT JOIN iv
   ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
 GROUP BY ex.query_id
 """,
+    "sq_rescore_topk": _ORACLE_SQ_RESCORE,
+    "sq_recall_audit": f"""
+WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
+sq AS ({_ORACLE_SQ_RESCORE})
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(count(sq.neighbor_id) AS BIGINT) AS n_overlap,
+       count(sq.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN sq
+  ON ex.query_id = sq.query_id AND ex.neighbor_id = sq.neighbor_id
+GROUP BY ex.query_id
+""",
     # truncated-dim exact top-5 restated on embedding[1:16]; overlap
     # join identical to ann_recall_audit's
     "dim_truncation_recall": f"""
@@ -4247,6 +4393,7 @@ SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
 FROM documents
 """,
     "similarity_topk": _ORACLE_SIMILARITY_TOPK,
+    "hard_negatives": _ORACLE_HARD_NEGATIVES,
     "similarity_lsh_topk": _oracle_similarity_lsh_topk(),
     "similarity_ivf_topk": _ORACLE_IVF,
     "embedding_near_dup": _oracle_embedding_near_dup(),

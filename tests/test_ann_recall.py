@@ -118,6 +118,64 @@ def test_quantized_vectors_preserve_brute_force_recall(spark):
     release_cached()
 
 
+def test_sq_rescore_recall_floor_and_shape(spark):
+    """The two-stage SQ ANN (coarse integer dot over 7-bit codes, exact
+    rescore of 20 candidates): recall@5 vs brute force must stay high —
+    the rescore stage repairs quantization ranking noise, so this path
+    should beat the raw-quantized recall (observed 1.0 here; floor 0.8).
+    Shape: full k rows per query, ranks 1..k, coarse_rank within the
+    candidate budget."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        SQ_COARSE_CANDIDATES,
+        sq_rescore_topk,
+    )
+
+    rows = sq_rescore_topk(_emb(spark), _queries(spark), k=K).collect()
+    by_q = _topk_sets(rows)
+    assert len(by_q) == N_QUERIES and all(len(s) == K for s in by_q.values())
+    assert all(1 <= r["coarse_rank"] <= SQ_COARSE_CANDIDATES for r in rows)
+    assert all(
+        sorted(r["rank"] for r in rows if r["query_id"] == q) == list(range(1, K + 1))
+        for q in by_q
+    )
+    r = _recall(spark, rows)
+    release_cached()
+    assert r >= 0.8, f"SQ+rescore recall@5 collapsed: {r}"
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Hard-negative mining: k rows per anchor, every neighbor label
+    differs from the anchor's, and each anchor's negatives are exactly
+    the label-mismatch prefix of the full cosine ranking."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = _emb(spark)
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    rows = hard_negative_topk(emb, anchors, k=K).collect()
+    assert len(rows) == N_QUERIES * K
+    assert all(r["neighbor_label"] != r["anchor_label"] for r in rows)
+
+    # prefix law vs the unfiltered ranking (big-k brute force, then filter)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    full = brute_force_topk(emb, _queries(spark), k=1000).collect()
+    expect: dict[int, list[int]] = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        q = r["query_id"]
+        if labels[r["neighbor_id"]] != labels[q] and len(expect.setdefault(q, [])) < K:
+            expect[q].append(r["neighbor_id"])
+    got: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == expect
+    release_cached()
+
+
 def test_dim_truncation_recall_properties(spark):
     """The truncation audit query: identity at full width (slicing all
     64 dims reproduces brute-force exactly, recall 1.0 everywhere), and
