@@ -659,6 +659,82 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Fixed-size audit slice for minhash_precision_audit: the exact all-pairs
+# ground truth is only computed inside this slice, so the audit's cost is
+# CONSTANT at any corpus scale (150 docs -> ~11k pairs).
+PRECISION_AUDIT_DOCS = 150
+
+
+def minhash_precision_audit(
+    documents: DataFrame, n_docs: int = PRECISION_AUDIT_DOCS
+) -> DataFrame:
+    """Truth-link audit for the MinHash LSH screen: on a FIXED-size doc
+    slice (doc_id < n_docs) compute the exact all-pairs shingle-Jaccard
+    ground truth (near-dup = jaccard >= 1/2, stated as the integer test
+    2*inter >= union) and measure the band-candidate generator against
+    it — precision (candidate pairs that are true near-dups) and recall
+    (true near-dups surfaced as candidates), in integer ppm.
+
+    This is the observability a 100 TB dedup deployment runs nightly:
+    banding parameters (16 hashes x 4 bands) drift out of tune as the
+    corpus shifts, and this query says so with exact arithmetic. The
+    all-pairs stage never leaves the bounded slice, so cost is constant
+    in corpus size; candidates are the REAL banding chain
+    (minhash_candidates) run on the slice.
+
+    Output (one row): (n_docs, n_truth, n_candidates, n_true_pos,
+    precision_ppm, recall_ppm)."""
+    sliced = documents.filter(F.col("doc_id") < int(n_docs))
+    ds = hold(_shingle_rows(sliced).distinct(), eager=True)
+    cand = minhash_candidates(sliced, shingles=ds)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        ds.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_size"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            2 * F.col("inter_size") >= F.col("n_a") + F.col("n_b") - F.col("inter_size")
+        )
+        .select("doc_a", "doc_b")
+    )
+    both = cand.withColumn("in_cand", F.lit(1)).join(
+        truth.withColumn("in_truth", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    stats = both.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("in_cand") * F.col("in_truth")), F.lit(0))
+        .cast("long")
+        .alias("n_true_pos"),
+    )
+    return stats.select(
+        F.lit(int(n_docs)).cast("int").alias("n_docs"),
+        "n_truth",
+        "n_candidates",
+        "n_true_pos",
+        F.expr(
+            "cast(case when n_candidates = 0 then 0"
+            " else n_true_pos * 1000000 div n_candidates end as bigint)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "cast(case when n_truth = 0 then 0"
+            " else n_true_pos * 1000000 div n_truth end as bigint)"
+        ).alias("recall_ppm"),
+    )
+
+
 # The "daily batch" split for incremental ingest dedup: docs whose id
 # lands in the slot are the INCOMING batch, everything else is the
 # EXISTING corpus — deterministic and scale-invariant.

@@ -87,6 +87,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir))
 
 
+def q_minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-link audit of the MinHash LSH screen (functions/dedup.py::
+    minhash_precision_audit): exact all-pairs Jaccard ground truth on a
+    fixed 150-doc slice vs the banding candidates, precision/recall in
+    integer ppm — constant cost at any corpus scale."""
+    from ..functions.dedup import minhash_precision_audit
+
+    return minhash_precision_audit(_docs(spark, sf_dir))
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature (alpha=0.5) mixture sampling — sqrt-share source
     reweighting under a token budget."""
@@ -2042,6 +2052,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "minhash_precision_audit": q_minhash_precision_audit,
     "dedup_incoming": q_dedup_incoming,
     "dedup_incoming_indexed": q_dedup_incoming_indexed,
     "table_profile": q_table_profile,
@@ -2211,8 +2222,13 @@ FROM t GROUP BY vocab_hash
 """
 
 # shared MinHash CTE chain (shingles -> 16 signatures -> 4 bands)
-_MINHASH_CTES = f"""
-t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _minhash_ctes(source: str = "documents") -> str:
+    """The shared MinHash CTE chain (shingles -> signatures -> bands ->
+    candidate pairs) over ``source`` — parameterized so slice-scoped
+    audits (minhash_precision_audit) can restate the SAME chain on a
+    restricted doc set."""
+    return f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM {source}),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -2250,7 +2266,45 @@ cand AS (
     ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )"""
 
+
+_MINHASH_CTES = _minhash_ctes()
+
 _ORACLE_DEDUP_MINHASH = f"WITH {_MINHASH_CTES} SELECT doc_a, doc_b FROM cand"
+
+
+def _oracle_minhash_precision_audit() -> str:
+    """minhash_precision_audit restated: the SAME banding chain
+    (_minhash_ctes) scoped to the fixed slice, exact all-pairs Jaccard
+    truth via list_intersect, counts + integer-ppm precision/recall."""
+    from ..functions.dedup import PRECISION_AUDIT_DOCS as N
+
+    return f"""
+WITH sliced AS (SELECT * FROM documents WHERE doc_id < {N}),
+{_minhash_ctes("sliced")},
+ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM ds a JOIN ds b ON a.doc_id < b.doc_id),
+truth AS (SELECT doc_a, doc_b FROM pairs WHERE 2 * i >= u),
+m AS (SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM cand) AS n_candidates,
+  (SELECT count(*) FROM cand c JOIN truth t2
+     ON c.doc_a = t2.doc_a AND c.doc_b = t2.doc_b) AS n_true_pos)
+SELECT CAST({N} AS INT) AS n_docs,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+       CAST(CASE WHEN n_candidates = 0 THEN 0
+                 ELSE n_true_pos * 1000000 // n_candidates END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_truth = 0 THEN 0
+                 ELSE n_true_pos * 1000000 // n_truth END AS BIGINT)
+         AS recall_ppm
+FROM m
+"""
 
 
 def _oracle_dedup_incoming() -> str:
@@ -4277,6 +4331,7 @@ FROM j GROUP BY source
     "doc_fingerprints": _ORACLE_FINGERPRINTS,
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_minhash": _ORACLE_DEDUP_MINHASH,
+    "minhash_precision_audit": _oracle_minhash_precision_audit(),
     "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": _oracle_dedup_simhash(),
     "dedup_cap_audit": _oracle_dedup_cap_audit(),

@@ -55,6 +55,29 @@ def test_minhash_flags_duplicates_not_distinct(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_minhash_precision_audit_counts_on_known_corpus(spark):
+    """A corpus with one exact dup pair and otherwise-disjoint docs:
+    truth = {(0,1)}, the dup pair must surface as a candidate (identical
+    docs share every band), and the ppm metrics follow from the counts
+    by exact integer arithmetic."""
+    from adtech_log_data_pipeline_spark.functions.dedup import (
+        minhash_precision_audit,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    far = "completely different words about spark engines and parquet columns here"
+    third = "entirely other tokens regarding streaming windows and sketches now"
+    row = minhash_precision_audit(
+        docs(spark, [base, base, far, third]), n_docs=10
+    ).collect()[0]
+    assert row["n_docs"] == 10
+    assert row["n_truth"] == 1
+    assert row["n_true_pos"] == 1  # the dup pair must be a candidate
+    assert row["n_true_pos"] <= row["n_candidates"]
+    assert row["recall_ppm"] == 1000000
+    assert row["precision_ppm"] == 1000000 * row["n_true_pos"] // row["n_candidates"]
+
+
 def test_jaccard_identical_is_one(spark):
     t = "one two three four five six seven eight"
     out = ngram_jaccard_pairs(docs(spark, [t, t])).collect()
