@@ -210,74 +210,25 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-8 rotation record. The round-7 verdict's queue contract: round-8
-# NEW queries first (0 greens beat all), then the 7 round-3-green queries
-# displaced from the r7 window by late round-7 additions (the promise at
-# the head of the old tail), then the longest-ungated greens — computed
-# from the CORRECTNESS_r01..r07 artifacts as last-green ascending, stable
-# by declared order (25 remaining round-3 greens, then the round-4
-# cohort). The 50 r7-window members and the 43 r6-window members hold the
-# most recent greens and rotate to the tail. Each round-8 addition after
-# the initial two (snapshot_merge_state, join_view_delta,
-# group_split_sources, multi_touch_credit, bpe_merge_rules) displaced the
-# then-LAST rotation pick, so the window stays exactly parity-7 + 43; the
-# displaced r4 greens sit at the tail head in most-overdue order
-# (top_orders_per_customer, revenue_cube, asof_last_signup,
-# order_priority, returned_customers) and re-enter first next round,
-# after any round-9-new queries.
+# Round-9 rotation record, COMPUTED from the CORRECTNESS_r01..r08
+# artifacts (last-green round per query, ascending, stable by declared
+# order — the protocol the round-7 verdict set and the head comment in
+# each round's transcript scripts): round-9 NEW queries first (0 greens
+# beat all: minhash_precision_audit, sq_rescore_topk, sq_recall_audit,
+# hard_negatives, time_decay_credit, position_credit), then the 37
+# longest-ungated greens — the 7 r4-green queries displaced from the r8
+# window by late round-8 additions (top_orders_per_customer,
+# revenue_cube, asof_last_signup, order_priority, returned_customers,
+# streaming_sessionize, streaming_device_activity — the r8 queue promise
+# at the old tail head), then 30 of the 43 r5-greens. The window stays
+# exactly parity-7 + 43.
 _GATE_FIRST = [
-    # round-8 NEW queries - never gated, so they sort first
-    "graph_reachability_indexed",
-    "snapshot_asof_read",
-    "snapshot_merge_state",
-    "join_view_delta",
-    "group_split_sources",
-    "multi_touch_credit",
-    "bpe_merge_rules",
-    # the 7 round-3-green queries displaced from the r7 window
-    "frame_sample",
-    "monthly_revenue_trend",
-    "quiet_returners",
-    "brand_supplier_stats",
-    "conversion_funnel",
-    "customer_order_distribution",
-    "simhash_near_dup",
-    # oldest-green rotation: last green r3 ...
-    "multimodal_resize",
-    "repetition_stats",
-    "length_percentiles",
-    "packing_plan",
-    "label_centroids",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_minhash",
-    "dedup_clusters",
-    "train_split",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "pii_redact",
-    "source_mix",
-    "sliding_window_counts",
-    "winnowing",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprints",
-    "multimodal_meta",
-    "similarity_topk",
-    "embedding_near_dup",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "dedup_exact",
-    # ... then last green r4
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "sessionized_events",
-]
-# The tail holds the queries with the MOST recent green rows (r5-r7
-# windows), ordered last-green ascending so future rotations can keep
-# promoting from the tail head.
-_GATE_LAST = [
+    "minhash_precision_audit",
+    "sq_rescore_topk",
+    "sq_recall_audit",
+    "hard_negatives",
+    "time_decay_credit",
+    "position_credit",
     "top_orders_per_customer",
     "revenue_cube",
     "asof_last_signup",
@@ -315,6 +266,11 @@ _GATE_LAST = [
     "cross_source_overlap",
     "audio_chunks",
     "stratified_sample",
+]
+# The tail: every remaining query ordered last-green ASCENDING (13
+# r5-greens the window could not fit, then the r6/r7/r8 cohorts), so
+# future rotations keep promoting from the tail head.
+_GATE_LAST = [
     "dedup_keep_best",
     "contamination_check",
     "curated_corpus",
@@ -414,6 +370,49 @@ _GATE_LAST = [
     "funnel_pattern",
     "event_pivot",
     "embedding_outliers",
+    "graph_reachability_indexed",
+    "snapshot_asof_read",
+    "snapshot_merge_state",
+    "join_view_delta",
+    "group_split_sources",
+    "multi_touch_credit",
+    "bpe_merge_rules",
+    "frame_sample",
+    "monthly_revenue_trend",
+    "quiet_returners",
+    "brand_supplier_stats",
+    "conversion_funnel",
+    "customer_order_distribution",
+    "simhash_near_dup",
+    "multimodal_resize",
+    "repetition_stats",
+    "length_percentiles",
+    "packing_plan",
+    "label_centroids",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_minhash",
+    "dedup_clusters",
+    "train_split",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "pii_redact",
+    "source_mix",
+    "sliding_window_counts",
+    "winnowing",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "multimodal_meta",
+    "similarity_topk",
+    "embedding_near_dup",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "dedup_exact",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "sessionized_events",
 ]
 _PARITY = [
     "bidlog_validation",

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "join_view_delta",
     "group_split_sources",
     "multi_touch_credit",
+    "time_decay_credit",
+    "position_credit",
     "bpe_merge_rules",
     "event_anomaly",
     "rfm_segments",
@@ -90,6 +92,8 @@ BENCH_QUERIES = [
     "ingest_checkpoint_audit",
     "compaction_audit",
     "ann_recall_audit",
+    "sq_rescore_topk",
+    "sq_recall_audit",
     "salted_hot_join",
     "csv_roundtrip",
     "orc_roundtrip",
@@ -157,9 +161,11 @@ BENCH_QUERIES = [
     "winnowing",
     "dedup_exact",
     "dedup_minhash",
+    "minhash_precision_audit",
     "dedup_simhash",
     "ngram_jaccard",
     "similarity_topk",
+    "hard_negatives",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "embedding_near_dup",
