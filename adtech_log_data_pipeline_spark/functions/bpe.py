@@ -87,13 +87,14 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def bpe_merge_rules(
-    documents: DataFrame, k: int = BPE_ROUNDS
-) -> DataFrame:
-    """Learn the first ``k`` BPE merge rules. Output: one row per round —
-    (round int, x, y, pair_count bigint): the merged pair and its
-    corpus-weighted adjacency count at selection time. Deterministic:
-    ties break (count DESC, x ASC, y ASC).
+def _bpe_rounds(
+    documents: DataFrame, k: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run ``k`` BPE merge rounds; return (rules, final symbol table).
+
+    The final table is (w, cnt, s) — every DISTINCT corpus word with its
+    symbol array after all k merges (vocabulary-sized, never corpus-
+    sized). Deterministic: ties break (count DESC, x ASC, y ASC).
 
     Driver state is the kmeans_centroids convention: each round's winning
     PAIR (one row — the per-round model state, never corpus data) is
@@ -111,6 +112,7 @@ def bpe_merge_rules(
     wf = word_freq(documents)
     cur = hold(
         wf.select(
+            "w",
             "cnt",
             F.expr(
                 "array_append(transform(sequence(1, length(w)),"
@@ -148,11 +150,55 @@ def bpe_merge_rules(
         rules.append((r, x, y, cnt))
         cur = hold(
             cur.select(
+                "w",
                 "cnt",
                 F.expr(_merge_expr(_sql_str(x), _sql_str(y))).alias("s"),
             ),
             eager=True,
         )
+    return rules, cur
+
+
+def bpe_merge_rules(
+    documents: DataFrame, k: int = BPE_ROUNDS
+) -> DataFrame:
+    """Learn the first ``k`` BPE merge rules (see _bpe_rounds). Output:
+    one row per round — (round int, x, y, pair_count bigint): the merged
+    pair and its corpus-weighted adjacency count at selection time."""
+    rules, _final = _bpe_rounds(documents, int(k))
     return documents.sparkSession.createDataFrame(
         rules, "round int, x string, y string, pair_count long"
+    )
+
+
+def bpe_encode_stats(documents: DataFrame, k: int = BPE_ROUNDS) -> DataFrame:
+    """APPLY the learned merges — the tokenizer's corpus-encoding path.
+    Each DISTINCT word is encoded exactly once (the k-merge symbol table
+    is vocabulary-sized), then the corpus rolls up per source by joining
+    word occurrences to their piece counts: total BPE tokens, plus the
+    pre-merge symbol count (chars + the end-of-word marker) so the
+    compression the merges bought is visible. The end marker counts as a
+    piece until a merge absorbs it — standard end-marked BPE.
+
+    Scale shape: one corpus pass to word occurrences, one join keyed on
+    the word against the vocab-sized piece table (broadcastable for real
+    vocabularies), one hash agg. Output per source: (source, n_words,
+    n_symbols_init, n_tokens_bpe)."""
+    _rules, final = _bpe_rounds(documents, int(k))
+    pieces = final.select("w", F.size("s").cast("long").alias("n_pieces"))
+    occ = (
+        documents.select(
+            "source", F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("w0")
+        )
+        .filter(F.col("w0") != "")
+        .select("source", F.lower("w0").alias("w"))
+    )
+    return (
+        occ.join(pieces, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w") + 1).alias("n_symbols_init"),
+            F.sum("n_pieces").alias("n_tokens_bpe"),
+        )
     )

@@ -1835,10 +1835,20 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right merge), all JVM-side. Law-pinned against a pure-Python
     Sennrich-style reference (tests/test_bpe.py); the oracle restates all
     8 rounds as chained CTEs (pair counts by per-position unnest, merges
-    by the run-parity window formulation)."""
+    by the chr(1) double-separator replace() encoding)."""
     from ..functions.bpe import bpe_merge_rules
 
     return bpe_merge_rules(load_table(spark, sf_dir, "documents"), k=8)
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION path (functions/bpe.py::bpe_encode_stats):
+    encode every distinct word with the 8 learned merges (vocab-sized
+    work), join occurrences back, per-source totals — BPE token counts
+    plus the pre-merge symbol count, so the compression is visible."""
+    from ..functions.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(load_table(spark, sf_dir, "documents"), k=8)
 
 
 def _oracle_bpe(k: int = 8) -> str:
@@ -1907,6 +1917,36 @@ c{r} AS (
         for r in range(1, int(k) + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+def _oracle_bpe_encode(k: int = 8) -> str:
+    """bpe_encode_stats restated: the SAME k-round chain (the per-word
+    encodings at c{k}), split back to pieces per word, joined to word
+    occurrences per source. The ORDER BY ... LIMIT 1 winner CTEs make the
+    chain one query; everything below is exact integer counting."""
+    chain = _oracle_bpe(int(k))
+    # reuse the full CTE chain, swap the final merge-list SELECT for the
+    # per-source encode rollup
+    head, _sep, _tail = chain.partition("\nSELECT CAST(1 AS INT) AS round")
+    assert _sep, "unexpected _oracle_bpe shape"
+    return f"""{head},
+wp AS (
+  SELECT w, len(string_split(trim(enc, chr(1)), (chr(1) || chr(1))))
+           AS n_pieces
+  FROM c{int(k)}
+),
+occ AS (
+  SELECT source, lower(t.w0) AS w
+  FROM documents, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS t(w0)
+  WHERE t.w0 <> ''
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w) + 1) AS BIGINT) AS n_symbols_init,
+       CAST(sum(n_pieces) AS BIGINT) AS n_tokens_bpe
+FROM occ JOIN wp USING (w)
+GROUP BY source
+"""
 
 
 MULTI_TOUCH_WINDOW_MS = 6 * 3600 * 1000
@@ -2093,6 +2133,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_decay_credit": q_time_decay_credit,
     "position_credit": q_position_credit,
     "bpe_merge_rules": q_bpe_merge_rules,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
@@ -5031,3 +5072,4 @@ NORTHSTAR_ORACLES["graph_reachability_indexed"] = NORTHSTAR_ORACLES[
 ]
 
 NORTHSTAR_ORACLES["bpe_merge_rules"] = _oracle_bpe(8)
+NORTHSTAR_ORACLES["bpe_encode_stats"] = _oracle_bpe_encode(8)

@@ -213,14 +213,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-9 rotation record, COMPUTED from the CORRECTNESS_r01..r08
 # artifacts (last-green round per query, ascending, stable by declared
 # order — the protocol the round-7 verdict set and the head comment in
-# each round's transcript scripts): round-9 NEW queries first (0 greens
-# beat all: minhash_precision_audit, sq_rescore_topk, sq_recall_audit,
-# hard_negatives, time_decay_credit, position_credit), then the 37
+# each round's transcript scripts): the 7 round-9 NEW queries first (0
+# greens beat all: minhash_precision_audit, sq_rescore_topk,
+# sq_recall_audit, hard_negatives, time_decay_credit, position_credit,
+# bpe_encode_stats), then the 36
 # longest-ungated greens — the 7 r4-green queries displaced from the r8
 # window by late round-8 additions (top_orders_per_customer,
 # revenue_cube, asof_last_signup, order_priority, returned_customers,
 # streaming_sessionize, streaming_device_activity — the r8 queue promise
-# at the old tail head), then 30 of the 43 r5-greens. The window stays
+# at the old tail head), then 29 of the 43 r5-greens. The window stays
 # exactly parity-7 + 43.
 _GATE_FIRST = [
     "minhash_precision_audit",
@@ -229,6 +230,7 @@ _GATE_FIRST = [
     "hard_negatives",
     "time_decay_credit",
     "position_credit",
+    "bpe_encode_stats",
     "top_orders_per_customer",
     "revenue_cube",
     "asof_last_signup",
@@ -265,12 +267,12 @@ _GATE_FIRST = [
     "shingle_dup_rate",
     "cross_source_overlap",
     "audio_chunks",
-    "stratified_sample",
 ]
-# The tail: every remaining query ordered last-green ASCENDING (13
+# The tail: every remaining query ordered last-green ASCENDING (14
 # r5-greens the window could not fit, then the r6/r7/r8 cohorts), so
 # future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "stratified_sample",
     "dedup_keep_best",
     "contamination_check",
     "curated_corpus",

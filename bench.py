@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "time_decay_credit",
     "position_credit",
     "bpe_merge_rules",
+    "bpe_encode_stats",
     "event_anomaly",
     "rfm_segments",
     "shard_manifest",

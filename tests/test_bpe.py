@@ -89,3 +89,53 @@ def test_merged_symbols_keep_merging_and_ties_break_lexically(spark):
 def test_non_ascii_and_punctuation_are_boundaries(spark):
     texts = ["héllo héllo wörld", "hello-world hello_world"]
     assert _spark_bpe(spark, texts, 4) == _py_bpe(texts, 4)
+
+
+def _py_encode_stats(texts, sources, k):
+    """Per-source (n_words, n_symbols_init, n_tokens) via the Python BPE."""
+    wf = _py_word_freq(texts)
+    vocab = {w: list(w) + [END_MARK] for w in wf}
+    for _r, x, y, _c in _py_bpe(texts, k):
+        vocab = {w: _py_merge(s, x, y) for w, s in vocab.items()}
+    out = {}
+    for t, src in zip(texts, sources):
+        for w0 in re.split(r"[^A-Za-z]+", t):
+            if not w0:
+                continue
+            w = w0.lower()
+            nw, ns, nt = out.get(src, (0, 0, 0))
+            out[src] = (nw + 1, ns + len(w) + 1, nt + len(vocab[w]))
+    return out
+
+
+def test_encode_stats_matches_python_reference(spark):
+    from adtech_log_data_pipeline_spark.functions.bpe import bpe_encode_stats
+
+    texts = [
+        "the theme of the thesis", "then they gathered there",
+        "a theory of everything", "the the the", "aaaa baaab theory",
+    ]
+    sources = ["web", "web", "book", "book", "web"]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(zip(texts, sources))],
+        "doc_id long, text string, source string",
+    )
+    rows = bpe_encode_stats(docs, k=5).collect()
+    got = {
+        r["source"]: (r["n_words"], r["n_symbols_init"], r["n_tokens_bpe"])
+        for r in rows
+    }
+    assert got == _py_encode_stats(texts, sources, 5)
+    # merges only ever shrink the encoding
+    assert all(r["n_tokens_bpe"] <= r["n_symbols_init"] for r in rows)
+
+
+def test_encode_stats_zero_merges_is_identity(spark):
+    from adtech_log_data_pipeline_spark.functions.bpe import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(0, "ab abc", "s")], "doc_id long, text string, source string"
+    )
+    row = bpe_encode_stats(docs, k=0).collect()[0]
+    # symbols = chars + end mark per word: (2+1) + (3+1) = 7
+    assert (row["n_words"], row["n_symbols_init"], row["n_tokens_bpe"]) == (2, 7, 7)
