@@ -447,3 +447,148 @@ def zscore_anomaly_cells(
         .filter(guarded)
         .drop("__n", "__s1", "__s2")
     )
+
+
+def retrieval_mrr(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    total: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank audit of the LSH ANN index: for each query, where
+    inside the LSH top-``k`` does the TRUE nearest neighbor (exact
+    brute-force top-1) land? The standard retrieval-eval companion to
+    recall@k (ann_recall_audit) — recall says "did we find it", MRR says
+    "how high did we put it", which is what reranker budgets key off.
+
+    Output: (query_id, true_top1, found_rank, rr_micro) — found_rank is
+    0 when the true neighbor is missing from the ANN list, rr_micro is
+    the integer-micros reciprocal rank ``1000000 div rank`` (0 when
+    missing): exact integers, no float MRR accumulation, so the DuckDB
+    oracle hash-matches bit-for-bit.
+
+    Scale shape: both inputs are already-gated deterministic chains
+    (similarity_topk / similarity_lsh_topk); this audit only joins two
+    (n_queries x k)-row relations — constant cost against any corpus."""
+    from .similarity import brute_force_topk, lsh_topk
+
+    exact1 = brute_force_topk(embeddings, queries, k=1).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("true_top1"),
+    )
+    approx = lsh_topk(embeddings, queries, k=k, total=total).select(
+        F.col("query_id").alias("aqid"),
+        F.col("neighbor_id").alias("nid"),
+        F.col("rank").alias("found"),
+    )
+    return (
+        exact1.join(
+            approx,
+            (F.col("qid") == F.col("aqid"))
+            & (F.col("true_top1") == F.col("nid")),
+            "left",
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "true_top1",
+            F.coalesce(F.col("found"), F.lit(0)).cast("int").alias(
+                "found_rank"
+            ),
+            F.coalesce(
+                F.expr("1000000 div found"), F.lit(0)
+            ).cast("bigint").alias("rr_micro"),
+        )
+    )
+
+
+def conformal_coverage(
+    events: DataFrame,
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Split-conformal calibration audit (Vovk et al.; Angelopoulos &
+    Bates 2023 tutorial formulation): a deterministic hash splits rows
+    into a CALIBRATION and an EVAL set, the calibration set yields the
+    exact ceil((n+1)(1-alpha))-th smallest nonconformity score, and the
+    audit reports the eval-set coverage of the induced prediction set —
+    the guarantee says coverage >= 1 - alpha in expectation.
+
+    Everything is exact integers: scores are value-cents, the threshold
+    index is ``(n+1) * (1000000 - alpha_ppm)`` ceiling-divided by 1e6,
+    the quantile is picked by rank (two-phase: per-bucket counts, then a
+    bounded per-bucket prefix scan — no global sort window), coverage is
+    integer ppm. Per event_type group, so the output is a bounded
+    per-group summary.
+
+    Output: (event_type, n_cal, n_eval, q_index, threshold_cents,
+    n_covered, coverage_ppm)."""
+    base = events.select(
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        # calibration membership: md5 of the event id, same cross-engine
+        # recipe as train_split (first 8 hex chars -> int, mod 2)
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        ).alias("is_cal"),
+    ).filter(F.col("cents").isNotNull())
+    cal = base.filter("is_cal")
+    n_cal = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal")
+    )
+    # q_index = ceil((n_cal + 1) * (1 - alpha)) as exact integer ppm math
+    q = n_cal.select(
+        "event_type",
+        "n_cal",
+        F.expr(
+            f"CAST(((n_cal + 1) * {1_000_000 - int(alpha_ppm)}"
+            " + 999999) div 1000000 AS BIGINT)"
+        ).alias("q_index"),
+    )
+    # rank calibration scores per group WITHOUT a global sort window:
+    # per-(group, score) counts, then a prefix scan over the bounded
+    # distinct-score relation per group
+    per_score = cal.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = per_score.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    thr = (
+        cum.join(F.broadcast(q), "event_type")
+        .filter(F.col("cum") >= F.least(F.col("q_index"), F.col("n_cal")))
+        .groupBy("event_type", "n_cal", "q_index")
+        .agg(F.min("cents").alias("threshold_cents"))
+    )
+    ev = base.filter(~F.col("is_cal")).select("event_type", "cents")
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n_cal", "q_index", "threshold_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("threshold_cents"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_eval",
+            "q_index",
+            "threshold_cents",
+            "n_covered",
+            F.expr("(n_covered * 1000000) div n_eval").alias(
+                "coverage_ppm"
+            ),
+        )
+    )

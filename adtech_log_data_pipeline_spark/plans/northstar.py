@@ -2053,7 +2053,58 @@ def q_group_split_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank ANN audit (functions/evaluate.py::retrieval_mrr):
+    where inside the LSH top-10 does the exact brute-force top-1 land —
+    the position-sensitive companion to ann_recall_audit, in integer
+    micros so MRR never accumulates float error."""
+    from ..functions.evaluate import retrieval_mrr
+
+    return retrieval_mrr(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=10,
+        total=table_row_count(sf_dir, "embeddings"),
+    )
+
+
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit (functions/evaluate.py::
+    conformal_coverage): hash-split calibration/eval, exact
+    ceil((n+1)(1-alpha))-th order-statistic threshold per event_type
+    (two-phase rank, no global sort window), eval coverage in ppm."""
+    from ..functions.evaluate import conformal_coverage
+
+    return conformal_coverage(load_table(spark, sf_dir, "events"))
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (functions/select.py::
+    dsir_selection): integer log2-bucket unigram-LM ratio of the English
+    slice vs the raw corpus, exact bigint document scores, top-50 by
+    (score, doc_id) — no division anywhere, so no truncation hazard."""
+    from ..functions.select import dsir_selection
+
+    return dsir_selection(_docs(spark, sf_dir))
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (functions/privacy.py::k_anonymity_audit):
+    k-anonymity / l-diversity census of the customer quasi-identifiers
+    (nation, acctbal bucket) across a generalization-width ladder —
+    the planner query that says how coarse the numeric QI must get
+    before every equivalence class reaches k=5. Integer cents with a
+    non-negative offset so both engines' integer division agree."""
+    from ..functions.privacy import k_anonymity_audit
+
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "dsir_selection": q_dsir_selection,
+    "retrieval_mrr": q_retrieval_mrr,
+    "conformal_coverage": q_conformal_coverage,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -2593,7 +2644,7 @@ lshp AS (SELECT greatest(6, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS bits
 sigs AS (SELECT vec_id, CAST({sig} AS INT) AS bucket FROM embeddings, lshp)"""
 
 
-def _oracle_similarity_lsh_topk() -> str:
+def _oracle_similarity_lsh_topk(k: int = 5) -> str:
     return f"""
 WITH {_sigs_cte()},
 q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS a, s.bucket
@@ -2618,7 +2669,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -4142,6 +4193,105 @@ LIMIT 20
 """
 
 NORTHSTAR_ORACLES: dict[str, str] = {
+    # k-anonymity / l-diversity census restated: same cents offset
+    # (+100000 keeps the bucket dividend non-negative so // == div),
+    # same width ladder, same two-level class aggregation
+    "k_anonymity_audit": """
+WITH w AS (SELECT CAST(unnest([100, 500, 2000]) AS INT) AS width),
+base AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+  FROM customer),
+cls AS (
+  SELECT w.width, nat, cents // (w.width * 100) AS bucket,
+         CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT seg) AS BIGINT) AS segs
+  FROM base, w GROUP BY 1, 2, 3)
+SELECT width,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       min(sz) AS k_anonymity,
+       min(segs) AS l_diversity,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       (CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) * 1000000)
+         // CAST(sum(sz) AS BIGINT) AS risk_ppm
+FROM cls GROUP BY width
+""",
+    # DSIR importance selection restated: one vocab pass with the
+    # conditional target count, the same bin()-length log2 buckets as
+    # bm25/zipf, exact bigint sums, top-50 with no division anywhere
+    "dsir_selection": f"""
+WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_tgt
+  FROM t GROUP BY tok),
+w AS (
+  SELECT tok,
+         CAST(length(bin(c_tgt + 1)) AS BIGINT)
+           - CAST(length(bin(c_raw + 1)) AS BIGINT) AS wt
+  FROM vocab),
+doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w.wt) AS BIGINT) AS sum_weight
+  FROM t JOIN w USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, sum_weight,
+       CAST(row_number() OVER (ORDER BY sum_weight DESC, doc_id) AS INT)
+         AS rank
+FROM doc
+ORDER BY sum_weight DESC, doc_id
+LIMIT 50
+""",
+    # MRR restated: exact top-1 from the gated brute-force chain, LSH
+    # top-10 from the gated multi-probe chain, one left join
+    "retrieval_mrr": f"""
+WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
+ex1 AS (SELECT query_id, neighbor_id AS true_top1 FROM ex WHERE rank = 1),
+lsh AS ({_oracle_similarity_lsh_topk(10)})
+SELECT ex1.query_id, ex1.true_top1,
+       CAST(coalesce(lsh.rank, 0) AS INT) AS found_rank,
+       CAST(coalesce(1000000 // lsh.rank, 0) AS BIGINT) AS rr_micro
+FROM ex1 LEFT JOIN lsh
+  ON lsh.query_id = ex1.query_id AND lsh.neighbor_id = ex1.true_top1
+""",
+    # split-conformal restated with the NAIVE single-window rank (the
+    # engine's two-phase prefix scan must equal the textbook definition);
+    # same train_split md5 recipe for the calibration split
+    "conformal_coverage": """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (('0x' || substr(md5(CAST(event_id AS STRING)), 1, 8))::BIGINT
+            % 2) = 0 AS is_cal
+  FROM events WHERE value IS NOT NULL),
+cal AS (SELECT * FROM base WHERE is_cal),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+      FROM cal GROUP BY 1),
+q AS (SELECT event_type, n_cal,
+             CAST(((n_cal + 1) * 900000 + 999999) // 1000000 AS BIGINT)
+               AS q_index
+      FROM n),
+ranked AS (SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cents) AS rk
+           FROM cal),
+thr AS (SELECT r.event_type, q.n_cal, q.q_index,
+               r.cents AS threshold_cents
+        FROM ranked r JOIN q USING (event_type)
+        WHERE r.rk = least(q.q_index, q.n_cal)),
+ev AS (SELECT event_type, cents FROM base WHERE NOT is_cal)
+SELECT e.event_type, t.n_cal,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       t.q_index, t.threshold_cents,
+       CAST(sum(CASE WHEN e.cents <= t.threshold_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       (CAST(sum(CASE WHEN e.cents <= t.threshold_cents THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         AS coverage_ppm
+FROM ev e JOIN thr t USING (event_type)
+GROUP BY 1, 2, 4, 5
+""",
     # Count-Min restated: same per-row salts (cm0..cm3), same 48-bit md5
     # hash mod 512, same top-20 keyset and min-over-rows point query
     "cm_error_audit": """

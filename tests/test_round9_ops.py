@@ -1,0 +1,250 @@
+"""Round-9 operators: k-anonymity/l-diversity audit, DSIR importance
+selection, reciprocal-rank ANN audit, split-conformal coverage —
+hand-computed laws and pure-Python replays, not snapshots."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _customers(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+
+
+class TestKAnonymityAudit:
+    def test_hand_computed_census(self, spark):
+        """Two nations, balances chosen so width=100 separates what
+        width=2000 merges; recount everything by hand."""
+        from adtech_log_data_pipeline_spark.functions.privacy import (
+            k_anonymity_audit,
+        )
+
+        rows = [
+            # nation 1: 50.0, 60.0 (same 100-bucket), 350.0
+            (0, "a", 1, 50.0, "AUTO"),
+            (1, "b", 1, 60.0, "AUTO"),
+            (2, "c", 1, 350.0, "HOUSE"),
+            # nation 2: two rows far apart
+            (3, "d", 2, 50.0, "AUTO"),
+            (4, "e", 2, 9000.0, "HOUSE"),
+        ]
+        out = {
+            r["width"]: r
+            for r in k_anonymity_audit(
+                _customers(spark, rows), widths=(100, 20000), k=2
+            ).collect()
+        }
+        # width=100 (cents buckets of 10000, offset 100000):
+        #   n1: {50,60} together (class of 2), {350} alone
+        #   n2: {50} alone, {9000} alone  -> 4 classes, k=1
+        w = out[100]
+        assert w["n_classes"] == 4
+        assert w["k_anonymity"] == 1
+        assert w["rows_at_risk"] == 3  # the three singleton classes
+        assert w["risk_ppm"] == (3 * 1_000_000) // 5
+        # width=20000 dollars: every balance in bucket 0 -> one class
+        # per nation
+        w = out[20000]
+        assert w["n_classes"] == 2
+        assert w["k_anonymity"] == 2
+        assert w["rows_at_risk"] == 0 and w["risk_ppm"] == 0
+        # l-diversity: nation1 class {AUTO, HOUSE} has 2, nation2 same
+        assert w["l_diversity"] == 2
+
+    def test_negative_balances_bucket_consistently(self, spark):
+        """The cents offset keeps the dividend non-negative: -1.0 and
+        -99.0 share the width-100 bucket; -101.0 does not."""
+        from adtech_log_data_pipeline_spark.functions.privacy import (
+            k_anonymity_audit,
+        )
+
+        rows = [
+            (0, "a", 1, -1.0, "AUTO"),
+            (1, "b", 1, -99.0, "AUTO"),
+            (2, "c", 1, -101.0, "AUTO"),
+        ]
+        out = k_anonymity_audit(
+            _customers(spark, rows), widths=(100,), k=2
+        ).collect()[0]
+        # offset 100000 cents, buckets of 10000 cents:
+        # -1.0 -> 99900//10000=9, -99.0 -> 90100//10000=9,
+        # -101.0 -> 89900//10000=8 -> classes {a,b} and {c}
+        assert out["n_classes"] == 2
+        assert out["k_anonymity"] == 1
+        assert out["rows_at_risk"] == 1
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+
+
+class TestDsirSelection:
+    def test_hand_computed_weights(self, spark):
+        """Three docs, two English: token weights recomputed by hand
+        with bit_length buckets."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            dsir_selection,
+        )
+
+        rows = [
+            (0, "alpha alpha beta", "en", "s", 16),
+            (1, "alpha gamma", "en", "s", 11),
+            (2, "beta beta gamma", "de", "s", 15),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dsir_selection(_docs(spark, rows), top_n=3).collect()
+        }
+        # counts: alpha c_raw=3 c_tgt=3; beta c_raw=3 c_tgt=1;
+        #         gamma c_raw=2 c_tgt=1
+        bl = int.bit_length
+        w = {
+            "alpha": bl(4) - bl(4),   # 0
+            "beta": bl(2) - bl(4),    # 2 - 3 = -1
+            "gamma": bl(2) - bl(3),   # 2 - 2 = 0
+        }
+        assert out[0]["sum_weight"] == 2 * w["alpha"] + w["beta"]
+        assert out[1]["sum_weight"] == w["alpha"] + w["gamma"]
+        assert out[2]["sum_weight"] == 2 * w["beta"] + w["gamma"]
+        # ranking: doc1 (0) > doc0 (-1) > doc2 (-2); ranks dense 1..3
+        assert out[1]["rank"] == 1
+        assert out[0]["rank"] == 2
+        assert out[2]["rank"] == 3
+
+    def test_english_slice_outranks_on_target_tokens(self, spark):
+        """A doc made of target-heavy tokens must outrank one made of
+        off-target tokens of the same length."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            dsir_selection,
+        )
+
+        rows = [(i, "common words here", "en", "s", 17) for i in range(8)]
+        rows += [(100 + i, "fremde worte hier", "de", "s", 17) for i in range(8)]
+        rows += [(200, "common words here", "de", "s", 17)]
+        out = {r["doc_id"]: r["sum_weight"] for r in dsir_selection(
+            _docs(spark, rows), top_n=20
+        ).collect()}
+        assert out[0] > out[100]
+        # the English-looking German doc scores like the English ones
+        # (the weight is a property of the tokens, not the label)
+        assert out[200] == out[0]
+
+
+def _emb(spark, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], int(l)) for i, (v, l) in
+         enumerate(zip(vecs, labels))],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+class TestRetrievalMrr:
+    def test_rr_is_reciprocal_of_lsh_rank(self, spark):
+        """Cross-check: join the audit against the two gated chains it
+        composes — wherever the true top-1 appears in the LSH top-k, the
+        audit's rank and micros must match; where absent, zeros."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            retrieval_mrr,
+        )
+        from adtech_log_data_pipeline_spark.functions.similarity import (
+            brute_force_topk,
+            lsh_topk,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(60)]
+        emb = _emb(spark, vecs)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        audit = {r["query_id"]: r for r in
+                 retrieval_mrr(emb, q, k=10, total=60).collect()}
+        truth = {r["query_id"]: r["neighbor_id"] for r in
+                 brute_force_topk(emb, q, k=1).collect()}
+        lsh = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in
+               lsh_topk(emb, q, k=10, total=60).collect()}
+        assert set(audit) == set(truth)
+        for qid, row in audit.items():
+            assert row["true_top1"] == truth[qid]
+            rank = lsh.get((qid, truth[qid]), 0)
+            assert row["found_rank"] == rank
+            assert row["rr_micro"] == (1_000_000 // rank if rank else 0)
+
+
+class TestConformalCoverage:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+
+    @staticmethod
+    def _is_cal(event_id: int) -> bool:
+        h = hashlib.md5(str(event_id).encode()).hexdigest()[:8]
+        return int(h, 16) % 2 == 0
+
+    def test_pure_python_replay(self, spark):
+        """Replay the whole conformal recipe in pure Python on a fixed
+        fixture and compare every output cell."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            conformal_coverage,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, None, i % 7, "click", round(rng.uniform(0, 50), 2), None)
+            for i in range(400)
+        ]
+        out = {r["event_type"]: r for r in
+               conformal_coverage(self._events(spark, rows)).collect()}
+
+        cal = [round(v * 100) for (i, _, _, _, v, _) in rows
+               if self._is_cal(i)]
+        ev = [round(v * 100) for (i, _, _, _, v, _) in rows
+              if not self._is_cal(i)]
+        n_cal = len(cal)
+        q_index = math.ceil((n_cal + 1) * 0.9)
+        thr = sorted(cal)[min(q_index, n_cal) - 1]
+        covered = sum(1 for c in ev if c <= thr)
+        row = out["click"]
+        assert row["n_cal"] == n_cal
+        assert row["n_eval"] == len(ev)
+        assert row["q_index"] == q_index
+        assert row["threshold_cents"] == thr
+        assert row["n_covered"] == covered
+        assert row["coverage_ppm"] == covered * 1_000_000 // len(ev)
+        # the conformal guarantee on exchangeable data: coverage should
+        # sit near (>= with slack) 1 - alpha
+        assert row["coverage_ppm"] >= 850_000
+
+    def test_duplicate_scores_pick_order_statistic(self, spark):
+        """Heavy ties: the threshold is the q-th smallest VALUE, which
+        the per-distinct-score prefix scan must still pick correctly."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            conformal_coverage,
+        )
+
+        rows = [(i, None, 1, "buy", float(i % 3), None) for i in range(60)]
+        out = conformal_coverage(self._events(spark, rows)).collect()[0]
+        cal = sorted(
+            round((i % 3) * 100) for i in range(60) if self._is_cal(i)
+        )
+        q_index = math.ceil((len(cal) + 1) * 0.9)
+        assert out["threshold_cents"] == cal[min(q_index, len(cal)) - 1]
