@@ -505,3 +505,106 @@ def load_graph_edges(spark, index_dir: str) -> DataFrame:
     if len(batches) == 1:
         return df
     return df.groupBy("p1", "p2").agg(F.sum("w").alias("w"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+#: degree threshold for the declared copurchase_kcore query
+KCORE_K = 100
+
+#: peel rounds for the declared query (bounded semantics both engines state)
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(
+    pairs: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded k-core peeling curve over an undirected edge list (p1 <
+    p2): ``rounds`` iterations of "drop every node with degree < k",
+    reporting the graph census after each peel — the density screen that
+    finds the stable cohesive core of a co-occurrence graph (Seidman
+    1983 k-cores; the standard iterative-peel formulation).
+
+    BOUNDED-ROUND semantics on purpose: exactly ``rounds`` peels, stated
+    identically by the DuckDB oracle as chained CTEs — the same
+    declared-bound discipline as graph_reachability / shortest_path
+    (full convergence is a driver loop away; the bounded form is what an
+    oracle can restate exactly).
+
+    Output: (round, n_alive, n_edges, min_deg, max_deg) for round 0
+    (initial graph) through ``rounds`` — n_edges counts DIRECTED edges
+    (sum of degrees); empty rounds report (0, NULL, NULL, NULL).
+
+    Scale shape: per round, one degree aggregation over the edge list
+    plus two node-keyed semi-joins to induce the surviving subgraph —
+    the alive set is node-sized (broadcast here; hash semi-join at
+    cluster scale), the edge list never reshuffles on anything but its
+    endpoints, and each census is a 1-row aggregate. Cost is
+    rounds x O(|E|) with no quadratic blowup anywhere."""
+    from ._cache import hold
+
+    # khop/shortest-path width discipline: node-sized exchanges pinned
+    # to the core count so a 200-partition vanilla session doesn't pay
+    # hundreds of near-empty tasks per degree aggregation
+    width = pairs.sparkSession.sparkContext.defaultParallelism
+
+    # hold the directed edge list once: every round's census and the
+    # final union re-reads it, and the basket pair expansion upstream is
+    # the expensive part (the khop/shortest-path discipline — edges are
+    # computed once and never reshuffled)
+    # ... and pinned to that width by src up front, so every round's
+    # degree agg is a width-task stage and the per-round persists never
+    # inherit a 2x-vanilla-default partition count from the union
+    e = hold(
+        pairs.select(
+            F.col("p1").alias("src"), F.col("p2").alias("dst")
+        )
+        .unionAll(
+            pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+        .repartition(width, "src"),
+        eager=True,
+    )
+    out = None
+    for r in range(int(rounds) + 1):
+        # node-sized; held so the census agg and the alive filter (and
+        # every later round's re-execution chain) read it once
+        deg = hold(
+            e.groupBy("src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("deg")
+            )
+        )
+        census = deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_alive"),
+            F.sum("deg").cast("bigint").alias("n_edges"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        ).select(F.lit(r).cast("int").alias("round"), "*")
+        out = census if out is None else out.unionAll(census)
+        if r < rounds:
+            # two hard-renamed copies of the alive set: one per endpoint
+            # (shared lineage across a double semi-join resolves
+            # ambiguously otherwise — the round-6 NULL-group discipline)
+            alive_src = deg.filter(F.col("deg") >= int(k)).select(
+                F.col("src").alias("alive_src")
+            )
+            alive_dst = alive_src.select(
+                F.col("alive_src").alias("alive_dst")
+            )
+            # hold the induced subgraph too: without it round r's census
+            # re-executes the whole semi-join chain back to e0 (the
+            # re-execution cost compounds with depth)
+            e = hold(
+                e.join(
+                    F.broadcast(alive_src),
+                    F.col("src") == F.col("alive_src"),
+                    "semi",
+                ).join(
+                    F.broadcast(alive_dst),
+                    F.col("dst") == F.col("alive_dst"),
+                    "semi",
+                )
+            )
+    return out

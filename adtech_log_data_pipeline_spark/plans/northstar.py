@@ -1150,6 +1150,36 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(copurchase_edges(li))
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval (functions/retrieval.py::
+    hybrid_rrf): BM25 top-20 fused with the exact cosine top-20 of query
+    vector 0 by integer-micros Reciprocal Rank Fusion (K=60), top-10
+    fused results — the RAG hybrid-search shape."""
+    from ..functions.retrieval import RRF_QUERY_VEC, hybrid_rrf
+    from ..functions.text import bm25_topk
+
+    bm = bm25_topk(_docs(spark, sf_dir), k=20)
+    cos = brute_force_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir).filter(
+            F.col("query_id") == RRF_QUERY_VEC
+        ),
+        k=20,
+    )
+    return hybrid_rrf(bm, cos)
+
+
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling curve (functions/graph.py::kcore_peel):
+    3 rounds of "drop nodes with degree < 100" over the co-purchase
+    graph, per-round census — the cohesive-core density screen; the
+    oracle restates every peel as a chained CTE."""
+    from ..functions.graph import copurchase_edges, kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kcore_peel(copurchase_edges(li))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weight-proportional systematic sample over document char
     weights — two-phase distributed prefix scan (bucket-local window +
@@ -2105,6 +2135,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_selection": q_dsir_selection,
     "retrieval_mrr": q_retrieval_mrr,
     "conformal_coverage": q_conformal_coverage,
+    "copurchase_kcore": q_copurchase_kcore,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4192,7 +4224,85 @@ ORDER BY score DESC, doc_id
 LIMIT 20
 """
 
+def _oracle_copurchase_kcore() -> str:
+    """kcore_peel restated: the basket self-join edge list, then every
+    peel round as an explicit chained CTE (degree census -> alive set ->
+    induced subgraph), with a UNION ALL of the per-round censuses."""
+    from ..functions.graph import KCORE_K, KCORE_ROUNDS
+
+    parts = [
+        """
+WITH bask AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem),
+pr AS (SELECT a.pk AS p1, b.pk AS p2 FROM bask a
+       JOIN bask b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+e0 AS (SELECT p1 AS src, p2 AS dst FROM pr
+       UNION ALL SELECT p2, p1 FROM pr)"""
+    ]
+    for r in range(KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         FROM e{r} GROUP BY src),
+s{r} AS (SELECT CAST({r} AS INT) AS round,
+                CAST(count(*) AS BIGINT) AS n_alive,
+                CAST(sum(deg) AS BIGINT) AS n_edges,
+                min(deg) AS min_deg, max(deg) AS max_deg
+         FROM d{r})"""
+        )
+        if r < KCORE_ROUNDS:
+            parts.append(
+                f""",
+a{r} AS (SELECT src FROM d{r} WHERE deg >= {KCORE_K}),
+e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+             JOIN a{r} x ON e.src = x.src
+             JOIN a{r} y ON e.dst = y.src)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+def _oracle_hybrid_search_rrf() -> str:
+    """hybrid_rrf restated: the gated BM25 chain as one CTE, the rounded-
+    cosine chain for query vector 0 cut at 20, full join + integer-micros
+    reciprocal ranks."""
+    return f"""
+WITH bm AS ({_ORACLE_BM25}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+      FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
+      FROM embeddings),
+scored AS (
+  SELECT c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / (sqrt(list_dot_product(q.a, q.a))
+                  * sqrt(list_dot_product(c.b, c.b))), 6) AS cos_r6
+  FROM q, c WHERE c.neighbor_id <> q.query_id),
+vec AS (
+  SELECT neighbor_id, CAST(rk AS INT) AS rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY cos_r6 DESC, neighbor_id) AS rk
+    FROM scored) WHERE rk <= 20),
+fused AS (
+  SELECT coalesce(bm.doc_id, vec.neighbor_id) AS doc_id,
+         CAST(coalesce(bm.rank, 0) AS INT) AS bm25_rank,
+         CAST(coalesce(vec.rank, 0) AS INT) AS cos_rank,
+         CAST(coalesce(1000000 // (60 + bm.rank), 0)
+              + coalesce(1000000 // (60 + vec.rank), 0) AS BIGINT)
+           AS rrf_micro
+  FROM bm FULL JOIN vec ON bm.doc_id = vec.neighbor_id)
+SELECT doc_id, bm25_rank, cos_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+         AS rank
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+"""
+
+
 NORTHSTAR_ORACLES: dict[str, str] = {
+    "copurchase_kcore": _oracle_copurchase_kcore(),
+    "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
     # k-anonymity / l-diversity census restated: same cents offset
     # (+100000 keeps the bucket dividend non-negative so // == div),
     # same width ladder, same two-level class aggregation

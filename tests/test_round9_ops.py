@@ -248,3 +248,95 @@ class TestConformalCoverage:
         )
         q_index = math.ceil((len(cal) + 1) * 0.9)
         assert out["threshold_cents"] == cal[min(q_index, len(cal)) - 1]
+
+
+class TestKcorePeel:
+    def test_pure_python_peel_replay(self, spark):
+        """Replay bounded peeling in pure Python on a hand graph: a
+        4-clique (3-core) plus a tail that peels away round by round."""
+        from adtech_log_data_pipeline_spark.functions.graph import kcore_peel
+
+        # 4-clique {0,1,2,3}; chain 3-4-5 hanging off it
+        und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+               (3, 4), (4, 5)]
+        pairs = spark.createDataFrame(
+            [(a, b, 1) for a, b in und], "p1 long, p2 long, w long"
+        )
+        out = {r["round"]: r for r in
+               kcore_peel(pairs, k=3, rounds=3).collect()}
+
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for rnd in range(4):
+            degs = {n: len(v) for n, v in adj.items() if v}
+            row = out[rnd]
+            if degs:
+                assert row["n_alive"] == len(degs)
+                assert row["n_edges"] == sum(degs.values())
+                assert row["min_deg"] == min(degs.values())
+                assert row["max_deg"] == max(degs.values())
+            else:
+                assert row["n_alive"] == 0
+                assert row["n_edges"] is None and row["min_deg"] is None
+            alive = {n for n, d in degs.items() if d >= 3}
+            adj = {n: (v & alive) for n, v in adj.items() if n in alive}
+
+    def test_stable_core_is_fixpoint(self, spark):
+        """A clique with degree >= k never peels: every round reports the
+        same census."""
+        from adtech_log_data_pipeline_spark.functions.graph import kcore_peel
+
+        und = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        pairs = spark.createDataFrame(
+            [(a, b, 1) for a, b in und], "p1 long, p2 long, w long"
+        )
+        rows = kcore_peel(pairs, k=4, rounds=2).collect()
+        assert len({(r["n_alive"], r["n_edges"]) for r in rows}) == 1
+        assert rows[0]["n_alive"] == 5 and rows[0]["min_deg"] == 4
+
+
+class TestHybridRrf:
+    def test_pure_python_fusion_replay(self, spark):
+        """Fuse two hand-made top-k lists; replay RRF in pure Python."""
+        from adtech_log_data_pipeline_spark.functions.retrieval import (
+            hybrid_rrf,
+        )
+
+        bm = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+        )
+        cos = spark.createDataFrame(
+            [(12, 1), (13, 2), (10, 3)], "neighbor_id long, rank int"
+        )
+        out = {r["doc_id"]: r for r in
+               hybrid_rrf(bm, cos, k=60, top_n=10).collect()}
+
+        b_ranks = {10: 1, 11: 2, 12: 3}
+        c_ranks = {12: 1, 13: 2, 10: 3}
+        expect = {}
+        for d in set(b_ranks) | set(c_ranks):
+            expect[d] = (1_000_000 // (60 + b_ranks[d]) if d in b_ranks
+                         else 0) + (1_000_000 // (60 + c_ranks[d])
+                                    if d in c_ranks else 0)
+        assert {d: r["rrf_micro"] for d, r in out.items()} == expect
+        # both-list docs outrank single-list docs here
+        order = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (d, _) in enumerate(order, 1):
+            assert out[d]["rank"] == i
+        # missing-side ranks report 0
+        assert out[11]["cos_rank"] == 0 and out[13]["bm25_rank"] == 0
+
+    def test_tie_break_by_doc_id(self, spark):
+        from adtech_log_data_pipeline_spark.functions.retrieval import (
+            hybrid_rrf,
+        )
+
+        bm = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank int")
+        cos = spark.createDataFrame(
+            [(3, 1), (5, 2)], "neighbor_id long, rank int"
+        )
+        rows = hybrid_rrf(bm, cos).collect()
+        # symmetric ranks -> equal scores -> doc 3 wins the tie
+        assert [r["doc_id"] for r in rows] == [3, 5]
