@@ -953,6 +953,17 @@ def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert_latest(spark, sf_dir)
 
 
+def q_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental join-view maintenance (streaming/
+    joinview.py::stream_join_view): the per-user click x purchase pair
+    count maintained by the bilinear IVM delta across micro-batches,
+    exactly-once via versioned atomic-rename commits; the oracle states
+    the closed-form product the incremental algebra must converge to."""
+    from ..streaming import stream_join_view
+
+    return stream_join_view(spark, sf_dir)
+
+
 def q_streaming_device_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-device incremental profile aggregates — exact
     first/last/count/distinct-type counts maintained by the state store
@@ -2248,6 +2259,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pivot": q_event_pivot,
     "stream_enriched_counts": q_stream_enriched_counts,
     "stream_upsert_latest": q_stream_upsert_latest,
+    "stream_join_view": q_stream_join_view,
     "stream_session_windows": q_stream_session_windows,
     "streaming_spend_sessions": q_streaming_spend_sessions,
     "streaming_sessionize": q_streaming_sessionize,
@@ -4303,6 +4315,21 @@ FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
 NORTHSTAR_ORACLES: dict[str, str] = {
     "copurchase_kcore": _oracle_copurchase_kcore(),
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
+    # streaming IVM restated as the closed form: the maintained bilinear
+    # delta must converge to count(click) x count(purchase) per user
+    "stream_join_view": """
+WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+           FROM events WHERE event_type = 'click'
+             AND user_id IS NOT NULL GROUP BY 1),
+b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL GROUP BY 1)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(n_clicks, 0) * coalesce(n_purchases, 0) AS n_pairs
+FROM a FULL JOIN b ON a.user_id = b.user_id
+""",
     # k-anonymity / l-diversity census restated: same cents offset
     # (+100000 keeps the bucket dividend non-negative so // == div),
     # same width ladder, same two-level class aggregation

@@ -10,6 +10,7 @@ from .windowed import (
 )
 from .sessionize import sessionize_bounded, streaming_sessionize
 from .spend import streaming_spend_sessions
+from .joinview import stream_join_view
 from .upsert import stream_upsert_latest
 from .sketch_stream import stream_kmv_distinct
 from .quarantine import stream_quarantine
@@ -30,5 +31,6 @@ __all__ = [
     "sessionize_bounded",
     "streaming_sessionize",
     "streaming_spend_sessions",
+    "stream_join_view",
     "stream_upsert_latest",
 ]

@@ -723,3 +723,91 @@ def test_cm_compaction_crash_recovery_at_every_stage(spark, tmp_path):
     write(spark.createDataFrame([(3,)], "user_id long"), 10)
     assert compact_cm_state(spark, str(state)) == 2
     assert (state / "batch=compacted-2").is_dir()
+
+
+def test_join_view_multibatch_equals_closed_form(spark, replay_dir):
+    """IVM over a 4-batch replay: the bilinear delta accumulation must
+    converge to count(click) x count(purchase) per user — the closed
+    form the oracle states — regardless of how the stream was sliced."""
+    from adtech_log_data_pipeline_spark.streaming import stream_join_view
+
+    out = {
+        r["user_id"]: (r["n_clicks"], r["n_purchases"], r["n_pairs"])
+        for r in stream_join_view(
+            spark, SF, events=_multibatch_stream(spark, replay_dir)
+        ).collect()
+    }
+    ev = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    from collections import defaultdict
+
+    a = defaultdict(int)
+    b = defaultdict(int)
+    for r in ev.select("user_id", "event_type").collect():
+        (a if r["event_type"] == "click" else b)[r["user_id"]] += 1
+    expect = {
+        u: (a[u], b[u], a[u] * b[u]) for u in set(a) | set(b)
+    }
+    assert out == expect
+
+
+def test_join_view_batch_reapplication_is_exactly_once(spark, tmp_path):
+    """Crash semantics: re-invoking the SAME batch id (the foreachBatch
+    retry contract) must not double-count — the committed version makes
+    the second application a no-op."""
+    from adtech_log_data_pipeline_spark.streaming.joinview import (
+        _apply_delta,
+        _versions,
+    )
+
+    base = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(1, "click"), (1, "purchase"), (2, "click")],
+        "user_id long, event_type string",
+    )
+    apply = _apply_delta(base)
+    apply(batch, 0)
+    first = {
+        tuple(r)
+        for r in spark.read.parquet(base + "/v=0").collect()
+    }
+    apply(batch, 0)  # retry of the same batch id
+    assert _versions(base) == [0]
+    second = {
+        tuple(r)
+        for r in spark.read.parquet(base + "/v=0").collect()
+    }
+    assert first == second == {(1, 1, 1, 1), (2, 1, 0, 0)}
+
+
+def test_join_view_scratch_orphan_is_swept_and_ignored(spark, tmp_path):
+    """A crash between the scratch write and the atomic rename leaves a
+    .tmp orphan: the re-run must sweep it and commit the version once."""
+    import os
+
+    from adtech_log_data_pipeline_spark.streaming.joinview import (
+        _apply_delta,
+        _versions,
+    )
+
+    base = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "click")], "user_id long, event_type string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "purchase")], "user_id long, event_type string"
+    )
+    apply = _apply_delta(base)
+    apply(b0, 0)
+    # simulate the crashed attempt of batch 1: scratch exists, no commit
+    os.makedirs(os.path.join(base, "v=1.tmp", "garbage"))
+    apply(b1, 1)
+    assert _versions(base) == [0, 1]
+    rows = {
+        tuple(r)
+        for r in spark.read.parquet(base + "/v=1").collect()
+    }
+    assert rows == {(1, 1, 1, 1)}
+    assert not os.path.isdir(os.path.join(base, "v=1.tmp"))
