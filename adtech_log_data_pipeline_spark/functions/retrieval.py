@@ -81,3 +81,104 @@ def hybrid_rrf(
         "doc_id", "bm25_rank", "cos_rank", "rrf_micro",
         w.cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity reranking
+# ---------------------------------------------------------------------------
+
+#: relevance/diversity trade-off, in tenths (7 -> lambda = 0.7)
+MMR_LAMBDA_TENTHS = 7
+
+#: candidates considered (the first-stage top-k) and picks returned
+MMR_CANDIDATES = 20
+MMR_PICKS = 5
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    picks: int = MMR_PICKS,
+    lambda_tenths: int = MMR_LAMBDA_TENTHS,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    of a bounded candidate list: greedily pick the document maximizing
+    ``lambda * relevance - (1 - lambda) * max-similarity-to-picked``, so
+    the result set is relevant AND non-redundant — the standard
+    diversity pass between retrieval and a context window.
+
+    Inputs: ``candidates`` = (doc_id, rel_micro) — first-stage top-k with
+    integer-micros relevance; ``sims`` = (id_a, id_b, sim_micro) pairwise
+    candidate similarities (both directions present or symmetric halves —
+    only (picked, candidate) lookups are read). All scoring is exact
+    integers: mmr = lambda_tenths * rel - (10 - lambda_tenths) * max_sim,
+    ties by doc_id.
+
+    The per-round winner is collected as DRIVER STATE (one 1-row action
+    per pick) so the plan stays linear in rounds — the BPE-induction
+    discipline; the held candidate/sim relations are k- and k^2-sized,
+    so every round is a bounded broadcast job regardless of corpus size.
+
+    Output: (pick, doc_id, rel_micro, max_sim_micro, mmr_score) with
+    pick = 1..picks in selection order."""
+    from ._cache import hold
+
+    lam = int(lambda_tenths)
+    cand = hold(candidates.select("doc_id", "rel_micro"), eager=True)
+    sim = hold(
+        sims.select("id_a", "id_b", "sim_micro"), eager=True
+    )
+    chosen: list[tuple] = []
+    chosen_ids: list[int] = []
+    for pick in range(1, int(picks) + 1):
+        rem = cand
+        if chosen_ids:
+            rem = cand.filter(~F.col("doc_id").isin(chosen_ids))
+            ms = (
+                sim.filter(F.col("id_a").isin(chosen_ids))
+                .groupBy(F.col("id_b").alias("doc_id"))
+                .agg(F.max("sim_micro").alias("max_sim_micro"))
+            )
+            rem = rem.join(ms, "doc_id", "left").select(
+                "doc_id",
+                "rel_micro",
+                F.coalesce(F.col("max_sim_micro"), F.lit(0)).alias(
+                    "max_sim_micro"
+                ),
+            )
+        else:
+            rem = rem.select(
+                "doc_id", "rel_micro",
+                F.lit(0).cast("bigint").alias("max_sim_micro"),
+            )
+        scored = rem.select(
+            "doc_id",
+            "rel_micro",
+            "max_sim_micro",
+            (
+                F.lit(lam) * F.col("rel_micro")
+                - F.lit(10 - lam) * F.col("max_sim_micro")
+            ).cast("bigint").alias("mmr_score"),
+        )
+        top = scored.orderBy(
+            F.col("mmr_score").desc(), F.col("doc_id")
+        ).limit(1).collect()
+        if not top:
+            break
+        row = top[0]
+        chosen.append(
+            (
+                pick,
+                row["doc_id"],
+                row["rel_micro"],
+                row["max_sim_micro"],
+                row["mmr_score"],
+            )
+        )
+        chosen_ids.append(row["doc_id"])
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        chosen,
+        "pick int, doc_id long, rel_micro bigint,"
+        " max_sim_micro bigint, mmr_score bigint",
+    )

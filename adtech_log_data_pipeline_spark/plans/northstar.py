@@ -1180,6 +1180,50 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(bm, cos)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity reranking (functions/retrieval.py::mmr_rerank):
+    greedy maximal-marginal-relevance top-5 from query vector 0's exact
+    top-20, integer-micros relevance and pairwise similarity, lambda =
+    0.7 — the oracle restates every greedy pick as a chained CTE."""
+    from ..functions.retrieval import MMR_CANDIDATES, mmr_rerank
+    from ..functions.similarity import _cosine_r6, _norm
+
+    emb = _emb(spark, sf_dir)
+    q0 = _queries_df(spark, sf_dir).filter(F.col("query_id") == 0)
+    cand = brute_force_topk(emb, q0, k=MMR_CANDIDATES).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.expr("CAST(round(cos_sim_r6 * 1000000) AS BIGINT)").alias(
+            "rel_micro"
+        ),
+    )
+    ids = cand.select(F.col("doc_id").alias("cid"))
+    sub = emb.join(
+        F.broadcast(ids), emb["vec_id"] == ids["cid"]
+    ).select("vec_id", "embedding")
+    a = sub.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("a"),
+        _norm("embedding").alias("na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(_cosine_r6() * 1000000)).cast("bigint").alias(
+                "sim_micro"
+            ),
+        )
+    )
+    return mmr_rerank(cand, sims)
+
+
 def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded k-core peeling curve (functions/graph.py::kcore_peel):
     3 rounds of "drop nodes with degree < 100" over the co-purchase
@@ -2148,6 +2192,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_coverage": q_conformal_coverage,
     "copurchase_kcore": q_copurchase_kcore,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "mmr_rerank": q_mmr_rerank,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4276,6 +4321,76 @@ e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
     return "".join(parts) + "\n" + selects
 
 
+def _oracle_mmr_rerank() -> str:
+    """mmr_rerank restated: candidate/pairwise-sim CTEs, then every
+    greedy pick as an explicit chained CTE (argmax by ORDER BY .. LIMIT
+    1, the running selected set as a UNION ALL chain) — the BPE-oracle
+    greedy discipline."""
+    from ..functions.retrieval import (
+        MMR_CANDIDATES,
+        MMR_LAMBDA_TENTHS,
+        MMR_PICKS,
+    )
+
+    lam, inv = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b
+      FROM embeddings),
+scored AS (
+  SELECT c.neighbor_id,
+         round(list_dot_product(q.a, c.b)
+               / nullif(sqrt(list_dot_product(q.a, q.a))
+                        * sqrt(list_dot_product(c.b, c.b)), 0), 6)
+           AS cos_r6
+  FROM q, c WHERE c.neighbor_id <> q.query_id),
+cand AS (
+  SELECT neighbor_id AS doc_id,
+         CAST(round(cos_r6 * 1000000) AS BIGINT) AS rel_micro
+  FROM (SELECT *, row_number() OVER (ORDER BY cos_r6 DESC, neighbor_id)
+               AS rk FROM scored) WHERE rk <= {MMR_CANDIDATES}),
+sims AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(round(round(list_dot_product(ex.b, ey.b)
+               / nullif(sqrt(list_dot_product(ex.b, ex.b))
+                        * sqrt(list_dot_product(ey.b, ey.b)), 0), 6)
+             * 1000000) AS BIGINT) AS sim_micro
+  FROM cand x JOIN cand y ON x.doc_id <> y.doc_id
+  JOIN c ex ON ex.neighbor_id = x.doc_id
+  JOIN c ey ON ey.neighbor_id = y.doc_id),
+p1 AS (
+  SELECT doc_id, rel_micro, CAST(0 AS BIGINT) AS max_sim_micro,
+         CAST({lam} * rel_micro AS BIGINT) AS mmr_score
+  FROM cand ORDER BY mmr_score DESC, doc_id LIMIT 1),
+sel1 AS (SELECT doc_id FROM p1)"""
+    parts = [head]
+    for t in range(2, MMR_PICKS + 1):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT cd.doc_id, cd.rel_micro,
+         CAST(coalesce(m.ms, 0) AS BIGINT) AS max_sim_micro,
+         CAST({lam} * cd.rel_micro
+              - {inv} * coalesce(m.ms, 0) AS BIGINT) AS mmr_score
+  FROM cand cd
+  LEFT JOIN (SELECT s.id_b AS doc_id, max(s.sim_micro) AS ms
+             FROM sims s
+             WHERE s.id_a IN (SELECT doc_id FROM sel{t - 1})
+             GROUP BY s.id_b) m ON m.doc_id = cd.doc_id
+  WHERE cd.doc_id NOT IN (SELECT doc_id FROM sel{t - 1})
+  ORDER BY mmr_score DESC, cd.doc_id LIMIT 1),
+sel{t} AS (SELECT doc_id FROM sel{t - 1}
+           UNION ALL SELECT doc_id FROM p{t})"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS pick, doc_id, rel_micro,"
+        f" max_sim_micro, mmr_score FROM p{t}"
+        for t in range(1, MMR_PICKS + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
 def _oracle_hybrid_search_rrf() -> str:
     """hybrid_rrf restated: the gated BM25 chain as one CTE, the rounded-
     cosine chain for query vector 0 cut at 20, full join + integer-micros
@@ -4315,6 +4430,7 @@ FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
 NORTHSTAR_ORACLES: dict[str, str] = {
     "copurchase_kcore": _oracle_copurchase_kcore(),
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
+    "mmr_rerank": _oracle_mmr_rerank(),
     # streaming IVM restated as the closed form: the maintained bilinear
     # delta must converge to count(click) x count(purchase) per user
     "stream_join_view": """

@@ -340,3 +340,73 @@ class TestHybridRrf:
         rows = hybrid_rrf(bm, cos).collect()
         # symmetric ranks -> equal scores -> doc 3 wins the tie
         assert [r["doc_id"] for r in rows] == [3, 5]
+
+
+class TestMmrRerank:
+    def test_pure_python_greedy_replay(self, spark):
+        """Replay the greedy MMR loop in pure Python on a hand fixture
+        with a redundant pair: the near-duplicate of pick 1 must be
+        deferred in favor of a diverse doc."""
+        from adtech_log_data_pipeline_spark.functions.retrieval import (
+            mmr_rerank,
+        )
+
+        rel = {1: 900_000, 2: 850_000, 3: 500_000, 4: 480_000}
+        sim = {
+            (1, 2): 999_000, (2, 1): 999_000,  # near-dups
+            (1, 3): 100_000, (3, 1): 100_000,
+            (1, 4): 50_000, (4, 1): 50_000,
+            (2, 3): 120_000, (3, 2): 120_000,
+            (2, 4): 60_000, (4, 2): 60_000,
+            (3, 4): 70_000, (4, 3): 70_000,
+        }
+        cand = spark.createDataFrame(
+            [(d, r) for d, r in rel.items()], "doc_id long, rel_micro long"
+        )
+        sims = spark.createDataFrame(
+            [(a, b, s) for (a, b), s in sim.items()],
+            "id_a long, id_b long, sim_micro long",
+        )
+        got = [
+            (r["pick"], r["doc_id"], r["max_sim_micro"], r["mmr_score"])
+            for r in sorted(
+                mmr_rerank(cand, sims, picks=4).collect(),
+                key=lambda r: r["pick"],
+            )
+        ]
+
+        chosen, expect = [], []
+        remaining = set(rel)
+        for pick in range(1, 5):
+            best = None
+            for d in sorted(remaining):
+                ms = max((sim[(c, d)] for c in chosen), default=0)
+                score = 7 * rel[d] - 3 * ms
+                if best is None or score > best[1]:
+                    best = (d, score, ms)
+            d, score, ms = best
+            expect.append((pick, d, ms, score))
+            chosen.append(d)
+            remaining.discard(d)
+        assert got == expect
+        # the redundancy penalty must actually defer the near-dup: doc 2
+        # (rel #2) is NOT pick 2
+        assert got[1][1] != 2
+
+    def test_lambda_ten_is_pure_relevance(self, spark):
+        """lambda = 1.0 degenerates to the relevance ranking."""
+        from adtech_log_data_pipeline_spark.functions.retrieval import (
+            mmr_rerank,
+        )
+
+        cand = spark.createDataFrame(
+            [(1, 300), (2, 200), (3, 100)], "doc_id long, rel_micro long"
+        )
+        sims = spark.createDataFrame(
+            [(a, b, 999_999) for a in (1, 2, 3) for b in (1, 2, 3)
+             if a != b],
+            "id_a long, id_b long, sim_micro long",
+        )
+        rows = mmr_rerank(cand, sims, picks=3, lambda_tenths=10).collect()
+        assert [r["doc_id"] for r in
+                sorted(rows, key=lambda r: r["pick"])] == [1, 2, 3]
