@@ -1180,6 +1180,41 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(bm, cos)
 
 
+def q_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer observability (functions/profile.py::
+    join_cardinality_audit): heavy-hitter-histogram estimate of the
+    returned-vs-shipped lineitem self-join size on part key, audited
+    against the exact join cardinality — estimate-vs-exact in one row,
+    the statistics-drift monitor of a 100 TB planner."""
+    from ..functions.profile import join_cardinality_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_partkey").alias("k")
+    )
+    return join_cardinality_audit(a, b)
+
+
+def q_trimmed_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location stats (functions/profile.py::trimmed_stats): exact
+    p05/p95 order statistics by two-phase prefix scan (no global sort
+    window), mean / winsorized mean / trimmed mean over lineitem
+    extended-price cents — all truncating bigint arithmetic."""
+    from ..functions.profile import trimmed_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return trimmed_stats(
+        li.select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity reranking (functions/retrieval.py::mmr_rerank):
     greedy maximal-marginal-relevance top-5 from query vector 0's exact
@@ -2193,6 +2228,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_kcore": q_copurchase_kcore,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "mmr_rerank": q_mmr_rerank,
+    "join_card_estimate": q_join_card_estimate,
+    "trimmed_revenue_stats": q_trimmed_revenue_stats,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4431,6 +4468,94 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "copurchase_kcore": _oracle_copurchase_kcore(),
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
     "mmr_rerank": _oracle_mmr_rerank(),
+    # histogram join-card estimator restated: same deterministic top-50
+    # histograms, same uniformity/containment residual terms
+    "join_card_estimate": """
+WITH a AS (SELECT l_partkey AS k FROM lineitem
+           WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL),
+b AS (SELECT l_partkey AS k FROM lineitem
+      WHERE l_returnflag = 'N' AND l_partkey IS NOT NULL),
+ca AS (SELECT k, CAST(count(*) AS BIGINT) AS c_a FROM a GROUP BY k),
+cb AS (SELECT k, CAST(count(*) AS BIGINT) AS c_b FROM b GROUP BY k),
+hha AS (SELECT k, c_a FROM (
+          SELECT *, row_number() OVER (ORDER BY c_a DESC, k) AS rk
+          FROM ca) WHERE rk <= 50),
+hhb AS (SELECT k, c_b FROM (
+          SELECT *, row_number() OVER (ORDER BY c_b DESC, k) AS rk
+          FROM cb) WHERE rk <= 50),
+resa AS (SELECT t.rows_a, t.d_a,
+                t.rows_a - h.hhrows_a AS resrows_a,
+                t.d_a - h.hhd_a AS resd_a
+         FROM (SELECT CAST(sum(c_a) AS BIGINT) AS rows_a,
+                      CAST(count(*) AS BIGINT) AS d_a FROM ca) t,
+              (SELECT CAST(coalesce(sum(c_a), 0) AS BIGINT) AS hhrows_a,
+                      CAST(count(*) AS BIGINT) AS hhd_a FROM hha) h),
+resb AS (SELECT t.rows_b, t.d_b,
+                t.rows_b - h.hhrows_b AS resrows_b,
+                t.d_b - h.hhd_b AS resd_b
+         FROM (SELECT CAST(sum(c_b) AS BIGINT) AS rows_b,
+                      CAST(count(*) AS BIGINT) AS d_b FROM cb) t,
+              (SELECT CAST(coalesce(sum(c_b), 0) AS BIGINT) AS hhrows_b,
+                      CAST(count(*) AS BIGINT) AS hhd_b FROM hhb) h),
+tp AS (SELECT CAST(coalesce(sum(c_a * c_b), 0) AS BIGINT) AS true_pairs
+       FROM ca JOIN cb USING (k)),
+m AS (SELECT CAST(coalesce(sum(c_a * c_b), 0) AS BIGINT) AS hh_hh,
+             CAST(coalesce(sum(CASE WHEN c_b IS NULL THEN c_a END), 0)
+                  AS BIGINT) AS a_only,
+             CAST(coalesce(sum(CASE WHEN c_a IS NULL THEN c_b END), 0)
+                  AS BIGINT) AS b_only
+      FROM hha FULL JOIN hhb ON hha.k = hhb.k),
+fin AS (
+  SELECT resa.rows_a AS n_a, resb.rows_b AS n_b, tp.true_pairs,
+         CAST(m.hh_hh
+           + CASE WHEN resb.resd_b > 0
+                  THEN m.a_only * (resb.resrows_b // resb.resd_b)
+                  ELSE 0 END
+           + CASE WHEN resa.resd_a > 0
+                  THEN m.b_only * (resa.resrows_a // resa.resd_a)
+                  ELSE 0 END
+           + CASE WHEN greatest(resa.resd_a, resb.resd_b) > 0
+                  THEN (resa.resrows_a * resb.resrows_b)
+                       // greatest(resa.resd_a, resb.resd_b)
+                  ELSE 0 END AS BIGINT) AS est_pairs
+  FROM resa, resb, tp, m)
+SELECT n_a, n_b, true_pairs, est_pairs,
+       CASE WHEN true_pairs > 0
+            THEN (abs(est_pairs - true_pairs) * 1000000) // true_pairs
+       END AS err_ppm
+FROM fin
+""",
+    # robust stats restated with the NAIVE global rank window (the
+    # two-phase bucket prefix scan must equal the textbook definition)
+    "trimmed_revenue_stats": """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS s FROM c),
+r AS (SELECT n_rows, s, (5 * n_rows + 99) // 100 AS r_lo,
+             (95 * n_rows + 99) // 100 AS r_hi FROM t),
+rk AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+p AS (SELECT (SELECT min(cents) FROM rk, r WHERE rn >= r_lo) AS p_lo,
+             (SELECT min(cents) FROM rk, r WHERE rn >= r_hi) AS p_hi),
+w AS (SELECT
+        CAST(sum(least(greatest(c.cents, p.p_lo), p.p_hi)) AS BIGINT)
+          AS ws,
+        CAST(sum(CASE WHEN c.cents BETWEEN p.p_lo AND p.p_hi
+                      THEN c.cents ELSE 0 END) AS BIGINT) AS ts,
+        CAST(sum(CASE WHEN c.cents BETWEEN p.p_lo AND p.p_hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN c.cents < p.p_lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_below,
+        CAST(sum(CASE WHEN c.cents > p.p_hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above
+      FROM c, p)
+SELECT r.n_rows, p.p_lo AS p_lo_cents, p.p_hi AS p_hi_cents,
+       r.s // r.n_rows AS mean_cents,
+       w.ws // r.n_rows AS winsor_mean_cents,
+       w.ts // w.tn AS trimmed_mean_cents,
+       w.n_below, w.n_above
+FROM r, p, w
+""",
     # streaming IVM restated as the closed form: the maintained bilinear
     # delta must converge to count(click) x count(purchase) per user
     "stream_join_view": """

@@ -410,3 +410,85 @@ class TestMmrRerank:
         rows = mmr_rerank(cand, sims, picks=3, lambda_tenths=10).collect()
         assert [r["doc_id"] for r in
                 sorted(rows, key=lambda r: r["pick"])] == [1, 2, 3]
+
+
+class TestJoinCardinalityAudit:
+    def test_pure_python_estimator_replay(self, spark):
+        """Replay histogram + residual arithmetic in pure Python on a
+        skewed fixture small enough that h=3 forces real residuals."""
+        from adtech_log_data_pipeline_spark.functions.profile import (
+            join_cardinality_audit,
+        )
+
+        a = [1] * 10 + [2] * 5 + [3] * 2 + [4, 5, 6]
+        b = [1] * 4 + [3] * 6 + [5] * 2 + [7, 8]
+        dfa = spark.createDataFrame([(k,) for k in a], "k long")
+        dfb = spark.createDataFrame([(k,) for k in b], "k long")
+        row = join_cardinality_audit(dfa, dfb, h=3).collect()[0]
+
+        from collections import Counter
+
+        ca, cb = Counter(a), Counter(b)
+        true = sum(ca[k] * cb[k] for k in set(ca) & set(cb))
+        hha = dict(sorted(ca.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+        hhb = dict(sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+        ra_rows = sum(ca.values()) - sum(hha.values())
+        ra_d = len(ca) - len(hha)
+        rb_rows = sum(cb.values()) - sum(hhb.values())
+        rb_d = len(cb) - len(hhb)
+        est = sum(hha[k] * hhb[k] for k in set(hha) & set(hhb))
+        est += sum(c for k, c in hha.items() if k not in hhb) * (
+            rb_rows // rb_d if rb_d else 0
+        )
+        est += sum(c for k, c in hhb.items() if k not in hha) * (
+            ra_rows // ra_d if ra_d else 0
+        )
+        if max(ra_d, rb_d) > 0:
+            est += (ra_rows * rb_rows) // max(ra_d, rb_d)
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        assert row["true_pairs"] == true
+        assert row["est_pairs"] == est
+        assert row["err_ppm"] == abs(est - true) * 1_000_000 // true
+
+    def test_all_heavy_is_exact(self, spark):
+        """When h covers every key the estimator IS the exact join size."""
+        from adtech_log_data_pipeline_spark.functions.profile import (
+            join_cardinality_audit,
+        )
+
+        dfa = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        dfb = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+        row = join_cardinality_audit(dfa, dfb, h=10).collect()[0]
+        assert row["est_pairs"] == row["true_pairs"] == 2 * 1 + 1 * 2
+        assert row["err_ppm"] == 0
+
+
+class TestTrimmedStats:
+    def test_pure_python_replay(self, spark):
+        """Exact percentile picks, winsorized and trimmed means recomputed
+        in pure Python on a fixture with fat outliers."""
+        import math
+
+        from adtech_log_data_pipeline_spark.functions.profile import (
+            trimmed_stats,
+        )
+
+        cents = [100] * 50 + [200] * 40 + [5] * 5 + [999_999] * 5
+        df = spark.createDataFrame([(c,) for c in cents], "cents long")
+        row = trimmed_stats(df, trim_pct=5).collect()[0]
+
+        s = sorted(cents)
+        n = len(s)
+        r_lo, r_hi = math.ceil(5 * n / 100), math.ceil(95 * n / 100)
+        p_lo, p_hi = s[r_lo - 1], s[r_hi - 1]
+        wins = [min(max(c, p_lo), p_hi) for c in s]
+        trim = [c for c in s if p_lo <= c <= p_hi]
+        assert row["n_rows"] == n
+        assert row["p_lo_cents"] == p_lo and row["p_hi_cents"] == p_hi
+        assert row["mean_cents"] == sum(s) // n
+        assert row["winsor_mean_cents"] == sum(wins) // n
+        assert row["trimmed_mean_cents"] == sum(trim) // len(trim)
+        assert row["n_below"] == sum(1 for c in s if c < p_lo)
+        assert row["n_above"] == sum(1 for c in s if c > p_hi)
+        # robustness: the trimmed mean ignores the 999999 outliers
+        assert row["trimmed_mean_cents"] < row["mean_cents"]
