@@ -234,6 +234,17 @@ BENCH_QUERIES = [
     "sliding_window_counts",
     "conversion_funnel",
     "funnel_pattern",
+    # round-9 mid-session additions
+    "k_anonymity_audit",
+    "dsir_selection",
+    "retrieval_mrr",
+    "conformal_coverage",
+    "copurchase_kcore",
+    "hybrid_search_rrf",
+    "mmr_rerank",
+    "stream_join_view",
+    "join_card_estimate",
+    "trimmed_revenue_stats",
 ]
 
 
