@@ -124,9 +124,13 @@ def mmr_rerank(
     from ._cache import hold
 
     lam = int(lambda_tenths)
-    cand = hold(candidates.select("doc_id", "rel_micro"), eager=True)
+    # the held relations are k- and k^2-row: collapse to ONE partition so
+    # each greedy round is a single-task job instead of a 32-task scan
+    cand = hold(
+        candidates.select("doc_id", "rel_micro").coalesce(1), eager=True
+    )
     sim = hold(
-        sims.select("id_a", "id_b", "sim_micro"), eager=True
+        sims.select("id_a", "id_b", "sim_micro").coalesce(1), eager=True
     )
     chosen: list[tuple] = []
     chosen_ids: list[int] = []

@@ -1401,14 +1401,23 @@ def bm25_topk(
         # eager: feeds the totals aggregate AND the scoring join
         eager=True,
     )
-    totals = dl.agg(
-        F.sum("dl").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
-    )
     tf = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(qt))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return _bm25_rank_from_tf(tf, dl, k)
+
+
+def _bm25_rank_from_tf(tf: DataFrame, dl: DataFrame, k: int) -> DataFrame:
+    """The BM25 scoring tail shared by bm25_topk and the PRF second pass:
+    per-term df, the exact-rational saturation x idf-bucket contribution,
+    per-doc bigint sum, TakeOrdered top-k with the rank window on the
+    k-row result only. ``tf`` is (doc_id, term, tf); ``dl`` the HELD
+    (doc_id, dl) relation (its totals aggregate rides the same cache)."""
+    totals = dl.agg(
+        F.sum("dl").alias("t_tokens"), F.count(F.lit(1)).alias("n_docs")
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     scored = (
@@ -1435,3 +1444,74 @@ def bm25_topk(
 
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+#: pseudo-relevance feedback: docs fed back and expansion terms added
+PRF_FEEDBACK_DOCS = 5
+PRF_EXPANSION_TERMS = 3
+
+
+def bm25_prf_search(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+    fb_docs: int = PRF_FEEDBACK_DOCS,
+    fb_terms: int = PRF_EXPANSION_TERMS,
+) -> DataFrame:
+    """BM25 with PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3
+    recipe, Lavrenko & Croft 2001, in the board's deterministic integer
+    convention): run the base BM25, take the top ``fb_docs`` documents as
+    the feedback set, add the ``fb_terms`` most frequent feedback-set
+    terms (total tf, ties alphabetically) that are not already query
+    terms, and rescore the corpus with the expanded term set — the
+    classic one-round recall amplifier of a retrieval pipeline.
+
+    Everything reuses the exact-integer BM25 tail (_bm25_rank_from_tf),
+    so the DuckDB oracle restates both passes bit-for-bit. Scale shape:
+    both passes filter the token explode to a bounded term set before
+    any shuffle; the feedback set is ``fb_docs`` rows broadcast into a
+    semi-join; the expansion pick is a vocab-sized agg cut by
+    TakeOrdered.
+
+    Output: (doc_id, n_hits, score, rank) — the expanded-query ranking."""
+    from ._cache import hold
+
+    qt = sorted({t.lower() for t in query_terms})
+    toks = documents.select("doc_id", tokens_col().alias("toks"))
+    dl = hold(
+        toks.select("doc_id", F.size("toks").cast("bigint").alias("dl")),
+        eager=True,
+    )
+    # lazy hold: the three consumers (base tf, expansion pick, expanded
+    # tf) run in SEQUENTIAL jobs, so first-use population is race-free
+    # and we skip the extra eager materialization pass of a corpus-token
+    # relation (the one cache here whose size scales with the corpus)
+    tok = hold(toks.select("doc_id", F.explode("toks").alias("term")))
+    tf1 = (
+        tok.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    base = _bm25_rank_from_tf(tf1, dl, k=fb_docs)
+    fb = base.select(F.col("doc_id").alias("fb_doc"))
+    expansion = (
+        tok.join(
+            F.broadcast(fb), F.col("doc_id") == F.col("fb_doc"), "semi"
+        )
+        .filter(~F.col("term").isin(qt))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb_tf"))
+        .orderBy(F.col("fb_tf").desc(), F.col("term").asc())
+        .limit(fb_terms)
+        .select("term")
+    )
+    base_terms = documents.sparkSession.createDataFrame(
+        [(t,) for t in qt], "term string"
+    )
+    terms = base_terms.unionByName(expansion).distinct()
+    tf2 = (
+        tok.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return _bm25_rank_from_tf(tf2, dl, k=k)

@@ -1215,6 +1215,17 @@ def q_trimmed_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (functions/text.py::
+    bm25_prf_search): base BM25 top-5 as the feedback set, 3 most
+    frequent non-query feedback terms appended, corpus rescored with the
+    expanded query — both passes in the exact-integer BM25 convention,
+    both restated by the oracle."""
+    from ..functions.text import bm25_prf_search
+
+    return bm25_prf_search(_docs(spark, sf_dir))
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity reranking (functions/retrieval.py::mmr_rerank):
     greedy maximal-marginal-relevance top-5 from query vector 0's exact
@@ -2230,6 +2241,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "join_card_estimate": q_join_card_estimate,
     "trimmed_revenue_stats": q_trimmed_revenue_stats,
+    "bm25_prf_search": q_bm25_prf_search,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4358,6 +4370,70 @@ e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
     return "".join(parts) + "\n" + selects
 
 
+def _oracle_bm25_prf() -> str:
+    """bm25_prf_search restated: the exact-integer BM25 chain TWICE —
+    base pass cut at the feedback depth, frequency-ranked expansion
+    terms (NOT IN the base set, ties alphabetical), expanded-term second
+    pass with the final top-k."""
+    from ..functions.text import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        PRF_EXPANSION_TERMS,
+        PRF_FEEDBACK_DOCS,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY_TERMS))
+
+    def contrib(a: str) -> str:
+        return (
+            "(length(bin((2 * n_docs + 2) // (2 * df + 1))) - 1)"
+            f" * ((44 * {a}.tf * t_tokens * 1000000)"
+            f" // (20 * {a}.tf * t_tokens + 6 * t_tokens"
+            " + 18 * dl.dl * n_docs))"
+        )
+    return f"""
+WITH dl AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl
+            FROM documents),
+totals AS (SELECT SUM(dl) AS t_tokens, count(*) AS n_docs FROM dl),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf1 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfr1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1
+         GROUP BY term),
+scored1 AS (
+  SELECT tf1.doc_id, {contrib("tf1")} AS contrib
+  FROM tf1 JOIN dfr1 USING (term) JOIN dl USING (doc_id), totals),
+pd1 AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        FROM scored1 GROUP BY doc_id),
+fb AS (SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                AS rk FROM pd1) WHERE rk <= {PRF_FEEDBACK_DOCS}),
+expn AS (SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
+                 AS rk
+          FROM tok JOIN fb USING (doc_id)
+          WHERE term NOT IN ({terms}) GROUP BY term)
+         WHERE rk <= {PRF_EXPANSION_TERMS}),
+terms2 AS (SELECT DISTINCT term FROM (
+             SELECT unnest([{terms}]) AS term
+             UNION ALL SELECT term FROM expn)),
+tf2 AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN terms2 USING (term) GROUP BY t.doc_id, t.term),
+dfr2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2
+         GROUP BY term),
+scored2 AS (
+  SELECT tf2.doc_id, {contrib("tf2")} AS contrib
+  FROM tf2 JOIN dfr2 USING (term) JOIN dl USING (doc_id), totals),
+pd2 AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+               CAST(sum(contrib) AS BIGINT) AS score
+        FROM scored2 GROUP BY doc_id)
+SELECT doc_id, n_hits, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank
+FROM pd2 ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+"""
+
+
 def _oracle_mmr_rerank() -> str:
     """mmr_rerank restated: candidate/pairwise-sim CTEs, then every
     greedy pick as an explicit chained CTE (argmax by ORDER BY .. LIMIT
@@ -4468,6 +4544,7 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "copurchase_kcore": _oracle_copurchase_kcore(),
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
     "mmr_rerank": _oracle_mmr_rerank(),
+    "bm25_prf_search": _oracle_bm25_prf(),
     # histogram join-card estimator restated: same deterministic top-50
     # histograms, same uniformity/containment residual terms
     "join_card_estimate": """

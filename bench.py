@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "stream_join_view",
     "join_card_estimate",
     "trimmed_revenue_stats",
+    "bm25_prf_search",
 ]
 
 

@@ -492,3 +492,53 @@ class TestTrimmedStats:
         assert row["n_above"] == sum(1 for c in s if c > p_hi)
         # robustness: the trimmed mean ignores the 999999 outliers
         assert row["trimmed_mean_cents"] < row["mean_cents"]
+
+
+class TestBm25Prf:
+    def test_zero_expansion_equals_base_bm25(self, spark):
+        """fb_terms=0 degenerates to plain bm25_topk — the two tf paths
+        (isin literal vs broadcast term join) must agree exactly."""
+        from adtech_log_data_pipeline_spark.functions.text import (
+            bm25_prf_search,
+            bm25_topk,
+        )
+
+        texts = [
+            "spark join query window stream extra words here",
+            "join join join stream other text",
+            "window query spark spark",
+            "unrelated tokens only",
+            "stream window stream join",
+        ]
+        docs = _docs(spark, [(i, t, "en", "s", len(t))
+                             for i, t in enumerate(texts)])
+        base = [(r["doc_id"], r["n_hits"], r["score"], r["rank"])
+                for r in bm25_topk(docs, k=5).collect()]
+        prf = [(r["doc_id"], r["n_hits"], r["score"], r["rank"])
+               for r in bm25_prf_search(docs, k=5, fb_terms=0).collect()]
+        assert sorted(base) == sorted(prf)
+
+    def test_expansion_pulls_in_cooccurring_docs(self, spark):
+        """A doc with NO base query terms but rich in the feedback set's
+        dominant co-occurring term must enter the expanded ranking."""
+        from adtech_log_data_pipeline_spark.functions.text import (
+            bm25_prf_search,
+            bm25_topk,
+        )
+
+        texts = [
+            "spark join catalyst catalyst catalyst",
+            "spark query catalyst catalyst",
+            "join window catalyst",
+            "catalyst catalyst catalyst catalyst",  # no base terms
+            "nothing relevant at all",
+        ]
+        docs = _docs(spark, [(i, t, "en", "s", len(t))
+                             for i, t in enumerate(texts)])
+        base_ids = {r["doc_id"] for r in bm25_topk(docs, k=5).collect()}
+        prf_ids = {r["doc_id"]
+                   for r in bm25_prf_search(
+                       docs, k=5, fb_docs=3, fb_terms=1
+                   ).collect()}
+        assert 3 not in base_ids
+        assert 3 in prf_ids
