@@ -1215,6 +1215,39 @@ def q_trimmed_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback negative sampling (functions/select.py::
+    training_negatives): 3 deterministic hash-chosen never-purchased
+    parts per customer from the top-200 catalog slice — the BPR
+    training-pair generator, reshuffle-proof by construction."""
+    from ..functions._cache import hold
+    from ..functions.select import NEG_CATALOG, training_negatives
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # held: the positives relation feeds BOTH the user universe and the
+    # anti-join screen — without the hold the orders-broadcast join runs
+    # twice, which is wasted work everywhere and a heap spike on the
+    # bare 1g vanilla session
+    pos = hold(
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct(),
+        eager=True,
+    )
+    catalog = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("part").asc())
+        .limit(NEG_CATALOG)
+        .select("part")
+    )
+    return training_negatives(pos, catalog)
+
+
 def q_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (functions/text.py::
     bm25_prf_search): base BM25 top-5 as the feedback set, 3 most
@@ -2242,6 +2275,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_card_estimate": q_join_card_estimate,
     "trimmed_revenue_stats": q_trimmed_revenue_stats,
     "bm25_prf_search": q_bm25_prf_search,
+    "training_negatives": q_training_negatives,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4545,6 +4579,35 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
     "mmr_rerank": _oracle_mmr_rerank(),
     "bm25_prf_search": _oracle_bm25_prf(),
+    # negative sampling restated: same top-200 catalog (count desc, part
+    # asc), same distinct positives, same md5 per-user ranking
+    "training_negatives": """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+catalog AS (
+  SELECT part FROM (
+    SELECT l_partkey AS part, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, l_partkey ASC)
+             AS rk
+    FROM lineitem GROUP BY l_partkey) WHERE rk <= 200),
+users AS (SELECT DISTINCT user_id FROM pos),
+cand AS (SELECT u.user_id, c.part FROM users u, catalog c),
+neg AS (
+  SELECT cand.user_id, cand.part FROM cand
+  LEFT JOIN pos ON pos.user_id = cand.user_id AND pos.part = cand.part
+  WHERE pos.user_id IS NULL),
+ranked AS (
+  SELECT user_id, part,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ('0x' || substr(md5(CAST(user_id AS STRING) || ':'
+                     || CAST(part AS STRING)), 1, 8))::BIGINT ASC,
+                    part ASC) AS rnk
+  FROM neg)
+SELECT user_id, part, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
     # histogram join-card estimator restated: same deterministic top-50
     # histograms, same uniformity/containment residual terms
     "join_card_estimate": """

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "join_card_estimate",
     "trimmed_revenue_stats",
     "bm25_prf_search",
+    "training_negatives",
 ]
 
 

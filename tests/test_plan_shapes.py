@@ -256,3 +256,48 @@ def test_shortest_path_levels_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dsir_selection_weights_broadcast_and_takeordered(spark):
+    """The vocab-weight table must broadcast onto the token stream (a
+    SortMergeJoin would reshuffle the corpus for a vocab-sized side),
+    and top-N must plan as TakeOrdered, never a global Sort + Limit of
+    the doc relation."""
+    plan = _plan(spark, "dsir_selection", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_k_anonymity_is_pure_hash_agg_cascade(spark):
+    """The census is groupBy-only: no joins, no windows over the row
+    relation, no cartesian products."""
+    plan = _plan(spark, "k_anonymity_audit", mode="simple")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_hybrid_rrf_is_bounded_fusion(spark):
+    """RRF fuses two bounded top-k lists: TakeOrdered feeds the fusion,
+    and the final rank window runs over a LocalLimit'd relation, never
+    the corpus."""
+    plan = _plan(spark, "hybrid_search_rrf", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trimmed_stats_no_global_row_window(spark):
+    """The percentile pick must use the two-phase bucket scan: every
+    Window in the plan is partitioned (no 'Window [' over an empty
+    partition spec on the row relation would be cheap to miss, so pin
+    the coarse invariant: at most bounded windows, no global sort of
+    the cents relation before aggregation)."""
+    plan = _plan(spark, "trimmed_revenue_stats", mode="formatted")
+    # the distinct-cents relation is windowed PARTITIONED BY bucket;
+    # a partition-less window over row data would print 'Arguments: [...]'
+    # with an empty partition spec AND a corpus-sized child — assert the
+    # partitioned form is present
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan

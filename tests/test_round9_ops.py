@@ -542,3 +542,55 @@ class TestBm25Prf:
                    ).collect()}
         assert 3 not in base_ids
         assert 3 in prf_ids
+
+
+class TestTrainingNegatives:
+    def test_pure_python_replay_and_laws(self, spark):
+        """Replay hash selection in pure Python; negatives never collide
+        with positives; counts are exact; choice is reshuffle-proof."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            training_negatives,
+        )
+
+        pos_pairs = [(1, 10), (1, 11), (2, 10), (3, 12)]
+        cat = [10, 11, 12, 13, 14]
+        pos = spark.createDataFrame(pos_pairs, "user_id long, part long")
+        catalog = spark.createDataFrame([(p,) for p in cat], "part long")
+        out = training_negatives(pos, catalog, k=2).collect()
+
+        got = {}
+        for r in out:
+            got.setdefault(r["user_id"], []).append((r["rnk"], r["part"]))
+        pos_set = set(pos_pairs)
+        for u, pairs in got.items():
+            for _, p in pairs:
+                assert (u, p) not in pos_set
+
+        def h(u, p):
+            return int(
+                hashlib.md5(f"{u}:{p}".encode()).hexdigest()[:8], 16
+            )
+
+        for u in (1, 2, 3):
+            candidates = [p for p in cat if (u, p) not in pos_set]
+            expect = sorted(candidates, key=lambda p: (h(u, p), p))[:2]
+            assert [p for _, p in sorted(got[u])] == expect
+
+    def test_repartition_does_not_change_choice(self, spark):
+        from adtech_log_data_pipeline_spark.functions.select import (
+            training_negatives,
+        )
+
+        pos = spark.createDataFrame(
+            [(u, 10) for u in range(20)], "user_id long, part long"
+        )
+        catalog = spark.createDataFrame(
+            [(p,) for p in range(10, 30)], "part long"
+        )
+        a = {(r["user_id"], r["rnk"]): r["part"]
+             for r in training_negatives(pos, catalog).collect()}
+        b = {(r["user_id"], r["rnk"]): r["part"]
+             for r in training_negatives(
+                 pos.repartition(7), catalog.repartition(3)
+             ).collect()}
+        assert a == b
