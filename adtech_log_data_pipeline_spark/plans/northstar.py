@@ -1215,6 +1215,22 @@ def q_trimmed_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical encoding (functions/select.py::
+    target_encode_loo): leave-one-out smoothed-mean target encoding of
+    order priority against the fulfilled-order label, exact integer ppm
+    — one category-sized aggregation broadcast back onto the rows."""
+    from ..functions.select import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("row_id"),
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    return target_encode_loo(rows)
+
+
 def q_training_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Implicit-feedback negative sampling (functions/select.py::
     training_negatives): 3 deterministic hash-chosen never-purchased
@@ -2276,6 +2292,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trimmed_revenue_stats": q_trimmed_revenue_stats,
     "bm25_prf_search": q_bm25_prf_search,
     "training_negatives": q_training_negatives,
+    "target_encoding": q_target_encoding,
     "cm_error_audit": q_cm_error_audit,
     "cdc_customer_state": q_cdc_customer_state,
     "dim_truncation_recall": q_dim_truncation_recall,
@@ -4579,6 +4596,23 @@ NORTHSTAR_ORACLES: dict[str, str] = {
     "hybrid_search_rrf": _oracle_hybrid_search_rrf(),
     "mmr_rerank": _oracle_mmr_rerank(),
     "bm25_prf_search": _oracle_bm25_prf(),
+    # LOO target encoding restated: same category stats, same integer-ppm
+    # smoothing formula (divisor n-1+m stays positive, both engines
+    # truncate non-negative division identically)
+    "target_encoding": """
+WITH rows_ AS (
+  SELECT o_orderkey AS row_id, o_orderpriority AS category,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+stats AS (
+  SELECT category, CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM rows_ GROUP BY category)
+SELECT r.row_id, r.category, r.y,
+       ((s.sum_y - r.y) * 1000000 + 500000 * 20) // (s.n - 1 + 20)
+         AS enc_ppm
+FROM rows_ r JOIN stats s USING (category)
+""",
     # negative sampling restated: same top-200 catalog (count desc, part
     # asc), same distinct positives, same md5 per-user ranking
     "training_negatives": """

@@ -213,16 +213,16 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Round-9 rotation record, COMPUTED from the CORRECTNESS_r01..r08
 # artifacts (last-green round per query, ascending, stable by declared
 # order — the protocol the round-7 verdict set and the head comment in
-# each round's transcript scripts): the 19 round-9 NEW queries first (0
+# each round's transcript scripts): the 20 round-9 NEW queries first (0
 # greens beat all: the 7 early-session additions minhash_precision_audit
 # .. bpe_encode_stats, then the 10 mid-session additions k_anonymity_audit
-# .. training_negatives), then the 24
+# .. target_encoding), then the 23
 # longest-ungated greens — the 7 r4-green queries displaced from the r8
 # window by late round-8 additions (top_orders_per_customer,
 # revenue_cube, asof_last_signup, order_priority, returned_customers,
 # streaming_sessionize, streaming_device_activity — the r8 queue promise
-# at the old tail head), then 17 of the 43 r5-greens. The 12 r5-greens
-# displaced by the mid-session additions (revenue_rollup ..
+# at the old tail head), then 16 of the 43 r5-greens. The 13 r5-greens
+# displaced by the mid-session additions (waiting_suppliers ..
 # audio_chunks) move to the TAIL HEAD so the round-10 rotation promotes
 # them first. The window stays exactly parity-7 + 43.
 _GATE_FIRST = [
@@ -245,6 +245,7 @@ _GATE_FIRST = [
     "trimmed_revenue_stats",
     "bm25_prf_search",
     "training_negatives",
+    "target_encoding",
     "top_orders_per_customer",
     "revenue_cube",
     "asof_last_signup",
@@ -268,14 +269,14 @@ _GATE_FIRST = [
     "doc_chunks",
     "discounted_revenue",
     "small_quantity_revenue",
-    "waiting_suppliers",
 ]
-# The tail: every remaining query ordered last-green ASCENDING (the 12
+# The tail: every remaining query ordered last-green ASCENDING (the 13
 # r5-greens displaced from the round-9 window by the mid-session
 # additions FIRST — the round-10 promote queue — then the r5 leftovers
 # and the r6/r7/r8 cohorts), so future rotations keep promoting from
 # the tail head.
 _GATE_LAST = [
+    "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
     "top_parts_per_brand",

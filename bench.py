@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "trimmed_revenue_stats",
     "bm25_prf_search",
     "training_negatives",
+    "target_encoding",
 ]
 
 

@@ -594,3 +594,49 @@ class TestTrainingNegatives:
                  pos.repartition(7), catalog.repartition(3)
              ).collect()}
         assert a == b
+
+
+class TestTargetEncodeLoo:
+    def test_pure_python_replay(self, spark):
+        """Replay the LOO smoothing formula by hand; a row's own label
+        must not contribute to its encoding."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            target_encode_loo,
+        )
+
+        data = [(1, "a", 1), (2, "a", 0), (3, "a", 1),
+                (4, "b", 0), (5, "b", 0)]
+        rows = spark.createDataFrame(
+            data, "row_id long, category string, y int"
+        )
+        out = {r["row_id"]: r["enc_ppm"]
+               for r in target_encode_loo(rows, m=20,
+                                          prior_ppm=500_000).collect()}
+        from collections import defaultdict
+
+        sums = defaultdict(int)
+        ns = defaultdict(int)
+        for _, c, y in data:
+            sums[c] += y
+            ns[c] += 1
+        for rid, c, y in data:
+            expect = ((sums[c] - y) * 1_000_000 + 500_000 * 20) // (
+                ns[c] - 1 + 20
+            )
+            assert out[rid] == expect
+        # leakage-safety: two same-category rows with different labels
+        # get DIFFERENT encodings (the own label is excluded)
+        assert out[1] != out[2]
+
+    def test_singleton_category_falls_back_to_prior(self, spark):
+        """n=1: the other-rows mean is empty, so the encoding is pulled
+        entirely to the smoothed prior."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            target_encode_loo,
+        )
+
+        rows = spark.createDataFrame(
+            [(1, "solo", 1)], "row_id long, category string, y int"
+        )
+        out = target_encode_loo(rows, m=20, prior_ppm=500_000).collect()[0]
+        assert out["enc_ppm"] == (0 * 1_000_000 + 500_000 * 20) // 20
