@@ -38,8 +38,10 @@ def feature_inputs(
       f586 = intersect_purchaser / (1 + total_purchasers)
       f777 = intersect_amount / (1 + total_amount)
     """
+    from .skew import routed_anti_join
+
     kept = (
-        profiles.join(F.broadcast(suspicious), ["os", "uuid"], "left_anti")
+        routed_anti_join(profiles, suspicious, ["os", "uuid"])
         .filter(F.substring(F.col("uuid"), 8, 1) == "0")
         .select("os", "uuid", "first_at", F.size("apps").alias("app_count"), "apps")
     )
@@ -127,8 +129,12 @@ def feature_pipeline_from_valid(
         .filter(F.col("user_count") > t.user_count)
         .select("bundle")
     )
+    # J1 capacity routing (SURVEY §4 ladder): device_apps is HELD, so the
+    # router's probe is a cache read. Board fixtures → rung 1 (broadcast).
+    from .skew import routed_anti_join
+
     unpopular_counts = (
-        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        routed_anti_join(device_apps, popular, "bundle")
         .groupBy("os", "uuid")
         .agg(F.count(F.lit(1)).alias("unpopular_apps"))
     )
@@ -191,15 +197,16 @@ def feature_inputs_from_valid(
     validated rows (same output, oracle-checked): per-device first_at and
     app_count come from one codegen hash agg, the IAPP intersection from
     the distinct device-app pairs — no nested arrays anywhere."""
-    dev = (
-        valid_logs.groupBy("os", "uuid")
-        .agg(
+    from .skew import routed_anti_join
+
+    dev = routed_anti_join(
+        valid_logs.groupBy("os", "uuid").agg(
             F.min("received_at").alias("first_at"),
             F.countDistinct("app_bundle").cast("int").alias("app_count"),
-        )
-        .join(F.broadcast(suspicious), ["os", "uuid"], "left_anti")
-        .filter(F.substring(F.col("uuid"), 8, 1) == "0")
-    )
+        ),
+        suspicious,
+        ["os", "uuid"],
+    ).filter(F.substring(F.col("uuid"), 8, 1) == "0")
     device_apps = (
         valid_logs.select("os", "uuid", F.col("app_bundle").alias("bundle"))
         .distinct()

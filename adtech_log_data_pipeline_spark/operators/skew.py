@@ -19,6 +19,8 @@ distinct-style state.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -85,7 +87,7 @@ def salted_join(
 def salted_anti_join(
     facts: DataFrame,
     dim: DataFrame,
-    key: str,
+    key: str | list[str],
     n_salts: int = 16,
     how: str = "left_anti",
 ) -> DataFrame:
@@ -110,17 +112,103 @@ def salted_anti_join(
     anti/semi join is law-tested on the zipf fixture."""
     if how not in ("left_anti", "left_semi"):
         raise ValueError("salted_anti_join supports left_anti/left_semi")
+    keys = [key] if isinstance(key, str) else list(key)
     fact_cols = [c for c in facts.columns]
     salt = F.pmod(F.hash(*[F.col(c) for c in fact_cols]), F.lit(n_salts))
     f = facts.withColumn("_salt", salt)
-    d = dim.select(key).crossJoin(
+    d = dim.select(*keys).crossJoin(
         F.broadcast(
             facts.sparkSession.range(n_salts).select(
                 F.col("id").cast("int").alias("_salt")
             )
         )
     )
-    return f.join(d, [key, "_salt"], how).drop("_salt")
+    return f.join(d, [*keys, "_salt"], how).drop("_salt")
+
+
+@dataclass(frozen=True)
+class AntiJoinRouting:
+    """Capacity/skew thresholds for ``routed_anti_join`` (SURVEY.md §4
+    ladder; reference shape: the J1 popularity side input,
+    D/transforms/SuspiciousIDs.java:65-75).
+
+    ``broadcast_max_keys``: lookup-side distinct-key budget for the
+    broadcast rung. Default 4M keys ≈ 100 MB at ~25 B/key row — sized to
+    a driver/executor broadcast budget, not to sf0.01 (where every real
+    lookup side is thousands of keys and rung 1 always wins).
+    ``skew_factor``: hottest-fact-key load vs the mean key's load
+    (exact, from the post-map-side-combine histogram) above which the
+    anti shape is rewritten to the salted formulation. 8.0: well above
+    benign zipf noise, well below the 15x fixture that measurably
+    hot-spots a reducer (tests/test_skew.py).
+    """
+
+    broadcast_max_keys: int = 4_000_000
+    skew_factor: float = 8.0
+    n_salts: int = 16
+
+
+def routed_anti_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    how: str = "left_anti",
+    routing: AntiJoinRouting = AntiJoinRouting(),
+    report: dict | None = None,
+) -> DataFrame:
+    """Capacity-probed LEFT ANTI/SEMI join — picks the SURVEY §4 ladder
+    rung automatically instead of hard-coding ``F.broadcast``:
+
+      rung 1 ``broadcast``:  lookup side's distinct keys fit the
+          broadcast budget → broadcast hash anti/semi join (skew-immune,
+          no fact shuffle). This is the engine default and the only rung
+          that ever engages on the board fixtures.
+      rung 2 ``outer_null``: lookup side too big to broadcast, fact key
+          not hot → LEFT OUTER on the DISTINCT key set + null/not-null
+          filter. Row-identical to the anti/semi join (distinct keys ⇒
+          multiplicity preserved) but expressed as a plain equi-join so
+          AQE's OptimizeSkewedJoin CAN split oversized partitions — it
+          refuses to split anti/semi shapes (empirically pinned in
+          tests/test_skew.py).
+      rung 3 ``salted``:     lookup side too big to broadcast AND the
+          fact key is hot (max/mean ≥ skew_factor) → ``salted_anti_join``
+          (exact membership, hot key spread over n_salts reducers).
+
+    Probe cost, by design: rung 1 needs ONE count on the lookup side's
+    key projection (the dimension, never the fact — cheap even at
+    100 TB, and free when the lookup derives from an already-held
+    aggregate). The fact-side histogram probe (one hash agg whose
+    shuffle carries one row per distinct key after map-side combine)
+    only runs when the lookup has already outgrown broadcast capacity.
+    At cluster scale, reuse: pass a precomputed ``report`` from a prior
+    run of the same key to skip re-probing is deliberately NOT offered —
+    the probe is the contract; cache the inputs instead.
+
+    ``report`` (optional dict) receives {"rung", "n_keys", "skew"} so
+    callers/tests can assert the routing decision. Output is
+    CORRECTNESS-identical across all three rungs (law-tested)."""
+    if how not in ("left_anti", "left_semi"):
+        raise ValueError("routed_anti_join supports left_anti/left_semi")
+    keys = [key] if isinstance(key, str) else list(key)
+    kdim = dim.select(*keys).distinct()
+    n_keys = kdim.count()
+    if n_keys <= routing.broadcast_max_keys:
+        if report is not None:
+            report.update({"rung": "broadcast", "n_keys": n_keys, "skew": None})
+        return facts.join(F.broadcast(kdim), keys, how)
+    hist = facts.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    mx, mean = hist.agg(F.max("_n"), F.avg("_n")).first()
+    skew = float(mx) / float(mean) if mean else 0.0
+    if skew >= routing.skew_factor:
+        if report is not None:
+            report.update({"rung": "salted", "n_keys": n_keys, "skew": skew})
+        return salted_anti_join(facts, kdim, keys, routing.n_salts, how)
+    if report is not None:
+        report.update({"rung": "outer_null", "n_keys": n_keys, "skew": skew})
+    hit = kdim.withColumn("_hit", F.lit(1))
+    joined = facts.join(hit, keys, "left_outer")
+    cond = F.col("_hit").isNull() if how == "left_anti" else F.col("_hit").isNotNull()
+    return joined.filter(cond).drop("_hit")
 
 
 def skew_report(

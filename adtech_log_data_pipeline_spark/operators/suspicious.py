@@ -51,8 +51,10 @@ def suspicious_ids(
     device_apps = profiles.select(
         "os", "uuid", F.explode(F.col("apps.bundle")).alias("bundle")
     )
+    from .skew import routed_anti_join
+
     unpopular_counts = (
-        device_apps.join(F.broadcast(popular), "bundle", "left_anti")
+        routed_anti_join(device_apps, popular, "bundle")
         .groupBy("os", "uuid")
         .agg(F.count(F.lit(1)).alias("unpopular_apps"))
     )
@@ -118,8 +120,14 @@ def suspicious_ids_from_valid(
         .filter(F.col("user_count") > t.user_count)
         .select("bundle")
     )
+    # J1 capacity routing: popular derives from the HELD level1, so the
+    # router's broadcast-rung probe (one count of the key projection) is a
+    # cache read, not a recompute. On every board fixture the popular set is
+    # thousands of keys → rung 1 (broadcast), the plan this query always had.
+    from .skew import routed_anti_join
+
     unpopular_counts = (
-        level1.join(F.broadcast(popular), "bundle", "left_anti")
+        routed_anti_join(level1, popular, "bundle")
         .groupBy("os", "uuid")
         .agg(F.count(F.lit(1)).alias("unpopular_apps"))
     )

@@ -210,72 +210,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-9 rotation record, COMPUTED from the CORRECTNESS_r01..r08
+# Round-10 rotation record, COMPUTED from the CORRECTNESS_r01..r09
 # artifacts (last-green round per query, ascending, stable by declared
-# order — the protocol the round-7 verdict set and the head comment in
-# each round's transcript scripts): the 20 round-9 NEW queries first (0
-# greens beat all: the 7 early-session additions minhash_precision_audit
-# .. bpe_encode_stats, then the 10 mid-session additions k_anonymity_audit
-# .. target_encoding), then the 23
-# longest-ungated greens — the 7 r4-green queries displaced from the r8
-# window by late round-8 additions (top_orders_per_customer,
-# revenue_cube, asof_last_signup, order_priority, returned_customers,
-# streaming_sessionize, streaming_device_activity — the r8 queue promise
-# at the old tail head), then 16 of the 43 r5-greens. The 13 r5-greens
-# displaced by the mid-session additions (waiting_suppliers ..
-# audio_chunks) move to the TAIL HEAD so the round-10 rotation promotes
-# them first. The window stays exactly parity-7 + 43.
+# order — the protocol set by the round-7 verdict): all 206 queries have
+# at least one green driver row, so the window is the 43 stalest greens —
+# the 27 r5-greens (the r9 tail-head promote queue, honored verbatim)
+# followed by the 16 oldest r6-greens. After this round gates them,
+# min(last-green) across the board is r6 (27 r6-greens remain, promoted
+# to the tail head for round 11). The window stays exactly parity-7 + 43.
 _GATE_FIRST = [
-    "minhash_precision_audit",
-    "sq_rescore_topk",
-    "sq_recall_audit",
-    "hard_negatives",
-    "time_decay_credit",
-    "position_credit",
-    "bpe_encode_stats",
-    "k_anonymity_audit",
-    "dsir_selection",
-    "retrieval_mrr",
-    "conformal_coverage",
-    "copurchase_kcore",
-    "hybrid_search_rrf",
-    "mmr_rerank",
-    "stream_join_view",
-    "join_card_estimate",
-    "trimmed_revenue_stats",
-    "bm25_prf_search",
-    "training_negatives",
-    "target_encoding",
-    "top_orders_per_customer",
-    "revenue_cube",
-    "asof_last_signup",
-    "order_priority",
-    "returned_customers",
-    "streaming_sessionize",
-    "streaming_device_activity",
-    "kmv_user_distinct",
-    "quality_expectations",
-    "scd2_intervals",
-    "key_skew_report",
-    "rolling_user_features",
-    "quarantined_docs",
-    "retention_cohorts",
-    "hourly_activity",
-    "stream_kmv_distinct",
-    "oov_rate",
-    "stream_quarantine",
-    "image_embed",
-    "semantic_dedup",
-    "doc_chunks",
-    "discounted_revenue",
-    "small_quantity_revenue",
-]
-# The tail: every remaining query ordered last-green ASCENDING (the 13
-# r5-greens displaced from the round-9 window by the mid-session
-# additions FIRST — the round-10 promote queue — then the r5 leftovers
-# and the r6/r7/r8 cohorts), so future rotations keep promoting from
-# the tail head.
-_GATE_LAST = [
     "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
@@ -319,6 +262,12 @@ _GATE_LAST = [
     "volume_shipping",
     "market_share",
     "promo_revenue_share",
+]
+# The tail: every remaining query ordered last-green ASCENDING (the 27
+# remaining r6-greens FIRST — the round-11 promote queue — then the r7,
+# r8 and r9 cohorts), so future rotations keep promoting from the tail
+# head.
+_GATE_LAST = [
     "large_volume_customers",
     "idle_rich_customers",
     "dedup_cap_audit",
@@ -432,6 +381,49 @@ _GATE_LAST = [
     "top_revenue_orders",
     "nation_revenue",
     "sessionized_events",
+    "minhash_precision_audit",
+    "sq_rescore_topk",
+    "sq_recall_audit",
+    "hard_negatives",
+    "time_decay_credit",
+    "position_credit",
+    "bpe_encode_stats",
+    "k_anonymity_audit",
+    "dsir_selection",
+    "retrieval_mrr",
+    "conformal_coverage",
+    "copurchase_kcore",
+    "hybrid_search_rrf",
+    "mmr_rerank",
+    "stream_join_view",
+    "join_card_estimate",
+    "trimmed_revenue_stats",
+    "bm25_prf_search",
+    "training_negatives",
+    "target_encoding",
+    "top_orders_per_customer",
+    "revenue_cube",
+    "asof_last_signup",
+    "order_priority",
+    "returned_customers",
+    "streaming_sessionize",
+    "streaming_device_activity",
+    "kmv_user_distinct",
+    "quality_expectations",
+    "scd2_intervals",
+    "key_skew_report",
+    "rolling_user_features",
+    "quarantined_docs",
+    "retention_cohorts",
+    "hourly_activity",
+    "stream_kmv_distinct",
+    "oov_rate",
+    "stream_quarantine",
+    "image_embed",
+    "semantic_dedup",
+    "doc_chunks",
+    "discounted_revenue",
+    "small_quantity_revenue",
 ]
 _PARITY = [
     "bidlog_validation",

@@ -328,6 +328,56 @@ def run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+PERQUERY_LOG = "BENCH_PERQUERY.jsonl"
+
+
+def _prev_full_map(sf: float | None) -> tuple[str | None, dict[str, float]]:
+    """Latest same-sf entry of BENCH_PERQUERY.jsonl — the FULL per-query
+    map of a prior run (the driver's BENCH artifact stores only a ~2 KB
+    stdout tail, which truncates the regression baseline to the last ~60
+    queries; round 9's delta_vs_prev had n_common=60/206 for exactly this
+    reason). Returns (label, {query: sec})."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, PERQUERY_LOG)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            entries = [json.loads(ln) for ln in fh if ln.strip()]
+    except (OSError, ValueError):
+        return None, {}
+    for e in reversed(entries):
+        if e.get("sf") == sf and isinstance(e.get("queries"), dict):
+            return f"{PERQUERY_LOG}@{e.get('ts')}", dict(e["queries"])
+    return None, {}
+
+
+def _record_full_map(sf: float | None, timings: dict[str, float]) -> None:
+    """Append this run's full per-query map to BENCH_PERQUERY.jsonl
+    (bounded to the last 12 entries) so the NEXT round's delta_vs_prev is
+    computed over the whole board, not the stdout tail's ~60 queries."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, PERQUERY_LOG)
+    entries: list[dict] = []
+    try:
+        with open(path, encoding="utf-8") as fh:
+            entries = [json.loads(ln) for ln in fh if ln.strip()]
+    except (OSError, ValueError):
+        pass
+    entries.append(
+        {
+            "ts": int(time.time()),
+            "sf": sf,
+            "total": round(sum(timings.values()), 3),
+            "n_queries": len(timings),
+            "queries": timings,
+        }
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for e in entries[-12:]:
+            fh.write(json.dumps(e) + "\n")
+    os.replace(tmp, path)
+
+
 def _prev_round_tail_queries() -> tuple[str | None, dict[str, float]]:
     """Parse the newest BENCH_r*.json's recorded stdout tail into the
     per-query map it managed to capture (the driver stores a bounded
@@ -420,8 +470,12 @@ def main() -> None:
         )
     )
 
-    # regression summary vs the prior round's recorded tail
-    prev_name, prev = _prev_round_tail_queries()
+    # regression summary: prefer the full per-query log of a prior run
+    # (whole-board baseline); fall back to the prior BENCH tail (~60
+    # queries) when no same-sf full map exists yet
+    prev_name, prev = _prev_full_map(float(sf) if sf else None)
+    if not prev:
+        prev_name, prev = _prev_round_tail_queries()
     common = sorted(set(prev) & set(timings))
     delta: dict[str, object] = {"prev": prev_name, "n_common": len(common)}
     if common:
@@ -437,6 +491,7 @@ def main() -> None:
             for r, q in ratios[-5:][::-1]
             if r >= 1.5 and timings[q] - prev[q] >= 0.5
         }
+    _record_full_map(float(sf) if sf else None, timings)
 
     # The driver records only a fixed-size stdout TAIL; the full per-query
     # line above overflows it at 80+ queries (round 4 recorded

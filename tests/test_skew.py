@@ -346,3 +346,88 @@ def test_salted_anti_join_rejects_other_hows(spark):
     df = spark.range(2).selectExpr("id as k")
     with pytest.raises(ValueError):
         salted_anti_join(df, df, "k", how="inner")
+
+
+def test_routed_anti_join_rungs_and_equivalence(spark):
+    """routed_anti_join picks the documented rung at each threshold and all
+    three rungs return the identical row multiset (SURVEY §4 ladder)."""
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        AntiJoinRouting,
+        routed_anti_join,
+    )
+
+    facts = spark.createDataFrame(
+        # hot key 'a': 120 rows vs ~1/key tail -> max/mean >> 8
+        [("a", i) for i in range(120)]
+        + [(f"k{i}", i) for i in range(30)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("a",)] + [(f"k{i}",) for i in range(0, 30, 2)], "k string"
+    )
+    want = facts.join(dim, "k", "left_anti")
+
+    # rung 1: dim fits the broadcast budget
+    rep = {}
+    got = routed_anti_join(facts, dim, "k", report=rep)
+    assert rep["rung"] == "broadcast" and rep["n_keys"] == 16
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # rung 3: over budget + hot fact key -> salted
+    tight = AntiJoinRouting(broadcast_max_keys=4, skew_factor=8.0, n_salts=5)
+    rep = {}
+    got = routed_anti_join(facts, dim, "k", routing=tight, report=rep)
+    assert rep["rung"] == "salted" and rep["skew"] > 8.0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # rung 2: over budget, fact key NOT hot -> LEFT OUTER + null filter
+    flat_facts = spark.createDataFrame(
+        [(f"k{i % 40}", i) for i in range(200)], "k string, v int"
+    )
+    flat_want = flat_facts.join(dim, "k", "left_anti")
+    rep = {}
+    got = routed_anti_join(flat_facts, dim, "k", routing=tight, report=rep)
+    assert rep["rung"] == "outer_null" and rep["skew"] < 8.0
+    assert (
+        got.exceptAll(flat_want).count() == 0
+        and flat_want.exceptAll(got).count() == 0
+    )
+    assert got.columns == flat_facts.columns  # _hit marker dropped
+
+
+def test_routed_anti_join_semi_and_composite_key(spark):
+    """left_semi routing + composite (os, uuid) key — the J2 blacklist
+    shape — on every rung; dim duplicates must not duplicate left rows."""
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        AntiJoinRouting,
+        routed_anti_join,
+    )
+
+    facts = spark.createDataFrame(
+        [("ios", f"u{i % 9}", i) for i in range(90)]
+        + [("android", "hot", i) for i in range(200)],
+        "os string, uuid string, v int",
+    )
+    dim = spark.createDataFrame(
+        # duplicate blacklist rows on purpose
+        [("android", "hot"), ("android", "hot"), ("ios", "u3")],
+        "os string, uuid string",
+    )
+    for how in ("left_anti", "left_semi"):
+        want = facts.join(dim.distinct(), ["os", "uuid"], how)
+        for routing in (
+            AntiJoinRouting(),  # broadcast
+            AntiJoinRouting(broadcast_max_keys=1, skew_factor=2.0),  # salted
+            AntiJoinRouting(broadcast_max_keys=1, skew_factor=1e9),  # outer_null
+        ):
+            rep = {}
+            got = routed_anti_join(
+                facts, dim, ["os", "uuid"], how=how, routing=routing, report=rep
+            )
+            assert got.exceptAll(want).count() == 0, (how, rep)
+            assert want.exceptAll(got).count() == 0, (how, rep)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        routed_anti_join(facts, dim, ["os", "uuid"], how="inner")
