@@ -77,12 +77,110 @@ def _file_sha256(path: str) -> str:
     return h.hexdigest()
 
 
+# --- ONNX model-file support (public onnx.proto field numbers) ------------
+#
+# A REAL serialized ONNX model is accepted at the same seam as .npy: the
+# engine parses the protobuf itself with the repo's wire codec
+# (sources/protowire.py), so no onnxruntime is required to SERVE a pure
+# linear model — and when onnxruntime IS importable, tests cross-check the
+# parsed weights against a real session run (tests/test_inference_onnx.py).
+# Accepted graph shape: exactly one MatMul node y = MatMul(x, W) with W a
+# (784, 10) float/double initializer — anything else fails loudly (a model
+# with activations must run under a real runtime, never be silently
+# approximated by its first layer).
+#
+# Field numbers from the public onnx/onnx.proto:
+#   ModelProto: ir_version=1, producer_name=2, graph=7, opset_import=8
+#   GraphProto: node=1, name=2, initializer=5, input=11, output=12
+#   NodeProto:  input=1, output=2, name=3, op_type=4, domain=7
+#   TensorProto: dims=1, data_type=2, float_data=4, name=8, raw_data=9,
+#                double_data=10   (data_type: FLOAT=1, DOUBLE=11)
+
+
+def _onnx_specs():
+    from ..sources.protowire import Field, Spec
+
+    tensor = Spec("TensorProto", (
+        Field(1, "dims", "packed_int64"),
+        Field(2, "data_type", "int32"),
+        Field(8, "name", "string"),
+        Field(9, "raw_data", "bytes"),
+    ))
+    node = Spec("NodeProto", (
+        Field(1, "input", "string", repeated=True),
+        Field(2, "output", "string", repeated=True),
+        Field(3, "name", "string"),
+        Field(4, "op_type", "string"),
+        Field(7, "domain", "string"),
+    ))
+    graph = Spec("GraphProto", (
+        Field(1, "node", "message", repeated=True, message=node),
+        Field(2, "name", "string"),
+        Field(5, "initializer", "message", repeated=True, message=tensor),
+    ))
+    opset = Spec("OperatorSetIdProto", (
+        Field(1, "domain", "string"),
+        Field(2, "version", "int64"),
+    ))
+    model = Spec("ModelProto", (
+        Field(1, "ir_version", "int64"),
+        Field(2, "producer_name", "string"),
+        Field(7, "graph", "message", message=graph),
+        Field(8, "opset_import", "message", repeated=True, message=opset),
+    ))
+    return model
+
+
+def _load_onnx_matmul_weights(path: str) -> np.ndarray:
+    """Extract the (784, 10) weight matrix from a serialized ONNX model
+    whose graph is the single node y = MatMul(x, W). Unknown fields
+    (doc strings, value infos, metadata) are skipped by the wire decoder,
+    so models exported by real tools parse fine; a graph that is NOT a
+    single MatMul raises instead of being silently linearized."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    from ..sources.protowire import decode_message
+
+    model = decode_message(buf, _onnx_specs())
+    graph = model.get("graph")
+    if not graph:
+        raise ValueError(f"{path!r}: ONNX ModelProto has no graph")
+    nodes = graph["node"]
+    if len(nodes) != 1 or nodes[0]["op_type"] != "MatMul" or nodes[0]["domain"]:
+        raise ValueError(
+            f"{path!r}: expected a single default-domain MatMul node, got "
+            + str([(n["op_type"], n["domain"]) for n in nodes])
+        )
+    inits = {t["name"]: t for t in graph["initializer"]}
+    w_name = nodes[0]["input"][1] if len(nodes[0]["input"]) > 1 else None
+    if w_name not in inits:
+        raise ValueError(
+            f"{path!r}: MatMul's second input {w_name!r} has no initializer"
+        )
+    t = inits[w_name]
+    dims = tuple(t["dims"])
+    np_type = {1: np.dtype("<f4"), 11: np.dtype("<f8")}.get(t["data_type"])
+    if np_type is None:
+        raise ValueError(
+            f"{path!r}: initializer {w_name!r} data_type {t['data_type']}"
+            " is not FLOAT(1)/DOUBLE(11)"
+        )
+    raw = t["raw_data"]
+    if len(dims) != 2 or len(raw) != np_type.itemsize * dims[0] * dims[1]:
+        raise ValueError(
+            f"{path!r}: initializer {w_name!r} dims {dims} / raw_data"
+            f" {len(raw)} bytes inconsistent for {np_type}"
+        )
+    return np.frombuffer(raw, dtype=np_type).reshape(dims)
+
+
 def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndarray:
     """(784, 10) float64 weight matrix, cached per (process, path).
 
-    ``path`` names a ``.npy`` file holding a trained (784, 10) matrix —
-    it must be worker-visible (shared FS or --files-shipped). ``None``
-    selects the deterministic formula stand-in
+    ``path`` names a trained (784, 10) matrix — a ``.npy`` file or a
+    serialized single-MatMul ``.onnx`` model (see
+    _load_onnx_matmul_weights); it must be worker-visible (shared FS or
+    --files-shipped). ``None`` selects the deterministic formula stand-in
     w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1] (the sandbox has
     no TF; the batching/argmax/score contract is identical either way).
 
@@ -103,7 +201,10 @@ def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndar
                         f"{MODEL_WEIGHTS_ENV} file {path!r} sha256 {actual}"
                         f" != expected {expect_digest}"
                     )
-            w = np.load(path)
+            if path.endswith(".onnx"):
+                w = _load_onnx_matmul_weights(path)
+            else:
+                w = np.load(path)
             if w.shape != (FEATURE_DIM, N_CLASSES):
                 raise ValueError(
                     f"{MODEL_WEIGHTS_ENV} file {path!r} has shape {w.shape},"
@@ -166,8 +267,9 @@ def predict(
     (_load_weights cache).
 
     Provenance: every output row carries ``model_id`` — "formula-v1" for
-    the deterministic stand-in, "npy-sha256:<12 hex>" for a file
-    artifact. The digest is computed on the DRIVER at plan-build time
+    the deterministic stand-in, "npy-sha256:<12 hex>" /
+    "onnx-sha256:<12 hex>" for a file artifact (.npy matrix or serialized
+    single-MatMul ONNX model). The digest is computed on the DRIVER at plan-build time
     (fails fast on a missing/wrong file) and shipped to workers as the
     expected digest, so every worker process verifies its local copy's
     bytes before serving predictions from it; pin an external expectation
@@ -187,7 +289,8 @@ def predict(
                 f"{MODEL_WEIGHTS_ENV} file {weights_path!r} sha256"
                 f" {expect_digest} != pinned {MODEL_DIGEST_ENV}={pinned}"
             )
-        model_id = f"npy-sha256:{expect_digest[:12]}"
+        kind = "onnx" if weights_path.endswith(".onnx") else "npy"
+        model_id = f"{kind}-sha256:{expect_digest[:12]}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = _load_weights(weights_path, expect_digest)

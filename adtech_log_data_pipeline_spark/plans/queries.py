@@ -179,14 +179,19 @@ def _relational(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _hygienic(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
-    """Release the PREVIOUS query's held/persisted intermediates before
-    building the next one: a long-lived session running many declared
-    queries caches at most one query's worth of frames at a time
-    (functions/_cache.py registry)."""
+    """Release the PREVIOUS query's held/persisted intermediates AND its
+    app-status KVStore residue before building the next one: a long-lived
+    session running many declared queries caches at most one query's
+    worth of frames (functions/_cache.py registry) and retains at most
+    one query's worth of task/stage/job/SQL-execution status entries
+    (functions/_hygiene.py — the ~4-5 MB/query JVM residue that OOMed a
+    bare 1 GiB session mid-board at sf0.1 in round 9)."""
     from ..functions._cache import release_cached
+    from ..functions._hygiene import trim_status_store
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_cached()
+        trim_status_store(spark)
         return fn(spark, sf_dir)
 
     run.__doc__ = fn.__doc__

@@ -314,9 +314,13 @@ def decode_message(buf: bytes, spec: Spec) -> dict[str, Any]:
             pos += n
             if f.kind == "string":
                 try:
-                    msg[f.name] = payload.decode("utf-8")
+                    s = payload.decode("utf-8")
                 except UnicodeDecodeError as e:
                     raise WireError("invalid UTF-8") from e
+                if f.repeated:
+                    msg[f.name].append(s)
+                else:
+                    msg[f.name] = s
             elif f.kind == "bytes":
                 if f.repeated:
                     msg[f.name].append(payload)
@@ -366,8 +370,9 @@ def encode_message(msg: dict[str, Any], spec: Spec) -> bytes:
                 _write_varint(out, f.number << 3 | _WIRE_I64)
                 out += _struct.pack("<d", float(v))
         elif f.kind == "string":
-            if v:
-                raw = v.encode("utf-8")
+            vals = v if f.repeated else ([v] if v else [])
+            for s in vals:
+                raw = s.encode("utf-8")
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, len(raw))
                 out += raw

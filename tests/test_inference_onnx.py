@@ -1,0 +1,255 @@
+"""R4 real-model seam: a serialized ONNX model file through
+$SPARK_GRAFT_MODEL_WEIGHTS / predict(weights_path=...) must produce the
+same argmax/score contract as the .npy path and the formula stand-in
+(reference: the TF SavedModel session, D/transforms/Predictions.java:146-169
+— the one integration a real user exercises that the oracle gate cannot).
+
+The model bytes are REAL ONNX wire format (ModelProto per the public
+onnx/onnx.proto), built with the repo's own protobuf codec; when the
+``onnx``/``onnxruntime`` packages happen to be importable the tests
+additionally checker-validate the bytes and cross-run the session — in
+this sandbox neither is installed, so those sections self-skip while the
+parse/serve path still runs for real."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from adtech_log_data_pipeline_spark.operators.inference import (
+    FEATURE_DIM,
+    N_CLASSES,
+    _load_onnx_matmul_weights,
+    _load_weights,
+    _onnx_specs,
+    predict,
+)
+from adtech_log_data_pipeline_spark.sources.protowire import encode_message
+
+
+def _onnx_writer_specs():
+    """Encoder-side spec superset: the engine's loader spec plus the
+    graph input/output ValueInfoProto fields (11/12) the onnx.checker
+    requires — the loader skips them as unknown fields, the checker needs
+    them to type the graph. Field numbers from the public onnx.proto."""
+    from adtech_log_data_pipeline_spark.sources.protowire import Field, Spec
+
+    base = _onnx_specs()
+    graph = base.by_number[7].message
+    dim = Spec("Dimension", (
+        Field(1, "dim_value", "int64"),
+        Field(2, "dim_param", "string"),
+    ))
+    shape = Spec("TensorShapeProto", (
+        Field(1, "dim", "message", repeated=True, message=dim),
+    ))
+    ttype = Spec("TensorTypeProto", (
+        Field(1, "elem_type", "int32"),
+        Field(2, "shape", "message", message=shape),
+    ))
+    typ = Spec("TypeProto", (
+        Field(1, "tensor_type", "message", message=ttype),
+    ))
+    vinfo = Spec("ValueInfoProto", (
+        Field(1, "name", "string"),
+        Field(2, "type", "message", message=typ),
+    ))
+    graph_w = Spec("GraphProto", graph.fields + (
+        Field(11, "input", "message", repeated=True, message=vinfo),
+        Field(12, "output", "message", repeated=True, message=vinfo),
+    ))
+    return Spec("ModelProto", tuple(
+        Field(f.number, f.name, f.kind, f.repeated,
+              graph_w if f.number == 7 else f.message)
+        for f in base.fields
+    ))
+
+
+def _vinfo(name: str, elem_type: int, cols: int) -> dict:
+    return {
+        "name": name,
+        "type": {
+            "tensor_type": {
+                "elem_type": elem_type,
+                "shape": {"dim": [
+                    {"dim_value": 0, "dim_param": "N"},
+                    {"dim_value": cols, "dim_param": ""},
+                ]},
+            }
+        },
+    }
+
+
+def _matmul_model_bytes(
+    w: np.ndarray, data_type: int | None = None, extra_node: bool = False
+) -> bytes:
+    """Serialize y = MatMul(x, W) as an ONNX ModelProto (opset 13)."""
+    if data_type is None:
+        data_type = 11 if w.dtype == np.float64 else 1
+    le = w.astype("<f8" if data_type == 11 else "<f4")
+    spec = _onnx_writer_specs()
+    nodes = [
+        {
+            "input": ["x", "W"],
+            "output": ["y"],
+            "name": "linear",
+            "op_type": "MatMul",
+            "domain": "",
+        }
+    ]
+    if extra_node:
+        nodes.append(
+            {
+                "input": ["y"],
+                "output": ["z"],
+                "name": "act",
+                "op_type": "Relu",
+                "domain": "",
+            }
+        )
+    out_name = "z" if extra_node else "y"
+    model = {
+        "ir_version": 8,
+        "producer_name": "spark-graft-test",
+        "graph": {
+            "node": nodes,
+            "name": "linear_clf",
+            "initializer": [
+                {
+                    "dims": list(w.shape),
+                    "data_type": data_type,
+                    "name": "W",
+                    "raw_data": le.tobytes(),
+                }
+            ],
+            "input": [_vinfo("x", data_type, w.shape[0])],
+            "output": [_vinfo(out_name, data_type, w.shape[1])],
+        },
+        "opset_import": [{"domain": "", "version": 13}],
+    }
+    return encode_message(model, spec)
+
+
+def _weights(seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((FEATURE_DIM, N_CLASSES)).astype(np.float64)
+
+
+def test_onnx_parse_roundtrip(tmp_path):
+    w = _weights()
+    p = tmp_path / "model.onnx"
+    p.write_bytes(_matmul_model_bytes(w))
+    got = _load_onnx_matmul_weights(str(p))
+    np.testing.assert_array_equal(got, w)
+
+
+def test_onnx_float32_casts_to_float64(tmp_path):
+    w32 = _weights().astype(np.float32)
+    p = tmp_path / "model32.onnx"
+    p.write_bytes(_matmul_model_bytes(w32))
+    got = _load_weights(str(p))
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, w32.astype(np.float64))
+
+
+def test_onnx_rejects_non_linear_graphs(tmp_path):
+    w = _weights()
+    p = tmp_path / "bad.onnx"
+    p.write_bytes(_matmul_model_bytes(w, extra_node=True))
+    with pytest.raises(ValueError, match="single default-domain MatMul"):
+        _load_onnx_matmul_weights(str(p))
+
+    p2 = tmp_path / "bad_dims.onnx"
+    p2.write_bytes(_matmul_model_bytes(_weights()[:100]))
+    with pytest.raises(ValueError):
+        _load_weights(str(p2))  # (100, 10) fails the shape contract
+
+    p3 = tmp_path / "bad_type.onnx"
+    p3.write_bytes(_matmul_model_bytes(w, data_type=7))  # INT64
+    with pytest.raises(ValueError, match="FLOAT"):
+        _load_onnx_matmul_weights(str(p3))
+
+
+def _feature_frame(spark):
+    rows = [
+        ("android", f"{c}BCDEF01-0000-4000-8000-00000000000{i}", 1500000000 + i * 977,
+         5 + i, 2, 10 + i, 100 * i, 0.1 * i, 0.05 * i, 0.2, 0.3)
+        for i, c in enumerate("ABCDEF")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "os string, uuid string, first_at long, app_count int,"
+        " intersect_app long, intersect_purchaser long, intersect_amount long,"
+        " f486 double, f586 double, f686 double, f777 double",
+    )
+
+
+def test_onnx_and_npy_same_predictions_distinct_provenance(spark, tmp_path):
+    """The SAME matrix served from .npy and .onnx must yield identical
+    (prediction, score) rows — and each run's model_id must carry its own
+    file digest, so provenance distinguishes the artifacts even when the
+    math agrees."""
+    w = _weights()
+    npy = tmp_path / "w.npy"
+    np.save(npy, w)
+    onnx = tmp_path / "w.onnx"
+    onnx.write_bytes(_matmul_model_bytes(w))
+
+    fi = _feature_frame(spark)
+    out_npy = predict(fi, weights_path=str(npy)).collect()
+    out_onnx = predict(fi, weights_path=str(onnx)).collect()
+
+    key = lambda r: (r["os"], r["uuid"])
+    by_npy = {key(r): (r["prediction"], r["score"]) for r in out_npy}
+    by_onnx = {key(r): (r["prediction"], r["score"]) for r in out_onnx}
+    assert by_npy == by_onnx and len(by_npy) == 6
+
+    ids_npy = {r["model_id"] for r in out_npy}
+    ids_onnx = {r["model_id"] for r in out_onnx}
+    assert len(ids_npy) == 1 and next(iter(ids_npy)).startswith("npy-sha256:")
+    assert len(ids_onnx) == 1 and next(iter(ids_onnx)).startswith("onnx-sha256:")
+
+    import hashlib
+
+    assert next(iter(ids_onnx)) == (
+        "onnx-sha256:" + hashlib.sha256(onnx.read_bytes()).hexdigest()[:12]
+    )
+
+    # and the formula stand-in still differs in provenance but honors the
+    # same schema/contract
+    out_f = predict(fi).collect()
+    assert {r["model_id"] for r in out_f} == {"formula-v1"}
+    assert {type(r["prediction"]) for r in out_f} == {int}
+
+
+def test_onnx_env_var_routing(spark, tmp_path, monkeypatch):
+    """$SPARK_GRAFT_MODEL_WEIGHTS pointing at the .onnx artifact routes the
+    whole predict() path through the parsed model (driver-resolved digest,
+    worker-verified bytes)."""
+    w = _weights(11)
+    onnx = tmp_path / "env.onnx"
+    onnx.write_bytes(_matmul_model_bytes(w))
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_WEIGHTS", str(onnx))
+    out = predict(_feature_frame(spark)).collect()
+    assert len(out) == 6
+    assert all(r["model_id"].startswith("onnx-sha256:") for r in out)
+
+
+def test_onnx_bytes_validate_under_real_toolchain(tmp_path):
+    """When the real `onnx` package is importable, the generated bytes must
+    parse under it and checker-validate; when `onnxruntime` is importable,
+    the session's output must equal the engine's parsed-matrix matmul.
+    (Both self-skip in this sandbox — the seam stays honest wherever the
+    real toolchain exists.)"""
+    onnx_pkg = pytest.importorskip("onnx")
+    w = _weights()
+    m = onnx_pkg.load_from_string(_matmul_model_bytes(w))
+    onnx_pkg.checker.check_model(m)
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        return
+    sess = ort.InferenceSession(m.SerializeToString())
+    x = np.random.default_rng(3).standard_normal((4, FEATURE_DIM)).astype(np.float64)
+    (y,) = sess.run(None, {"x": x})
+    np.testing.assert_allclose(y, x @ w, rtol=1e-12)
