@@ -93,6 +93,100 @@ def dsir_selection(
 
 
 # ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: hashed feature-space width (buckets) for quality_classifier
+QC_N_BUCKETS = 512
+
+#: positive proxy-label slice (the reference-corpus convention DSIR uses)
+QC_POSITIVE_LANG = "en"
+
+
+def quality_classifier(
+    documents: DataFrame,
+    n_buckets: int = QC_N_BUCKETS,
+    positive_lang: str = QC_POSITIVE_LANG,
+) -> DataFrame:
+    """Distributed linear quality-classifier scoring pass — the
+    fastText-style hashed bag-of-words scorer every large curation
+    pipeline runs between heuristic filtering and selection (the GPT-3 /
+    CCNet quality-filter recipe): hash each token into a FIXED number of
+    feature buckets, learn one integer weight per bucket from a labeled
+    reference slice, score every document by the exact sum of its tokens'
+    bucket weights, and classify on the margin's sign.
+
+    Proxy labels, self-contained like dsir_selection's target: positive =
+    the ``positive_lang`` slice (standing in for "reference-quality
+    text"), negative = the rest. Per-bucket weight = the integer
+    log2-bucket class log-odds,
+
+        w_b = bitlen(c_pos_b + 1) - bitlen(c_neg_b + 1)
+
+    (``length(bin(x))`` in both engines — the board's ln-free idiom), and
+    a document's margin is the exact bigint sum of w over its token
+    OCCURRENCES. pred = 1 iff margin > 0. No division anywhere, so the
+    DuckDB oracle hash-matches bit-for-bit.
+
+    The bucket hash is the engine's portable md5 idiom (first 8 hex chars
+    as a bigint, mod ``n_buckets``) — reshuffle/reingestion-proof, and
+    identical in Spark (conv) and DuckDB ('0x' cast).
+
+    Why hashed buckets instead of the raw vocabulary: the weight relation
+    is ``n_buckets`` rows REGARDLESS of corpus size — at 100 TB the
+    vocabulary is billions of tokens and a vocab-keyed weight table stops
+    being broadcastable, while the hashed model stays a few KB forever
+    (collisions are the accepted fastText trade). The scoring pass is one
+    token scan -> bucket hash agg (n_buckets rows after map-side combine)
+    -> broadcast weights -> one map-side join + per-doc hash agg. Nothing
+    corpus-sized shuffles beyond the doc-keyed aggregation itself.
+
+    Output: (doc_id, lang, n_tokens, margin, pred) for EVERY document.
+    """
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col()).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+            f" % {int(n_buckets)}"
+        ),
+    )
+    buckets = toks.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == positive_lang, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("c_pos"),
+        F.sum(
+            F.when(F.col("lang") == positive_lang, F.lit(0)).otherwise(F.lit(1))
+        ).cast("bigint").alias("c_neg"),
+    )
+    weights = buckets.select(
+        "bucket",
+        (
+            F.length(F.expr("bin(c_pos + 1)")).cast("bigint")
+            - F.length(F.expr("bin(c_neg + 1)")).cast("bigint")
+        ).alias("wt"),
+    )
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wt").cast("bigint").alias("margin"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "margin",
+            (F.col("margin") > 0).cast("int").alias("pred"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # implicit-feedback negative sampling
 # ---------------------------------------------------------------------------
 

@@ -2300,6 +2300,18 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_selection(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scorer (functions/select.py::
+    quality_classifier): fastText-style 512-bucket hashed bag-of-words,
+    integer log2-bucket class log-odds learned from the English slice,
+    exact bigint per-document margin, pred = sign(margin) — completes the
+    curate -> select -> train loop next to dsir_selection with a model
+    whose weight relation stays broadcast-sized at any corpus scale."""
+    from ..functions.select import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate (functions/privacy.py::k_anonymity_audit):
     k-anonymity / l-diversity census of the customer quasi-identifiers
@@ -2315,6 +2327,7 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "dsir_selection": q_dsir_selection,
+    "quality_classifier": q_quality_classifier,
     "retrieval_mrr": q_retrieval_mrr,
     "conformal_coverage": q_conformal_coverage,
     "copurchase_kcore": q_copurchase_kcore,
@@ -4804,6 +4817,32 @@ FROM cls GROUP BY width
     # DSIR importance selection restated: one vocab pass with the
     # conditional target count, the same bin()-length log2 buckets as
     # bm25/zipf, exact bigint sums, top-50 with no division anywhere
+    # hashed-feature linear classifier restated: same md5 bucket hash,
+    # same bin()-length class log-odds, same exact bigint margin sum
+    "quality_classifier": f"""
+WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bucket
+  FROM t),
+b AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_neg
+  FROM h GROUP BY bucket),
+w AS (
+  SELECT bucket,
+         CAST(length(bin(c_pos + 1)) AS BIGINT)
+           - CAST(length(bin(c_neg + 1)) AS BIGINT) AS wt
+  FROM b)
+SELECT h.doc_id, h.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.wt) AS BIGINT) AS margin,
+       CAST(CASE WHEN sum(w.wt) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+FROM h JOIN w USING (bucket)
+GROUP BY h.doc_id, h.lang
+""",
     "dsir_selection": f"""
 WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
 vocab AS (

@@ -217,13 +217,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # Round-10 rotation record, COMPUTED from the CORRECTNESS_r01..r09
 # artifacts (last-green round per query, ascending, stable by declared
-# order — the protocol set by the round-7 verdict): all 206 queries have
-# at least one green driver row, so the window is the 43 stalest greens —
-# the 27 r5-greens (the r9 tail-head promote queue, honored verbatim)
-# followed by the 16 oldest r6-greens. After this round gates them,
-# min(last-green) across the board is r6 (27 r6-greens remain, promoted
-# to the tail head for round 11). The window stays exactly parity-7 + 43.
+# order — the protocol set by the round-7 verdict): all 206 prior queries
+# have at least one green driver row, so the window is the round-10 NEW
+# queries (0 greens beat all) followed by the stalest greens — the 27
+# r5-greens (the r9 tail-head promote queue, honored verbatim) and the
+# oldest r6-greens. Each new query displaces the window's last green to
+# the TAIL HEAD. After this round gates them, min(last-green) across the
+# board is r6. The window stays exactly parity-7 + 43.
 _GATE_FIRST = [
+    "quality_classifier",
     "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
@@ -266,13 +268,13 @@ _GATE_FIRST = [
     "forecast_revenue",
     "volume_shipping",
     "market_share",
-    "promo_revenue_share",
 ]
-# The tail: every remaining query ordered last-green ASCENDING (the 27
-# remaining r6-greens FIRST — the round-11 promote queue — then the r7,
-# r8 and r9 cohorts), so future rotations keep promoting from the tail
-# head.
+# The tail: every remaining query ordered last-green ASCENDING (greens
+# displaced from the window by round-10 additions FIRST, then the
+# remaining r6 cohort — the round-11 promote queue — then the r7, r8 and
+# r9 cohorts), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "promo_revenue_share",
     "large_volume_customers",
     "idle_rich_customers",
     "dedup_cap_audit",

@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "bm25_prf_search",
     "training_negatives",
     "target_encoding",
+    # round-10 additions
+    "quality_classifier",
 ]
 
 

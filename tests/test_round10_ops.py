@@ -1,0 +1,114 @@
+"""Round-10 operators: hashed-feature linear quality classifier —
+hand-computed laws and a pure-Python replay, not snapshots."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _bucket(tok: str, n: int = 512) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+
+def _bitlen(x: int) -> int:
+    return x.bit_length()
+
+
+class TestQualityClassifier:
+    def test_pure_python_replay(self, spark):
+        """Recompute bucket counts, weights and margins in plain Python on
+        a small corpus; every document's (n_tokens, margin, pred) must
+        match exactly."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            quality_classifier,
+        )
+
+        rows = [
+            (1, "en", "the quick brown fox"),
+            (2, "en", "the lazy dog sleeps"),
+            (3, "de", "der schnelle braune fuchs"),
+            (4, "de", "the dog der fuchs"),
+            (5, "fr", "  le renard  rapide "),
+        ]
+        toks = []
+        for doc_id, lang, text in rows:
+            for tok in text.strip().lower().split():
+                toks.append((doc_id, lang, _bucket(tok)))
+        c_pos, c_neg = {}, {}
+        for _, lang, b in toks:
+            if lang == "en":
+                c_pos[b] = c_pos.get(b, 0) + 1
+            else:
+                c_neg[b] = c_neg.get(b, 0) + 1
+        buckets = set(c_pos) | set(c_neg)
+        wt = {
+            b: _bitlen(c_pos.get(b, 0) + 1) - _bitlen(c_neg.get(b, 0) + 1)
+            for b in buckets
+        }
+        want = {}
+        for doc_id, lang, _ in rows:
+            mine = [b for d, _, b in toks if d == doc_id]
+            margin = sum(wt[b] for b in mine)
+            want[doc_id] = (len(mine), margin, 1 if margin > 0 else 0)
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["margin"], r["pred"])
+            for r in quality_classifier(_docs(spark, rows)).collect()
+        }
+        assert got == want
+        # sanity on the fixture itself: both classes actually occur
+        assert {v[2] for v in got.values()} == {0, 1}
+
+    def test_weight_relation_is_bucket_bounded(self, spark):
+        """However large the vocabulary, the learned model has at most
+        n_buckets rows — the property that keeps it broadcastable at any
+        corpus size."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            quality_classifier,
+        )
+
+        rows = [
+            (i, "en" if i % 2 == 0 else "xx", " ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(30)
+        ]
+        docs = _docs(spark, rows)
+        out = quality_classifier(docs, n_buckets=16)
+        assert out.count() == 30
+        # distinct buckets actually used <= 16 even with 600 distinct tokens
+        used = (
+            docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"))
+            .select(
+                F.expr(
+                    "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % 16"
+                ).alias("b")
+            )
+            .distinct()
+            .count()
+        )
+        assert used <= 16
+
+    def test_repartition_invariance(self, spark):
+        """Margins are pure functions of content — reshuffling the corpus
+        never changes a single classification."""
+        from adtech_log_data_pipeline_spark.functions.select import (
+            quality_classifier,
+        )
+
+        rows = [
+            (i, ["en", "de", "fr"][i % 3], f"alpha beta w{i} gamma")
+            for i in range(40)
+        ]
+        docs = _docs(spark, rows)
+        a = {
+            r["doc_id"]: (r["margin"], r["pred"])
+            for r in quality_classifier(docs).collect()
+        }
+        b = {
+            r["doc_id"]: (r["margin"], r["pred"])
+            for r in quality_classifier(docs.repartition(13, "lang")).collect()
+        }
+        assert a == b
