@@ -117,6 +117,106 @@ def auc_exact(
     )
 
 
+def pr_curve_exact(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Exact precision/recall operating curve of an integer score against
+    a 0/1 label: one row per DISTINCT score t, counting the confusion at
+    the rule "predict positive iff score >= t".
+
+    All integers, no floats: tp/fp/fn are exact bigints from cumulative
+    at-or-above counts; precision/recall/F1 are floor-divided ppm
+    (operands non-negative, so Spark `div` == DuckDB `//`). With no
+    positive rows recall/F1 are undefined: -1 sentinel, stated
+    identically in the oracle. F1 uses the ppm quotients (the standard
+    report convention): f1 = 2·p·r/(p+r) over the ppm values, -1 when
+    p+r = 0.
+
+    Scale shape, identical to auc_exact: one hash agg to distinct scores
+    (bounded by the score DOMAIN — for token-sum margins that is the
+    weight-range x document-length envelope, not the corpus size), the
+    same two-phase prefix scan (phase-2 window over per-bucket totals
+    only, no global sort), one broadcast 1-row totals join. The curve
+    relation itself is score-domain-sized, never corpus-sized.
+    """
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("label").alias("pos"),
+            F.sum(F.lit(1) - F.col("label")).alias("neg"),
+        )
+    )
+    # at-or-above prefix via the descending trick: scan strictly-below on
+    # the NEGATED score (strictly below -s == strictly above s), both
+    # classes in one pass
+    b = int(bucket_width)
+    neg_keyed = per_score.withColumn("k", -F.col("s")).withColumn(
+        "bucket", F.expr(f"k div {b}")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = neg_keyed.withColumn(
+        "loc_pos", F.sum("pos").over(w_local)
+    ).withColumn("loc_neg", F.sum("neg").over(w_local))
+    totals = local.groupBy("bucket").agg(
+        F.sum("pos").alias("b_pos"), F.sum("neg").alias("b_neg")
+    )
+    w_enter = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_pos").over(w_enter), F.lit(0)).alias("ent_pos"),
+        F.coalesce(F.sum("b_neg").over(w_enter), F.lit(0)).alias("ent_neg"),
+    )
+    cum = (
+        local.join(offsets, "bucket")
+        .withColumn("tp", F.col("ent_pos") + F.col("loc_pos"))
+        .withColumn("fp", F.col("ent_neg") + F.col("loc_neg"))
+    )
+    grand = per_score.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("p_total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(grand))
+        .select(
+            F.col("s").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("p_total") - F.col("tp")).cast("long").alias("fn"),
+            F.expr("(1000000 * tp) div (tp + fp)")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN p_total = 0 THEN -1"
+                " ELSE (1000000 * tp) div p_total END"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .withColumn(
+            "f1_ppm",
+            F.expr(
+                "CASE WHEN recall_ppm = -1 THEN -1"
+                " WHEN precision_ppm + recall_ppm = 0 THEN -1"
+                " ELSE (2 * precision_ppm * recall_ppm)"
+                " div (precision_ppm + recall_ppm) END"
+            ).cast("long"),
+        )
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     *,

@@ -2312,6 +2312,23 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(_docs(spark, sf_dir))
 
 
+def q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point audit for the quality classifier
+    (functions/evaluate.py::pr_curve_exact over quality_classifier
+    margins, label = the English proxy slice): per distinct margin
+    threshold, the exact tp/fp/fn confusion and floor-divided ppm
+    precision/recall/F1 — the report that picks the keep-threshold
+    before a curation run. Same two-phase prefix scan as score_auc; the
+    curve relation is margin-domain-sized, never corpus-sized."""
+    from ..functions.evaluate import pr_curve_exact
+    from ..functions.select import quality_classifier
+
+    qc = quality_classifier(_docs(spark, sf_dir)).select(
+        "margin", (F.col("lang") == "en").cast("long").alias("label")
+    )
+    return pr_curve_exact(qc, score_col="margin", label_col="label")
+
+
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate (functions/privacy.py::k_anonymity_audit):
     k-anonymity / l-diversity census of the customer quasi-identifiers
@@ -2328,6 +2345,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "dsir_selection": q_dsir_selection,
     "quality_classifier": q_quality_classifier,
+    "quality_pr_curve": q_quality_pr_curve,
     "retrieval_mrr": q_retrieval_mrr,
     "conformal_coverage": q_conformal_coverage,
     "copurchase_kcore": q_copurchase_kcore,
@@ -4842,6 +4860,63 @@ SELECT h.doc_id, h.lang, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(CASE WHEN sum(w.wt) > 0 THEN 1 ELSE 0 END AS INT) AS pred
 FROM h JOIN w USING (bucket)
 GROUP BY h.doc_id, h.lang
+""",
+    # PR operating curve restated: same margins (CTE chain above), naive
+    # single-window cumulative at-or-above — must equal the engine's
+    # two-phase prefix scan exactly
+    "quality_pr_curve": f"""
+WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bucket
+  FROM t),
+b AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_neg
+  FROM h GROUP BY bucket),
+w AS (
+  SELECT bucket,
+         CAST(length(bin(c_pos + 1)) AS BIGINT)
+           - CAST(length(bin(c_neg + 1)) AS BIGINT) AS wt
+  FROM b),
+qc AS (
+  SELECT h.doc_id, h.lang, CAST(sum(w.wt) AS BIGINT) AS margin
+  FROM h JOIN w USING (bucket) GROUP BY h.doc_id, h.lang),
+per AS (
+  SELECT margin AS s,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS neg
+  FROM qc GROUP BY margin),
+cum AS (
+  SELECT s,
+         CAST(sum(pos) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(sum(neg) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS fp,
+         CAST((SELECT coalesce(sum(pos), 0) FROM per) AS BIGINT)
+           AS p_total
+  FROM per)
+SELECT s AS threshold, tp, fp, p_total - tp AS fn,
+       CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN p_total = 0 THEN -1
+                 ELSE (1000000 * tp) // p_total END AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN p_total = 0 THEN -1
+                 WHEN (1000000 * tp) // (tp + fp)
+                      + (1000000 * tp) // p_total = 0 THEN -1
+                 ELSE (2 * ((1000000 * tp) // (tp + fp))
+                         * ((1000000 * tp) // p_total))
+                      // ((1000000 * tp) // (tp + fp)
+                          + (1000000 * tp) // p_total) END AS BIGINT)
+         AS f1_ppm
+FROM cum
 """,
     "dsir_selection": f"""
 WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents),

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "target_encoding",
     # round-10 additions
     "quality_classifier",
+    "quality_pr_curve",
 ]
 
 

@@ -112,3 +112,70 @@ class TestQualityClassifier:
             for r in quality_classifier(docs.repartition(13, "lang")).collect()
         }
         assert a == b
+
+
+class TestPrCurveExact:
+    def test_pure_python_replay(self, spark):
+        """Hand-computed confusion at every distinct threshold, including
+        tied scores across both classes; bucket_width=2 forces the
+        two-phase scan across many buckets."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            pr_curve_exact,
+        )
+
+        rows = [  # (score, label)
+            (10, 1), (10, 0), (7, 1), (5, 0), (5, 1), (5, 1), (3, 0),
+            (-2, 1), (-2, 0), (-9, 0),
+        ]
+        df = spark.createDataFrame(rows, "score long, label long")
+        p_total = sum(l for _, l in rows)
+        want = {}
+        for t in sorted({s for s, _ in rows}, reverse=True):
+            tp = sum(1 for s, l in rows if s >= t and l == 1)
+            fp = sum(1 for s, l in rows if s >= t and l == 0)
+            prec = (1_000_000 * tp) // (tp + fp)
+            rec = (1_000_000 * tp) // p_total
+            f1 = (2 * prec * rec) // (prec + rec) if prec + rec else -1
+            want[t] = (tp, fp, p_total - tp, prec, rec, f1)
+        got = {
+            r["threshold"]: (
+                r["tp"], r["fp"], r["fn"], r["precision_ppm"],
+                r["recall_ppm"], r["f1_ppm"],
+            )
+            for r in pr_curve_exact(df, bucket_width=2).collect()
+        }
+        assert got == want
+
+    def test_no_positives_sentinel(self, spark):
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            pr_curve_exact,
+        )
+
+        df = spark.createDataFrame(
+            [(4, 0), (1, 0), (1, 0)], "score long, label long"
+        )
+        out = pr_curve_exact(df).collect()
+        assert {r["recall_ppm"] for r in out} == {-1}
+        assert {r["f1_ppm"] for r in out} == {-1}
+        assert {r["precision_ppm"] for r in out} == {0}
+        assert all(r["fn"] == 0 for r in out)
+
+    def test_monotone_laws(self, spark):
+        """tp and fp are non-increasing in the threshold; recall is
+        non-increasing; the lowest threshold classifies everything
+        positive (recall = 1e6)."""
+        from adtech_log_data_pipeline_spark.functions.evaluate import (
+            pr_curve_exact,
+        )
+
+        rows = [(i % 17 - 5, 1 if i % 3 == 0 else 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "score long, label long")
+        out = sorted(
+            pr_curve_exact(df, bucket_width=3).collect(),
+            key=lambda r: -r["threshold"],
+        )
+        for a, b in zip(out, out[1:]):
+            assert b["tp"] >= a["tp"] and b["fp"] >= a["fp"]
+            assert b["recall_ppm"] >= a["recall_ppm"]
+        assert out[-1]["recall_ppm"] == 1_000_000
+        assert out[-1]["tp"] + out[-1]["fp"] == 200
