@@ -190,7 +190,12 @@ def routed_anti_join(
     if how not in ("left_anti", "left_semi"):
         raise ValueError("routed_anti_join supports left_anti/left_semi")
     keys = [key] if isinstance(key, str) else list(key)
-    kdim = dim.select(*keys).distinct()
+    from ..functions._cache import hold
+
+    # held: the probe's count materializes the key set once and the chosen
+    # rung's join (broadcast build / salted replication / outer probe)
+    # reads it back from cache instead of recomputing the lookup plan
+    kdim = hold(dim.select(*keys).distinct())
     n_keys = kdim.count()
     if n_keys <= routing.broadcast_max_keys:
         if report is not None:
