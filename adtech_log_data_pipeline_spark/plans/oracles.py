@@ -19,7 +19,12 @@ from .audits import maintenance_oracles
 from .relational import RELATIONAL_SQL
 from .northstar import NORTHSTAR_ORACLES
 
-_UUID_RE = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+# java.util.UUID.fromString's accept set (operators/validate.py::
+# java_uuid_parseable — the reference's clause 9 is a bare try/catch, and
+# Java's legacy parse accepts short/plus-signed groups): five '+?hex+'
+# groups, four dashes, length <= 36, every group's value fits int64.
+_UUID_STRUCT_RE = r"\+?[0-9a-fA-F]+(-\+?[0-9a-fA-F]+){4}"
+_UUID_GROUP_RE = r"\+?0*([0-9a-fA-F]{1,15}|[0-7][0-9a-fA-F]{15})"
 
 # Validity filter (reference BidLogUtils.isValid, 11 clauses) + canonical
 # device identity, in DuckDB SQL.
@@ -35,7 +40,10 @@ valid_logs AS (
     AND received_at > 0
     AND processed_at > received_at
     AND lower(device_os) IN ('android','ios')
-    AND regexp_full_match(device_ifa, '{_UUID_RE}')
+    AND length(device_ifa) <= 36
+    AND regexp_full_match(device_ifa, '{_UUID_STRUCT_RE}')
+    AND list_aggregate(list_transform(string_split(device_ifa, '-'),
+          g -> regexp_full_match(g, '{_UUID_GROUP_RE}')), 'bool_and')
     AND regexp_matches(app_bundle, '\S')
     AND regexp_matches(geo_country, '\S')
     AND regexp_matches(geo_region, '\S')

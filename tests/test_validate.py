@@ -28,8 +28,8 @@ def test_valid_row_passes(spark):
         {"processed_at": 1_000_000},  # must be > received_at
         {"device_os": "winphone"},
         {"device_os": ""},
-        {"device_ifa": "not-a-uuid"},
-        {"device_ifa": "abcdefab-1234-5678-9abc-def01234567"},  # short
+        {"device_ifa": "not-a-uuid"},  # 3 groups
+        {"device_ifa": "abcdefab-1234-5678-9abc-def012345678-0"},  # 6 groups
         {"device_ifa": ""},
         {"app_bundle": "  "},  # whitespace-blank
         {"app_bundle": ""},
@@ -47,6 +47,19 @@ def test_os_case_insensitive(spark, os_str):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["os"] in ("ANDROID", "IOS")
+
+
+def test_java_lax_uuid_forms_are_valid(spark):
+    """Round-10 parity fix: clause (9) is java.util.UUID.fromString's
+    accept set (BidLogUtils.java:85-89), which admits legacy short-group
+    forms — the old strict 8-4-4-4-12 screen was a documented deviation,
+    now closed (fuzz-locked against a live JVM in test_java_uuid.py)."""
+    for ifa in (
+        "abcdefab-1234-5678-9abc-def01234567",  # short last group
+        "1-2-3-4-5",
+        "+1-2-3-4-5",
+    ):
+        assert n_valid(spark, [bid_log(device_ifa=ifa)]) == 1, ifa
 
 
 def test_canonical_identity_uppercases_uuid(spark):
