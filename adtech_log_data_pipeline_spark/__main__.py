@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
             "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
-            "snapshot-merge",
+            "snapshot-merge", "quality-score",
         ],
         required=True,
     )
@@ -332,6 +332,38 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"snapshot-vacuum done: removed versions {removed} from"
             f" {args.output} (kept last {args.keep_last})"
+        )
+    elif args.job == "quality-score":
+        # curate-loop scoring pass: hashed-feature linear quality margins
+        # + threshold report (functions/select.py::quality_classifier,
+        # functions/evaluate.py::pr_curve_exact) over a documents-schema
+        # parquet dir (--input) or the fixture's documents table
+        from pyspark.sql import functions as F
+
+        from .functions.evaluate import pr_curve_exact
+        from .functions.select import quality_classifier
+        from .sources.tables import load_table
+
+        docs = (
+            spark.read.parquet(args.input)
+            if args.input
+            else load_table(spark, args.sf_dir, "documents")
+        )
+        scored = quality_classifier(docs)
+        scored.write.mode("overwrite").parquet(args.output)
+        curve = pr_curve_exact(
+            scored.select(
+                "margin", (F.col("lang") == "en").cast("long").alias("label")
+            ),
+            score_col="margin",
+            label_col="label",
+        )
+        curve.write.mode("overwrite").parquet(args.output.rstrip("/") + "_curve")
+        kept = scored.filter(F.col("pred") == 1).count()
+        print(
+            f"quality-score done: {scored.count()} docs scored ({kept}"
+            f" pred-positive), {curve.count()} curve thresholds ->"
+            f" {args.output}"
         )
     elif args.job == "pagerank":
         if not args.input and not args.against:
