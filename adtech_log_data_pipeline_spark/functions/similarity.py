@@ -781,6 +781,58 @@ def kmeans_assignments(
     return _assign_to_centroids(embeddings, cids, cmat)
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cluster: int = 5,
+    k: int | None = None,
+    iters: int | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """Diversity-preserving subset selection: cluster the embeddings with
+    the exact integer-micro k-means, then take a FIXED deterministic
+    quota from every cluster — the cluster-balanced sampling step a
+    curation pipeline runs so that dense regions of embedding space
+    (boilerplate, templates, near-duplicates that survived dedup) cannot
+    dominate a training subset the way uniform sampling lets them.
+
+    Within a cluster the quota is chosen by md5(vec_id) ascending
+    (vec_id tiebreak) — the corpus-order-free, reshuffle-proof choice
+    rule the board's train_split/training_negatives use, so re-ingestion
+    never changes the sample.
+
+    Scale shape: the k-means pass is the kmeans_centroids plan
+    (broadcast centroids, hash aggs, Arrow matmul assignment — no
+    shuffle); the quota is one window ranking PARTITIONED BY cluster,
+    i.e. a single shuffle keyed on cid with per-group sort. With the
+    sqrt-scaled default k (default_kmeans_k) cluster sizes stay
+    ~4*sqrt(n), so the per-group sort is bounded far below corpus size;
+    a fixed tiny k on a huge corpus would concentrate the sort — pass k
+    explicitly only with that in mind.
+
+    Output: (vec_id, cid, rnk), rnk = 1..per_cluster per cluster (fewer
+    when the cluster is smaller than the quota)."""
+    from pyspark.sql.window import Window
+
+    if total is None:
+        total = embeddings.count()
+    if k is None:
+        k = default_kmeans_k(total)
+    if iters is None:
+        iters = KMEANS_ITERS
+    cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total)
+    assign = kmeans_assignments(embeddings, cent)
+    h = F.expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    w = Window.partitionBy("cid").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assign.select("vec_id", "cid")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= int(per_cluster))
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_DUP_THRESHOLD,

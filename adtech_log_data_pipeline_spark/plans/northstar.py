@@ -551,6 +551,21 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subset selection (functions/similarity.py::
+    cluster_balanced_sample): exact integer-micro k-means clusters +
+    a deterministic md5(vec_id) quota of 5 per cluster — dense embedding
+    regions cannot dominate the sample. Oracle = the shared Lloyd CTE
+    chain + assignment + per-cluster QUALIFY rank."""
+    from ..functions.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _emb(spark, sf_dir),
+        per_cluster=5,
+        total=table_row_count(sf_dir, "embeddings"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-aware overlapping context-window chunking of the corpus."""
     from ..functions.text import doc_chunks
@@ -2439,6 +2454,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "label_centroids": q_label_centroids,
     "kmeans_centroids": q_kmeans_centroids,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "repetition_stats": q_repetition_stats,
@@ -3971,6 +3987,45 @@ def _oracle_semantic_dedup() -> str:
         + """
 SELECT tg.vec_id, tg.cid, (dr.vec_id IS NULL) AS kept
 FROM tg LEFT JOIN dr ON tg.vec_id = dr.vec_id"""
+    )
+
+
+def _oracle_cluster_balanced_sample(per_cluster: int = 5) -> str:
+    """kmeans CTE chain + one final assignment (semantic_dedup's dF/aF
+    conventions: exact integer-micro distances, smallest-cid tiebreak) +
+    the md5(vec_id) per-cluster quota rank."""
+    from ..functions.similarity import KMEANS_ITERS, KMEANS_K
+
+    ctes = _kmeans_ctes(
+        k_sql=(
+            f"greatest({KMEANS_K},"
+            " CAST(floor(sqrt(n + 0.5)) AS BIGINT) // 4)"
+        )
+    )
+    last = f"c{KMEANS_ITERS}"
+    ctes.append(
+        f"""dF AS (
+  SELECT x.vec_id, c.cid,
+         sum((x.x_micro - c.c_micro) * (x.x_micro - c.c_micro)) AS d2
+  FROM x JOIN {last} c USING (dim) GROUP BY x.vec_id, c.cid)"""
+    )
+    ctes.append(
+        """aF AS (
+  SELECT vec_id, min({'d2': d2, 'cid': cid}).cid AS cid
+  FROM dF GROUP BY vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid, rnk FROM (
+  SELECT vec_id, cid,
+         CAST(row_number() OVER (
+           PARTITION BY cid
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 8))::BIGINT ASC,
+                    vec_id ASC) AS INT) AS rnk
+  FROM aF)
+WHERE rnk <= {int(per_cluster)}"""
     )
 
 
@@ -5518,6 +5573,7 @@ FROM d GROUP BY vec_id
 """,
     "kmeans_centroids": _oracle_kmeans(),
     "semantic_dedup": _oracle_semantic_dedup(),
+    "cluster_balanced_sample": _oracle_cluster_balanced_sample(),
     "doc_chunks": _oracle_doc_chunks(),
     "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
     "repetition_stats": _ORACLE_REPETITION,

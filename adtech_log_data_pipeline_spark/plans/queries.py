@@ -227,6 +227,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_FIRST = [
     "quality_classifier",
     "quality_pr_curve",
+    "cluster_balanced_sample",
     "waiting_suppliers",
     "revenue_rollup",
     "repeat_customers",
@@ -267,13 +268,13 @@ _GATE_FIRST = [
     "dup_span_incoming",
     "exact_stratified_sample",
     "forecast_revenue",
-    "volume_shipping",
 ]
 # The tail: every remaining query ordered last-green ASCENDING (greens
 # displaced from the window by round-10 additions FIRST, then the
 # remaining r6 cohort — the round-11 promote queue — then the r7, r8 and
 # r9 cohorts), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "volume_shipping",
     "market_share",
     "promo_revenue_share",
     "large_volume_customers",

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     # round-10 additions
     "quality_classifier",
     "quality_pr_curve",
+    "cluster_balanced_sample",
 ]
 
 

@@ -179,3 +179,67 @@ class TestPrCurveExact:
             assert b["recall_ppm"] >= a["recall_ppm"]
         assert out[-1]["recall_ppm"] == 1_000_000
         assert out[-1]["tp"] + out[-1]["fp"] == 200
+
+
+class TestClusterBalancedSample:
+    def _emb(self, spark):
+        import math
+
+        # two tight, well-separated blobs of unequal size (60 vs 6): a
+        # uniform sample would be ~10:1; the balanced sample must not be
+        rows = [
+            (i, [10.0 + math.sin(i) * 0.01, 10.0 + math.cos(i) * 0.01])
+            for i in range(60)
+        ] + [
+            (100 + i, [-10.0 + i * 0.01, -10.0]) for i in range(6)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_quota_and_balance(self, spark):
+        from adtech_log_data_pipeline_spark.functions.similarity import (
+            cluster_balanced_sample,
+        )
+
+        out = cluster_balanced_sample(
+            self._emb(spark), per_cluster=4, k=2, total=66
+        ).collect()
+        by_cid = {}
+        for r in out:
+            by_cid.setdefault(r["cid"], []).append(r)
+        # both clusters present, each contributing EXACTLY the quota
+        assert sorted(len(v) for v in by_cid.values()) == [4, 4]
+        for rows in by_cid.values():
+            assert sorted(r["rnk"] for r in rows) == [1, 2, 3, 4]
+        # the dense blob did not crowd out the sparse one
+        small = [r for r in out if r["vec_id"] >= 100]
+        assert len(small) == 4
+
+    def test_deterministic_and_repartition_invariant(self, spark):
+        from adtech_log_data_pipeline_spark.functions.similarity import (
+            cluster_balanced_sample,
+        )
+
+        emb = self._emb(spark)
+        a = sorted(
+            (r["vec_id"], r["cid"], r["rnk"])
+            for r in cluster_balanced_sample(emb, per_cluster=3, k=2, total=66).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cid"], r["rnk"])
+            for r in cluster_balanced_sample(
+                emb.repartition(7), per_cluster=3, k=2, total=66
+            ).collect()
+        )
+        assert a == b and len(a) == 6
+
+    def test_small_cluster_keeps_all_members(self, spark):
+        from adtech_log_data_pipeline_spark.functions.similarity import (
+            cluster_balanced_sample,
+        )
+
+        out = cluster_balanced_sample(
+            self._emb(spark), per_cluster=10, k=2, total=66
+        ).collect()
+        # the 6-member blob contributes all 6 (quota exceeds its size)
+        small = [r for r in out if r["vec_id"] >= 100]
+        assert len(small) == 6
