@@ -45,7 +45,7 @@ MODULO_SLOTS = tuple(range(100, 701, 40))
 # per-process weight cache keyed by source path (None = formula stand-in):
 # one load per Python worker process per model artifact, the reference's
 # @Setup SavedModel amortization (Predictions.java:146-169)
-_MODEL_CACHE: dict[str | None, np.ndarray] = {}
+_MODEL_CACHE: dict[str | None, tuple[np.ndarray, np.ndarray]] = {}
 _BASES: np.ndarray | None = None
 
 
@@ -84,15 +84,17 @@ def _file_sha256(path: str) -> str:
 # (sources/protowire.py), so no onnxruntime is required to SERVE a pure
 # linear model — and when onnxruntime IS importable, tests cross-check the
 # parsed weights against a real session run (tests/test_inference_onnx.py).
-# Accepted graph shape: exactly one MatMul node y = MatMul(x, W) with W a
-# (784, 10) float/double initializer — anything else fails loudly (a model
-# with activations must run under a real runtime, never be silently
-# approximated by its first layer).
+# Accepted graph shape: exactly one MatMul (y = x @ W) or plain Gemm
+# (y = x @ W' + C — the skl2onnx/PyTorch Linear export) node with a
+# (784, 10)-equivalent float/double weight initializer — anything else
+# fails loudly (a model with activations must run under a real runtime,
+# never be silently approximated by its first layer).
 #
 # Field numbers from the public onnx/onnx.proto:
 #   ModelProto: ir_version=1, producer_name=2, graph=7, opset_import=8
 #   GraphProto: node=1, name=2, initializer=5, input=11, output=12
-#   NodeProto:  input=1, output=2, name=3, op_type=4, domain=7
+#   NodeProto:  input=1, output=2, name=3, op_type=4, attribute=5, domain=7
+#   AttributeProto: name=1, f=2 (float), i=3 (int64), type=20
 #   TensorProto: dims=1, data_type=2, float_data=4, name=8, raw_data=9,
 #                double_data=10   (data_type: FLOAT=1, DOUBLE=11)
 
@@ -106,11 +108,21 @@ def _onnx_specs():
         Field(8, "name", "string"),
         Field(9, "raw_data", "bytes"),
     ))
+    # AttributeProto.f is a single fixed32 float; the codec's packed_float
+    # kind accepts the unpacked I32 wire form, so f decodes as a 0/1-item
+    # list (read f[0], default 1.0 when absent)
+    attr = Spec("AttributeProto", (
+        Field(1, "name", "string"),
+        Field(2, "f", "packed_float"),
+        Field(3, "i", "int64"),
+        Field(20, "type", "int32"),
+    ))
     node = Spec("NodeProto", (
         Field(1, "input", "string", repeated=True),
         Field(2, "output", "string", repeated=True),
         Field(3, "name", "string"),
         Field(4, "op_type", "string"),
+        Field(5, "attribute", "message", repeated=True, message=attr),
         Field(7, "domain", "string"),
     ))
     graph = Spec("GraphProto", (
@@ -131,12 +143,41 @@ def _onnx_specs():
     return model
 
 
-def _load_onnx_matmul_weights(path: str) -> np.ndarray:
-    """Extract the (784, 10) weight matrix from a serialized ONNX model
-    whose graph is the single node y = MatMul(x, W). Unknown fields
-    (doc strings, value infos, metadata) are skipped by the wire decoder,
-    so models exported by real tools parse fine; a graph that is NOT a
-    single MatMul raises instead of being silently linearized."""
+def _onnx_tensor(path: str, t: dict, want_rank: int) -> np.ndarray:
+    dims = tuple(t["dims"])
+    np_type = {1: np.dtype("<f4"), 11: np.dtype("<f8")}.get(t["data_type"])
+    if np_type is None:
+        raise ValueError(
+            f"{path!r}: initializer {t['name']!r} data_type"
+            f" {t['data_type']} is not FLOAT(1)/DOUBLE(11)"
+        )
+    raw = t["raw_data"]
+    n = 1
+    for d in dims:
+        n *= d
+    if len(dims) != want_rank or len(raw) != np_type.itemsize * n:
+        raise ValueError(
+            f"{path!r}: initializer {t['name']!r} dims {dims} / raw_data"
+            f" {len(raw)} bytes inconsistent (want rank {want_rank},"
+            f" {np_type})"
+        )
+    return np.frombuffer(raw, dtype=np_type).reshape(dims)
+
+
+def _load_onnx_linear(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (W, bias) from a serialized ONNX LINEAR model — a single
+    default-domain node that is either
+
+      MatMul:  y = x @ W                         (W: (784, 10))
+      Gemm:    y = alpha * x @ W' + beta * C     (the skl2onnx/PyTorch
+               Linear export; only alpha=1, beta=1, transA=0 accepted;
+               transB=0 takes W as (784, 10), transB=1 as (10, 784)
+               transposed; C optional, (10,) or (1, 10))
+
+    Unknown fields (doc strings, value infos, metadata) are skipped by
+    the wire decoder, so models exported by real tools parse fine; a
+    graph that is anything else — extra nodes, activations, scaled
+    alpha/beta — raises instead of being silently linearized."""
     with open(path, "rb") as f:
         buf = f.read()
     from ..sources.protowire import decode_message
@@ -146,43 +187,68 @@ def _load_onnx_matmul_weights(path: str) -> np.ndarray:
     if not graph:
         raise ValueError(f"{path!r}: ONNX ModelProto has no graph")
     nodes = graph["node"]
-    if len(nodes) != 1 or nodes[0]["op_type"] != "MatMul" or nodes[0]["domain"]:
+    if len(nodes) != 1 or nodes[0]["domain"] or nodes[0]["op_type"] not in (
+        "MatMul",
+        "Gemm",
+    ):
         raise ValueError(
-            f"{path!r}: expected a single default-domain MatMul node, got "
-            + str([(n["op_type"], n["domain"]) for n in nodes])
+            f"{path!r}: expected a single default-domain MatMul/Gemm node,"
+            " got " + str([(n["op_type"], n["domain"]) for n in nodes])
         )
+    node = nodes[0]
     inits = {t["name"]: t for t in graph["initializer"]}
-    w_name = nodes[0]["input"][1] if len(nodes[0]["input"]) > 1 else None
+    w_name = node["input"][1] if len(node["input"]) > 1 else None
     if w_name not in inits:
         raise ValueError(
-            f"{path!r}: MatMul's second input {w_name!r} has no initializer"
+            f"{path!r}: {node['op_type']}'s second input {w_name!r} has no"
+            " initializer"
         )
-    t = inits[w_name]
-    dims = tuple(t["dims"])
-    np_type = {1: np.dtype("<f4"), 11: np.dtype("<f8")}.get(t["data_type"])
-    if np_type is None:
-        raise ValueError(
-            f"{path!r}: initializer {w_name!r} data_type {t['data_type']}"
-            " is not FLOAT(1)/DOUBLE(11)"
-        )
-    raw = t["raw_data"]
-    if len(dims) != 2 or len(raw) != np_type.itemsize * dims[0] * dims[1]:
-        raise ValueError(
-            f"{path!r}: initializer {w_name!r} dims {dims} / raw_data"
-            f" {len(raw)} bytes inconsistent for {np_type}"
-        )
-    return np.frombuffer(raw, dtype=np_type).reshape(dims)
+    trans_b = 0
+    if node["op_type"] == "Gemm":
+        attrs = {a["name"]: a for a in node["attribute"]}
+        alpha = attrs["alpha"]["f"][0] if attrs.get("alpha", {}).get("f") else 1.0
+        beta = attrs["beta"]["f"][0] if attrs.get("beta", {}).get("f") else 1.0
+        trans_a = attrs["transA"]["i"] if "transA" in attrs else 0
+        trans_b = attrs["transB"]["i"] if "transB" in attrs else 0
+        if alpha != 1.0 or beta != 1.0 or trans_a:
+            raise ValueError(
+                f"{path!r}: Gemm with alpha={alpha} beta={beta}"
+                f" transA={trans_a} is not a plain linear layer"
+            )
+    w = _onnx_tensor(path, inits[w_name], want_rank=2)
+    if trans_b:
+        w = np.ascontiguousarray(w.T)
+    bias = np.zeros(w.shape[1], dtype=np.float64)
+    if node["op_type"] == "Gemm" and len(node["input"]) > 2:
+        c_name = node["input"][2]
+        if c_name not in inits:
+            raise ValueError(
+                f"{path!r}: Gemm bias input {c_name!r} has no initializer"
+            )
+        t = inits[c_name]
+        c = _onnx_tensor(path, t, want_rank=len(tuple(t["dims"])))
+        c = np.asarray(c).reshape(-1)
+        if c.shape[0] != w.shape[1]:
+            raise ValueError(
+                f"{path!r}: Gemm bias length {c.shape[0]} != {w.shape[1]}"
+            )
+        bias = c.astype(np.float64)
+    return w, bias
 
 
-def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndarray:
-    """(784, 10) float64 weight matrix, cached per (process, path).
+def _load_model(
+    path: str | None, expect_digest: str | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """((784, 10) float64 weights, (10,) float64 bias), cached per
+    (process, path).
 
-    ``path`` names a trained (784, 10) matrix — a ``.npy`` file or a
-    serialized single-MatMul ``.onnx`` model (see
-    _load_onnx_matmul_weights); it must be worker-visible (shared FS or
-    --files-shipped). ``None`` selects the deterministic formula stand-in
-    w[i, j] = ((31i + 17j mod 101) - 50) / 50 in [-1, 1] (the sandbox has
-    no TF; the batching/argmax/score contract is identical either way).
+    ``path`` names a trained model — a ``.npy`` (784, 10) matrix (bias
+    zero) or a serialized single-MatMul/Gemm ``.onnx`` model (see
+    _load_onnx_linear; Gemm carries the bias); it must be worker-visible
+    (shared FS or --files-shipped). ``None`` selects the deterministic
+    formula stand-in w[i, j] = ((31i + 17j mod 101) - 50) / 50 in
+    [-1, 1], bias zero (the sandbox has no TF; the batching/argmax/score
+    contract is identical either way).
 
     A wrong artifact fails LOUDLY, never silently: shape and float dtype
     are checked (np.load's allow_pickle=False default already rejects
@@ -191,8 +257,9 @@ def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndar
     are verified per worker process BEFORE deserialization — a stale or
     divergent copy on a non-shared filesystem raises instead of serving
     different predictions on different executors."""
-    w = _MODEL_CACHE.get(path)
-    if w is None:
+    cached = _MODEL_CACHE.get(path)
+    if cached is None:
+        b = np.zeros(N_CLASSES, dtype=np.float64)
         if path:
             if expect_digest:
                 actual = _file_sha256(path)
@@ -202,7 +269,7 @@ def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndar
                         f" != expected {expect_digest}"
                     )
             if path.endswith(".onnx"):
-                w = _load_onnx_matmul_weights(path)
+                w, b = _load_onnx_linear(path)
             else:
                 w = np.load(path)
             if w.shape != (FEATURE_DIM, N_CLASSES):
@@ -220,8 +287,15 @@ def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndar
             i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
             j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
             w = ((i * 31 + j * 17) % 101 - 50) / 50.0
-        _MODEL_CACHE[path] = w
-    return w
+        cached = (w, b.astype(np.float64))
+        _MODEL_CACHE[path] = cached
+    return cached
+
+
+def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndarray:
+    """Weight matrix only — see _load_model (kept as the stable seam for
+    callers/tests that don't care about the bias)."""
+    return _load_model(path, expect_digest)[0]
 
 
 def _model_weights() -> np.ndarray:
@@ -269,7 +343,7 @@ def predict(
     Provenance: every output row carries ``model_id`` — "formula-v1" for
     the deterministic stand-in, "npy-sha256:<12 hex>" /
     "onnx-sha256:<12 hex>" for a file artifact (.npy matrix or serialized
-    single-MatMul ONNX model). The digest is computed on the DRIVER at plan-build time
+    single-MatMul/Gemm ONNX model). The digest is computed on the DRIVER at plan-build time
     (fails fast on a missing/wrong file) and shipped to workers as the
     expected digest, so every worker process verifies its local copy's
     bytes before serving predictions from it; pin an external expectation
@@ -293,12 +367,14 @@ def predict(
         model_id = f"{kind}-sha256:{expect_digest[:12]}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = _load_weights(weights_path, expect_digest)
+        w, b = _load_model(weights_path, expect_digest)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = build_vectors(pdf)
-            logits = np.round(x @ w, 6)  # float64 matmul, order-insensitive after rounding
+            # float64 matmul (+ Gemm bias; zero for npy/formula),
+            # order-insensitive after rounding
+            logits = np.round(x @ w + b, 6)
             yield pd.DataFrame(
                 {
                     "os": pdf["os"],

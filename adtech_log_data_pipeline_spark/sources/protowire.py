@@ -370,14 +370,14 @@ def encode_message(msg: dict[str, Any], spec: Spec) -> bytes:
                 _write_varint(out, f.number << 3 | _WIRE_I64)
                 out += _struct.pack("<d", float(v))
         elif f.kind == "string":
-            vals = v if f.repeated else ([v] if v else [])
+            vals = (v or []) if f.repeated else ([v] if v else [])
             for s in vals:
                 raw = s.encode("utf-8")
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, len(raw))
                 out += raw
         elif f.kind == "bytes":
-            raws = v if f.repeated else ([v] if v else [])
+            raws = (v or []) if f.repeated else ([v] if v else [])
             for raw in raws:
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, len(raw))
@@ -409,7 +409,7 @@ def encode_message(msg: dict[str, Any], spec: Spec) -> bytes:
                 _write_varint(out, len(entry))
                 out += entry
         elif f.kind == "message":
-            subs = v if f.repeated else ([] if v is None else [v])
+            subs = (v or []) if f.repeated else ([] if v is None else [v])
             for sub in subs:
                 raw = encode_message(sub, f.message)
                 _write_varint(out, f.number << 3 | _WIRE_LEN)

