@@ -215,72 +215,36 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-10 rotation record, COMPUTED from the CORRECTNESS_r01..r09
+# Round-11 rotation record, COMPUTED from the CORRECTNESS_r01..r10
 # artifacts (last-green round per query, ascending, stable by declared
-# order — the protocol set by the round-7 verdict): all 206 prior queries
-# have at least one green driver row, so the window is the round-10 NEW
-# queries (0 greens beat all) followed by the stalest greens — the 27
-# r5-greens (the r9 tail-head promote queue, honored verbatim) and the
-# oldest r6-greens. Each new query displaces the window's last green to
-# the TAIL HEAD. After this round gates them, min(last-green) across the
-# board is r6. The window stays exactly parity-7 + 43.
+# order — the protocol set by the round-7 verdict): all 209 queries have
+# at least one green driver row; min(last-green) is r6. The window is the
+# full r6 cohort (30 queries — the r10 verdict's task-1 promote queue,
+# honored verbatim) followed by the 13 oldest r7 greens. New round-11
+# queries (0 greens beat all) are prepended and displace the window's
+# newest greens to the TAIL HEAD. After this round gates them,
+# min(last-green) across the board is r7. The window stays parity-7 + 43.
 _GATE_FIRST = [
-    "quality_classifier",
-    "quality_pr_curve",
-    "cluster_balanced_sample",
-    "waiting_suppliers",
-    "revenue_rollup",
-    "repeat_customers",
-    "top_parts_per_brand",
-    "dedup_incoming",
-    "table_profile",
-    "temperature_mix",
-    "kmeans_centroids",
-    "token_budget_mixture",
-    "doc_quality_zipf",
-    "shingle_dup_rate",
-    "cross_source_overlap",
-    "audio_chunks",
-    "stratified_sample",
-    "dedup_keep_best",
-    "contamination_check",
-    "curated_corpus",
-    "length_histogram",
-    "stream_window_counts",
-    "stream_sliding_counts",
-    "stream_dedup",
-    "stream_attribution",
-    "stream_attribution_outer",
-    "stream_enriched_counts",
-    "stream_upsert_latest",
-    "stream_session_windows",
-    "streaming_spend_sessions",
-    "dup_span_stats",
-    "dup_span_clean",
-    "bloom_prune_join",
-    "stream_top_users",
-    "schema_drift_audit",
-    "curation_funnel",
-    "embedding_quantize_audit",
-    "top_supplier_revenue",
-    "part_share_suppliers",
-    "pit_purchase_state",
-    "dup_span_incoming",
-    "exact_stratified_sample",
-    "forecast_revenue",
-]
-# The tail: every remaining query ordered last-green ASCENDING (greens
-# displaced from the window by round-10 additions FIRST, then the
-# remaining r6 cohort — the round-11 promote queue — then the r7, r8 and
-# r9 cohorts), so future rotations keep promoting from the tail head.
-_GATE_LAST = [
+    "props_json_stats",
     "volume_shipping",
     "market_share",
     "promo_revenue_share",
     "large_volume_customers",
     "idle_rich_customers",
+    "fk_integrity_audit",
+    "user_value_outliers",
+    "bigram_lm_score",
+    "similar_parts",
+    "weighted_sample",
+    "copurchase_pagerank",
+    "stream_drift_chi2",
+    "script_mix",
+    "dedup_incoming_indexed",
     "dedup_cap_audit",
     "semantic_cap_audit",
+    "ann_recall_audit",
+    "embedding_bucket_audit",
+    "salted_hot_join",
     "zorder_audit",
     "range_sort_audit",
     "snapshot_diff_orders",
@@ -288,36 +252,10 @@ _GATE_LAST = [
     "shard_manifest",
     "ingest_checkpoint_audit",
     "compaction_audit",
-    "ann_recall_audit",
-    "salted_hot_join",
     "csv_roundtrip",
     "orc_roundtrip",
-    "dedup_incoming_indexed",
-    "script_mix",
     "partition_prune_audit",
-    "props_json_stats",
-    "embedding_bucket_audit",
-    "fk_integrity_audit",
-    "bigram_lm_score",
-    "similar_parts",
-    "weighted_sample",
-    "copurchase_pagerank",
-    "stream_drift_chi2",
-    "user_value_outliers",
-    "tfrecord_parity_check",
     "profile_cap_audit",
-    "bm25_search",
-    "hll_user_distinct",
-    "hll_error_audit",
-    "quantile_sketch_prices",
-    "quantile_sketch_audit",
-    "score_auc",
-    "score_calibration",
-    "graph_reachability",
-    "knn_label_agreement",
-    "shortest_path_parts",
-    "event_anomaly",
-    "rfm_segments",
     "weighted_median_price",
     "penny_allocation",
     "activity_streaks",
@@ -330,8 +268,17 @@ _GATE_LAST = [
     "cohort_ltv",
     "hourly_gapfill",
     "cm_error_audit",
+]
+# The tail: every remaining query ordered last-green ASCENDING (the
+# remaining r7 cohort — the round-12 promote queue head — then r8, r9,
+# r10), so future rotations keep promoting from the tail head.
+_GATE_LAST = [
     "cdc_customer_state",
     "dim_truncation_recall",
+    "hll_user_distinct",
+    "hll_error_audit",
+    "quantile_sketch_prices",
+    "quantile_sketch_audit",
     "copurchase_triangles",
     "click_attribution",
     "concurrent_sessions",
@@ -339,6 +286,8 @@ _GATE_LAST = [
     "embedding_covariance",
     "kmv_overlap",
     "incremental_rollup",
+    "embedding_outliers",
+    "bm25_search",
     "stream_attribution_full",
     "stream_cm_sketch",
     "semantic_contamination",
@@ -346,57 +295,68 @@ _GATE_LAST = [
     "pareto_documents",
     "funnel_pattern",
     "event_pivot",
-    "embedding_outliers",
-    "graph_reachability_indexed",
-    "snapshot_asof_read",
-    "snapshot_merge_state",
-    "join_view_delta",
-    "group_split_sources",
-    "multi_touch_credit",
-    "bpe_merge_rules",
-    "frame_sample",
-    "monthly_revenue_trend",
-    "quiet_returners",
-    "brand_supplier_stats",
-    "conversion_funnel",
-    "customer_order_distribution",
-    "simhash_near_dup",
-    "multimodal_resize",
-    "repetition_stats",
-    "length_percentiles",
-    "packing_plan",
-    "label_centroids",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_minhash",
-    "dedup_clusters",
-    "train_split",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "pii_redact",
-    "source_mix",
-    "sliding_window_counts",
-    "winnowing",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprints",
-    "multimodal_meta",
-    "similarity_topk",
-    "embedding_near_dup",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "dedup_exact",
+    "score_auc",
+    "score_calibration",
+    "graph_reachability",
+    "knn_label_agreement",
+    "shortest_path_parts",
+    "event_anomaly",
+    "rfm_segments",
+    "tfrecord_parity_check",
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",
     "sessionized_events",
-    "minhash_precision_audit",
-    "sq_rescore_topk",
-    "sq_recall_audit",
-    "hard_negatives",
-    "time_decay_credit",
-    "position_credit",
-    "bpe_encode_stats",
+    "customer_order_distribution",
+    "monthly_revenue_trend",
+    "brand_supplier_stats",
+    "quiet_returners",
+    "sliding_window_counts",
+    "conversion_funnel",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "embedding_near_dup",
+    "winnowing",
+    "multimodal_meta",
+    "multimodal_resize",
+    "frame_sample",
+    "simhash_near_dup",
+    "vocab_topk",
+    "train_split",
+    "group_split_sources",
+    "join_view_delta",
+    "multi_touch_credit",
+    "bpe_merge_rules",
+    "pii_redact",
+    "label_centroids",
+    "repetition_stats",
+    "length_percentiles",
+    "source_mix",
+    "packing_plan",
+    "tfidf_top_terms",
+    "graph_reachability_indexed",
+    "snapshot_asof_read",
+    "snapshot_merge_state",
+    "scd2_intervals",
+    "rolling_user_features",
+    "retention_cohorts",
+    "hourly_activity",
+    "top_orders_per_customer",
+    "revenue_cube",
+    "asof_last_signup",
+    "order_priority",
+    "returned_customers",
+    "discounted_revenue",
+    "small_quantity_revenue",
     "k_anonymity_audit",
     "dsir_selection",
     "retrieval_mrr",
@@ -404,35 +364,74 @@ _GATE_LAST = [
     "copurchase_kcore",
     "hybrid_search_rrf",
     "mmr_rerank",
-    "stream_join_view",
     "join_card_estimate",
     "trimmed_revenue_stats",
     "bm25_prf_search",
     "training_negatives",
     "target_encoding",
-    "top_orders_per_customer",
-    "revenue_cube",
-    "asof_last_signup",
-    "order_priority",
-    "returned_customers",
-    "streaming_sessionize",
-    "streaming_device_activity",
     "kmv_user_distinct",
     "quality_expectations",
-    "scd2_intervals",
-    "key_skew_report",
-    "rolling_user_features",
     "quarantined_docs",
-    "retention_cohorts",
-    "hourly_activity",
-    "stream_kmv_distinct",
+    "key_skew_report",
     "oov_rate",
+    "stream_kmv_distinct",
     "stream_quarantine",
+    "minhash_precision_audit",
+    "sq_rescore_topk",
+    "sq_recall_audit",
+    "hard_negatives",
     "image_embed",
+    "time_decay_credit",
+    "position_credit",
+    "bpe_encode_stats",
     "semantic_dedup",
     "doc_chunks",
-    "discounted_revenue",
-    "small_quantity_revenue",
+    "stream_join_view",
+    "streaming_sessionize",
+    "streaming_device_activity",
+    "pit_purchase_state",
+    "waiting_suppliers",
+    "top_supplier_revenue",
+    "part_share_suppliers",
+    "forecast_revenue",
+    "revenue_rollup",
+    "repeat_customers",
+    "top_parts_per_brand",
+    "quality_classifier",
+    "quality_pr_curve",
+    "stream_top_users",
+    "token_budget_mixture",
+    "doc_quality_zipf",
+    "shingle_dup_rate",
+    "cross_source_overlap",
+    "audio_chunks",
+    "dedup_incoming",
+    "table_profile",
+    "temperature_mix",
+    "dup_span_stats",
+    "dup_span_clean",
+    "dup_span_incoming",
+    "embedding_quantize_audit",
+    "bloom_prune_join",
+    "kmeans_centroids",
+    "cluster_balanced_sample",
+    "stratified_sample",
+    "dedup_keep_best",
+    "contamination_check",
+    "curated_corpus",
+    "curation_funnel",
+    "exact_stratified_sample",
+    "length_histogram",
+    "stream_window_counts",
+    "stream_sliding_counts",
+    "stream_dedup",
+    "stream_attribution",
+    "stream_attribution_outer",
+    "stream_enriched_counts",
+    "stream_upsert_latest",
+    "stream_session_windows",
+    "streaming_spend_sessions",
+    "schema_drift_audit",
 ]
 _PARITY = [
     "bidlog_validation",
