@@ -349,11 +349,18 @@ def main(argv: list[str] | None = None) -> int:
             if args.input
             else load_table(spark, args.sf_dir, "documents")
         )
-        scored = quality_classifier(docs)
-        scored.write.mode("overwrite").parquet(args.output)
+        quality_classifier(docs).write.mode("overwrite").parquet(args.output)
+        # read the scored relation back so the curve consumes the written
+        # artifact instead of re-deriving the corpus token scan; label is
+        # null-safe (null lang counts as negative, same as the class split)
+        scored = spark.read.parquet(args.output)
         curve = pr_curve_exact(
             scored.select(
-                "margin", (F.col("lang") == "en").cast("long").alias("label")
+                "margin",
+                F.when(F.col("lang") == "en", F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("label"),
             ),
             score_col="margin",
             label_col="label",

@@ -132,6 +132,14 @@ def quality_classifier(
     as a bigint, mod ``n_buckets``) — reshuffle/reingestion-proof, and
     identical in Spark (conv) and DuckDB ('0x' cast).
 
+    Documents whose token array is empty or NULL (null text) produce no
+    exploded rows, so the scored aggregate alone would omit them; a final
+    doc-keyed left join back onto ``documents`` restores them with
+    n_tokens=0, margin=0, pred=0 — the output really does carry one row
+    per document, which is what the quality-score CLI job and any
+    downstream keep/drop decision need (an unscored doc must read as
+    "not predicted positive", not vanish).
+
     Why hashed buckets instead of the raw vocabulary: the weight relation
     is ``n_buckets`` rows REGARDLESS of corpus size — at 100 TB the
     vocabulary is billions of tokens and a vocab-keyed weight table stops
@@ -169,19 +177,23 @@ def quality_classifier(
             - F.length(F.expr("bin(c_neg + 1)")).cast("bigint")
         ).alias("wt"),
     )
-    return (
+    scored = (
         toks.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("wt").cast("bigint").alias("margin"),
         )
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
-            "n_tokens",
-            "margin",
-            (F.col("margin") > 0).cast("int").alias("pred"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("margin", F.lit(0)).cast("bigint").alias("margin"),
+            (F.coalesce("margin", F.lit(0)) > 0).cast("int").alias("pred"),
         )
     )
 

@@ -431,3 +431,91 @@ def test_routed_anti_join_semi_and_composite_key(spark):
 
     with pytest.raises(ValueError):
         routed_anti_join(facts, dim, ["os", "uuid"], how="inner")
+
+
+def test_routed_anti_join_probe_memo(spark):
+    """Within a session the key-count probe runs once per distinct lookup
+    plan: the second routed_anti_join over a semantically identical dim
+    reports probe == "memo" and returns identical rows; a different dim
+    plan re-probes fresh."""
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        probe_memo_clear,
+        routed_anti_join,
+    )
+
+    probe_memo_clear()
+    facts = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(100)], "k string, v int"
+    )
+    dim = spark.createDataFrame([(f"k{i}",) for i in range(0, 20, 3)], "k string")
+    want = facts.join(dim, "k", "left_anti")
+
+    rep1, rep2, rep3 = {}, {}, {}
+    a = routed_anti_join(facts, dim, "k", report=rep1)
+    b = routed_anti_join(facts, dim, "k", report=rep2)
+    assert rep1["probe"] == "fresh" and rep2["probe"] == "memo"
+    assert rep1["n_keys"] == rep2["n_keys"]
+    for got in (a, b):
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    other = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    routed_anti_join(facts, other, "k", report=rep3)
+    assert rep3["probe"] == "fresh" and rep3["n_keys"] == 2
+
+    # memo survives the inter-query cache release (frame unpersisted but
+    # the count is still valid for the immutable fixture)
+    from adtech_log_data_pipeline_spark.functions._cache import release_cached
+
+    release_cached()
+    rep4 = {}
+    c = routed_anti_join(facts, dim, "k", report=rep4)
+    assert rep4["probe"] == "memo"
+    assert c.exceptAll(want).count() == 0 and want.exceptAll(c).count() == 0
+    probe_memo_clear()
+
+
+def test_helper_columns_never_clobber_user_columns(spark):
+    """Facts that already carry _hit/_salt columns pass through every
+    rung and every salted operator unscathed (the helper names are
+    generated collision-free)."""
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        AntiJoinRouting,
+        probe_memo_clear,
+        routed_anti_join,
+        salted_anti_join,
+        salted_count_distinct,
+        salted_join,
+    )
+
+    probe_memo_clear()
+    facts = spark.createDataFrame(
+        [(f"k{i % 10}", i, 7, 9) for i in range(80)],
+        "k string, v int, _hit int, _salt int",
+    )
+    dim = spark.createDataFrame([("k1",), ("k4",)], "k string")
+    want = facts.join(dim, "k", "left_anti")
+    for routing in (
+        AntiJoinRouting(),
+        AntiJoinRouting(broadcast_max_keys=1, skew_factor=2.0),
+        AntiJoinRouting(broadcast_max_keys=1, skew_factor=1e9),
+    ):
+        got = routed_anti_join(facts, dim, "k", routing=routing)
+        assert got.columns == facts.columns, routing
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    got = salted_anti_join(facts, dim, "k")
+    assert got.columns == facts.columns
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    jwant = facts.join(dim, "k", "inner")
+    jgot = salted_join(facts, dim, "k")
+    assert sorted(jgot.columns) == sorted(jwant.columns)
+    assert jgot.exceptAll(jwant).count() == 0 and jwant.exceptAll(jgot).count() == 0
+
+    # salted_count_distinct with a value column literally named _salt
+    cwant = facts.groupBy("k").agg(F.countDistinct("_salt", "v").alias("n"))
+    cgot = salted_count_distinct(facts, ["k"], ["_salt", "v"], alias="n")
+    assert cgot.exceptAll(cwant).count() == 0 and cwant.exceptAll(cgot).count() == 0
+    probe_memo_clear()
