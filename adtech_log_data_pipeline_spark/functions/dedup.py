@@ -949,7 +949,15 @@ def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     Output: (doc_id, span_start, span_end) half-open token ranges;
     overlapping AND adjacent hit windows merge (pos <= prev_pos + k).
     """
-    grams = hold(_gram_rows(documents, k))
+    # width-pinned on the gram hash (the graph family's discipline): one
+    # explicit core-count-wide shuffle that the duplicate-gram agg AND the
+    # hit join both reuse (hash-partitioned on g satisfies their
+    # clustering), instead of two shuffle.partitions-wide shuffles of the
+    # corpus-sized gram relation — the sort-shuffle writer's
+    # reducers x tasks buffer matrix is what OOMed a bare 1 GiB session
+    # under compare.py's collect pressure (LOCALGATE_r10 note)
+    width = documents.sparkSession.sparkContext.defaultParallelism
+    grams = hold(_gram_rows(documents, k).repartition(width, "g"))
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -221,27 +221,94 @@ def audio_chunk_manifest(blobs: DataFrame) -> DataFrame:
     )
 
 
-def image_embed(blobs: DataFrame) -> DataFrame:
-    """Feature-extraction stage: an EMBED_DIMS-dim embedding per blob in
-    integer micros (exact across engines; a real model would emit floats
-    — the float32-pinning pattern for that case lives in
-    operators/inference.py). The md5-derived fake stands in for the model
-    forward pass; the batch shape (blob in, fixed-width vector out) is
-    the real contract. Output: (doc_id, emb array<bigint>)."""
+#: env vars that route a REAL serialized projection model into image_embed
+#: (resolved on the DRIVER, the predict() discipline)
+EMBED_MODEL_ENV = "SPARK_GRAFT_EMBED_MODEL"
+EMBED_MODEL_SHA256_ENV = "SPARK_GRAFT_EMBED_MODEL_SHA256"
+
+#: per-(process, path) cache of the loaded projection (workers load once)
+_EMBED_MODEL_CACHE: dict[tuple[str, str | None], tuple] = {}
+
+
+def _blob_features(blob: bytes) -> list[int]:
+    """The EMBED_DIMS md5-derived integer feature vector of a blob in
+    [-1e6, 1e6] — the deterministic stand-in for a pixel featurizer
+    (mirrored exactly by the oracle SQL's conv/substr formula)."""
+    h = hashlib.md5(blob).hexdigest()
+    return [
+        int(h[4 * j : 4 * j + 4], 16) % 2_000_001 - 1_000_000
+        for j in range(EMBED_DIMS)
+    ]
+
+
+def image_embed(
+    blobs: DataFrame,
+    model_path: str | None = None,
+    expect_digest: str | None = None,
+) -> DataFrame:
+    """Feature-extraction stage: an embedding per blob in integer micros
+    (exact across engines). Two modes, one contract (doc_id in, fixed-
+    width integer vector out; map-only, blobs never shuffle):
+
+    * default — the EMBED_DIMS md5-derived fake stands in for the model
+      forward pass (the sandbox has no image-model runtime); this is the
+      oracle-gated path.
+    * ``model_path`` (or $SPARK_GRAFT_EMBED_MODEL, resolved on the
+      DRIVER and shipped in the closure — the predict() discipline) — a
+      REAL serialized projection head: a single-MatMul/Gemm ``.onnx``
+      (engine wire codec, operators/inference.py::load_linear_artifact)
+      or ``.npy`` with input dim EMBED_DIMS, optionally sha256-pinned
+      via ``expect_digest`` / $SPARK_GRAFT_EMBED_MODEL_SHA256 and
+      verified per worker BEFORE deserialization. The forward pass maps
+      the md5 features scaled to [-1, 1] through y = x @ W + b in
+      float64 and emits round(y * 1e6) micros — integer-exact, so the
+      same slicing-invariance laws hold as for the fake.
+
+    Output: (doc_id, emb array<bigint>), width EMBED_DIMS or the
+    model's output dim. Reference seam parity:
+    D/transforms/Predictions.java:146-169 (per-worker model load).
+    Law tests: tests/test_multimodal_onnx.py."""
+    import os
+
+    if model_path is None:
+        model_path = os.environ.get(EMBED_MODEL_ENV) or None
+        if model_path and expect_digest is None:
+            expect_digest = os.environ.get(EMBED_MODEL_SHA256_ENV) or None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if model_path is not None:
+            key = (model_path, expect_digest)
+            model = _EMBED_MODEL_CACHE.get(key)
+            if model is None:
+                from ..operators.inference import load_linear_artifact
+
+                model = load_linear_artifact(
+                    model_path,
+                    expect_digest=expect_digest,
+                    env_label=EMBED_MODEL_ENV,
+                )
+                if model[0].shape[0] != EMBED_DIMS:
+                    raise ValueError(
+                        f"{EMBED_MODEL_ENV} file {model_path!r} input dim"
+                        f" {model[0].shape[0]} != {EMBED_DIMS}"
+                    )
+                _EMBED_MODEL_CACHE[key] = model
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            embs = []
-            for blob in pdf["blob"]:
-                h = hashlib.md5(blob).hexdigest()
-                embs.append(
-                    [
-                        int(h[4 * j : 4 * j + 4], 16) % 2_000_001 - 1_000_000
-                        for j in range(EMBED_DIMS)
-                    ]
-                )
+            feats = [_blob_features(blob) for blob in pdf["blob"]]
+            if model_path is None:
+                embs = feats
+            else:
+                import numpy as np
+
+                w, b = model
+                x = np.asarray(feats, dtype=np.float64) / 1e6
+                y = x @ w + b
+                embs = [
+                    [int(v) for v in row]
+                    for row in np.rint(y * 1e6).astype(np.int64)
+                ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb": embs})
 
     return blobs.mapInPandas(run, schema="doc_id long, emb array<bigint>")

@@ -341,7 +341,12 @@ def shingle_dup_rate(documents: DataFrame) -> DataFrame:
     from ._cache import hold
     from .dedup import _shingle_rows
 
-    sh = hold(_shingle_rows(documents).distinct())
+    # width-pinned on the shingle hash: one core-count-wide shuffle that
+    # the distinct, the frequency agg and the join all reuse (hash on s
+    # clusters every consumer's keys), not three shuffle.partitions-wide
+    # shuffles of the shingle relation (LOCALGATE_r10 1 GiB-session note)
+    width = documents.sparkSession.sparkContext.defaultParallelism
+    sh = hold(_shingle_rows(documents).repartition(width, "s").distinct())
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(freq, "s")

@@ -105,8 +105,10 @@ def _onnx_specs():
     tensor = Spec("TensorProto", (
         Field(1, "dims", "packed_int64"),
         Field(2, "data_type", "int32"),
+        Field(4, "float_data", "packed_float"),
         Field(8, "name", "string"),
         Field(9, "raw_data", "bytes"),
+        Field(10, "double_data", "packed_double"),
     ))
     # AttributeProto.f is a single fixed32 float; the codec's packed_float
     # kind accepts the unpacked I32 wire form, so f decodes as a 0/1-item
@@ -144,6 +146,10 @@ def _onnx_specs():
 
 
 def _onnx_tensor(path: str, t: dict, want_rank: int) -> np.ndarray:
+    """Materialize a TensorProto initializer. Both proto storage forms
+    are accepted: ``raw_data`` (the onnx.helper raw=True default and
+    what real exporters emit) and the typed repeated fields
+    ``float_data``/``double_data`` (helper raw=False)."""
     dims = tuple(t["dims"])
     np_type = {1: np.dtype("<f4"), 11: np.dtype("<f8")}.get(t["data_type"])
     if np_type is None:
@@ -151,10 +157,24 @@ def _onnx_tensor(path: str, t: dict, want_rank: int) -> np.ndarray:
             f"{path!r}: initializer {t['name']!r} data_type"
             f" {t['data_type']} is not FLOAT(1)/DOUBLE(11)"
         )
-    raw = t["raw_data"]
     n = 1
     for d in dims:
         n *= d
+    raw = t["raw_data"]
+    typed = t["float_data"] if t["data_type"] == 1 else t["double_data"]
+    if raw and typed:
+        raise ValueError(
+            f"{path!r}: initializer {t['name']!r} carries BOTH raw_data"
+            " and typed data storage"
+        )
+    if not raw and typed:
+        if len(dims) != want_rank or len(typed) != n:
+            raise ValueError(
+                f"{path!r}: initializer {t['name']!r} dims {dims} /"
+                f" {len(typed)} typed values inconsistent (want rank"
+                f" {want_rank})"
+            )
+        return np.asarray(typed, dtype=np_type).reshape(dims)
     if len(dims) != want_rank or len(raw) != np_type.itemsize * n:
         raise ValueError(
             f"{path!r}: initializer {t['name']!r} dims {dims} / raw_data"
@@ -259,37 +279,59 @@ def _load_model(
     different predictions on different executors."""
     cached = _MODEL_CACHE.get(path)
     if cached is None:
-        b = np.zeros(N_CLASSES, dtype=np.float64)
         if path:
-            if expect_digest:
-                actual = _file_sha256(path)
-                if actual != expect_digest.lower():
-                    raise ValueError(
-                        f"{MODEL_WEIGHTS_ENV} file {path!r} sha256 {actual}"
-                        f" != expected {expect_digest}"
-                    )
-            if path.endswith(".onnx"):
-                w, b = _load_onnx_linear(path)
-            else:
-                w = np.load(path)
-            if w.shape != (FEATURE_DIM, N_CLASSES):
-                raise ValueError(
-                    f"{MODEL_WEIGHTS_ENV} file {path!r} has shape {w.shape},"
-                    f" expected {(FEATURE_DIM, N_CLASSES)}"
-                )
-            if not np.issubdtype(w.dtype, np.floating):
-                raise ValueError(
-                    f"{MODEL_WEIGHTS_ENV} file {path!r} has dtype {w.dtype},"
-                    " expected a float matrix"
-                )
-            w = w.astype(np.float64)
+            cached = load_linear_artifact(
+                path,
+                expect_digest=expect_digest,
+                want_shape=(FEATURE_DIM, N_CLASSES),
+                env_label=MODEL_WEIGHTS_ENV,
+            )
         else:
             i = np.arange(FEATURE_DIM, dtype=np.int64)[:, None]
             j = np.arange(N_CLASSES, dtype=np.int64)[None, :]
             w = ((i * 31 + j * 17) % 101 - 50) / 50.0
-        cached = (w, b.astype(np.float64))
+            cached = (w, np.zeros(N_CLASSES, dtype=np.float64))
         _MODEL_CACHE[path] = cached
     return cached
+
+
+def load_linear_artifact(
+    path: str,
+    expect_digest: str | None = None,
+    want_shape: tuple[int, int] | None = None,
+    env_label: str = "model",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The checked model-artifact seam, shared by every linear model
+    consumer (predict's R4 classifier, multimodal.image_embed's
+    projection head): sha256-verify the file bytes BEFORE
+    deserialization when a digest is pinned, parse ``.onnx``
+    (single MatMul/Gemm, engine wire codec) or ``.npy``, enforce float
+    dtype and — when given — the exact (in, out) shape. Returns
+    (float64 W, float64 bias); bias is zero for bias-less formats.
+    Callers cache per (process, path) themselves."""
+    if expect_digest:
+        actual = _file_sha256(path)
+        if actual != expect_digest.lower():
+            raise ValueError(
+                f"{env_label} file {path!r} sha256 {actual}"
+                f" != expected {expect_digest}"
+            )
+    if path.endswith(".onnx"):
+        w, b = _load_onnx_linear(path)
+    else:
+        w = np.load(path)
+        b = np.zeros(w.shape[1] if w.ndim == 2 else 0, dtype=np.float64)
+    if want_shape is not None and w.shape != want_shape:
+        raise ValueError(
+            f"{env_label} file {path!r} has shape {w.shape},"
+            f" expected {want_shape}"
+        )
+    if not np.issubdtype(w.dtype, np.floating):
+        raise ValueError(
+            f"{env_label} file {path!r} has dtype {w.dtype},"
+            " expected a float matrix"
+        )
+    return w.astype(np.float64), b.astype(np.float64)
 
 
 def _load_weights(path: str | None, expect_digest: str | None = None) -> np.ndarray:

@@ -68,8 +68,9 @@ class Field:
     number: int
     name: str
     # int32|int64|enum|string|double|message|map_i32_i32|bytes|
-    # packed_int64|packed_float|map_str_msg (the last four exist for
-    # tf.train.Example — sources/tfexample.py)
+    # packed_int64|packed_float|packed_double|map_str_msg (the packed/map
+    # kinds exist for tf.train.Example — sources/tfexample.py — and the
+    # ONNX TensorProto float_data/double_data storage)
     kind: str
     repeated: bool = False
     message: "Spec | None" = None
@@ -87,7 +88,9 @@ class Spec:
     def default(self) -> dict[str, Any]:
         out: dict[str, Any] = {}
         for f in self.fields:
-            if f.repeated or f.kind in ("packed_int64", "packed_float"):
+            if f.repeated or f.kind in (
+                "packed_int64", "packed_float", "packed_double"
+            ):
                 out[f.name] = []
             elif f.kind in ("map_i32_i32", "map_str_msg"):
                 out[f.name] = {}
@@ -304,6 +307,11 @@ def decode_message(buf: bytes, spec: Spec) -> dict[str, Any]:
                 raise WireError("truncated float")
             msg[f.name].append(_struct.unpack_from("<f", buf, pos)[0])
             pos += 4
+        elif f.kind == "packed_double" and wt == _WIRE_I64:
+            if pos + 8 > len(buf):
+                raise WireError("truncated double")
+            msg[f.name].append(_struct.unpack_from("<d", buf, pos)[0])
+            pos += 8
         elif wt != _WIRE_LEN:
             raise WireError(f"{spec.name}.{f.name}: expected length-delimited")
         else:
@@ -336,6 +344,12 @@ def decode_message(buf: bytes, spec: Spec) -> dict[str, Any]:
                     raise WireError("packed float payload not 4-aligned")
                 msg[f.name].extend(
                     _struct.unpack(f"<{len(payload) // 4}f", payload)
+                )
+            elif f.kind == "packed_double":
+                if len(payload) % 8:
+                    raise WireError("packed double payload not 8-aligned")
+                msg[f.name].extend(
+                    _struct.unpack(f"<{len(payload) // 8}d", payload)
                 )
             elif f.kind == "map_i32_i32":
                 entry = decode_message(payload, _MAP_ENTRY)
@@ -395,6 +409,11 @@ def encode_message(msg: dict[str, Any], spec: Spec) -> bytes:
                 _write_varint(out, f.number << 3 | _WIRE_LEN)
                 _write_varint(out, 4 * len(v))
                 out += _struct.pack(f"<{len(v)}f", *v)
+        elif f.kind == "packed_double":
+            if v:
+                _write_varint(out, f.number << 3 | _WIRE_LEN)
+                _write_varint(out, 8 * len(v))
+                out += _struct.pack(f"<{len(v)}d", *v)
         elif f.kind == "map_i32_i32":
             for k in sorted(v or {}):
                 entry = encode_message({"key": k, "value": v[k]}, _MAP_ENTRY)

@@ -25,6 +25,12 @@ dominated and useless as a regression gate):
   in the trailer — the artifact carries its own regression verdict.
 * best-of-2 per query within a chunk (cache-cleared between runs), as
   before: the min of two cold-cache runs is attributable to the plan.
+* REGRESSIONS CONFIRMED BEFORE PUBLICATION (round-11; the round-10
+  artifact's top-regressions list was 100% host contention): every
+  candidate over the 1.5x/+0.5 s floor is re-run once in a fresh child
+  JVM and the min kept — a plan regression reproduces, a noisy-neighbor
+  spike does not. Only survivors are published; the trailer's
+  ``rerun_confirmed`` lists what was re-checked.
 """
 
 from __future__ import annotations
@@ -433,6 +439,11 @@ def main() -> None:
         print("BENCH_CHUNK_JSON " + json.dumps(timings), flush=True)
         return
 
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run-names":
+        timings = run_chunk(sys.argv[2].split(","), sf_dir)
+        print("BENCH_CHUNK_JSON " + json.dumps(timings), flush=True)
+        return
+
     # orchestrator: fresh child JVM per chunk, load sampled around each
     timings: dict[str, float] = {}
     loads: list[list[float]] = []
@@ -462,6 +473,64 @@ def main() -> None:
             raise SystemExit(1)
         timings.update(chunk)
 
+    # regression summary: prefer the full per-query log of a prior run
+    # (whole-board baseline); fall back to the prior BENCH tail (~60
+    # queries) when no same-sf full map exists yet
+    prev_name, prev = _prev_full_map(float(sf) if sf else None)
+    if not prev:
+        prev_name, prev = _prev_round_tail_queries()
+    common = sorted(set(prev) & set(timings))
+    delta: dict[str, object] = {"prev": prev_name, "n_common": len(common)}
+    if common:
+        def _regressions() -> dict[str, float]:
+            # same thresholds as tools/bench_diff.py: a ratio alone flags
+            # sub-second noise on tiny queries — require a real absolute
+            # delta too
+            rs = sorted(
+                (round(timings[q] / prev[q], 2) if prev[q] > 0 else 1.0, q)
+                for q in common
+            )
+            delta["median_ratio"] = rs[len(rs) // 2][0]
+            return {
+                q: r
+                for r, q in rs[-5:][::-1]
+                if r >= 1.5 and timings[q] - prev[q] >= 0.5
+            }
+
+        candidates = _regressions()
+        if candidates:
+            # noise gate (round-10 verdict: BENCH_r10's top-regressions
+            # list was 100% host contention): re-run every candidate once
+            # in ONE fresh child JVM and keep the min — a plan regression
+            # reproduces, a noisy-neighbor spike does not. The confirmed
+            # list is what gets published; the artifact records that the
+            # confirmation pass ran.
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--run-names",
+                    ",".join(sorted(candidates)),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=here,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            rerun: dict[str, float] = {}
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_CHUNK_JSON "):
+                    rerun = json.loads(line.split(" ", 1)[1])
+            for q, t in rerun.items():
+                if q in timings:
+                    timings[q] = min(timings[q], t)
+            delta["rerun_confirmed"] = sorted(candidates)
+        delta["top_regressions"] = _regressions()
+    _record_full_map(float(sf) if sf else None, timings)
+
+    # printed AFTER the regression-confirmation pass so the headline map,
+    # the per-query log and the totals trailer all carry the same
+    # (noise-confirmed) numbers
     print(
         json.dumps(
             {
@@ -473,29 +542,6 @@ def main() -> None:
             }
         )
     )
-
-    # regression summary: prefer the full per-query log of a prior run
-    # (whole-board baseline); fall back to the prior BENCH tail (~60
-    # queries) when no same-sf full map exists yet
-    prev_name, prev = _prev_full_map(float(sf) if sf else None)
-    if not prev:
-        prev_name, prev = _prev_round_tail_queries()
-    common = sorted(set(prev) & set(timings))
-    delta: dict[str, object] = {"prev": prev_name, "n_common": len(common)}
-    if common:
-        ratios = sorted(
-            (round(timings[q] / prev[q], 2) if prev[q] > 0 else 1.0, q)
-            for q in common
-        )
-        delta["median_ratio"] = ratios[len(ratios) // 2][0]
-        # same thresholds as tools/bench_diff.py: a ratio alone flags
-        # sub-second noise on tiny queries — require a real absolute delta
-        delta["top_regressions"] = {
-            q: r
-            for r, q in ratios[-5:][::-1]
-            if r >= 1.5 and timings[q] - prev[q] >= 0.5
-        }
-    _record_full_map(float(sf) if sf else None, timings)
 
     # The driver records only a fixed-size stdout TAIL; the full per-query
     # line above overflows it at 80+ queries (round 4 recorded
