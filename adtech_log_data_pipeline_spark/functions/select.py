@@ -151,31 +151,9 @@ def quality_classifier(
 
     Output: (doc_id, lang, n_tokens, margin, pred) for EVERY document.
     """
-    toks = documents.select(
-        "doc_id",
-        "lang",
-        F.explode(tokens_col()).alias("tok"),
-    ).withColumn(
-        "bucket",
-        F.expr(
-            "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
-            f" % {int(n_buckets)}"
-        ),
-    )
-    buckets = toks.groupBy("bucket").agg(
-        F.sum(
-            F.when(F.col("lang") == positive_lang, F.lit(1)).otherwise(F.lit(0))
-        ).cast("bigint").alias("c_pos"),
-        F.sum(
-            F.when(F.col("lang") == positive_lang, F.lit(0)).otherwise(F.lit(1))
-        ).cast("bigint").alias("c_neg"),
-    )
-    weights = buckets.select(
-        "bucket",
-        (
-            F.length(F.expr("bin(c_pos + 1)")).cast("bigint")
-            - F.length(F.expr("bin(c_neg + 1)")).cast("bigint")
-        ).alias("wt"),
+    toks = _qc_token_buckets(documents, n_buckets)
+    weights = quality_weights(
+        documents, n_buckets=n_buckets, positive_lang=positive_lang, _toks=toks
     )
     scored = (
         toks.join(F.broadcast(weights), "bucket")
@@ -195,6 +173,52 @@ def quality_classifier(
             F.coalesce("margin", F.lit(0)).cast("bigint").alias("margin"),
             (F.coalesce("margin", F.lit(0)) > 0).cast("int").alias("pred"),
         )
+    )
+
+
+def _qc_token_buckets(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, lang, tok, bucket) token-occurrence rows — the classifier's
+    shared feature derivation (portable md5 bucket hash)."""
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_col()).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+            f" % {int(n_buckets)}"
+        ),
+    )
+
+
+def quality_weights(
+    documents: DataFrame,
+    n_buckets: int = QC_N_BUCKETS,
+    positive_lang: str = QC_POSITIVE_LANG,
+    _toks: DataFrame | None = None,
+) -> DataFrame:
+    """The classifier's learned model as a standalone relation
+    (bucket, wt): integer log2-bucket class log-odds per hashed feature
+    bucket — at most ``n_buckets`` rows whatever the corpus size, i.e.
+    broadcast/collect-sized BY CONSTRUCTION. Exposed so other consumers
+    (the streaming ingest scorer) can train once batch-side and apply the
+    weights statelessly."""
+    toks = _toks if _toks is not None else _qc_token_buckets(documents, n_buckets)
+    buckets = toks.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == positive_lang, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("c_pos"),
+        F.sum(
+            F.when(F.col("lang") == positive_lang, F.lit(0)).otherwise(F.lit(1))
+        ).cast("bigint").alias("c_neg"),
+    )
+    return buckets.select(
+        "bucket",
+        (
+            F.length(F.expr("bin(c_pos + 1)")).cast("bigint")
+            - F.length(F.expr("bin(c_neg + 1)")).cast("bigint")
+        ).alias("wt"),
     )
 
 

@@ -952,6 +952,21 @@ def q_stream_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_top_users(spark, sf_dir)
 
 
+def q_stream_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-classifier scoring of the document ingest stream
+    (streaming/quality.py::stream_quality_score): the batch-learned
+    512-bucket hashed-feature model applied as a STATELESS per-row token
+    fold (F.aggregate over a collect-safe model map — no explode, no
+    shuffle, no state store), emitting the exact quality_classifier
+    relation per arriving document. Oracle = the batch classifier's SQL
+    unchanged: zero streaming state means any micro-batch slicing lands
+    on the batch result (slicing-invariance law in
+    tests/test_stream_quality.py)."""
+    from ..streaming.quality import stream_quality_score
+
+    return stream_quality_score(spark, sf_dir)
+
+
 def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter split: per-micro-batch row-level admission
     gate, idempotent per-batch sinks — batch-identical quarantine table."""
@@ -2451,6 +2466,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kmv_distinct": q_stream_kmv_distinct,
     "stream_top_users": q_stream_top_users,
     "stream_quarantine": q_stream_quarantine,
+    "stream_quality_score": q_stream_quality_score,
     "token_budget_mixture": q_token_budget_mixture,
     "doc_quality_zipf": q_doc_quality_zipf,
     "bigram_lm_score": q_bigram_lm_score,
@@ -6046,6 +6062,13 @@ FROM b GROUP BY r_bin, f_bin, m_bin
 # makes the gate prove exactly that equality
 NORTHSTAR_ORACLES["graph_reachability_indexed"] = NORTHSTAR_ORACLES[
     "graph_reachability"
+]
+
+# zero streaming state ==> the stream scorer must reproduce the batch
+# classifier relation verbatim — sharing the oracle TEXT makes the gate
+# prove exactly that equality (the graph_reachability_indexed discipline)
+NORTHSTAR_ORACLES["stream_quality_score"] = NORTHSTAR_ORACLES[
+    "quality_classifier"
 ]
 
 NORTHSTAR_ORACLES["bpe_merge_rules"] = _oracle_bpe(8)

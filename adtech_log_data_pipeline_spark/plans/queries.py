@@ -225,6 +225,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # newest greens to the TAIL HEAD. After this round gates them,
 # min(last-green) across the board is r7. The window stays parity-7 + 43.
 _GATE_FIRST = [
+    # round-11 new queries (0 driver greens — beat all)
+    "stream_quality_score",
     "props_json_stats",
     "volume_shipping",
     "market_share",
@@ -267,12 +269,12 @@ _GATE_FIRST = [
     "customer_spend_rank",
     "cohort_ltv",
     "hourly_gapfill",
-    "cm_error_audit",
 ]
 # The tail: every remaining query ordered last-green ASCENDING (the
 # remaining r7 cohort — the round-12 promote queue head — then r8, r9,
 # r10), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "cm_error_audit",
     "cdc_customer_state",
     "dim_truncation_recall",
     "hll_user_distinct",

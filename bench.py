@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "quality_classifier",
     "quality_pr_curve",
     "cluster_balanced_sample",
+    # round-11 additions
+    "stream_quality_score",
 ]
 
 
