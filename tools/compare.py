@@ -88,11 +88,26 @@ def value_hash(df: pd.DataFrame) -> str:
 _MHASH_MOD = (1 << 61) - 1
 
 
-def _row_hashes(pdf: pd.DataFrame, cols: list[str]) -> list[int]:
-    """Per-row 64-bit md5 prefixes of the SAME canonical cell strings the
-    sorted-md5 path uses (shared _cell), order-free."""
+def _cell_int(v):
+    """Integer-typed cell per the SPARK SCHEMA: pandas promotes a nullable
+    int64 column to float64 — but only in frames/batches that actually
+    contain a null, so the same bigint value renders "58" in one Arrow
+    batch and "58.0" in another (and in the oracle's fetchdf). Schema-
+    driven integer rendering makes the multiset hash batch-invariant."""
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NA:
+        return "<null>"
+    return str(int(v))
+
+
+def _row_hashes(
+    pdf: pd.DataFrame, cols: list[str], int_cols: frozenset[str]
+) -> list[int]:
+    """Per-row 64-bit md5 prefixes of the canonical cell strings (shared
+    _cell; integer-typed columns schema-normalized), order-free."""
     c = pdf.reindex(cols, axis=1)
-    canon = pd.DataFrame({k: c[k].map(_cell) for k in cols})
+    canon = pd.DataFrame(
+        {k: c[k].map(_cell_int if k in int_cols else _cell) for k in cols}
+    )
     return [
         int.from_bytes(
             hashlib.md5(("\x1f".join(map(str, row)) + "\x1e").encode()).digest()[:8],
@@ -102,10 +117,22 @@ def _row_hashes(pdf: pd.DataFrame, cols: list[str]) -> list[int]:
     ]
 
 
-def multiset_hash_pandas(df: pd.DataFrame) -> tuple[int, int]:
+def multiset_hash_pandas(
+    df: pd.DataFrame, int_cols: frozenset[str] = frozenset()
+) -> tuple[int, int]:
     """(row count, commutative multiset hash) of a pandas frame."""
-    hs = _row_hashes(df, sorted(df.columns))
+    hs = _row_hashes(df, sorted(df.columns), int_cols)
     return len(hs), sum(hs) % _MHASH_MOD
+
+
+def spark_int_cols(sdf) -> frozenset[str]:
+    """The integer-typed columns per the Spark schema — the canonical
+    typing applied to BOTH sides of an --exec-hash compare."""
+    return frozenset(
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    )
 
 
 def multiset_hash_spark(sdf) -> tuple[int, int]:
@@ -118,10 +145,11 @@ def multiset_hash_spark(sdf) -> tuple[int, int]:
     weaker than the sorted-md5 transcript, which is why this is an
     opt-in mode, not the default."""
     cols = sorted(sdf.columns)
+    int_cols = spark_int_cols(sdf)
 
     def fold(batches):
         for pdf in batches:
-            hs = _row_hashes(pdf, cols)
+            hs = _row_hashes(pdf, cols, int_cols)
             yield pd.DataFrame({"n": [len(hs)], "h": [sum(hs) % _MHASH_MOD]})
 
     parts = sdf.mapInPandas(fold, "n long, h long").collect()
@@ -210,7 +238,7 @@ def main() -> int:
                 print(f"FAIL {name}: oracle error: {e}")
                 failures.append(name)
                 continue
-            n_o, h_o = multiset_hash_pandas(odf)
+            n_o, h_o = multiset_hash_pandas(odf, spark_int_cols(res))
             problems = []
             if n_s != n_o:
                 problems.append(f"rows {n_s} vs {n_o}")
