@@ -154,3 +154,24 @@ class TestScoredMemo:
             ).collect()
         )
         assert got == want and len(got) > 0
+
+    def test_weights_artifact_equals_fresh(self, spark, fixture_dir, monkeypatch, tmp_path):
+        from adtech_log_data_pipeline_spark.functions.select import (
+            quality_weights,
+        )
+        from adtech_log_data_pipeline_spark.plans.northstar import (
+            _qc_weights_for_fixture,
+        )
+        from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+        monkeypatch.setenv("SPARK_GRAFT_QC_CACHE_W", str(tmp_path / "wcache"))
+        memo = sorted(
+            tuple(r) for r in _qc_weights_for_fixture(spark, fixture_dir).collect()
+        )
+        fresh = sorted(
+            tuple(r)
+            for r in quality_weights(
+                load_table(spark, fixture_dir, "documents")
+            ).collect()
+        )
+        assert memo == fresh and 0 < len(memo) <= 512
