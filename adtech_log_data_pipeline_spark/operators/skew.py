@@ -162,20 +162,48 @@ class AntiJoinRouting:
     n_salts: int = 16
 
 
-# session-scoped probe memo: semanticHash -> (held key projection, count).
-# Bounded by the number of distinct lookup plans a session routes (a
-# handful); never crosses JVMs, so a fresh session always re-probes.
+# session-scoped probe memos; never cross JVMs, so a fresh session always
+# re-probes. Two tiers:
+#   exact — semanticHash + sameSemantics-confirmed: reuses the held key
+#     frame AND its count (a confirmed-equal plan IS the same key set);
+#   fingerprint — md5 of the normalized plan string with expression IDs
+#     stripped: Spark does NOT normalize attr IDs inside CTE-bearing
+#     plans (CTERelationRef), so two identical constructions of the
+#     bid-log CTE chain never compare sameSemantics-equal. The
+#     fingerprint tier reuses ONLY the probe COUNT (a routing hint): a
+#     collision could at worst pick a suboptimal rung — every rung is
+#     row-identical by law — never serve a wrong key set, because the
+#     join always builds from the caller's own dim plan.
 _PROBE_MEMO: dict[int, tuple[DataFrame, int]] = {}
+_PROBE_FP_MEMO: dict[str, int] = {}
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """md5 of the normalized plan string with the two session-global
+    counters erased: attribute/expression IDs (#123) and higher-order
+    lambda variable names (lambda x_7) — both differ between otherwise
+    identical plan constructions."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().normalized().toString()
+    if "LocalRelation" in s or "LogicalRDD" in s or "ExistingRDD" in s:
+        # a driver-local/RDD-backed relation prints WITHOUT its data, so
+        # two different literal key sets would collide — no fingerprint
+        # tier for those (they are test/driver constructs; real lookups
+        # scan files, whose paths the plan string carries)
+        return ""
+    s = re.sub(r"#\d+", "", s)
+    s = re.sub(r"lambda [A-Za-z]+_\d+", "lambda v", s)
+    return hashlib.md5(s.encode()).hexdigest()
 
 
 def _probed_key_count(dim_keys: DataFrame) -> tuple[DataFrame, int, str]:
     """The routed-join capacity probe: materialize the distinct key
     projection once (held — the chosen rung's join reads it back from
-    cache instead of recomputing the lookup plan) and count it. Memoized
-    on the plan's semantic fingerprint, confirmed with ``sameSemantics``
-    so a hash collision can never serve the wrong key set; fixture
-    immutability within a session is the same assumption every held
-    frame already makes. Returns (held keys, count, "fresh"|"memo")."""
+    cache instead of recomputing the lookup plan) and count it, memoized
+    per session (see the memo-tier note above). Returns
+    (held keys, count, "fresh"|"memo")."""
     from ..functions._cache import hold
 
     h = dim_keys.semanticHash()
@@ -184,15 +212,23 @@ def _probed_key_count(dim_keys: DataFrame) -> tuple[DataFrame, int, str]:
         # re-hold: the inter-query cache hygiene may have unpersisted the
         # frame; persisting an already-persisted frame is a no-op
         return hold(hit[0]), hit[1], "memo"
+    fp = _plan_fingerprint(dim_keys)
     kdim = hold(dim_keys)
+    if fp:
+        n_fp = _PROBE_FP_MEMO.get(fp)
+        if n_fp is not None:
+            return kdim, n_fp, "memo"
     n_keys = kdim.count()
     _PROBE_MEMO[h] = (kdim, n_keys)
+    if fp:
+        _PROBE_FP_MEMO[fp] = n_keys
     return kdim, n_keys, "fresh"
 
 
 def probe_memo_clear() -> None:
     """Drop every memoized probe (tests / explicit fixture rewrite)."""
     _PROBE_MEMO.clear()
+    _PROBE_FP_MEMO.clear()
 
 
 def routed_anti_join(
