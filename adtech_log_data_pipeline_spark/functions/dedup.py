@@ -958,8 +958,16 @@ def dup_spans(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     # under compare.py's collect pressure (LOCALGATE_r10 note)
     width = documents.sparkSession.sparkContext.defaultParallelism
     grams = hold(_gram_rows(documents, k).repartition(width, "g"))
+    # the agg re-pins width explicitly: under AQE the cached plan's
+    # partitioning is opaque (InMemoryRelation wraps an AdaptiveSparkPlan,
+    # so ENSURE_REQUIREMENTS would insert a shuffle.partitions-wide
+    # exchange of the corpus-sized gram relation); the explicit
+    # REPARTITION_BY_NUM on the projected hash column is the bounded
+    # shuffle the agg then reuses shuffle-free
     dup_g = (
-        grams.groupBy("g")
+        grams.select("g")
+        .repartition(width, "g")
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .select("g")

@@ -347,7 +347,15 @@ def shingle_dup_rate(documents: DataFrame) -> DataFrame:
     # shuffles of the shingle relation (LOCALGATE_r10 1 GiB-session note)
     width = documents.sparkSession.sparkContext.defaultParallelism
     sh = hold(_shingle_rows(documents).repartition(width, "s").distinct())
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # explicit width re-pin for the agg over the cache: AQE hides the
+    # cached plan's partitioning, so without it ENSURE_REQUIREMENTS
+    # shuffles the distinct-shingle relation shuffle.partitions-wide
+    freq = (
+        sh.select("s")
+        .repartition(width, "s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     return (
         sh.join(freq, "s")
         .groupBy("doc_id")
