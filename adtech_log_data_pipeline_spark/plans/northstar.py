@@ -277,6 +277,48 @@ def q_sq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage product-quantized ANN with Asymmetric Distance
+    Computation (functions/similarity.py::pq_adc_topk): m=32 subspaces,
+    32 strided-seed codewords each, exact-bigint coding + per-query ADC
+    partial-dot table, coarse-20 then exact r6 cosine rescore to top-5 —
+    the FAISS IVF-PQ scoring core, completing the engine's compression
+    ladder next to sq_rescore_topk (values: SQ 4x; geometry: PQ m bytes
+    per vector, 8x at these defaults)."""
+    from ..functions.similarity import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
+def q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC chain vs exact brute force — the quality
+    gate that says whether m=32x32 codes plus a 20-candidate refine
+    budget preserve neighbor quality on THIS corpus (the sq_recall_audit
+    discipline at the PQ rung)."""
+    from ..functions._cache import hold
+    from ..functions.similarity import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    approx = pq_adc_topk(emb, q, k=5)
+    ex = exact.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    hv = approx.select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        ex.join(hv, (ex.qid == hv.a_qid) & (ex.nid == hv.a_nid), "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.count("a_nid").alias("n_overlap"),
+            (F.count("a_nid") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
 def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket cap-pressure audit for the embedding near-dup path.
     Corpus size from the parquet footer (no count job)."""
@@ -2531,6 +2573,8 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_audit": q_ann_recall_audit,
     "sq_rescore_topk": q_sq_rescore_topk,
     "sq_recall_audit": q_sq_recall_audit,
+    "pq_adc_topk": q_pq_adc_topk,
+    "pq_recall_audit": q_pq_recall_audit,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "salted_hot_join": q_salted_hot_join,
@@ -2979,6 +3023,70 @@ cand AS (
                                ORDER BY coarse_score DESC, neighbor_id)
               AS coarse_rank
   FROM coarse),
+resc AS (
+  SELECT k.query_id, k.neighbor_id, k.coarse_rank,
+         round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))), 6)
+           AS cos_sim_r6
+  FROM cand k
+  JOIN embeddings qe ON qe.vec_id = k.query_id
+  JOIN embeddings ce ON ce.vec_id = k.neighbor_id
+  WHERE k.coarse_rank <= 20),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM resc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6,
+       CAST(coarse_rank AS INT) AS coarse_rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# Two-stage PQ/ADC ANN restated: strided-seed codebook (cid = seed
+# vec_id, stride = n div 32 — the kmeans-family initialization), exact
+# bigint per-subspace coding (ties -> smallest cid), per-query ADC
+# partial-dot table, coarse-20 by summed ADC (ties -> smallest neighbor),
+# exact r6 cosine rescore to top-5. dsub derives from the data
+# (len(embedding) div 4), same as the engine.
+_ORACLE_PQ_ADC = f"""
+WITH p AS (SELECT CAST(len(embedding) // 32 AS INT) AS dsub,
+                  greatest(1, CAST(count(*) OVER () AS BIGINT) // 32) AS stride
+           FROM embeddings LIMIT 1),
+base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings),
+mm AS (SELECT vec_id, dim,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM base),
+seeds AS (SELECT vec_id AS cid, dim, m AS c
+          FROM mm, p WHERE vec_id % p.stride = 0),
+d2 AS (
+  SELECT x.vec_id, CAST(x.dim // p.dsub AS INT) AS sub, s.cid,
+         sum((x.m - s.c) * (x.m - s.c)) AS d2
+  FROM mm x JOIN seeds s USING (dim), p
+  GROUP BY x.vec_id, x.dim // p.dsub, s.cid),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rn
+    FROM d2) WHERE rn = 1),
+qtab AS (
+  SELECT q.vec_id AS query_id, CAST(q.dim // p.dsub AS INT) AS sub, s.cid,
+         sum(q.m * s.c) AS pdot
+  FROM mm q JOIN seeds s USING (dim), p
+  WHERE q.vec_id < {N_QUERY_VECS}
+  GROUP BY q.vec_id, q.dim // p.dsub, s.cid),
+adc AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.pdot) AS adc_score
+  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.cid = c.cid
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, neighbor_id)
+              AS coarse_rank
+  FROM adc),
 resc AS (
   SELECT k.query_id, k.neighbor_id, k.coarse_rank,
          round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
@@ -5408,6 +5516,18 @@ FROM ex LEFT JOIN iv
 GROUP BY ex.query_id
 """,
     "sq_rescore_topk": _ORACLE_SQ_RESCORE,
+    "pq_adc_topk": _ORACLE_PQ_ADC,
+    "pq_recall_audit": f"""
+WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
+pq AS ({_ORACLE_PQ_ADC})
+SELECT ex.query_id,
+       CAST(count(*) AS BIGINT) AS k_exact,
+       CAST(count(pq.neighbor_id) AS BIGINT) AS n_overlap,
+       count(pq.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+FROM ex LEFT JOIN pq
+  ON ex.query_id = pq.query_id AND ex.neighbor_id = pq.neighbor_id
+GROUP BY ex.query_id
+""",
     "sq_recall_audit": f"""
 WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
 sq AS ({_ORACLE_SQ_RESCORE})

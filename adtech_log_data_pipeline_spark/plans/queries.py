@@ -227,6 +227,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _GATE_FIRST = [
     # round-11 new queries (0 driver greens — beat all)
     "stream_quality_score",
+    "pq_adc_topk",
+    "pq_recall_audit",
     "props_json_stats",
     "volume_shipping",
     "market_share",
@@ -267,13 +269,13 @@ _GATE_FIRST = [
     "segment_trend",
     "wide_order_facts",
     "customer_spend_rank",
-    "cohort_ltv",
-    "hourly_gapfill",
 ]
 # The tail: every remaining query ordered last-green ASCENDING (the
 # remaining r7 cohort — the round-12 promote queue head — then r8, r9,
 # r10), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "cohort_ltv",
+    "hourly_gapfill",
     "cm_error_audit",
     "cdc_customer_state",
     "dim_truncation_recall",

@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "cluster_balanced_sample",
     # round-11 additions
     "stream_quality_score",
+    "pq_adc_topk",
+    "pq_recall_audit",
 ]
 
 

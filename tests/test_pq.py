@@ -1,0 +1,144 @@
+"""Product-quantization ADC laws (functions/similarity.py::pq_adc_topk):
+pure-Python replay of the full chain on a small corpus, repartition
+invariance, and a recall floor on the real fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adtech_log_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    pq_adc_topk,
+    pq_codebooks,
+)
+
+DIMS, M, K = 8, 4, 4  # dsub = 2
+
+
+def _vecs(n=24, dims=DIMS, seed=11):
+    rng = np.random.default_rng(seed)
+    return [(i, [float(x) for x in rng.normal(size=dims)]) for i in range(n)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _qdf(spark, rows, nq=3):
+    return spark.createDataFrame(
+        [(i, v) for i, v in rows[:nq]], "query_id long, qvec array<float>"
+    )
+
+
+def _replay(rows, nq, k=3, m=M, n_codes=K, coarse=5):
+    """Plain-Python PQ/ADC: micros, strided seeds, per-subspace argmin
+    codes (ties->smallest cid), ADC sums, coarse rank, exact cosine."""
+    micros = {
+        i: [int(np.floor(float(x) * 1_000_000 + 0.5)) for x in v]
+        for i, v in rows
+    }
+    n, dims = len(rows), len(rows[0][1])
+    dsub = dims // m
+    stride = max(1, n // n_codes)
+    seeds = {i: micros[i] for i in micros if i % stride == 0}
+    codes = {}
+    for i, mv in micros.items():
+        for s in range(m):
+            best = min(
+                (sum((mv[d] - sv[d]) ** 2 for d in range(s * dsub, (s + 1) * dsub)), cid)
+                for cid, sv in seeds.items()
+            )
+            codes[(i, s)] = best[1]
+    out = {}
+    for qid, qv in rows[:nq]:
+        qm = micros[qid]
+        scored = []
+        for i in micros:
+            if i == qid:
+                continue
+            adc = sum(
+                sum(
+                    qm[d] * seeds[codes[(i, s)]][d]
+                    for d in range(s * dsub, (s + 1) * dsub)
+                )
+                for s in range(m)
+            )
+            scored.append((adc, i))
+        cand = [i for _, i in sorted(scored, key=lambda t: (-t[0], t[1]))[:coarse]]
+        qa = np.array(qv, dtype=np.float64)
+        fin = []
+        for i in cand:
+            b = np.array(dict(rows)[i], dtype=np.float64)
+            cos = round(float(qa @ b / (np.linalg.norm(qa) * np.linalg.norm(b))), 6)
+            fin.append((cos, i))
+        fin.sort(key=lambda t: (-t[0], t[1]))
+        out[qid] = [
+            (i, rank + 1, cos) for rank, (cos, i) in enumerate(fin[:k])
+        ]
+    return out
+
+
+def test_pure_python_replay(spark):
+    rows = _vecs()
+    got = {}
+    res = pq_adc_topk(
+        _df(spark, rows), _qdf(spark, rows), k=3, m=M, n_codes=K, coarse=5
+    ).collect()
+    for r in res:
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rank"], r["cos_sim_r6"])
+        )
+    want = _replay(rows, nq=3)
+    for q in want:
+        assert sorted(got[q], key=lambda t: t[1]) == want[q], q
+
+
+def test_codebook_is_code_count_bounded(spark):
+    rows = _vecs(n=40)
+    cb = pq_codebooks(_df(spark, rows), k=K)
+    n_cids = cb.select("cid").distinct().count()
+    assert 0 < n_cids <= K + 1  # strided seeding yields ceil(n/stride)
+    assert cb.count() == n_cids * DIMS
+
+
+def test_repartition_invariance(spark):
+    rows = _vecs(n=30, seed=5)
+    a = pq_adc_topk(
+        _df(spark, rows), _qdf(spark, rows), k=3, m=M, n_codes=K, coarse=5
+    ).collect()
+    b = pq_adc_topk(
+        _df(spark, rows).repartition(7, "vec_id"),
+        _qdf(spark, rows),
+        k=3,
+        m=M,
+        n_codes=K,
+        coarse=5,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_indivisible_dims_fail_loudly(spark):
+    rows = [(0, [0.1] * 9), (1, [0.2] * 9)]
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_adc_topk(_df(spark, rows), _qdf(spark, rows, nq=1), m=M)
+
+
+def test_recall_floor_on_fixture(spark):
+    """PQ+rescore must preserve neighbor quality on the real embedding
+    fixture: mean recall@5 vs brute force >= 0.5 (the rescore stage does
+    the heavy lifting; the floor pins against silent coding bugs)."""
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = pq_adc_topk(emb, q, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
