@@ -1281,6 +1281,129 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    coarse: int = PQ_COARSE_CANDIDATES,
+    n_lists: int | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production billion-scale ANN composition (FAISS
+    IndexIVFPQ) — the IVF coarse quantizer restricts each query to its
+    inverted list (n_probes=1, corpus/n_lists candidates), ADC scores
+    ONLY those candidates from their PQ codes (never touching the float
+    corpus), and the exact r6 cosine rescores the ``coarse`` survivors.
+
+    This is the capstone of the engine's ANN ladder: ivf_topk bounds the
+    scan but reads float vectors; pq_adc_topk reads codes but scans the
+    whole corpus; IVF-PQ does both — per query, O(corpus/n_lists) code
+    rows + the broadcast ADC table, which is what keeps a 1e9-vector
+    index RAM-resident AND sublinear per query. Same determinism
+    conventions as both parents (1e-6-rounded assignment, exact-bigint
+    ADC, smallest-id ties); the DuckDB oracle composes the two parents'
+    CTE chains verbatim. Output: (query_id, neighbor_id, rank,
+    cos_sim_r6, coarse_rank)."""
+    from pyspark.sql.window import Window
+
+    from ._cache import hold
+
+    dims = len(embeddings.select("embedding").first()[0])
+    if dims % m:
+        raise ValueError(f"PQ: {dims} dims not divisible into {m} subspaces")
+    dsub = dims // m
+
+    assign = hold(
+        ivf_assignments(embeddings, n_lists, total=total), eager=True
+    )
+    x = hold(micro_vec_rows(embeddings), eager=True)
+    seeds = pq_codebooks(embeddings, k=n_codes)
+    d2 = (
+        x.join(F.broadcast(seeds), "dim")
+        .groupBy(
+            "vec_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+        )
+        .agg(
+            F.sum(
+                (F.col("x_micro") - F.col("c_micro"))
+                * (F.col("x_micro") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+    codes = (
+        d2.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+        .join(assign, "vec_id")
+    )
+    qx = micro_vec_rows(
+        queries.select(
+            F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
+        )
+    ).withColumnRenamed("vec_id", "query_id")
+    adc_tab = (
+        qx.join(F.broadcast(seeds), "dim")
+        .groupBy(
+            "query_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+        )
+        .agg(F.sum(F.col("x_micro") * F.col("c_micro")).alias("pdot"))
+    )
+    q_assign = queries.join(
+        assign, queries.query_id == assign.vec_id
+    ).select("query_id", "list_id")
+    # inverted-list restriction FIRST (the IVF point: only same-list code
+    # rows survive into the ADC lookup), then the broadcast table join
+    scored = (
+        codes.join(F.broadcast(q_assign), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(adc_tab), ["query_id", "sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").alias("adc_score"))
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("coarse_rank", F.row_number().over(w_coarse))
+        .filter(F.col("coarse_rank") <= coarse)
+        .select("query_id", "neighbor_id", "coarse_rank")
+    )
+    qf = queries.select(
+        "query_id", F.col("qvec").alias("a"), _norm("qvec").alias("na")
+    )
+    cf = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b"),
+        _norm("embedding").alias("nb"),
+    )
+    rescored = (
+        cand.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_rank",
+            _cosine_r6().alias("cos_sim_r6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r6").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cos_sim_r6",
+            F.col("coarse_rank").cast("int").alias("coarse_rank"),
+        )
+    )
+
+
 def embedding_quantize_audit(embeddings: DataFrame) -> DataFrame:
     """Reconstruction-error observability for quantize_embeddings — the
     per-vector report that tells a deployment whether 7-bit codes are

@@ -319,6 +319,19 @@ def q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production billion-scale ANN composition
+    (functions/similarity.py::ivfpq_topk, the FAISS IndexIVFPQ shape):
+    the IVF coarse quantizer restricts each query to its inverted list,
+    ADC scores only those candidates from their PQ codes, the exact r6
+    cosine rescores the coarse-20 survivors to top-5 — per query,
+    O(corpus/n_lists) code rows + the broadcast ADC table, never the
+    float corpus."""
+    from ..functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+
+
 def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket cap-pressure audit for the embedding near-dup path.
     Corpus size from the parquet footer (no count job)."""
@@ -2575,6 +2588,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq_recall_audit": q_sq_recall_audit,
     "pq_adc_topk": q_pq_adc_topk,
     "pq_recall_audit": q_pq_recall_audit,
+    "ivfpq_topk": q_ivfpq_topk,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "salted_hot_join": q_salted_hot_join,
@@ -3081,6 +3095,86 @@ adc AS (
   SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.pdot) AS adc_score
   FROM codes c JOIN qtab t ON t.sub = c.sub AND t.cid = c.cid
   WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, neighbor_id)
+              AS coarse_rank
+  FROM adc),
+resc AS (
+  SELECT k.query_id, k.neighbor_id, k.coarse_rank,
+         round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))), 6)
+           AS cos_sim_r6
+  FROM cand k
+  JOIN embeddings qe ON qe.vec_id = k.query_id
+  JOIN embeddings ce ON ce.vec_id = k.neighbor_id
+  WHERE k.coarse_rank <= 20),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim_r6 DESC, neighbor_id) AS rank
+  FROM resc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6,
+       CAST(coarse_rank AS INT) AS coarse_rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# IVF-PQ restated: the IVF coarse assignment (same CTE as _ORACLE_IVF,
+# renamed to avoid clashing with the PQ codebook CTE) composed with the
+# PQ coding/ADC chain — candidates are same-inverted-list vectors only.
+_ORACLE_IVFPQ = f"""
+WITH ivp AS (
+  SELECT greatest(1, count(*) //
+           greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
+  FROM embeddings),
+ivseeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
+            FROM embeddings, ivp WHERE vec_id % ivp.stride = 0),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.sv)
+                                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                     * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                              s.list_id) AS rn
+    FROM embeddings e CROSS JOIN ivseeds s) t
+  WHERE rn = 1),
+p AS (SELECT CAST(len(embedding) // 32 AS INT) AS dsub,
+             greatest(1, CAST(count(*) OVER () AS BIGINT) // 32) AS stride
+      FROM embeddings LIMIT 1),
+base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings),
+mm AS (SELECT vec_id, dim,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM base),
+seeds AS (SELECT vec_id AS cid, dim, m AS c
+          FROM mm, p WHERE vec_id % p.stride = 0),
+d2 AS (
+  SELECT x.vec_id, CAST(x.dim // p.dsub AS INT) AS sub, s.cid,
+         sum((x.m - s.c) * (x.m - s.c)) AS d2
+  FROM mm x JOIN seeds s USING (dim), p
+  GROUP BY x.vec_id, x.dim // p.dsub, s.cid),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rn
+    FROM d2) WHERE rn = 1),
+qtab AS (
+  SELECT q.vec_id AS query_id, CAST(q.dim // p.dsub AS INT) AS sub, s.cid,
+         sum(q.m * s.c) AS pdot
+  FROM mm q JOIN seeds s USING (dim), p
+  WHERE q.vec_id < {N_QUERY_VECS}
+  GROUP BY q.vec_id, q.dim // p.dsub, s.cid),
+adc AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.pdot) AS adc_score
+  FROM codes c
+  JOIN assign ca ON ca.vec_id = c.vec_id
+  JOIN assign qa ON qa.list_id = ca.list_id AND qa.vec_id < {N_QUERY_VECS}
+  JOIN qtab t ON t.query_id = qa.vec_id AND t.sub = c.sub AND t.cid = c.cid
+  WHERE c.vec_id <> qa.vec_id
   GROUP BY t.query_id, c.vec_id),
 cand AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -5517,6 +5611,7 @@ GROUP BY ex.query_id
 """,
     "sq_rescore_topk": _ORACLE_SQ_RESCORE,
     "pq_adc_topk": _ORACLE_PQ_ADC,
+    "ivfpq_topk": _ORACLE_IVFPQ,
     "pq_recall_audit": f"""
 WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
 pq AS ({_ORACLE_PQ_ADC})

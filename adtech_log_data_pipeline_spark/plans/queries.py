@@ -229,6 +229,7 @@ _GATE_FIRST = [
     "stream_quality_score",
     "pq_adc_topk",
     "pq_recall_audit",
+    "ivfpq_topk",
     "props_json_stats",
     "volume_shipping",
     "market_share",
@@ -268,12 +269,12 @@ _GATE_FIRST = [
     "type_transitions",
     "segment_trend",
     "wide_order_facts",
-    "customer_spend_rank",
 ]
 # The tail: every remaining query ordered last-green ASCENDING (the
 # remaining r7 cohort — the round-12 promote queue head — then r8, r9,
 # r10), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "customer_spend_rank",
     "cohort_ltv",
     "hourly_gapfill",
     "cm_error_audit",

@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "stream_quality_score",
     "pq_adc_topk",
     "pq_recall_audit",
+    "ivfpq_topk",
 ]
 
 

@@ -142,3 +142,46 @@ def test_recall_floor_on_fixture(spark):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_single_list_equals_pq(spark):
+    """With one inverted list the IVF restriction is vacuous: ivfpq_topk
+    must reproduce pq_adc_topk row-for-row."""
+    from adtech_log_data_pipeline_spark.functions.similarity import ivfpq_topk
+
+    rows = _vecs(n=30, seed=9)
+    a = pq_adc_topk(
+        _df(spark, rows), _qdf(spark, rows), k=3, m=M, n_codes=K, coarse=5
+    ).collect()
+    b = ivfpq_topk(
+        _df(spark, rows),
+        _qdf(spark, rows),
+        k=3,
+        m=M,
+        n_codes=K,
+        coarse=5,
+        n_lists=1,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_candidates_stay_in_the_query_list(spark):
+    """Every returned neighbor shares the query's IVF list — the
+    inverted-list restriction actually restricts."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        ivf_assignments,
+        ivfpq_topk,
+    )
+
+    rows = _vecs(n=40, seed=3)
+    emb = _df(spark, rows)
+    assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assignments(emb, n_lists=4).collect()
+    }
+    out = ivfpq_topk(
+        emb, _qdf(spark, rows), k=3, m=M, n_codes=K, coarse=5, n_lists=4
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert assign[r["neighbor_id"]] == assign[r["query_id"]], r
