@@ -166,36 +166,76 @@ class AntiJoinRouting:
 # re-probes. Two tiers:
 #   exact — semanticHash + sameSemantics-confirmed: reuses the held key
 #     frame AND its count (a confirmed-equal plan IS the same key set);
-#   fingerprint — md5 of the normalized plan string with expression IDs
-#     stripped: Spark does NOT normalize attr IDs inside CTE-bearing
-#     plans (CTERelationRef), so two identical constructions of the
-#     bid-log CTE chain never compare sameSemantics-equal. The
+#   fingerprint — md5 of the normalized plan's JSON expression tree with
+#     ExprId nodes erased: Spark does NOT normalize attr IDs inside
+#     CTE-bearing plans (CTERelationRef), so two identical constructions
+#     of the bid-log CTE chain never compare sameSemantics-equal. The
 #     fingerprint tier reuses ONLY the probe COUNT (a routing hint): a
 #     collision could at worst pick a suboptimal rung — every rung is
 #     row-identical by law — never serve a wrong key set, because the
 #     join always builds from the caller's own dim plan.
-_PROBE_MEMO: dict[int, tuple[DataFrame, int]] = {}
+# BOTH tiers fold in the scanned source files' size/mtime fingerprint
+# (the _fixture_key discipline), so an in-place rewrite of the lookup's
+# files within a session invalidates the memo instead of serving a stale
+# held frame or count (round-11 ADVICE).
+_PROBE_MEMO: dict[tuple[int, str], tuple[DataFrame, int]] = {}
 _PROBE_FP_MEMO: dict[str, int] = {}
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """md5 of the normalized plan string with the two session-global
-    counters erased: attribute/expression IDs (#123) and higher-order
-    lambda variable names (lambda x_7) — both differ between otherwise
-    identical plan constructions."""
+    """md5 of the normalized plan's JSON tree with the session-global
+    expression-ID counter erased: every structured ExprId node
+    ({"id": N, "jvmId": ...}) is replaced wholesale. The JSON form —
+    unlike toString(), where the attribute ref `tag#1` and the string
+    literal 'tag#1' render identically — keeps data literals in a
+    distinct "value" field, so two lookups differing only in a literal
+    can never collide under ID normalization (round-11 ADVICE). Lambda
+    variables need no special-casing: their uniqueness lives in the
+    (erased) ExprId, and their JSON "name" is the plain base name."""
     import hashlib
     import re
 
-    s = df._jdf.queryExecution().normalized().toString()
+    s = df._jdf.queryExecution().normalized().prettyJson()
     if "LocalRelation" in s or "LogicalRDD" in s or "ExistingRDD" in s:
-        # a driver-local/RDD-backed relation prints WITHOUT its data, so
+        # a driver-local/RDD-backed relation renders WITHOUT its data, so
         # two different literal key sets would collide — no fingerprint
         # tier for those (they are test/driver constructs; real lookups
-        # scan files, whose paths the plan string carries)
+        # scan files, whose paths the plan JSON carries)
         return ""
-    s = re.sub(r"#\d+", "", s)
-    s = re.sub(r"lambda [A-Za-z]+_\d+", "lambda v", s)
+    s = re.sub(
+        r'\{\s*"product-class"\s*:\s*'
+        r'"org\.apache\.spark\.sql\.catalyst\.expressions\.ExprId",'
+        r'\s*"id"\s*:\s*\d+,\s*"jvmId"\s*:\s*"[^"]*"\s*\}',
+        '"EID"',
+        s,
+    )
     return hashlib.md5(s.encode()).hexdigest()
+
+
+def _source_files_key(df: DataFrame) -> str:
+    """(path, size, mtime_ns) fingerprint of the plan's scanned files —
+    folded into both probe-memo tiers so a within-session in-place
+    rewrite of the lookup's source files changes the key and forces a
+    fresh probe. Listing leaf files is far cheaper than the count the
+    memo avoids; a non-local/statless path degrades to path-only (still
+    distinct per file set, just not rewrite-sensitive there)."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return "nofiles"
+    parts = []
+    for f in sorted(files):
+        p = urlparse(f).path or f
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(p)
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
 
 
 def _probed_key_count(dim_keys: DataFrame) -> tuple[DataFrame, int, str]:
@@ -206,13 +246,16 @@ def _probed_key_count(dim_keys: DataFrame) -> tuple[DataFrame, int, str]:
     (held keys, count, "fresh"|"memo")."""
     from ..functions._cache import hold
 
-    h = dim_keys.semanticHash()
+    src = _source_files_key(dim_keys)
+    h = (dim_keys.semanticHash(), src)
     hit = _PROBE_MEMO.get(h)
     if hit is not None and dim_keys.sameSemantics(hit[0]):
         # re-hold: the inter-query cache hygiene may have unpersisted the
         # frame; persisting an already-persisted frame is a no-op
         return hold(hit[0]), hit[1], "memo"
     fp = _plan_fingerprint(dim_keys)
+    if fp:
+        fp = f"{fp}:{src}"
     kdim = hold(dim_keys)
     if fp:
         n_fp = _PROBE_FP_MEMO.get(fp)

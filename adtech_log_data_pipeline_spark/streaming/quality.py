@@ -54,7 +54,9 @@ def stream_quality_score(
 
     Output: (doc_id, lang, n_tokens, margin, pred) — the EXACT
     quality_classifier relation (same null-text completion: token-less
-    docs score margin 0, pred 0), emitted per arriving document with no
+    docs score margin 0, pred 0; n_tokens counts bucket-HIT occurrences,
+    mirroring the batch inner join, so exactness holds even for weights
+    trained on a different corpus), emitted per arriving document with no
     streaming state. ``documents`` lets a harness inject a multi-batch
     replay; ``weights`` overrides the model (defaults to training on the
     static batch table — in the gated replay the stream IS that corpus,
@@ -79,13 +81,26 @@ def stream_quality_score(
     else:
         score_map = F.create_map().cast("map<bigint,bigint>")
 
-    def step(acc, tok):
-        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
+    def _bucket(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
             "bigint"
         ) % F.lit(int(QC_N_BUCKETS))
+
+    def step(acc, tok):
         return acc + F.coalesce(
-            F.element_at(score_map, bucket), F.lit(0).cast("bigint")
+            F.element_at(score_map, _bucket(tok)), F.lit(0).cast("bigint")
         )
+
+    def hit_step(acc, tok):
+        # count ONLY tokens whose bucket exists in the weight relation —
+        # the batch path's inner join on bucket does exactly this, so the
+        # batch-identical law holds for n_tokens even under caller-
+        # injected weights trained on a different corpus (round-11
+        # ADVICE); with self-trained weights every occurring bucket is
+        # present and this equals size(toks)
+        return acc + F.when(
+            F.element_at(score_map, _bucket(tok)).isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0)).cast("bigint")
 
     src = documents if documents is not None else _docs_stream(spark, sf_dir)
     scored = (
@@ -93,7 +108,10 @@ def stream_quality_score(
         .select(
             "doc_id",
             "lang",
-            F.coalesce(F.size("toks"), F.lit(0))
+            F.coalesce(
+                F.aggregate("toks", F.lit(0).cast("bigint"), hit_step),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias("n_tokens"),
             F.coalesce(

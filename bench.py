@@ -510,26 +510,39 @@ def main() -> None:
             # reproduces, a noisy-neighbor spike does not. The confirmed
             # list is what gets published; the artifact records that the
             # confirmation pass ran.
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--run-names",
-                    ",".join(sorted(candidates)),
-                ],
-                capture_output=True,
-                text=True,
-                cwd=here,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            )
+            # timeout bounds a hung child JVM (5 min per candidate plus
+            # session startup slack — every board query is single-digit
+            # seconds at sf0.1, so a child hitting this is already a bug)
             rerun: dict[str, float] = {}
-            for line in proc.stdout.splitlines():
-                if line.startswith("BENCH_CHUNK_JSON "):
-                    rerun = json.loads(line.split(" ", 1)[1])
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--run-names",
+                        ",".join(sorted(candidates)),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    cwd=here,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                    timeout=300 * len(candidates) + 120,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("BENCH_CHUNK_JSON "):
+                        rerun = json.loads(line.split(" ", 1)[1])
+            except subprocess.TimeoutExpired:
+                pass
             for q, t in rerun.items():
                 if q in timings:
                     timings[q] = min(timings[q], t)
-            delta["rerun_confirmed"] = sorted(candidates)
+            # record as confirmed ONLY what the child actually re-timed;
+            # a failed/hung child leaves its candidates explicitly
+            # unconfirmed instead of overstating the noise check
+            delta["rerun_confirmed"] = sorted(set(candidates) & set(rerun))
+            unconfirmed = sorted(set(candidates) - set(rerun))
+            if unconfirmed:
+                delta["rerun_unconfirmed"] = unconfirmed
         delta["top_regressions"] = _regressions()
     _record_full_map(float(sf) if sf else None, timings)
 

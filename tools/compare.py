@@ -93,9 +93,19 @@ def _cell_int(v):
     int64 column to float64 — but only in frames/batches that actually
     contain a null, so the same bigint value renders "58" in one Arrow
     batch and "58.0" in another (and in the oracle's fetchdf). Schema-
-    driven integer rendering makes the multiset hash batch-invariant."""
+    driven integer rendering makes the multiset hash batch-invariant.
+
+    Only EXACTLY-integral values get the int render: a genuinely
+    fractional oracle value (58.9 vs engine 58) must fall through to
+    repr so the multiset hash FAILS instead of truncate-matching; and
+    above 2^53 a float64 can't represent the bigint exactly, so repr
+    there too rather than minting invented digits from int(v)."""
     if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NA:
         return "<null>"
+    if isinstance(v, float):
+        if v.is_integer() and abs(v) <= 2.0**53:
+            return str(int(v))
+        return repr(v)
     return str(int(v))
 
 
