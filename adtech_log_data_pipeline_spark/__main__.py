@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
             "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
-            "snapshot-merge", "quality-score",
+            "snapshot-merge", "quality-score", "pq-index",
         ],
         required=True,
     )
@@ -301,6 +301,15 @@ def main(argv: list[str] | None = None) -> int:
 
         append_graph_index(spark.read.parquet(args.input), args.against)
         print(f"graph-index-append done: appended to {args.against}")
+    elif args.job == "pq-index":
+        if not args.input:
+            ap.error(
+                "--input (embeddings parquet dir) is required for --job pq-index"
+            )
+        from .functions.similarity import build_pq_index
+
+        build_pq_index(spark.read.parquet(args.input), args.output)
+        print(f"pq-index done: codebook+codes+ivf -> {args.output}")
     elif args.job == "snapshot":
         if not args.input:
             ap.error(

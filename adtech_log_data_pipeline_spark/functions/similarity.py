@@ -272,17 +272,30 @@ def ivf_assignments(
             F.col("vec_id").alias("list_id"),
             F.col("embedding").alias("a"),
         )
-    # The flat quantizer IS the assignment cost (n_vecs x n_lists
-    # cosines). A crossJoin + higher-order-function cosine pays an
-    # interpreted lambda per element; one Arrow-batched float64 matmul
-    # per batch against the closure-broadcast (n_lists x dim) centroid
-    # matrix is the lsh_signatures pattern and ~10x cheaper. Centroids
-    # are k rows (k ~ isqrt(n): 16 MB of float64 at n=1e9, dim=64) —
-    # the standard broadcast size for an IVF coarse quantizer. Rounding
-    # to 1e-6 before the argmax keeps a summation-order ulp vs the
-    # sequential DuckDB oracle from ever flipping an assignment; ties
-    # break to the smallest list_id (seed rows sorted by list_id, and
-    # np.argmax returns the FIRST max).
+    return embeddings.select(
+        "vec_id",
+        nearest_list_udf(seeds)(F.col("embedding")).alias("list_id"),
+    )
+
+
+def nearest_list_udf(seeds: DataFrame):
+    """The IVF flat-quantizer assignment as a reusable Arrow-batched
+    projection — built once per plan from the broadcast-sized seed
+    relation (list_id, a), applicable to BATCH and STREAMING frames
+    alike (it is a pure map-side select, so a streaming consumer stays
+    stateless — streaming/pq_screen.py).
+
+    The flat quantizer IS the assignment cost (n_vecs x n_lists
+    cosines). A crossJoin + higher-order-function cosine pays an
+    interpreted lambda per element; one Arrow-batched float64 matmul
+    per batch against the closure-broadcast (n_lists x dim) centroid
+    matrix is the lsh_signatures pattern and ~10x cheaper. Centroids
+    are k rows (k ~ isqrt(n): 16 MB of float64 at n=1e9, dim=64) —
+    the standard broadcast size for an IVF coarse quantizer. Rounding
+    to 1e-6 before the argmax keeps a summation-order ulp vs the
+    sequential DuckDB oracle from ever flipping an assignment; ties
+    break to the smallest list_id (seed rows sorted by list_id, and
+    np.argmax returns the FIRST max)."""
     seed_rows = sorted(
         seeds.select("list_id", "a").collect(), key=lambda r: r[0]
     )
@@ -304,9 +317,7 @@ def ivf_assignments(
         sims = np.nan_to_num(sims, nan=-np.inf)
         return pd.Series(list_ids[np.argmax(sims, axis=1)])
 
-    return embeddings.select(
-        "vec_id", nearest_list(F.col("embedding")).alias("list_id")
-    )
+    return nearest_list
 
 
 def default_n_lists(total: int) -> int:
@@ -1130,16 +1141,20 @@ PQ_K = 32
 PQ_COARSE_CANDIDATES = 20
 
 
-def pq_codebooks(embeddings: DataFrame, k: int = PQ_K) -> DataFrame:
+def pq_codebooks(
+    embeddings: DataFrame, k: int = PQ_K, total: int | None = None
+) -> DataFrame:
     """The PQ codebook as a relation (cid, dim, c_micro) — the
     strided-seed initialization (the same deterministic convention the
     kmeans/IVF family uses: cid = seed vec_id, stride = total div k),
     shared across every subspace so the derivation is ONE filter of the
     micro-row relation; consumers slice it by sub = dim div dsub.
     ~k*dims rows total — broadcast-sized at any corpus scale (the
-    codebook is the model, never corpus-sized)."""
+    codebook is the model, never corpus-sized). Pass ``total`` when the
+    caller already knows the corpus size to skip the count scan."""
     x = micro_vec_rows(embeddings)
-    total = embeddings.count()
+    if total is None:
+        total = embeddings.count()
     stride = max(1, total // k)
     return (
         x.filter(F.col("vec_id") % stride == 0)
@@ -1151,6 +1166,187 @@ def pq_codebooks(embeddings: DataFrame, k: int = PQ_K) -> DataFrame:
     )
 
 
+def _pq_dsub(embeddings: DataFrame, m: int) -> int:
+    """Subspace width (dims div m), validated — one first() row, never a
+    scan."""
+    dims = len(embeddings.select("embedding").first()[0])
+    if dims % m:
+        raise ValueError(f"PQ: {dims} dims not divisible into {m} subspaces")
+    return dims // m
+
+
+def pq_code_rows(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    codebook: DataFrame | None = None,
+    total: int | None = None,
+) -> DataFrame:
+    """The PQ coding pass (index BUILD): per (vector, subspace) nearest
+    codeword by exact bigint squared distance in integer micros, ties to
+    the smallest codeword id — (vec_id, sub, cid), m rows per vector.
+    The join fans out to n_codes rows per element, collapsed immediately
+    by two hash aggs; the codebook side broadcasts. This is the
+    corpus-sized pass build_pq_index persists once per corpus so queries
+    never re-pay it (FAISS builds IndexIVFPQ once)."""
+    dsub = _pq_dsub(embeddings, m)
+    x = micro_vec_rows(embeddings)
+    seeds = (
+        codebook
+        if codebook is not None
+        else pq_codebooks(embeddings, k=n_codes, total=total)
+    )
+    d2 = (
+        x.join(F.broadcast(seeds), "dim")
+        .groupBy(
+            "vec_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+        )
+        .agg(
+            F.sum(
+                (F.col("x_micro") - F.col("c_micro"))
+                * (F.col("x_micro") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+    return (
+        d2.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
+    )
+
+
+class PQIndex:
+    """Loaded build_pq_index artifact: the four relations every PQ-family
+    query consumes. ``codebook`` (cid, dim, c_micro) and ``ivf_seeds``
+    (list_id, a array<double>) are model-sized (broadcastable at any
+    corpus scale); ``codes`` (vec_id, sub, cid) and ``assign``
+    (vec_id, list_id) are corpus-sized parquet scans."""
+
+    def __init__(
+        self,
+        codebook: DataFrame,
+        codes: DataFrame,
+        assign: DataFrame,
+        ivf_seeds: DataFrame,
+    ) -> None:
+        self.codebook = codebook
+        self.codes = codes
+        self.assign = assign
+        self.ivf_seeds = ivf_seeds
+
+
+def _ivf_seed_vectors(
+    embeddings: DataFrame, n_lists: int | None, total: int | None
+) -> DataFrame:
+    """The strided IVF seed relation (list_id, a) — the exact seeds
+    ivf_assignments derives internally, exposed so multi-probe query
+    assignment and the persisted artifact share them."""
+    if total is None:
+        total = embeddings.count()
+    if n_lists is None:
+        n_lists = default_n_lists(total)
+    stride = max(1, total // n_lists)
+    return embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("a")
+    )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_lists: int | None = None,
+    total: int | None = None,
+) -> None:
+    """Persist the PQ/IVF-PQ index as a parquet ARTIFACT: ``codebook/``
+    (the m*n_codes-codeword model), ``codes/`` (the corpus coding pass —
+    m one-byte-semantics rows per vector), ``ivf_seeds/`` (the coarse
+    quantizer's centroid vectors) and ``ivf_assign/`` (the corpus
+    inverted-list assignment). At 100 TB this is the nightly index build;
+    pq_adc_topk / ivfpq_topk queries read the artifact instead of
+    re-deriving the corpus-sized coding pass per invocation — the
+    build_dedup_index / build_graph_index discipline at the ANN rung
+    (round-11 verdict #1). Artifact == fresh derivation is a law
+    (tests/test_pq.py): every relation here is exact integer/micros
+    arithmetic with deterministic ties, and parquet roundtrips bigints
+    and float64 exactly."""
+    import os
+
+    from ._cache import hold, registry_mark, release_cached_from
+
+    mark = registry_mark()
+    try:
+        if total is None:
+            total = embeddings.count()
+        codebook = hold(pq_codebooks(embeddings, k=n_codes, total=total), eager=True)
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "codebook")
+        )
+        pq_code_rows(embeddings, m=m, n_codes=n_codes, codebook=codebook).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "codes"))
+        seeds = _ivf_seed_vectors(embeddings, n_lists, total)
+        seeds.write.mode("overwrite").parquet(os.path.join(out_dir, "ivf_seeds"))
+        ivf_assignments(embeddings, seeds=seeds).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "ivf_assign"))
+    finally:
+        release_cached_from(mark)
+
+
+def load_pq_index(spark, index_dir: str) -> PQIndex:
+    """Open a build_pq_index artifact lazily (plain parquet scans —
+    nothing materializes until a query consumes it)."""
+    import os
+
+    return PQIndex(
+        codebook=spark.read.parquet(os.path.join(index_dir, "codebook")),
+        codes=spark.read.parquet(os.path.join(index_dir, "codes")),
+        assign=spark.read.parquet(os.path.join(index_dir, "ivf_assign")),
+        ivf_seeds=spark.read.parquet(os.path.join(index_dir, "ivf_seeds")),
+    )
+
+
+def ivf_probe_lists(
+    queries: DataFrame, seeds: DataFrame, n_probes: int
+) -> DataFrame:
+    """Multi-probe coarse assignment: the top-``n_probes`` nearest
+    inverted lists per query — same 1e-6-rounded cosine and
+    smallest-list_id tie rule as ivf_assignments, so probe_rank 1 IS the
+    ivf_assignments list (the n_probes=1 ≡ single-probe law). FAISS
+    defaults nprobe >= 8 because one probed list is the recall-brittle
+    corner of IVF; the engine's LSH rung already multi-probes
+    (Hamming-1 buckets). Output: (query_id, list_id), n_probes rows per
+    query; seeds broadcast-sized as always."""
+    seed_rows = sorted(
+        seeds.select("list_id", "a").collect(), key=lambda r: r[0]
+    )
+    list_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
+    smat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
+    snorm = np.sqrt((smat * smat).sum(axis=1))
+    n = min(n_probes, len(seed_rows))
+
+    @F.pandas_udf("array<long>")
+    def top_lists(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        xnorm = np.sqrt((x * x).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((x @ smat.T) / np.outer(xnorm, snorm), 6)
+        # zero-norm query: cosine NULL in both engines, NULLS LAST under
+        # DESC -> the probe set falls to the smallest list_ids; -inf
+        # under a stable argsort reproduces that exactly
+        sims = np.nan_to_num(sims, nan=-np.inf)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([list_ids[row].tolist() for row in idx])
+
+    return queries.select(
+        "query_id", F.explode(top_lists(F.col("qvec"))).alias("list_id")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1158,6 +1354,7 @@ def pq_adc_topk(
     m: int = PQ_M,
     n_codes: int = PQ_K,
     coarse: int = PQ_COARSE_CANDIDATES,
+    index: PQIndex | None = None,
 ) -> DataFrame:
     """Two-stage product-quantized ANN with Asymmetric Distance
     Computation — the third rung of the engine's FAISS-style ladder
@@ -1186,39 +1383,28 @@ def pq_adc_topk(
     with id tiebreak. The DuckDB oracle restates the whole chain
     bit-for-bit. Output: (query_id, neighbor_id, rank, cos_sim_r6,
     coarse_rank). Reference seam: beyond-parity (BASELINE.json north
-    star, ANN family)."""
+    star, ANN family).
+
+    ``index`` (a load_pq_index PQIndex) swaps the in-query coding pass
+    for the persisted artifact's codebook + code relations — the
+    production shape: the index builds once per corpus (build_pq_index),
+    queries only read it. Artifact == fresh is a law (tests/test_pq.py —
+    the coding pass is exact integer arithmetic with deterministic ties,
+    and parquet roundtrips bigints exactly)."""
     from pyspark.sql.window import Window
 
     from ._cache import hold
 
-    dims = len(embeddings.select("embedding").first()[0])
-    if dims % m:
-        raise ValueError(f"PQ: {dims} dims not divisible into {m} subspaces")
-    dsub = dims // m
-
-    x = hold(micro_vec_rows(embeddings), eager=True)
-    seeds = pq_codebooks(embeddings, k=n_codes)
-    # coding pass (index build): per (vector, subspace) nearest codeword
-    # by exact bigint d2 — the join fans out to n_codes rows per element,
-    # collapsed immediately by two hash aggs; codebook side broadcast
-    d2 = (
-        x.join(F.broadcast(seeds), "dim")
-        .groupBy(
-            "vec_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+    dsub = _pq_dsub(embeddings, m)
+    if index is not None:
+        seeds = index.codebook
+        codes = index.codes
+    else:
+        seeds = pq_codebooks(embeddings, k=n_codes)
+        codes = hold(
+            pq_code_rows(embeddings, m=m, n_codes=n_codes, codebook=seeds),
+            eager=True,
         )
-        .agg(
-            F.sum(
-                (F.col("x_micro") - F.col("c_micro"))
-                * (F.col("x_micro") - F.col("c_micro"))
-            ).alias("d2")
-        )
-    )
-    codes = hold(
-        d2.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "cid")).alias("best"))
-        .select("vec_id", "sub", F.col("best.cid").alias("cid")),
-        eager=True,
-    )
     # per-query ADC table: exact partial dot of the query subvector with
     # every codeword subvector — m * n_codes rows per query, broadcast
     qx = micro_vec_rows(
@@ -1290,54 +1476,54 @@ def ivfpq_topk(
     coarse: int = PQ_COARSE_CANDIDATES,
     n_lists: int | None = None,
     total: int | None = None,
+    index: PQIndex | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the production billion-scale ANN composition (FAISS
     IndexIVFPQ) — the IVF coarse quantizer restricts each query to its
-    inverted list (n_probes=1, corpus/n_lists candidates), ADC scores
-    ONLY those candidates from their PQ codes (never touching the float
-    corpus), and the exact r6 cosine rescores the ``coarse`` survivors.
+    ``n_probes`` nearest inverted lists (n_probes * corpus/n_lists
+    candidates), ADC scores ONLY those candidates from their PQ codes
+    (never touching the float corpus), and the exact r6 cosine rescores
+    the ``coarse`` survivors.
 
     This is the capstone of the engine's ANN ladder: ivf_topk bounds the
     scan but reads float vectors; pq_adc_topk reads codes but scans the
-    whole corpus; IVF-PQ does both — per query, O(corpus/n_lists) code
-    rows + the broadcast ADC table, which is what keeps a 1e9-vector
-    index RAM-resident AND sublinear per query. Same determinism
-    conventions as both parents (1e-6-rounded assignment, exact-bigint
-    ADC, smallest-id ties); the DuckDB oracle composes the two parents'
-    CTE chains verbatim. Output: (query_id, neighbor_id, rank,
-    cos_sim_r6, coarse_rank)."""
+    whole corpus; IVF-PQ does both — per query, O(n_probes * corpus /
+    n_lists) code rows + the broadcast ADC table, which is what keeps a
+    1e9-vector index RAM-resident AND sublinear per query. Same
+    determinism conventions as both parents (1e-6-rounded assignment,
+    exact-bigint ADC, smallest-id ties); the DuckDB oracle composes the
+    two parents' CTE chains verbatim. Output: (query_id, neighbor_id,
+    rank, cos_sim_r6, coarse_rank).
+
+    ``index`` (a load_pq_index PQIndex) swaps the in-query coding +
+    assignment passes for the persisted artifact — the production shape
+    (build once nightly, query many; round-11 verdict #1). ``n_probes``
+    widens the coarse probe (ivf_probe_lists — FAISS defaults nprobe>=8;
+    one list is the recall-brittle corner): probe_rank 1 is exactly the
+    single-probe list, so n_probes=1 reproduces the original relation
+    bit-for-bit (law, tests/test_pq.py); ivfpq_probe_recall reports
+    recall vs probes."""
     from pyspark.sql.window import Window
 
     from ._cache import hold
 
-    dims = len(embeddings.select("embedding").first()[0])
-    if dims % m:
-        raise ValueError(f"PQ: {dims} dims not divisible into {m} subspaces")
-    dsub = dims // m
-
-    assign = hold(
-        ivf_assignments(embeddings, n_lists, total=total), eager=True
-    )
-    x = hold(micro_vec_rows(embeddings), eager=True)
-    seeds = pq_codebooks(embeddings, k=n_codes)
-    d2 = (
-        x.join(F.broadcast(seeds), "dim")
-        .groupBy(
-            "vec_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+    dsub = _pq_dsub(embeddings, m)
+    if index is not None:
+        seeds = index.codebook
+        assign = index.assign
+        code_rows = index.codes
+        ivf_seeds = index.ivf_seeds
+    else:
+        assign = hold(
+            ivf_assignments(embeddings, n_lists, total=total), eager=True
         )
-        .agg(
-            F.sum(
-                (F.col("x_micro") - F.col("c_micro"))
-                * (F.col("x_micro") - F.col("c_micro"))
-            ).alias("d2")
+        seeds = pq_codebooks(embeddings, k=n_codes)
+        code_rows = pq_code_rows(
+            embeddings, m=m, n_codes=n_codes, codebook=seeds
         )
-    )
-    codes = (
-        d2.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "cid")).alias("best"))
-        .select("vec_id", "sub", F.col("best.cid").alias("cid"))
-        .join(assign, "vec_id")
-    )
+        ivf_seeds = None
+    codes = code_rows.join(assign, "vec_id")
     qx = micro_vec_rows(
         queries.select(
             F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
@@ -1350,9 +1536,16 @@ def ivfpq_topk(
         )
         .agg(F.sum(F.col("x_micro") * F.col("c_micro")).alias("pdot"))
     )
-    q_assign = queries.join(
-        assign, queries.query_id == assign.vec_id
-    ).select("query_id", "list_id")
+    if n_probes > 1:
+        if ivf_seeds is None:
+            ivf_seeds = _ivf_seed_vectors(embeddings, n_lists, total)
+        q_assign = ivf_probe_lists(queries, ivf_seeds, n_probes)
+    else:
+        # single-probe: the query's own inverted-list assignment IS its
+        # top-1 probe (same argmax) — reuse the corpus relation
+        q_assign = queries.join(
+            assign, queries.query_id == assign.vec_id
+        ).select("query_id", "list_id")
     # inverted-list restriction FIRST (the IVF point: only same-list code
     # rows survive into the ADC lookup), then the broadcast table join
     scored = (

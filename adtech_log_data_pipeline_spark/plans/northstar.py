@@ -121,34 +121,57 @@ def q_dedup_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incoming(_docs(spark, sf_dir))
 
 
-def q_dedup_incoming_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Artifact-based ingest screen: build the persisted band+shingle
-    index (functions/dedup.py::build_dedup_index) for the EXISTING corpus
-    (doc_id % 10 != 7) into scratch parquet, then screen the incoming
-    batch against the ARTIFACT (dedup_incoming_indexed). The oracle
-    restates the per-side cap semantics; result rows are materialized
-    before the scratch index is removed."""
-    import shutil
-
+def _dedup_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the persisted band+shingle dedup index over
+    the EXISTING corpus (doc_id % 10 != 7), keyed on the documents
+    fixture fingerprint (round-11 verdict #5: the index was rebuilt on
+    every invocation). Cold builds go through build + update in two
+    increments (doc_id % 2), so the append == rebuild contract stays
+    exercised end-to-end on every cold build — the
+    _graph_index_for_fixture discipline (per-document band/shingle rows
+    are corpus-membership-independent; caps don't engage on the fixture,
+    dedup_cap_audit proves zero truncation)."""
     from ..functions.dedup import (
         INCOMING_MOD,
         INCOMING_SLOT,
         build_dedup_index,
+        update_dedup_index,
+    )
+
+    def build(work: str) -> None:
+        existing = _docs(spark, sf_dir).filter(
+            (F.col("doc_id") % INCOMING_MOD) != INCOMING_SLOT
+        )
+        build_dedup_index(existing.filter(F.col("doc_id") % 2 == 0), work)
+        update_dedup_index(existing.filter(F.col("doc_id") % 2 == 1), work)
+
+    return _artifact_for_fixture(
+        "spark_graft_dedup_index",
+        "SPARK_GRAFT_DEDUP_INDEX_CACHE",
+        _fixture_key(sf_dir, "documents"),
+        build,
+    )
+
+
+def q_dedup_incoming_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-based ingest screen: the persisted band+shingle index
+    (functions/dedup.py::build_dedup_index) for the EXISTING corpus
+    (doc_id % 10 != 7) — built ONCE per fixture, see
+    _dedup_index_for_fixture — screens the incoming batch
+    (dedup_incoming_indexed). The oracle restates the per-side cap
+    semantics. The gated cost is the SCREEN (batch signatures + bucket
+    probe + Jaccard verify), not the index rebuild — the production
+    nightly-ingest shape."""
+    from ..functions.dedup import (
+        INCOMING_MOD,
+        INCOMING_SLOT,
         dedup_incoming_indexed,
     )
-    from ..streaming._replay import scratch_dir
 
-    work = scratch_dir("dedup_index_")
-    try:
-        docs = _docs(spark, sf_dir)
-        is_in = (F.col("doc_id") % INCOMING_MOD) == INCOMING_SLOT
-        build_dedup_index(docs.filter(~is_in), work)
-        rows = dedup_incoming_indexed(docs.filter(is_in), work).collect()
-        return spark.createDataFrame(
-            rows, "doc_id long, is_dup boolean, match_doc long, jaccard double"
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    is_in = (F.col("doc_id") % INCOMING_MOD) == INCOMING_SLOT
+    idx = _dedup_index_for_fixture(spark, sf_dir)
+    return dedup_incoming_indexed(docs.filter(is_in), idx)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +300,39 @@ def q_sq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the persisted PQ/IVF-PQ index (codebook +
+    corpus codes + IVF seeds/assignment), keyed on the embeddings
+    fixture fingerprint — the _graph_index_for_fixture discipline at the
+    ANN rung (round-11 verdict #1: the coding pass is an index BUILD and
+    was being re-paid per query across pq_adc_topk / pq_recall_audit /
+    ivfpq_topk). First call per fixture builds the parquet artifact;
+    every later call — across queries AND fresh JVMs in a board run —
+    reads it. This is the FAISS production shape: IndexIVFPQ trains
+    once, queries only probe it."""
+    from ..functions.similarity import build_pq_index
+
+    def build(work: str) -> None:
+        build_pq_index(
+            _emb(spark, sf_dir),
+            work,
+            total=table_row_count(sf_dir, "embeddings"),
+        )
+
+    return _artifact_for_fixture(
+        "spark_graft_pq_index",
+        "SPARK_GRAFT_PQ_INDEX_CACHE",
+        _fixture_key(sf_dir, "embeddings"),
+        build,
+    )
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    from ..functions.similarity import load_pq_index
+
+    return load_pq_index(spark, _pq_index_for_fixture(spark, sf_dir))
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage product-quantized ANN with Asymmetric Distance
     Computation (functions/similarity.py::pq_adc_topk): m=32 subspaces,
@@ -284,24 +340,32 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-dot table, coarse-20 then exact r6 cosine rescore to top-5 —
     the FAISS IVF-PQ scoring core, completing the engine's compression
     ladder next to sq_rescore_topk (values: SQ 4x; geometry: PQ m bytes
-    per vector, 8x at these defaults)."""
+    per vector, 8x at these defaults). Reads the fixture-keyed persisted
+    index (_pq_index_for_fixture) — the gated cost is the QUERY (ADC +
+    rescore), not the artifact rebuild; artifact == fresh is a law
+    (tests/test_pq.py)."""
     from ..functions.similarity import pq_adc_topk
 
-    return pq_adc_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+    return pq_adc_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        index=_pq_index(spark, sf_dir),
+    )
 
 
 def q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the PQ/ADC chain vs exact brute force — the quality
     gate that says whether m=32x32 codes plus a 20-candidate refine
     budget preserve neighbor quality on THIS corpus (the sq_recall_audit
-    discipline at the PQ rung)."""
+    discipline at the PQ rung). The PQ side reads the persisted index."""
     from ..functions._cache import hold
     from ..functions.similarity import pq_adc_topk
 
     emb = _emb(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
     exact = hold(brute_force_topk(emb, q, k=5), eager=True)
-    approx = pq_adc_topk(emb, q, k=5)
+    approx = pq_adc_topk(emb, q, k=5, index=_pq_index(spark, sf_dir))
     ex = exact.select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
@@ -326,10 +390,86 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC scores only those candidates from their PQ codes, the exact r6
     cosine rescores the coarse-20 survivors to top-5 — per query,
     O(corpus/n_lists) code rows + the broadcast ADC table, never the
-    float corpus."""
+    float corpus. Reads the fixture-keyed persisted index."""
     from ..functions.similarity import ivfpq_topk
 
-    return ivfpq_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+    return ivfpq_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        index=_pq_index(spark, sf_dir),
+    )
+
+
+def q_ivfpq_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at n_probes=4 (functions/similarity.py::ivf_probe_lists):
+    each query's candidates come from its FOUR nearest inverted lists —
+    the FAISS nprobe knob that buys back the recall a single probed list
+    loses at the boundary between lists (ivfpq_probe_recall reports the
+    recall-vs-probes curve; n_probes=1 reproduces ivfpq_topk exactly,
+    law-tested). Still sublinear per query: 4 * corpus/n_lists code rows
+    against the broadcast ADC table."""
+    from ..functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        index=_pq_index(spark, sf_dir),
+        n_probes=4,
+    )
+
+
+def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs exact brute force at n_probes in {1, 2, 4} — the
+    recall-vs-probes curve for the IVF-PQ capstone, one aggregate row
+    per probe width. All three legs share the persisted index and the
+    held exact truth; the oracle restates each leg's full chain from
+    first principles."""
+    from functools import reduce
+
+    from ..functions._cache import hold
+    from ..functions.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    idx = _pq_index(spark, sf_dir)
+    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    ex = exact.select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    legs = []
+    for n in (1, 2, 4):
+        hv = ivfpq_topk(emb, q, k=5, index=idx, n_probes=n).select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+        )
+        legs.append(
+            ex.join(hv, (ex.qid == hv.a_qid) & (ex.nid == hv.a_nid), "left")
+            .agg(
+                F.lit(n).cast("int").alias("n_probes"),
+                F.countDistinct("qid").alias("n_queries"),
+                F.count(F.lit(1)).alias("k_exact_total"),
+                F.count("a_nid").alias("n_overlap_total"),
+                (F.count("a_nid") / F.count(F.lit(1))).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), legs)
+
+
+def q_stream_pq_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ ingest screen (streaming/pq_screen.py): each
+    arriving embedding is coarse-assigned map-side, stream-static-joined
+    to its inverted list's pre-reconstructed PQ corpus, ADC-scored by
+    one codegen array fold, and emitted when the r6 approximate cosine
+    reaches the screen threshold — zero streaming state, so the gated
+    replay is hash-identical to the batch restatement under any
+    micro-batch slicing (the stream_quality_score law at the ANN rung).
+    Reads the same fixture-keyed persisted index as the batch PQ
+    queries."""
+    from ..streaming.pq_screen import stream_pq_screen
+
+    return stream_pq_screen(spark, sf_dir, index=_pq_index(spark, sf_dir))
 
 
 def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,6 +2729,9 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": q_pq_adc_topk,
     "pq_recall_audit": q_pq_recall_audit,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_multiprobe_topk": q_ivfpq_multiprobe_topk,
+    "ivfpq_probe_recall": q_ivfpq_probe_recall,
+    "stream_pq_screen": q_stream_pq_screen,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "salted_hot_join": q_salted_hot_join,
@@ -3123,24 +3266,28 @@ FROM ranked WHERE rank <= 5
 
 # IVF-PQ restated: the IVF coarse assignment (same CTE as _ORACLE_IVF,
 # renamed to avoid clashing with the PQ codebook CTE) composed with the
-# PQ coding/ADC chain — candidates are same-inverted-list vectors only.
-_ORACLE_IVFPQ = f"""
+# PQ coding/ADC chain — candidates are vectors from the query's
+# n_probes nearest inverted lists only (rn <= n_probes restates
+# ivf_probe_lists; corpus membership stays rn = 1).
+def _oracle_ivfpq(n_probes: int = 1) -> str:
+    return f"""
 WITH ivp AS (
   SELECT greatest(1, count(*) //
            greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
   FROM embeddings),
 ivseeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
             FROM embeddings, ivp WHERE vec_id % ivp.stride = 0),
-assign AS (
-  SELECT vec_id, list_id FROM (
+arnk AS (
     SELECT e.vec_id, s.list_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.sv)
                                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                                      * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
                               s.list_id) AS rn
-    FROM embeddings e CROSS JOIN ivseeds s) t
-  WHERE rn = 1),
+    FROM embeddings e CROSS JOIN ivseeds s),
+assign AS (SELECT vec_id, list_id FROM arnk WHERE rn = 1),
+qassign AS (SELECT vec_id, list_id FROM arnk
+            WHERE rn <= {n_probes} AND vec_id < {N_QUERY_VECS}),
 p AS (SELECT CAST(len(embedding) // 32 AS INT) AS dsub,
              greatest(1, CAST(count(*) OVER () AS BIGINT) // 32) AS stride
       FROM embeddings LIMIT 1),
@@ -3172,7 +3319,7 @@ adc AS (
   SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.pdot) AS adc_score
   FROM codes c
   JOIN assign ca ON ca.vec_id = c.vec_id
-  JOIN assign qa ON qa.list_id = ca.list_id AND qa.vec_id < {N_QUERY_VECS}
+  JOIN qassign qa ON qa.list_id = ca.list_id
   JOIN qtab t ON t.query_id = qa.vec_id AND t.sub = c.sub AND t.cid = c.cid
   WHERE c.vec_id <> qa.vec_id
   GROUP BY t.query_id, c.vec_id),
@@ -3199,6 +3346,102 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_r6,
        CAST(coarse_rank AS INT) AS coarse_rank
 FROM ranked WHERE rank <= 5
 """
+
+
+_ORACLE_IVFPQ = _oracle_ivfpq(1)
+
+
+def _oracle_ivfpq_probe_recall(probes: tuple[int, ...] = (1, 2, 4)) -> str:
+    """Recall@5 vs exact brute force, one row per probe width — each leg
+    restates the full IVF-PQ chain at that n_probes and aggregates the
+    overlap, so the engine's shared-artifact shortcut is gated against a
+    from-first-principles restatement."""
+    legs = []
+    for n in probes:
+        legs.append(f"""
+SELECT CAST({n} AS INT) AS n_probes,
+       CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS k_exact_total,
+       CAST(count(pr.neighbor_id) AS BIGINT) AS n_overlap_total,
+       count(pr.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+FROM ({_ORACLE_SIMILARITY_TOPK}) ex
+LEFT JOIN ({_oracle_ivfpq(n)}) pr
+  ON ex.query_id = pr.query_id AND ex.neighbor_id = pr.neighbor_id""")
+    return "\nUNION ALL\n".join(legs)
+
+
+def _oracle_stream_pq_screen() -> str:
+    """Batch restatement of the streaming IVF-PQ ingest screen: same IVF
+    assignment + PQ coding CTEs as _oracle_ivfpq, then per same-list
+    pair the exact-bigint dot of the query micros against the
+    reconstructed (codeword-micro) corpus vector, normalized to the
+    r6-rounded approximate cosine and thresholded. dot(q, recon) summed
+    over dims is identical to summing the per-subspace ADC table."""
+    from ..streaming.pq_screen import STREAM_PQ_THRESHOLD
+
+    return f"""
+WITH ivp AS (
+  SELECT greatest(1, count(*) //
+           greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
+  FROM embeddings),
+ivseeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
+            FROM embeddings, ivp WHERE vec_id % ivp.stride = 0),
+arnk AS (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.sv)
+                                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                     * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                              s.list_id) AS rn
+    FROM embeddings e CROSS JOIN ivseeds s),
+assign AS (SELECT vec_id, list_id FROM arnk WHERE rn = 1),
+p AS (SELECT CAST(len(embedding) // 32 AS INT) AS dsub,
+             greatest(1, CAST(count(*) OVER () AS BIGINT) // 32) AS stride
+      FROM embeddings LIMIT 1),
+base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings),
+mm AS (SELECT vec_id, dim,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM base),
+seeds AS (SELECT vec_id AS cid, dim, m AS c
+          FROM mm, p WHERE vec_id % p.stride = 0),
+d2 AS (
+  SELECT x.vec_id, CAST(x.dim // p.dsub AS INT) AS sub, s.cid,
+         sum((x.m - s.c) * (x.m - s.c)) AS d2
+  FROM mm x JOIN seeds s USING (dim), p
+  GROUP BY x.vec_id, x.dim // p.dsub, s.cid),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rn
+    FROM d2) WHERE rn = 1),
+cw AS (SELECT s.cid, s.dim, CAST(s.dim // p.dsub AS INT) AS sub, s.c
+       FROM seeds s, p),
+rec AS (SELECT co.vec_id, w.dim, w.c
+        FROM codes co JOIN cw w ON w.sub = co.sub AND w.cid = co.cid),
+cn AS (SELECT vec_id, sum(c * c) AS cn2 FROM rec GROUP BY vec_id),
+qn AS (SELECT vec_id, sum(m * m) AS qn2 FROM mm GROUP BY vec_id),
+dots AS (
+  SELECT qa.vec_id AS vec_id, ca.vec_id AS neighbor_id, sum(q.m * r.c) AS dot
+  FROM assign qa
+  JOIN assign ca ON ca.list_id = qa.list_id AND ca.vec_id <> qa.vec_id
+  JOIN mm q ON q.vec_id = qa.vec_id
+  JOIN rec r ON r.vec_id = ca.vec_id AND r.dim = q.dim
+  GROUP BY qa.vec_id, ca.vec_id),
+hits AS (
+  SELECT d.vec_id, d.neighbor_id,
+         round(CAST(d.dot AS DOUBLE)
+               / nullif(sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)), 0), 6)
+           AS adc_cos_r6
+  FROM dots d JOIN qn q ON q.vec_id = d.vec_id
+  JOIN cn c ON c.vec_id = d.neighbor_id)
+SELECT vec_id, neighbor_id, adc_cos_r6
+FROM hits WHERE adc_cos_r6 >= {STREAM_PQ_THRESHOLD}
+"""
+
+
+_ORACLE_STREAM_PQ_SCREEN = _oracle_stream_pq_screen()
 
 
 def _sigs_cte() -> str:
@@ -5612,6 +5855,9 @@ GROUP BY ex.query_id
     "sq_rescore_topk": _ORACLE_SQ_RESCORE,
     "pq_adc_topk": _ORACLE_PQ_ADC,
     "ivfpq_topk": _ORACLE_IVFPQ,
+    "ivfpq_multiprobe_topk": _oracle_ivfpq(4),
+    "ivfpq_probe_recall": _oracle_ivfpq_probe_recall(),
+    "stream_pq_screen": _ORACLE_STREAM_PQ_SCREEN,
     "pq_recall_audit": f"""
 WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),
 pq AS ({_ORACLE_PQ_ADC})

@@ -215,65 +215,20 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-11 rotation record, COMPUTED from the CORRECTNESS_r01..r10
+# Round-12 rotation record, COMPUTED from the CORRECTNESS_r01..r11
 # artifacts (last-green round per query, ascending, stable by declared
-# order — the protocol set by the round-7 verdict): all 209 queries have
-# at least one green driver row; min(last-green) is r6. The window is the
-# full r6 cohort (30 queries — the r10 verdict's task-1 promote queue,
-# honored verbatim) followed by the 13 oldest r7 greens. New round-11
-# queries (0 greens beat all) are prepended and displace the window's
-# newest greens to the TAIL HEAD. After this round gates them,
-# min(last-green) across the board is r7. The window stays parity-7 + 43.
+# order — the protocol set by the round-7 verdict): all 213 previously
+# declared queries have at least one green driver row; the last-green
+# histogram entering this round is r7:34, r8:43, r9:43, r10:43, r11:50.
+# The window is the THREE new round-12 queries (0 greens beat all),
+# then the full r7 cohort (34 — the round-11 verdict's task-2 promote
+# queue, honored verbatim), then the 6 oldest r8 greens. After this
+# round gates them, min(last-green) across the board advances to r8.
+# The window stays parity-7 + 43.
 _GATE_FIRST = [
-    # round-11 new queries (0 driver greens — beat all)
-    "stream_quality_score",
-    "pq_adc_topk",
-    "pq_recall_audit",
-    "ivfpq_topk",
-    "props_json_stats",
-    "volume_shipping",
-    "market_share",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "idle_rich_customers",
-    "fk_integrity_audit",
-    "user_value_outliers",
-    "bigram_lm_score",
-    "similar_parts",
-    "weighted_sample",
-    "copurchase_pagerank",
-    "stream_drift_chi2",
-    "script_mix",
-    "dedup_incoming_indexed",
-    "dedup_cap_audit",
-    "semantic_cap_audit",
-    "ann_recall_audit",
-    "embedding_bucket_audit",
-    "salted_hot_join",
-    "zorder_audit",
-    "range_sort_audit",
-    "snapshot_diff_orders",
-    "tfexample_roundtrip",
-    "shard_manifest",
-    "ingest_checkpoint_audit",
-    "compaction_audit",
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "partition_prune_audit",
-    "profile_cap_audit",
-    "weighted_median_price",
-    "penny_allocation",
-    "activity_streaks",
-    "frequent_part_pairs",
-    "value_deciles",
-    "type_transitions",
-    "segment_trend",
-    "wide_order_facts",
-]
-# The tail: every remaining query ordered last-green ASCENDING (the
-# remaining r7 cohort — the round-12 promote queue head — then r8, r9,
-# r10), so future rotations keep promoting from the tail head.
-_GATE_LAST = [
+    "ivfpq_multiprobe_topk",
+    "ivfpq_probe_recall",
+    "stream_pq_screen",
     "customer_spend_rank",
     "cohort_ltv",
     "hourly_gapfill",
@@ -314,6 +269,11 @@ _GATE_LAST = [
     "sessionized_events",
     "customer_order_distribution",
     "monthly_revenue_trend",
+]
+# The tail: every remaining query ordered last-green ASCENDING (the
+# remaining r8 cohort — the round-13 promote queue head — then r9, r10,
+# r11), so future rotations keep promoting from the tail head.
+_GATE_LAST = [
     "brand_supplier_stats",
     "quiet_returners",
     "sliding_window_counts",
@@ -437,6 +397,49 @@ _GATE_LAST = [
     "stream_session_windows",
     "streaming_spend_sessions",
     "schema_drift_audit",
+    "stream_quality_score",
+    "pq_adc_topk",
+    "pq_recall_audit",
+    "ivfpq_topk",
+    "props_json_stats",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "idle_rich_customers",
+    "fk_integrity_audit",
+    "user_value_outliers",
+    "bigram_lm_score",
+    "similar_parts",
+    "weighted_sample",
+    "copurchase_pagerank",
+    "stream_drift_chi2",
+    "script_mix",
+    "dedup_incoming_indexed",
+    "dedup_cap_audit",
+    "semantic_cap_audit",
+    "ann_recall_audit",
+    "embedding_bucket_audit",
+    "salted_hot_join",
+    "zorder_audit",
+    "range_sort_audit",
+    "snapshot_diff_orders",
+    "tfexample_roundtrip",
+    "shard_manifest",
+    "ingest_checkpoint_audit",
+    "compaction_audit",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "partition_prune_audit",
+    "profile_cap_audit",
+    "weighted_median_price",
+    "penny_allocation",
+    "activity_streaks",
+    "frequent_part_pairs",
+    "value_deciles",
+    "type_transitions",
+    "segment_trend",
+    "wide_order_facts",
 ]
 _PARITY = [
     "bidlog_validation",

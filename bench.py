@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "pq_recall_audit",
     "ivfpq_topk",
+    # round-12 additions
+    "ivfpq_multiprobe_topk",
+    "ivfpq_probe_recall",
+    "stream_pq_screen",
 ]
 
 
@@ -449,6 +453,24 @@ def main() -> None:
         print("BENCH_CHUNK_JSON " + json.dumps(timings), flush=True)
         return
 
+    # quiet-window gate (round-12; the round-11 verdict traced the
+    # parity-7 inflation in BOTH driver benches to chunks 1-2 running
+    # while the gate boards' load drained, load1 up to 14.6): wait —
+    # bounded — for load1 to fall below the gate before chunk 1, and
+    # record the wait + the load it settled at in the trailer so the
+    # artifact shows whether the gate engaged. Skippable for protocol
+    # smoke runs via SPARK_GRAFT_BENCH_NO_LOADGATE=1.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "4.0"))
+    gate_wait = 0.0
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_LOADGATE"):
+        gate_t0 = time.time()
+        while time.time() - gate_t0 < 300:
+            la = _loadavg()
+            if la and la[0] < load_gate:
+                break
+            time.sleep(10)
+        gate_wait = round(time.time() - gate_t0, 1)
+
     # orchestrator: fresh child JVM per chunk, load sampled around each
     timings: dict[str, float] = {}
     loads: list[list[float]] = []
@@ -579,6 +601,7 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "chunks": len(loads),
                 "load1_per_chunk": loads,
+                "loadgate_wait_sec": gate_wait,
                 "steal_pct": _steal_pct_since(steal0, total0),
                 "delta_vs_prev": delta,
             }

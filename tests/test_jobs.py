@@ -242,3 +242,37 @@ def test_bidlog_job_observed_metrics(spark, tmp_path):
     assert res.metrics["n_input"] == 6
     assert res.metrics["n_valid"] == 4
     assert res.metrics["n_dropped"] == 2
+
+
+def test_pq_index_job_cli_end_to_end(spark, tmp_path):
+    """--job pq-index persists the PQ/IVF-PQ artifact via the CLI
+    dispatch; the loaded index reproduces the fresh ivfpq_topk relation
+    (the nightly-build shape the gated PQ queries consume)."""
+    import os
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        ivfpq_topk,
+        load_pq_index,
+    )
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    out = str(tmp_path / "pq_index")
+    rc = main(
+        [
+            "--job", "pq-index",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    for part in ("codebook", "codes", "ivf_seeds", "ivf_assign"):
+        assert os.path.isdir(os.path.join(out, part)), part
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(emb.vec_id < 3).select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("qvec")
+    )
+    idx = load_pq_index(spark, out)
+    art = ivfpq_topk(emb, q, k=3, index=idx).collect()
+    fresh = ivfpq_topk(emb, q, k=3).collect()
+    assert sorted(map(tuple, art)) == sorted(map(tuple, fresh)) and len(art) > 0

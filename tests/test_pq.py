@@ -185,3 +185,128 @@ def test_ivfpq_candidates_stay_in_the_query_list(spark):
     assert len(out) > 0
     for r in out:
         assert assign[r["neighbor_id"]] == assign[r["query_id"]], r
+
+
+def test_probe_lists_rank1_is_assignment(spark):
+    """ivf_probe_lists' first probe must be exactly the ivf_assignments
+    list for every query — the seam that makes n_probes=1 reproduce the
+    single-probe relation."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        _ivf_seed_vectors,
+        ivf_assignments,
+        ivf_probe_lists,
+    )
+
+    rows = _vecs(n=40, seed=3)
+    emb = _df(spark, rows)
+    seeds = _ivf_seed_vectors(emb, n_lists=4, total=40)
+    assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assignments(emb, seeds=seeds).collect()
+    }
+    q = _qdf(spark, rows, nq=6)
+    top1 = ivf_probe_lists(q, seeds, n_probes=1).collect()
+    assert len(top1) == 6
+    for r in top1:
+        assert r["list_id"] == assign[r["query_id"]], r
+
+
+def test_multiprobe_one_equals_default(spark):
+    """n_probes=1 must reproduce the original single-probe IVF-PQ
+    relation row-for-row (the law the round-11 verdict asked to pin)."""
+    from adtech_log_data_pipeline_spark.functions.similarity import ivfpq_topk
+
+    rows = _vecs(n=40, seed=13)
+    emb, q = _df(spark, rows), _qdf(spark, rows)
+    a = ivfpq_topk(emb, q, k=3, m=M, n_codes=K, coarse=5, n_lists=4).collect()
+    b = ivfpq_topk(
+        emb, q, k=3, m=M, n_codes=K, coarse=5, n_lists=4, n_probes=1
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_multiprobe_candidates_stay_in_probe_set(spark):
+    """Every neighbor at n_probes=2 lies in one of the query's TWO
+    nearest lists — the widened restriction still restricts."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        _ivf_seed_vectors,
+        ivf_assignments,
+        ivf_probe_lists,
+        ivfpq_topk,
+    )
+
+    rows = _vecs(n=40, seed=3)
+    emb = _df(spark, rows)
+    q = _qdf(spark, rows)
+    seeds = _ivf_seed_vectors(emb, n_lists=4, total=40)
+    assign = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assignments(emb, seeds=seeds).collect()
+    }
+    probes: dict[int, set] = {}
+    for r in ivf_probe_lists(q, seeds, n_probes=2).collect():
+        probes.setdefault(r["query_id"], set()).add(r["list_id"])
+    out = ivfpq_topk(
+        emb, q, k=3, m=M, n_codes=K, coarse=5, n_lists=4, n_probes=2
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert assign[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+def test_multiprobe_recall_monotone_on_fixture(spark):
+    """Widening the probe set can only add candidates, so fixture
+    recall@5 vs brute force must be non-decreasing in n_probes (and
+    strictly better by n_probes=4 on this corpus — measured 0.28 -> 0.42
+    at the 500-vector fixture; the aspirational 0.97 needs trained
+    coarse centroids, not wider probes)."""
+    from adtech_log_data_pipeline_spark.functions.similarity import ivfpq_topk
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    rec = {}
+    for n in (1, 2, 4):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(emb, q, k=5, n_probes=n).collect()
+        }
+        rec[n] = len(ex & ap) / len(ex)
+    assert rec[1] <= rec[2] <= rec[4], rec
+    assert rec[4] >= 0.4, rec
+    assert rec[4] > rec[1], rec
+
+
+def test_pq_artifact_equals_fresh(spark, tmp_path):
+    """build_pq_index -> load_pq_index must reproduce the fresh
+    derivation bit-for-bit through BOTH consumers (pq_adc_topk and
+    ivfpq_topk at n_probes 1 and 2) — the artifact law that lets the
+    gated queries read the persisted index (round-11 verdict #1)."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        build_pq_index,
+        ivfpq_topk,
+        load_pq_index,
+        pq_adc_topk,
+    )
+
+    rows = _vecs(n=40, seed=21)
+    emb, q = _df(spark, rows), _qdf(spark, rows)
+    build_pq_index(emb, str(tmp_path), m=M, n_codes=K, n_lists=4)
+    idx = load_pq_index(spark, str(tmp_path))
+
+    fresh = pq_adc_topk(emb, q, k=3, m=M, n_codes=K, coarse=5).collect()
+    art = pq_adc_topk(emb, q, k=3, m=M, coarse=5, index=idx).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, art))
+
+    for n_probes in (1, 2):
+        fresh = ivfpq_topk(
+            emb, q, k=3, m=M, n_codes=K, coarse=5, n_lists=4,
+            n_probes=n_probes,
+        ).collect()
+        art = ivfpq_topk(
+            emb, q, k=3, m=M, coarse=5, index=idx, n_probes=n_probes
+        ).collect()
+        assert sorted(map(tuple, fresh)) == sorted(map(tuple, art)), n_probes
