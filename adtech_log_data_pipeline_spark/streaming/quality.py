@@ -81,41 +81,43 @@ def stream_quality_score(
     else:
         score_map = F.create_map().cast("map<bigint,bigint>")
 
-    def _bucket(tok):
-        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
+    def _wt(tok):
+        # per-token weight LOOKUP (NULL = bucket absent from the model):
+        # computed ONCE per token occurrence via transform, then consumed
+        # by BOTH output columns — the md5 is the fold's dominant cost,
+        # so hashing once (not once per column) keeps the map-only replay
+        # at its batch-pass cost (sf1 scaling evidence, SURVEY §8)
+        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
             "bigint"
         ) % F.lit(int(QC_N_BUCKETS))
-
-    def step(acc, tok):
-        return acc + F.coalesce(
-            F.element_at(score_map, _bucket(tok)), F.lit(0).cast("bigint")
-        )
-
-    def hit_step(acc, tok):
-        # count ONLY tokens whose bucket exists in the weight relation —
-        # the batch path's inner join on bucket does exactly this, so the
-        # batch-identical law holds for n_tokens even under caller-
-        # injected weights trained on a different corpus (round-11
-        # ADVICE); with self-trained weights every occurring bucket is
-        # present and this equals size(toks)
-        return acc + F.when(
-            F.element_at(score_map, _bucket(tok)).isNotNull(), F.lit(1)
-        ).otherwise(F.lit(0)).cast("bigint")
+        return F.element_at(score_map, bucket)
 
     src = documents if documents is not None else _docs_stream(spark, sf_dir)
     scored = (
         src.select("doc_id", "lang", tokens_col().alias("toks"))
+        .withColumn("wts", F.transform("toks", _wt))
         .select(
             "doc_id",
             "lang",
+            # count ONLY tokens whose bucket exists in the weight
+            # relation — the batch path's inner join on bucket does
+            # exactly this, so the batch-identical law holds for
+            # n_tokens even under caller-injected weights trained on a
+            # different corpus (round-11 ADVICE); with self-trained
+            # weights every occurring bucket is present and this equals
+            # size(toks)
             F.coalesce(
-                F.aggregate("toks", F.lit(0).cast("bigint"), hit_step),
-                F.lit(0),
+                F.size(F.filter("wts", lambda w: w.isNotNull())), F.lit(0)
             )
             .cast("bigint")
             .alias("n_tokens"),
             F.coalesce(
-                F.aggregate("toks", F.lit(0).cast("bigint"), step), F.lit(0)
+                F.aggregate(
+                    "wts",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, w: acc + F.coalesce(w, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("margin"),
