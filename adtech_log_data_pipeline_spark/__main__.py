@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
             "span-screen", "quantize", "pagerank", "triangles", "fkaudit",
             "drift", "attribution", "pca", "cdc", "explain",
             "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
-            "snapshot-merge", "quality-score", "pq-index",
+            "snapshot-merge", "quality-score", "pq-index", "pq-index-append",
         ],
         required=True,
     )
@@ -310,6 +310,16 @@ def main(argv: list[str] | None = None) -> int:
 
         build_pq_index(spark.read.parquet(args.input), args.output)
         print(f"pq-index done: codebook+codes+ivf -> {args.output}")
+    elif args.job == "pq-index-append":
+        if not args.input or not args.against:
+            ap.error(
+                "--input (new embeddings batch) and --against (index dir"
+                " from --job pq-index) are required for --job pq-index-append"
+            )
+        from .functions.similarity import append_pq_index
+
+        append_pq_index(spark.read.parquet(args.input), args.against)
+        print(f"pq-index-append done: appended to {args.against}")
     elif args.job == "snapshot":
         if not args.input:
             ap.error(

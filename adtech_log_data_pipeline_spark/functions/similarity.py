@@ -1308,6 +1308,42 @@ def load_pq_index(spark, index_dir: str) -> PQIndex:
     )
 
 
+def append_pq_index(
+    new_embeddings: DataFrame, index_dir: str, m: int = PQ_M
+) -> None:
+    """APPEND newly admitted vectors to a persisted build_pq_index
+    artifact — the step that closes the ANN ingest loop (screen a batch
+    with stream_pq_screen / ivfpq_topk, keep the survivors, append them
+    so the NEXT batch probes against today's admissions without a full
+    rebuild): the MODEL (codebook + IVF seeds) is frozen from the build
+    corpus — exactly FAISS's add-after-train contract — and only the
+    batch's code rows and list assignments are computed and appended.
+    Cost scales with the increment, never the corpus.
+
+    Equivalence contract (law, tests/test_pq.py): per-vector codes and
+    assignments depend only on the vector and the frozen model, so the
+    appended artifact holds exactly the rows a from-scratch coding pass
+    over (existing UNION new) WITH THE SAME MODEL would. Caller
+    contract: new vec_ids must be disjoint from the indexed corpus
+    (screened batches are)."""
+    import os
+
+    from ._cache import registry_mark, release_cached_from
+
+    spark = new_embeddings.sparkSession
+    idx = load_pq_index(spark, index_dir)
+    mark = registry_mark()
+    try:
+        pq_code_rows(new_embeddings, m=m, codebook=idx.codebook).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "codes"))
+        ivf_assignments(new_embeddings, seeds=idx.ivf_seeds).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "ivf_assign"))
+    finally:
+        release_cached_from(mark)
+
+
 def ivf_probe_lists(
     queries: DataFrame, seeds: DataFrame, n_probes: int
 ) -> DataFrame:

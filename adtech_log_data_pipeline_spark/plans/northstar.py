@@ -457,6 +457,51 @@ def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), legs)
 
 
+def _pq_incr_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the INCREMENTALLY-built PQ index: the model
+    (codebook + IVF seeds) trains on the EXISTING corpus
+    (vec_id % 10 != 7 — the dedup family's ingest-slot convention), the
+    incoming batch is appended afterwards with the model frozen
+    (functions/similarity.py::append_pq_index — FAISS add-after-train).
+    Every cold build therefore exercises the append path end-to-end;
+    the coded-rows-are-model-deterministic law is pinned separately in
+    tests/test_pq.py."""
+    from ..functions.dedup import INCOMING_MOD, INCOMING_SLOT
+    from ..functions.similarity import append_pq_index, build_pq_index
+
+    def build(work: str) -> None:
+        emb = _emb(spark, sf_dir)
+        is_in = (F.col("vec_id") % INCOMING_MOD) == INCOMING_SLOT
+        build_pq_index(emb.filter(~is_in), work)
+        append_pq_index(emb.filter(is_in), work)
+
+    return _artifact_for_fixture(
+        "spark_graft_pq_incr_index",
+        "SPARK_GRAFT_PQ_INCR_INDEX_CACHE",
+        _fixture_key(sf_dir, "embeddings"),
+        build,
+    )
+
+
+def q_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over an INCREMENTALLY-built index: the quantizers (PQ
+    codebook + IVF seeds) trained on the existing corpus only
+    (vec_id % 10 != 7), the incoming tenth appended with the model
+    frozen — the nightly ingest loop's query shape (screen -> admit ->
+    append -> tomorrow's probes see today's admissions, no index
+    rebuild). The DuckDB oracle restates the frozen-model semantics
+    from first principles (_oracle_ivfpq with the model CTEs filtered
+    to the existing corpus, coding/assignment over every vector), so
+    the append path is value-gated, not just law-tested. Output shape =
+    ivfpq_topk."""
+    from ..functions.similarity import ivfpq_topk, load_pq_index
+
+    idx = load_pq_index(spark, _pq_incr_index_for_fixture(spark, sf_dir))
+    return ivfpq_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5, index=idx
+    )
+
+
 def q_stream_pq_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVF-PQ ingest screen (streaming/pq_screen.py): each
     arriving embedding is coarse-assigned map-side, stream-static-joined
@@ -2731,6 +2776,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivfpq_multiprobe_topk": q_ivfpq_multiprobe_topk,
     "ivfpq_probe_recall": q_ivfpq_probe_recall,
+    "ivfpq_incremental_topk": q_ivfpq_incremental_topk,
     "stream_pq_screen": q_stream_pq_screen,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
@@ -3268,15 +3314,20 @@ FROM ranked WHERE rank <= 5
 # renamed to avoid clashing with the PQ codebook CTE) composed with the
 # PQ coding/ADC chain — candidates are vectors from the query's
 # n_probes nearest inverted lists only (rn <= n_probes restates
-# ivf_probe_lists; corpus membership stays rn = 1).
-def _oracle_ivfpq(n_probes: int = 1) -> str:
+# ivf_probe_lists; corpus membership stays rn = 1). ``model_where``
+# restricts the MODEL derivation (codebook seeds, IVF seeds and their
+# strides) to a sub-corpus — the frozen-model semantics of
+# append_pq_index (FAISS add-after-train): coding/assignment still
+# covers every vector, but the quantizers train on the filtered rows.
+def _oracle_ivfpq(n_probes: int = 1, model_where: str = "TRUE") -> str:
     return f"""
 WITH ivp AS (
   SELECT greatest(1, count(*) //
            greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
-  FROM embeddings),
+  FROM embeddings WHERE {model_where}),
 ivseeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
-            FROM embeddings, ivp WHERE vec_id % ivp.stride = 0),
+            FROM embeddings, ivp
+            WHERE vec_id % ivp.stride = 0 AND ({model_where})),
 arnk AS (
     SELECT e.vec_id, s.list_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -3288,9 +3339,10 @@ arnk AS (
 assign AS (SELECT vec_id, list_id FROM arnk WHERE rn = 1),
 qassign AS (SELECT vec_id, list_id FROM arnk
             WHERE rn <= {n_probes} AND vec_id < {N_QUERY_VECS}),
-p AS (SELECT CAST(len(embedding) // 32 AS INT) AS dsub,
-             greatest(1, CAST(count(*) OVER () AS BIGINT) // 32) AS stride
-      FROM embeddings LIMIT 1),
+p AS (SELECT (SELECT CAST(len(embedding) // 32 AS INT)
+              FROM embeddings LIMIT 1) AS dsub,
+             (SELECT greatest(1, CAST(count(*) AS BIGINT) // 32)
+              FROM embeddings WHERE {model_where}) AS stride),
 base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
                 unnest(embedding) AS x
          FROM embeddings),
@@ -3298,7 +3350,8 @@ mm AS (SELECT vec_id, dim,
               CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
        FROM base),
 seeds AS (SELECT vec_id AS cid, dim, m AS c
-          FROM mm, p WHERE vec_id % p.stride = 0),
+          FROM mm, p
+          WHERE vec_id % p.stride = 0 AND ({model_where})),
 d2 AS (
   SELECT x.vec_id, CAST(x.dim // p.dsub AS INT) AS sub, s.cid,
          sum((x.m - s.c) * (x.m - s.c)) AS d2
@@ -5857,6 +5910,9 @@ GROUP BY ex.query_id
     "ivfpq_topk": _ORACLE_IVFPQ,
     "ivfpq_multiprobe_topk": _oracle_ivfpq(4),
     "ivfpq_probe_recall": _oracle_ivfpq_probe_recall(),
+    "ivfpq_incremental_topk": _oracle_ivfpq(
+        1, model_where="vec_id % 10 <> 7"
+    ),
     "stream_pq_screen": _ORACLE_STREAM_PQ_SCREEN,
     "pq_recall_audit": f"""
 WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),

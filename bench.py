@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     # round-12 additions
     "ivfpq_multiprobe_topk",
     "ivfpq_probe_recall",
+    "ivfpq_incremental_topk",
     "stream_pq_screen",
 ]
 

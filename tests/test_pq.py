@@ -310,3 +310,40 @@ def test_pq_artifact_equals_fresh(spark, tmp_path):
             emb, q, k=3, m=M, coarse=5, index=idx, n_probes=n_probes
         ).collect()
         assert sorted(map(tuple, fresh)) == sorted(map(tuple, art)), n_probes
+
+
+def test_append_pq_index_is_model_deterministic(spark, tmp_path):
+    """append_pq_index with the frozen model must hold exactly the code
+    and assignment rows a single coding pass over (existing UNION new)
+    with the SAME model would — per-vector coding is model-deterministic
+    (FAISS add-after-train). The appended index also answers queries
+    identically to fresh frozen-model relations."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        append_pq_index,
+        build_pq_index,
+        ivf_assignments,
+        ivfpq_topk,
+        load_pq_index,
+        pq_code_rows,
+    )
+
+    rows = _vecs(n=40, seed=31)
+    existing = _df(spark, [r for r in rows if r[0] % 4 != 3])
+    incoming = _df(spark, [r for r in rows if r[0] % 4 == 3])
+    full = _df(spark, rows)
+
+    build_pq_index(existing, str(tmp_path), m=M, n_codes=K, n_lists=4)
+    append_pq_index(incoming, str(tmp_path), m=M)
+    idx = load_pq_index(spark, str(tmp_path))
+
+    want_codes = sorted(
+        map(tuple, pq_code_rows(full, m=M, codebook=idx.codebook).collect())
+    )
+    assert sorted(map(tuple, idx.codes.collect())) == want_codes
+    want_assign = sorted(
+        map(tuple, ivf_assignments(full, seeds=idx.ivf_seeds).collect())
+    )
+    assert sorted(map(tuple, idx.assign.collect())) == want_assign
+
+    got = ivfpq_topk(full, _qdf(spark, rows), k=3, m=M, coarse=5, index=idx)
+    assert len(got.collect()) > 0
