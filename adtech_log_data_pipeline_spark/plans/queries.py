@@ -185,17 +185,51 @@ def _hygienic(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
     worth of frames (functions/_cache.py registry) and retains at most
     one query's worth of task/stage/job/SQL-execution status entries
     (functions/_hygiene.py — the ~4-5 MB/query JVM residue that OOMed a
-    bare 1 GiB session mid-board at sf0.1 in round 9)."""
+    bare 1 GiB session mid-board at sf0.1 in round 9). Round 12 adds two
+    small-heap levers (the 217-query bare-1 GiB board died ~30 queries
+    from the end with GCLocker thrash): stale memory-sink tables from
+    PREVIOUS streaming queries are dropped (each pins its full result in
+    driver heap for the session's life otherwise), and sessions with a
+    small max heap get an explicit full GC so floating residue can't
+    compound into allocation-failure thrash mid-query (skipped on
+    big-heap sessions where the pause would cost more than it frees)."""
     from ..functions._cache import release_cached
     from ..functions._hygiene import trim_status_store
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_cached()
         trim_status_store(spark)
+        _drop_stale_stream_tables(spark)
+        _gc_small_heap(spark)
         return fn(spark, sf_dir)
 
     run.__doc__ = fn.__doc__
     return run
+
+
+def _drop_stale_stream_tables(spark: SparkSession) -> None:
+    """Drop memory-sink temp views left by PREVIOUS queries' streaming
+    replays (streaming/windowed.py::_run_to_memory registers one per
+    streaming query and the sink holds every emitted row in driver
+    heap). Safe between queries: the board protocol consumes each
+    query's result before the next query builds."""
+    try:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("stream_out_") and t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
+
+
+def _gc_small_heap(spark: SparkSession, max_heap_gib: float = 4.0) -> None:
+    """Explicit full GC on small-heap sessions only (driver == executor
+    JVM in local mode, so this also relieves executor-side pressure)."""
+    try:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        if rt.maxMemory() <= max_heap_gib * (1 << 30):
+            spark._jvm.java.lang.System.gc()
+    except Exception:
+        pass
 
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
