@@ -301,3 +301,48 @@ def test_trimmed_stats_no_global_row_window(spark):
     # partitioned form is present
     assert "bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_artifact_scans_prune_and_broadcast(spark):
+    """The artifact-backed IVF-PQ plan must (a) read ONLY (vec_id, sub,
+    cid) from the corpus codes parquet — column pruning through the
+    PQIndex seam — (b) push the query-side vec_id bound into a parquet
+    scan, and (c) never sort-merge-shuffle the corpus codes before the
+    ADC partial agg (every join on that side builds from a broadcast).
+    This is the shape that keeps a 1e9-vector index query sublinear."""
+    p = _plan(spark, "ivfpq_topk")
+    assert "struct<vec_id:bigint,sub:int,cid:bigint>" in p, p[:2000]
+    assert "LessThan(vec_id," in p, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastExchange") >= 4
+
+
+def test_stream_pq_screen_static_side_prunes(spark):
+    """The streaming screen's static corpus derives from the artifact
+    codes/codebook scans with pruned schemas; its batch-restated shape
+    must stay join+fold only (no Python UDF beyond the coarse-assign
+    pandas projection)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        build_pq_index,
+        load_pq_index,
+    )
+    import tempfile
+
+    from adtech_log_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        build_pq_index(emb, d)
+        idx = load_pq_index(spark, d)
+        cw = idx.codebook.withColumn("sub", (F.col("dim") / 2).cast("int"))
+        rec = idx.codes.join(cw, ["sub", "cid"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rec.explain("formatted")
+        p = buf.getvalue()
+        assert "struct<vec_id:bigint,sub:int,cid:bigint>" in p, p[:2000]
+        assert "SortMergeJoin" not in p
