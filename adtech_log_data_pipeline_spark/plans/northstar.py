@@ -502,6 +502,49 @@ def q_ivfpq_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit for the persisted PQ/IVF-PQ artifact — the
+    observability a FAISS deployment checks before trusting an index
+    (imbalance_factor): inverted-list population bounds and imbalance
+    (max list vs the perfectly-balanced mean, in ppm — probe cost is
+    proportional to the probed list's size, so a hot list IS the p99),
+    plus codeword usage (a subspace whose vectors collapse onto few
+    codewords has lost resolution — the retrain signal). One row; exact
+    integer arithmetic throughout (imbalance = max*n_lists*1e6 div
+    n_vectors, the engine's ln-free ppm idiom). Reads the same
+    fixture-keyed artifact as the PQ queries; the oracle restates the
+    assignment + coding chain from first principles, so the gate also
+    re-proves the ARTIFACT's content, not just the arithmetic."""
+    idx = _pq_index(spark, sf_dir)
+    lists = idx.assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    l = lists.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").alias("max_list"),
+        F.min("n").alias("min_list"),
+    )
+    cu0 = idx.codes.groupBy("sub", "cid").agg(F.count(F.lit(1)).alias("c"))
+    cu = cu0.agg(
+        F.countDistinct("sub").alias("n_subs"),
+        F.count(F.lit(1)).alias("n_used_codes"),
+        F.max("c").alias("max_code_use"),
+        F.min("c").alias("min_code_use"),
+    )
+    return l.crossJoin(cu).select(
+        "n_lists",
+        "n_vectors",
+        "max_list",
+        "min_list",
+        F.expr("max_list * n_lists * 1000000 div n_vectors").alias(
+            "imbalance_ppm"
+        ),
+        "n_subs",
+        "n_used_codes",
+        "max_code_use",
+        "min_code_use",
+    )
+
+
 def q_stream_pq_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVF-PQ ingest screen (streaming/pq_screen.py): each
     arriving embedding is coarse-assigned map-side, stream-static-joined
@@ -2777,6 +2820,7 @@ NORTHSTAR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_multiprobe_topk": q_ivfpq_multiprobe_topk,
     "ivfpq_probe_recall": q_ivfpq_probe_recall,
     "ivfpq_incremental_topk": q_ivfpq_incremental_topk,
+    "pq_index_stats": q_pq_index_stats,
     "stream_pq_screen": q_stream_pq_screen,
     "embedding_bucket_audit": q_embedding_bucket_audit,
     "embedding_quantize_audit": q_embedding_quantize_audit,
@@ -3495,6 +3539,67 @@ FROM hits WHERE adc_cos_r6 >= {STREAM_PQ_THRESHOLD}
 
 
 _ORACLE_STREAM_PQ_SCREEN = _oracle_stream_pq_screen()
+
+
+# pq_index_stats restated from first principles: the same IVF assignment
+# + PQ coding CTEs as _oracle_ivfpq, aggregated to the one-row health
+# report — gating this also re-proves the persisted artifact's CONTENT
+# (its assign/codes relations), not just the audit arithmetic.
+_ORACLE_PQ_INDEX_STATS = f"""
+WITH ivp AS (
+  SELECT greatest(1, count(*) //
+           greatest(10, CAST(floor(sqrt(count(*) + 0.5)) AS BIGINT))) AS stride
+  FROM embeddings),
+ivseeds AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS sv
+            FROM embeddings, ivp WHERE vec_id % ivp.stride = 0),
+arnk AS (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.embedding::DOUBLE[], s.sv)
+                                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                     * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                              s.list_id) AS rn
+    FROM embeddings e CROSS JOIN ivseeds s),
+assign AS (SELECT vec_id, list_id FROM arnk WHERE rn = 1),
+p AS (SELECT (SELECT CAST(len(embedding) // 32 AS INT)
+              FROM embeddings LIMIT 1) AS dsub,
+             (SELECT greatest(1, CAST(count(*) AS BIGINT) // 32)
+              FROM embeddings) AS stride),
+base AS (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                unnest(embedding) AS x
+         FROM embeddings),
+mm AS (SELECT vec_id, dim,
+              CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM base),
+seeds AS (SELECT vec_id AS cid, dim, m AS c
+          FROM mm, p WHERE vec_id % p.stride = 0),
+d2 AS (
+  SELECT x.vec_id, CAST(x.dim // p.dsub AS INT) AS sub, s.cid,
+         sum((x.m - s.c) * (x.m - s.c)) AS d2
+  FROM mm x JOIN seeds s USING (dim), p
+  GROUP BY x.vec_id, x.dim // p.dsub, s.cid),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, cid) AS rn
+    FROM d2) WHERE rn = 1),
+lists AS (SELECT list_id, count(*) AS n FROM assign GROUP BY list_id),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(sum(n) AS BIGINT) AS n_vectors,
+             CAST(max(n) AS BIGINT) AS max_list,
+             CAST(min(n) AS BIGINT) AS min_list
+      FROM lists),
+cu0 AS (SELECT sub, cid, count(*) AS c FROM codes GROUP BY sub, cid),
+cu AS (SELECT CAST(count(DISTINCT sub) AS BIGINT) AS n_subs,
+              CAST(count(*) AS BIGINT) AS n_used_codes,
+              CAST(max(c) AS BIGINT) AS max_code_use,
+              CAST(min(c) AS BIGINT) AS min_code_use
+       FROM cu0)
+SELECT l.n_lists, l.n_vectors, l.max_list, l.min_list,
+       l.max_list * l.n_lists * 1000000 // l.n_vectors AS imbalance_ppm,
+       cu.n_subs, cu.n_used_codes, cu.max_code_use, cu.min_code_use
+FROM l, cu
+"""
 
 
 def _sigs_cte() -> str:
@@ -5913,6 +6018,7 @@ GROUP BY ex.query_id
     "ivfpq_incremental_topk": _oracle_ivfpq(
         1, model_where="vec_id % 10 <> 7"
     ),
+    "pq_index_stats": _ORACLE_PQ_INDEX_STATS,
     "stream_pq_screen": _ORACLE_STREAM_PQ_SCREEN,
     "pq_recall_audit": f"""
 WITH ex AS ({_ORACLE_SIMILARITY_TOPK}),

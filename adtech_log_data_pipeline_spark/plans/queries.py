@@ -254,14 +254,15 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # order — the protocol set by the round-7 verdict): all 213 previously
 # declared queries have at least one green driver row; the last-green
 # histogram entering this round is r7:34, r8:43, r9:43, r10:43, r11:50.
-# The window is the FOUR new round-12 queries (0 greens beat all),
+# The window is the FIVE new round-12 queries (0 greens beat all),
 # then the full r7 cohort (34 — the round-11 verdict's task-2 promote
-# queue, honored verbatim), then the 5 oldest r8 greens. After this
+# queue, honored verbatim), then the 4 oldest r8 greens. After this
 # round gates them, min(last-green) across the board advances to r8.
 # The window stays parity-7 + 43.
 _GATE_FIRST = [
     "ivfpq_multiprobe_topk",
     "ivfpq_incremental_topk",
+    "pq_index_stats",
     "ivfpq_probe_recall",
     "stream_pq_screen",
     "customer_spend_rank",
@@ -302,12 +303,12 @@ _GATE_FIRST = [
     "top_revenue_orders",
     "nation_revenue",
     "sessionized_events",
-    "customer_order_distribution",
 ]
 # The tail: every remaining query ordered last-green ASCENDING (the
 # remaining r8 cohort — the round-13 promote queue head — then r9, r10,
 # r11), so future rotations keep promoting from the tail head.
 _GATE_LAST = [
+    "customer_order_distribution",
     "monthly_revenue_trend",
     "brand_supplier_stats",
     "quiet_returners",

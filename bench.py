@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "ivfpq_multiprobe_topk",
     "ivfpq_probe_recall",
     "ivfpq_incremental_topk",
+    "pq_index_stats",
     "stream_pq_screen",
 ]
 
