@@ -218,14 +218,32 @@ def _source_files_key(df: DataFrame) -> str:
     rewrite of the lookup's source files changes the key and forces a
     fresh probe. Listing leaf files is far cheaper than the count the
     memo avoids; a non-local/statless path degrades to path-only (still
-    distinct per file set, just not rewrite-sensitive there)."""
+    distinct per file set, just not rewrite-sensitive there).
+
+    Files come from the ANALYZED plan's leaves, NOT DataFrame.inputFiles:
+    inputFiles reads the plan AFTER cache substitution, so once the first
+    probe holds the key frame, an identical second lookup resolves to the
+    InMemoryRelation and reports ZERO files — the key would flip and the
+    memo would never hit again for any file-backed lookup (caught by
+    tests/test_skew.py::test_probe_memo_invalidates_on_source_rewrite).
+    The analyzed plan keeps the file relation either way."""
     import hashlib
     import os
     from urllib.parse import urlparse
 
+    files: list[str] = []
     try:
-        files = df.inputFiles()
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            try:
+                arr = leaf.relation().location().inputFiles()
+            except Exception:
+                continue  # non-file leaf (local relation, RDD, view)
+            files.extend(arr[j] for j in range(len(arr)))
     except Exception:
+        return "nofiles"
+    if not files:
         return "nofiles"
     parts = []
     for f in sorted(files):

@@ -519,3 +519,63 @@ def test_helper_columns_never_clobber_user_columns(spark):
     cgot = salted_count_distinct(facts, ["k"], ["_salt", "v"], alias="n")
     assert cgot.exceptAll(cwant).count() == 0 and cwant.exceptAll(cgot).count() == 0
     probe_memo_clear()
+
+
+def test_probe_memo_invalidates_on_source_rewrite(spark, tmp_path):
+    """An in-place rewrite of the lookup's source files must invalidate
+    BOTH memo tiers (the size/mtime fingerprint folded into the keys —
+    round-11 ADVICE): the re-probe is fresh, reports the NEW key count,
+    and the join reflects the rewritten key set."""
+    import os
+    import time
+
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        probe_memo_clear,
+        routed_anti_join,
+    )
+
+    probe_memo_clear()
+    facts = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(100)], "k string, v int"
+    )
+    d = str(tmp_path / "dim.parquet")
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(4)], "k string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    rep1, rep2, rep3 = {}, {}, {}
+    a = routed_anti_join(facts, spark.read.parquet(d), "k", report=rep1)
+    n_a = a.count()
+    routed_anti_join(facts, spark.read.parquet(d), "k", report=rep2)
+    assert rep1["probe"] == "fresh" and rep1["n_keys"] == 4
+    assert rep2["probe"] == "memo"
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(9)], "k string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    # drop Spark's own file-listing cache so the new files are visible
+    spark.catalog.refreshByPath(d)
+
+    b = routed_anti_join(facts, spark.read.parquet(d), "k", report=rep3)
+    assert rep3["probe"] == "fresh", rep3
+    assert rep3["n_keys"] == 9
+    assert b.count() < n_a  # more keys removed more facts
+    probe_memo_clear()
+
+
+def test_hygienic_drops_stale_stream_tables(spark):
+    """_hygienic must drop memory-sink temp views left by a PREVIOUS
+    streaming query before the next query builds (the 1 GiB-session
+    residue class found in round 12), while leaving the fixture temp
+    views (region/nation/...) alone."""
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    QUERIES["stream_window_counts"](spark, "/root/testdata/sf0.001").count()
+    names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
+    assert any(n.startswith("stream_out_") for n in names)
+
+    QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
+    assert not any(n.startswith("stream_out_") for n in names), names
+    assert "lineitem" in names  # fixture views untouched
