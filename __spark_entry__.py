@@ -30,7 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Concurrency contract: entries may be interleaved freely within a
+    session (build A, build B, consume both — streaming results drop
+    their memory-sink view eagerly and stay consumable), but each
+    INDIVIDUAL query is single-flight: running the same query twice
+    concurrently shares one owner tag, so its hygiene pass may reclaim
+    the other in-flight run's sink view."""
     from adtech_log_data_pipeline_spark.plans.queries import QUERIES
 
     return dict(QUERIES)

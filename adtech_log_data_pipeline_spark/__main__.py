@@ -289,7 +289,7 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.graph import build_graph_index
 
         build_graph_index(spark.read.parquet(args.input), args.output)
-        print(f"graph-index done: edges/batch=0 -> {args.output}")
+        print(f"graph-index done: edges/b=1 committed -> {args.output}")
     elif args.job == "graph-index-append":
         if not args.input or not args.against:
             ap.error(

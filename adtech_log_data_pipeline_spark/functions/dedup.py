@@ -34,6 +34,9 @@ SIMHASH_BITS = 16
 # states the identical cap; no real bucket approaches it on honest data.
 BAND_BUCKET_CAP = 500
 
+#: manifest family tag for the bands+shingles artifact (_index_commit)
+DEDUP_INDEX_FAMILY = "dedup"
+
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact + set-hash dedup groups: one row per content group with the
@@ -812,17 +815,24 @@ def build_dedup_index(
     build over the existing corpus; every subsequent ingest screen
     (dedup_incoming_indexed) reads the artifact instead of re-deriving
     signatures for data that never changed — cost scales with the batch,
-    not the corpus."""
-    import os
-
+    not the corpus. Committed through the manifest discipline
+    (functions/_index_commit.py): both relations publish under ONE
+    atomic ``_CURRENT`` flip with the build's bucket_cap recorded, so a
+    crashed build leaves no readable index and appends validate their
+    cap against the stored one (round-12 verdict #1)."""
     from ._cache import registry_mark, release_cached_from
+    from ._index_commit import commit_index_build
 
     mark = registry_mark()
     try:
         ds = hold(_shingle_rows(documents).distinct(), eager=True)
         bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=ds)
-        bands.write.mode("overwrite").parquet(os.path.join(out_dir, "bands"))
-        ds.write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
+        commit_index_build(
+            out_dir,
+            writes={"bands": bands, "shingles": ds},
+            meta={"bucket_cap": bucket_cap},
+            family=DEDUP_INDEX_FAMILY,
+        )
     finally:
         release_cached_from(mark)
 
@@ -844,19 +854,37 @@ def update_dedup_index(
     than cap total (strictly MORE candidates — recall never degrades vs
     the rebuild; dedup_cap_audit reports when any bucket is near the cap
     and a rebuild should re-tighten it). Caller contract: new doc_ids
-    must be disjoint from the indexed corpus (screened batches are)."""
-    import os
+    must be disjoint from the indexed corpus (screened batches are).
 
+    Crash-atomic (round-12 verdict #1): both increments land in fresh
+    manifest-unreferenced batch dirs and ONE atomic manifest flip
+    commits them — a crash between the bands and shingles writes
+    leaves the old index readable (a banded-but-unshingled doc would
+    otherwise band-match without ever Jaccard-verifying). ``bucket_cap``
+    must match the build's recorded cap: mixing caps across increments
+    would silently change which buckets truncate."""
     from ._cache import registry_mark, release_cached_from
+    from ._index_commit import commit_index_append, require_index_manifest
 
+    man = require_index_manifest(index_dir, DEDUP_INDEX_FAMILY)
+    built_cap = man.get("meta", {}).get("bucket_cap")
+    if built_cap is not None and built_cap != bucket_cap:
+        raise ValueError(
+            f"dedup index was built with bucket_cap={built_cap} but the"
+            f" append passed bucket_cap={bucket_cap}; increments must"
+            " share the build's cap"
+        )
     mark = registry_mark()
     try:
         ds = hold(_shingle_rows(new_documents).distinct(), eager=True)
         bands = minhash_band_rows(
             new_documents, bucket_cap=bucket_cap, shingles=ds
         )
-        bands.write.mode("append").parquet(os.path.join(index_dir, "bands"))
-        ds.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+        commit_index_append(
+            index_dir,
+            writes={"bands": bands, "shingles": ds},
+            family=DEDUP_INDEX_FAMILY,
+        )
     finally:
         release_cached_from(mark)
 
@@ -877,14 +905,16 @@ def dedup_incoming_indexed(
     dedup_incoming's joint cap — identical results on any corpus where no
     bucket nears the cap (band_cap_audit reports exactly when that stops
     holding). Output matches dedup_incoming:
-    (doc_id, is_dup, match_doc, jaccard)."""
-    import os
-
+    (doc_id, is_dup, match_doc, jaccard). Scans manifest-committed batch
+    dirs ONLY (a crashed append's orphans are refused)."""
     from pyspark.sql.window import Window
 
+    from ._index_commit import relation_paths, require_index_manifest
+
     spark = incoming.sparkSession
-    bands_e = spark.read.parquet(os.path.join(index_dir, "bands"))
-    sh_e = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    man = require_index_manifest(index_dir, DEDUP_INDEX_FAMILY)
+    bands_e = spark.read.parquet(*relation_paths(index_dir, man, "bands"))
+    sh_e = spark.read.parquet(*relation_paths(index_dir, man, "shingles"))
     ds_i = hold(_shingle_rows(incoming).distinct(), eager=True)
     bands_i = minhash_band_rows(incoming, bucket_cap=bucket_cap, shingles=ds_i)
     pairs = hold(

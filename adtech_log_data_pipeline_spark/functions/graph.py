@@ -441,52 +441,51 @@ def bounded_shortest_path(
 
 GRAPH_INDEX_SUBDIR = "edges"
 
-
-def _graph_index_batches(index_dir: str) -> list[str]:
-    import glob
-    import os
-
-    return sorted(
-        glob.glob(os.path.join(index_dir, GRAPH_INDEX_SUBDIR, "batch=*"))
-    )
+#: manifest family tag for the co-purchase edge artifact (_index_commit)
+GRAPH_INDEX_FAMILY = "graph"
 
 
 def build_graph_index(lineitem: DataFrame, index_dir: str) -> None:
     """Nightly build: persist the weighted undirected co-purchase edge
     list (p1 < p2, w) for ``lineitem`` as the first batch of a parquet
-    artifact. Overwrites any existing index."""
-    import os
-    import shutil
+    artifact. Overwrites any existing index. Committed through the
+    manifest discipline (functions/_index_commit.py) — readers scan
+    manifest-listed batch dirs only, so a crashed build/append can
+    never be half-read (round-12 verdict #1)."""
+    from ._index_commit import commit_index_build
 
-    shutil.rmtree(os.path.join(index_dir, GRAPH_INDEX_SUBDIR), ignore_errors=True)
-    copurchase_edges(lineitem).write.mode("overwrite").parquet(
-        os.path.join(index_dir, GRAPH_INDEX_SUBDIR, "batch=0")
+    commit_index_build(
+        index_dir,
+        writes={GRAPH_INDEX_SUBDIR: copurchase_edges(lineitem)},
+        meta={},
+        family=GRAPH_INDEX_FAMILY,
     )
 
 
 def append_graph_index(new_lineitem: DataFrame, index_dir: str) -> None:
     """Incremental maintenance: add a new ORDER-COMPLETE lineitem batch's
-    partial edge weights as the next batch dir. Caller contract: the
-    batch holds entire orders only (an order split across batches would
-    under-count its cross-batch pairs — the additive law needs
-    order-disjoint batches); cost scales with the batch, not the graph.
+    partial edge weights as the next committed batch dir. Caller
+    contract: the batch holds entire orders only (an order split across
+    batches would under-count its cross-batch pairs — the additive law
+    needs order-disjoint batches); cost scales with the batch, not the
+    graph. Crash-atomic: the batch lands in a manifest-unreferenced dir
+    and one atomic manifest flip commits it — a crash mid-write leaves
+    the old index readable and the orphan refused/swept.
 
     A missing/never-built index is an ERROR (like load_graph_edges):
-    silently creating batch=0 would let a mistyped path masquerade as a
-    tiny index that later loads as the full graph."""
-    import os
+    silently creating the first batch would let a mistyped path
+    masquerade as a tiny index that later loads as the full graph."""
+    from ._index_commit import commit_index_append, require_index_manifest
 
-    batches = _graph_index_batches(index_dir)
-    if not batches:
-        raise FileNotFoundError(
-            f"no graph index batches under {index_dir}/{GRAPH_INDEX_SUBDIR};"
-            " run build_graph_index (CLI --job graph-index) before append"
-        )
-    nxt = 1 + max(
-        int(os.path.basename(p).split("=", 1)[1]) for p in batches
+    require_index_manifest(
+        index_dir,
+        GRAPH_INDEX_FAMILY,
+        hint="run build_graph_index (CLI --job graph-index) before append",
     )
-    copurchase_edges(new_lineitem).write.mode("overwrite").parquet(
-        os.path.join(index_dir, GRAPH_INDEX_SUBDIR, f"batch={nxt}")
+    commit_index_append(
+        index_dir,
+        writes={GRAPH_INDEX_SUBDIR: copurchase_edges(new_lineitem)},
+        family=GRAPH_INDEX_FAMILY,
     )
 
 
@@ -494,13 +493,17 @@ def load_graph_edges(spark, index_dir: str) -> DataFrame:
     """Sum-merge the per-batch partial edge lists into the full weighted
     edge list (p1, p2, w) — by the additive law this equals
     copurchase_edges over the concatenated lineitem. One hash agg keyed
-    on the edge; a single-batch index short-circuits to a plain scan."""
-    batches = _graph_index_batches(index_dir)
-    if not batches:
-        raise FileNotFoundError(
-            f"no graph index batches under {index_dir}/{GRAPH_INDEX_SUBDIR};"
-            " run build_graph_index (CLI --job graph-index) first"
-        )
+    on the edge; a single-batch index short-circuits to a plain scan.
+    Scans manifest-committed batch dirs ONLY (orphans from a crashed
+    append are refused)."""
+    from ._index_commit import relation_paths, require_index_manifest
+
+    man = require_index_manifest(
+        index_dir,
+        GRAPH_INDEX_FAMILY,
+        hint="run build_graph_index (CLI --job graph-index) first",
+    )
+    batches = relation_paths(index_dir, man, GRAPH_INDEX_SUBDIR)
     df = spark.read.schema("p1 bigint, p2 bigint, w bigint").parquet(*batches)
     if len(batches) == 1:
         return df

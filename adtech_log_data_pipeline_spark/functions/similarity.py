@@ -244,6 +244,7 @@ def ivf_assignments(
     n_lists: int | None = None,
     total: int | None = None,
     seeds: DataFrame | None = None,
+    seed_matrix=None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest seed
     centroid. Seeds are a deterministic corpus sample (vec_id % stride == 0
@@ -261,7 +262,9 @@ def ivf_assignments(
     ``seeds`` overrides the strided sample with an external centroid
     relation (list_id, a array<double>, na) — e.g. kmeans_seed_vectors for
     trained centroids (better-balanced lists, higher recall at the same
-    probe budget)."""
+    probe budget); ``seed_matrix`` additionally supplies the
+    pre-collected numpy triple (PQIndex.seed_matrix) so a warm artifact
+    path skips the per-invocation driver collect."""
     if seeds is None:
         if total is None:
             total = embeddings.count()
@@ -274,11 +277,30 @@ def ivf_assignments(
         )
     return embeddings.select(
         "vec_id",
-        nearest_list_udf(seeds)(F.col("embedding")).alias("list_id"),
+        nearest_list_udf(seeds, matrix=seed_matrix)(
+            F.col("embedding")
+        ).alias("list_id"),
     )
 
 
-def nearest_list_udf(seeds: DataFrame):
+def _collect_seed_matrix(seeds: DataFrame):
+    """Collect the broadcast-sized IVF seed relation (list_id, a) once
+    into the (list_ids, matrix, norms) numpy triple every coarse
+    quantizer consumer closes over. Seeds are ~isqrt(n) rows (bounded
+    by construction), so the collect is safe at any corpus scale — but
+    it is still a driver round-trip, so a loaded PQIndex memoizes the
+    triple on the handle (PQIndex.seed_matrix — round-12 verdict #6)
+    instead of re-collecting per invocation."""
+    seed_rows = sorted(
+        seeds.select("list_id", "a").collect(), key=lambda r: r[0]
+    )
+    list_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
+    smat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
+    snorm = np.sqrt((smat * smat).sum(axis=1))
+    return list_ids, smat, snorm
+
+
+def nearest_list_udf(seeds: DataFrame, matrix=None):
     """The IVF flat-quantizer assignment as a reusable Arrow-batched
     projection — built once per plan from the broadcast-sized seed
     relation (list_id, a), applicable to BATCH and STREAMING frames
@@ -295,13 +317,14 @@ def nearest_list_udf(seeds: DataFrame):
     to 1e-6 before the argmax keeps a summation-order ulp vs the
     sequential DuckDB oracle from ever flipping an assignment; ties
     break to the smallest list_id (seed rows sorted by list_id, and
-    np.argmax returns the FIRST max)."""
-    seed_rows = sorted(
-        seeds.select("list_id", "a").collect(), key=lambda r: r[0]
+    np.argmax returns the FIRST max).
+
+    ``matrix`` supplies a pre-collected _collect_seed_matrix triple
+    (PQIndex.seed_matrix) so a warm artifact path pays no driver
+    round-trip per invocation."""
+    list_ids, smat, snorm = (
+        matrix if matrix is not None else _collect_seed_matrix(seeds)
     )
-    list_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
-    smat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
-    snorm = np.sqrt((smat * smat).sum(axis=1))
 
     @F.pandas_udf("long")
     def nearest_list(emb: pd.Series) -> pd.Series:
@@ -1215,12 +1238,22 @@ def pq_code_rows(
     )
 
 
+#: manifest family tag for the PQ/IVF-PQ artifact (_index_commit)
+PQ_INDEX_FAMILY = "pq"
+
+
 class PQIndex:
     """Loaded build_pq_index artifact: the four relations every PQ-family
     query consumes. ``codebook`` (cid, dim, c_micro) and ``ivf_seeds``
     (list_id, a array<double>) are model-sized (broadcastable at any
     corpus scale); ``codes`` (vec_id, sub, cid) and ``assign``
-    (vec_id, list_id) are corpus-sized parquet scans."""
+    (vec_id, list_id) are corpus-sized parquet scans.
+
+    ``meta`` carries the build parameters the manifest recorded
+    (m, n_codes, n_lists, dims, n_vectors) — consumers validate their
+    own m/n_codes against it instead of silently mis-slicing sub
+    boundaries (FAISS serializes these with the index for the same
+    reason; round-12 ADVICE)."""
 
     def __init__(
         self,
@@ -1228,11 +1261,51 @@ class PQIndex:
         codes: DataFrame,
         assign: DataFrame,
         ivf_seeds: DataFrame,
+        meta: dict | None = None,
     ) -> None:
         self.codebook = codebook
         self.codes = codes
         self.assign = assign
         self.ivf_seeds = ivf_seeds
+        self.meta = dict(meta or {})
+        self._seed_matrix = None
+
+    def seed_matrix(self):
+        """The collected (list_ids, matrix, norms) coarse-quantizer
+        triple, memoized on the handle: one driver collect per loaded
+        index per session no matter how many assignment/probe plans
+        consume it (round-12 verdict #6). Seeds are ~isqrt(n) rows, so
+        the held numpy matrix is model-sized."""
+        if self._seed_matrix is None:
+            self._seed_matrix = _collect_seed_matrix(self.ivf_seeds)
+        return self._seed_matrix
+
+
+def _resolve_index_params(
+    index: "PQIndex", m: int | None, n_codes: int | None
+) -> tuple[int, int]:
+    """Resolve (m, n_codes) against the index's stored build parameters
+    — the FAISS contract (round-12 ADVICE): a caller that omits them
+    inherits the index's own values (the artifact knows how it was
+    built); a caller that passes DIFFERENT ones fails loudly, because a
+    wrong ``m`` would slice the query-side ADC table at wrong sub
+    boundaries and return silently wrong neighbors."""
+    meta = getattr(index, "meta", None) or {}
+    if m is None:
+        m = meta.get("m", PQ_M)
+    elif "m" in meta and meta["m"] != m:
+        raise ValueError(
+            f"PQ index was built with m={meta['m']} but the caller"
+            f" passed m={m}; query-side sub boundaries would be wrong"
+        )
+    if n_codes is None:
+        n_codes = meta.get("n_codes", PQ_K)
+    elif "n_codes" in meta and meta["n_codes"] != n_codes:
+        raise ValueError(
+            f"PQ index was built with n_codes={meta['n_codes']} but the"
+            f" caller passed n_codes={n_codes}"
+        )
+    return m, n_codes
 
 
 def _ivf_seed_vectors(
@@ -1270,46 +1343,73 @@ def build_pq_index(
     (round-11 verdict #1). Artifact == fresh derivation is a law
     (tests/test_pq.py): every relation here is exact integer/micros
     arithmetic with deterministic ties, and parquet roundtrips bigints
-    and float64 exactly."""
-    import os
+    and float64 exactly.
 
+    The artifact commits through the manifest discipline
+    (functions/_index_commit.py): relations land as immutable batch
+    dirs and a single atomic ``_CURRENT`` flip publishes them together
+    with the build parameters (m, n_codes, n_lists, dims, n_vectors) —
+    a crash mid-build leaves no readable index rather than a torn one,
+    and every consumer validates its own m/n_codes against the stored
+    meta (round-12 verdict #1 + ADVICE)."""
     from ._cache import hold, registry_mark, release_cached_from
+    from ._index_commit import commit_index_build
 
     mark = registry_mark()
     try:
         if total is None:
             total = embeddings.count()
+        if n_lists is None:
+            n_lists = default_n_lists(total)
+        dims = _pq_dsub(embeddings, m) * m
         codebook = hold(pq_codebooks(embeddings, k=n_codes, total=total), eager=True)
-        codebook.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "codebook")
+        seeds = hold(_ivf_seed_vectors(embeddings, n_lists, total), eager=True)
+        commit_index_build(
+            out_dir,
+            writes={
+                "codebook": codebook,
+                "codes": pq_code_rows(
+                    embeddings, m=m, n_codes=n_codes, codebook=codebook
+                ),
+                "ivf_seeds": seeds,
+                "ivf_assign": ivf_assignments(embeddings, seeds=seeds),
+            },
+            meta={
+                "m": m,
+                "n_codes": n_codes,
+                "n_lists": n_lists,
+                "dims": dims,
+                "n_vectors": total,
+            },
+            family=PQ_INDEX_FAMILY,
         )
-        pq_code_rows(embeddings, m=m, n_codes=n_codes, codebook=codebook).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "codes"))
-        seeds = _ivf_seed_vectors(embeddings, n_lists, total)
-        seeds.write.mode("overwrite").parquet(os.path.join(out_dir, "ivf_seeds"))
-        ivf_assignments(embeddings, seeds=seeds).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, "ivf_assign"))
     finally:
         release_cached_from(mark)
 
 
 def load_pq_index(spark, index_dir: str) -> PQIndex:
     """Open a build_pq_index artifact lazily (plain parquet scans —
-    nothing materializes until a query consumes it)."""
-    import os
+    nothing materializes until a query consumes it). Reads ONLY the
+    batch dirs the committed manifest names, so a crashed append's
+    orphan batches are refused, never silently scanned."""
+    from ._index_commit import relation_paths, require_index_manifest
+
+    man = require_index_manifest(index_dir, PQ_INDEX_FAMILY)
+
+    def rel(name: str) -> DataFrame:
+        return spark.read.parquet(*relation_paths(index_dir, man, name))
 
     return PQIndex(
-        codebook=spark.read.parquet(os.path.join(index_dir, "codebook")),
-        codes=spark.read.parquet(os.path.join(index_dir, "codes")),
-        assign=spark.read.parquet(os.path.join(index_dir, "ivf_assign")),
-        ivf_seeds=spark.read.parquet(os.path.join(index_dir, "ivf_seeds")),
+        codebook=rel("codebook"),
+        codes=rel("codes"),
+        assign=rel("ivf_assign"),
+        ivf_seeds=rel("ivf_seeds"),
+        meta=man.get("meta", {}),
     )
 
 
 def append_pq_index(
-    new_embeddings: DataFrame, index_dir: str, m: int = PQ_M
+    new_embeddings: DataFrame, index_dir: str, m: int | None = None
 ) -> None:
     """APPEND newly admitted vectors to a persisted build_pq_index
     artifact — the step that closes the ANN ingest loop (screen a batch
@@ -1323,29 +1423,61 @@ def append_pq_index(
     Equivalence contract (law, tests/test_pq.py): per-vector codes and
     assignments depend only on the vector and the frozen model, so the
     appended artifact holds exactly the rows a from-scratch coding pass
-    over (existing UNION new) WITH THE SAME MODEL would. Caller
-    contract: new vec_ids must be disjoint from the indexed corpus
-    (screened batches are)."""
-    import os
+    over (existing UNION new) WITH THE SAME MODEL would.
 
-    from ._cache import registry_mark, release_cached_from
+    Crash-atomic (round-12 verdict #1): both increments land in fresh
+    manifest-unreferenced batch dirs and ONE atomic manifest flip
+    commits them together (functions/_index_commit.py) — a crash
+    between the codes and ivf_assign writes leaves the old version
+    readable and the orphans refused/swept, never a
+    coded-but-unassigned index. The vec_id-disjointness caller
+    contract is ENFORCED, not assumed: an overlapping batch would
+    duplicate code rows and silently double summed adc_score, so the
+    append fails fast on one broadcast-semi probe of the corpus-sized
+    assign relation (round-12 ADVICE). ``m`` is validated against the
+    manifest's stored build parameters."""
+    from ._cache import hold, registry_mark, release_cached_from
+    from ._index_commit import commit_index_append
 
     spark = new_embeddings.sparkSession
     idx = load_pq_index(spark, index_dir)
+    m, _ = _resolve_index_params(idx, m, None)
     mark = registry_mark()
     try:
-        pq_code_rows(new_embeddings, m=m, codebook=idx.codebook).write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "codes"))
-        ivf_assignments(new_embeddings, seeds=idx.ivf_seeds).write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "ivf_assign"))
+        batch = hold(new_embeddings, eager=True)
+        n_new = batch.count()
+        clash = (
+            idx.assign.join(
+                F.broadcast(batch.select("vec_id").distinct()), "vec_id"
+            )
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append_pq_index: vec_id {clash[0][0]} is already"
+                " indexed — appending it would duplicate code rows and"
+                " corrupt ADC scores; screen the batch first"
+            )
+        commit_index_append(
+            index_dir,
+            writes={
+                "codes": pq_code_rows(batch, m=m, codebook=idx.codebook),
+                "ivf_assign": ivf_assignments(
+                    batch, seeds=idx.ivf_seeds, seed_matrix=idx.seed_matrix()
+                ),
+            },
+            family=PQ_INDEX_FAMILY,
+            meta_update={
+                "n_vectors": int(idx.meta.get("n_vectors", 0)) + n_new
+            },
+        )
     finally:
         release_cached_from(mark)
 
 
 def ivf_probe_lists(
-    queries: DataFrame, seeds: DataFrame, n_probes: int
+    queries: DataFrame, seeds: DataFrame, n_probes: int, matrix=None
 ) -> DataFrame:
     """Multi-probe coarse assignment: the top-``n_probes`` nearest
     inverted lists per query — same 1e-6-rounded cosine and
@@ -1354,14 +1486,13 @@ def ivf_probe_lists(
     defaults nprobe >= 8 because one probed list is the recall-brittle
     corner of IVF; the engine's LSH rung already multi-probes
     (Hamming-1 buckets). Output: (query_id, list_id), n_probes rows per
-    query; seeds broadcast-sized as always."""
-    seed_rows = sorted(
-        seeds.select("list_id", "a").collect(), key=lambda r: r[0]
+    query; seeds broadcast-sized as always. ``matrix`` supplies the
+    pre-collected _collect_seed_matrix triple (PQIndex.seed_matrix) so
+    a warm artifact path pays no driver round-trip per invocation."""
+    list_ids, smat, snorm = (
+        matrix if matrix is not None else _collect_seed_matrix(seeds)
     )
-    list_ids = np.asarray([r[0] for r in seed_rows], dtype=np.int64)
-    smat = np.asarray([r[1] for r in seed_rows], dtype=np.float64)
-    snorm = np.sqrt((smat * smat).sum(axis=1))
-    n = min(n_probes, len(seed_rows))
+    n = min(n_probes, len(list_ids))
 
     @F.pandas_udf("array<long>")
     def top_lists(emb: pd.Series) -> pd.Series:
@@ -1387,8 +1518,8 @@ def pq_adc_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    m: int = PQ_M,
-    n_codes: int = PQ_K,
+    m: int | None = None,
+    n_codes: int | None = None,
     coarse: int = PQ_COARSE_CANDIDATES,
     index: PQIndex | None = None,
 ) -> DataFrame:
@@ -1431,6 +1562,11 @@ def pq_adc_topk(
 
     from ._cache import hold
 
+    if index is not None:
+        m, n_codes = _resolve_index_params(index, m, n_codes)
+    else:
+        m = PQ_M if m is None else m
+        n_codes = PQ_K if n_codes is None else n_codes
     dsub = _pq_dsub(embeddings, m)
     if index is not None:
         seeds = index.codebook
@@ -1507,8 +1643,8 @@ def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    m: int = PQ_M,
-    n_codes: int = PQ_K,
+    m: int | None = None,
+    n_codes: int | None = None,
     coarse: int = PQ_COARSE_CANDIDATES,
     n_lists: int | None = None,
     total: int | None = None,
@@ -1544,6 +1680,11 @@ def ivfpq_topk(
 
     from ._cache import hold
 
+    if index is not None:
+        m, n_codes = _resolve_index_params(index, m, n_codes)
+    else:
+        m = PQ_M if m is None else m
+        n_codes = PQ_K if n_codes is None else n_codes
     dsub = _pq_dsub(embeddings, m)
     if index is not None:
         seeds = index.codebook
@@ -1575,7 +1716,12 @@ def ivfpq_topk(
     if n_probes > 1:
         if ivf_seeds is None:
             ivf_seeds = _ivf_seed_vectors(embeddings, n_lists, total)
-        q_assign = ivf_probe_lists(queries, ivf_seeds, n_probes)
+        q_assign = ivf_probe_lists(
+            queries,
+            ivf_seeds,
+            n_probes,
+            matrix=index.seed_matrix() if index is not None else None,
+        )
     else:
         # single-probe: the query's own inverted-list assignment IS its
         # top-1 probe (same argmax) — reuse the corpus relation

@@ -1528,3 +1528,128 @@ def bm25_prf_search(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
     return _bm25_rank_from_tf(tf2, dl, k=k)
+
+
+# ---------------------------------------------------------------------------
+# HTML/markup -> text extraction (round-12 verdict "Next round" #3):
+# the missing FIRST stage of a web-corpus pipeline — every downstream
+# quality screen (repetition_stats, doc_quality_zipf, dedup) assumes
+# extracted plain text already exists.
+# ---------------------------------------------------------------------------
+
+# The deterministic extraction spec, shared VERBATIM with the DuckDB
+# oracle (the PNG-codec discipline: no external parser on either side).
+# Patterns avoid backreferences and \v-class corners so Java regex
+# (Spark) and RE2 (DuckDB) agree character-for-character; (?s)/(?i)
+# inline flags are supported by both. Stated simplifications (identical
+# on both sides, law-tested): a tag ends at the FIRST '>' (attribute
+# values containing '>' split the tag); an unclosed '<' run stays
+# literal text; CDATA sections are unwrapped BEFORE tag stripping, so
+# angle-bracket runs inside CDATA are treated as markup.
+MARKUP_COMMENT = r"(?s)<!--.*?-->"
+MARKUP_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+MARKUP_STYLE = r"(?is)<style[^>]*>.*?</style>"
+MARKUP_CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
+MARKUP_TAG = r"<[^>]*>"
+MARKUP_LINK = r"(?i)<a[\s>]"
+#: boilerplate containers whose extracted-text share is reported —
+#: one pattern per tag (no backreference, so RE2 can run the same spec)
+MARKUP_BOILER_TAGS = ("nav", "footer", "aside")
+#: entity decode table; '&amp;' deliberately LAST so '&amp;lt;' decodes
+#: to the literal '&lt;' (single-pass HTML semantics), never to '<'
+MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _markup_pre(col: F.Column) -> F.Column:
+    """Comments, script blocks and style blocks removed (content and
+    all), CDATA unwrapped to its inner text — the residue whose tags
+    are the real markup elements."""
+    h = F.regexp_replace(col, MARKUP_COMMENT, " ")
+    h = F.regexp_replace(h, MARKUP_SCRIPT, " ")
+    h = F.regexp_replace(h, MARKUP_STYLE, " ")
+    return F.regexp_replace(h, MARKUP_CDATA, "$1")
+
+
+def _markup_text(col: F.Column) -> F.Column:
+    """Tags -> spaces, entities decoded, whitespace collapsed+trimmed."""
+    t = F.regexp_replace(col, MARKUP_TAG, " ")
+    for ent, ch in MARKUP_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def markup_extract(documents: DataFrame, html_col: str = "html") -> DataFrame:
+    """Markup -> text extraction with per-document structure stats: the
+    tag-strip + entity-decode + whitespace-collapse chain above, plus
+    the density signals a boilerplate screen filters on —
+
+      html_len / n_tags / n_links / n_comments  (structure counts; tags
+          and links counted on the comment/script/style-free residue),
+      text / text_len                           (the extracted text),
+      text_density_ppm = text_len * 1e6 div html_len  (markup-heavy
+          pages score low — the classic text-density boilerplate cue),
+      boiler_ppm = chars of text inside <nav>/<footer>/<aside> blocks
+          * 1e6 div text_len  (chrome-dominated pages score high).
+
+    Everything is JVM-side codegen expressions (regexp_replace /
+    regexp_extract_all / replace) — zero Python in the hot path; the
+    100 TB shape is a rewrite pass fused into the scan, exactly like
+    pii_redact. Exact integer ppm arithmetic (the engine's ln-free
+    idiom), so the DuckDB oracle restates the whole chain bit-for-bit.
+    """
+    boiler_raw = F.concat_ws(
+        " ",
+        *[
+            F.array_join(
+                F.regexp_extract_all(
+                    "h", F.lit(rf"(?is)<{t}[^>]*>.*?</{t}>"), 0
+                ),
+                " ",
+            )
+            for t in MARKUP_BOILER_TAGS
+        ],
+    )
+    d = documents.select(
+        "doc_id", F.col(html_col).alias("h0")
+    ).withColumn("h", _markup_pre(F.col("h0")))
+    return (
+        d.select(
+            "doc_id",
+            F.length("h0").cast("int").alias("html_len"),
+            F.size(F.regexp_extract_all("h", F.lit(MARKUP_TAG), 0))
+            .cast("int")
+            .alias("n_tags"),
+            F.size(F.regexp_extract_all("h", F.lit(MARKUP_LINK), 0))
+            .cast("int")
+            .alias("n_links"),
+            F.size(F.regexp_extract_all("h0", F.lit(MARKUP_COMMENT), 0))
+            .cast("int")
+            .alias("n_comments"),
+            _markup_text(F.col("h")).alias("text"),
+            F.length(_markup_text(boiler_raw)).cast("long").alias("boiler_len"),
+        )
+        .select(
+            "doc_id",
+            "html_len",
+            "n_tags",
+            "n_links",
+            "n_comments",
+            "text",
+            F.length("text").cast("int").alias("text_len"),
+            F.expr(
+                "cast(length(text) as bigint) * 1000000"
+                " div greatest(cast(html_len as bigint), 1)"
+            ).alias("text_density_ppm"),
+            F.expr(
+                "boiler_len * 1000000"
+                " div greatest(cast(length(text) as bigint), 1)"
+            ).alias("boiler_ppm"),
+        )
+    )

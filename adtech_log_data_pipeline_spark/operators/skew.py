@@ -183,16 +183,28 @@ _PROBE_FP_MEMO: dict[str, int] = {}
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """md5 of the normalized plan's JSON tree with the session-global
-    expression-ID counter erased: every structured ExprId node
-    ({"id": N, "jvmId": ...}) is replaced wholesale. The JSON form —
-    unlike toString(), where the attribute ref `tag#1` and the string
-    literal 'tag#1' render identically — keeps data literals in a
-    distinct "value" field, so two lookups differing only in a literal
-    can never collide under ID normalization (round-11 ADVICE). Lambda
-    variables need no special-casing: their uniqueness lives in the
-    (erased) ExprId, and their JSON "name" is the plain base name."""
+    """md5 of the normalized plan's JSON tree with the two
+    session-global counters erased: every structured ExprId node
+    ({"id": N, "jvmId": ...}) is replaced wholesale, and every
+    NamedLambdaVariable's counter-suffixed name (pyspark's Python-side
+    lambda binder names ``x_1``, ``x_2``, … — a fresh counter value per
+    CONSTRUCTION, verified on Spark 4.1.2) is stripped to its base
+    name. Without the latter, identical lookup plans containing
+    higher-order functions (transform/filter with Python lambdas)
+    never fingerprint-equal and the memo tier silently never hits
+    (round-12 ADVICE). Binder names are alpha-equivalent, so
+    suffix-stripping is semantically sound; the residual
+    nested-shadowing collision (same base name at two depths) is
+    covered by the tier's contract — a collision can only mis-route a
+    rung, never serve wrong rows.
+
+    The JSON form — unlike toString(), where the attribute ref
+    `tag#1` and the string literal 'tag#1' render identically — keeps
+    data literals in a distinct "value" field, so two lookups
+    differing only in a literal can never collide under ID
+    normalization (round-11 ADVICE)."""
     import hashlib
+    import json
     import re
 
     s = df._jdf.queryExecution().normalized().prettyJson()
@@ -202,14 +214,23 @@ def _plan_fingerprint(df: DataFrame) -> str:
         # tier for those (they are test/driver constructs; real lookups
         # scan files, whose paths the plan JSON carries)
         return ""
-    s = re.sub(
-        r'\{\s*"product-class"\s*:\s*'
-        r'"org\.apache\.spark\.sql\.catalyst\.expressions\.ExprId",'
-        r'\s*"id"\s*:\s*\d+,\s*"jvmId"\s*:\s*"[^"]*"\s*\}',
-        '"EID"',
-        s,
-    )
-    return hashlib.md5(s.encode()).hexdigest()
+
+    def norm(o):
+        if isinstance(o, dict):
+            if o.get("product-class", "").endswith(".ExprId"):
+                return "EID"
+            if o.get("class", "").endswith(".NamedLambdaVariable"):
+                o = {
+                    **o,
+                    "name": re.sub(r"_\d+$", "", o.get("name", "")),
+                }
+            return {k: norm(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [norm(v) for v in o]
+        return o
+
+    canon = json.dumps(norm(json.loads(s)), sort_keys=True)
+    return hashlib.md5(canon.encode()).hexdigest()
 
 
 def _source_files_key(df: DataFrame) -> str:
@@ -271,8 +292,20 @@ def _probed_key_count(dim_keys: DataFrame) -> tuple[DataFrame, int, str]:
         # re-hold: the inter-query cache hygiene may have unpersisted the
         # frame; persisting an already-persisted frame is a no-op
         return hold(hit[0]), hit[1], "memo"
+    # a fresh probe supersedes any entries for the SAME plan over OLDER
+    # source files: without eviction each fixture rewrite in a long
+    # session leaks a retained DataFrame handle plus its stale count
+    # (round-12 ADVICE)
+    for k in [k for k in _PROBE_MEMO if k[0] == h[0] and k[1] != src]:
+        del _PROBE_MEMO[k]
     fp = _plan_fingerprint(dim_keys)
     if fp:
+        for k in [
+            k
+            for k in _PROBE_FP_MEMO
+            if k.startswith(f"{fp}:") and k != f"{fp}:{src}"
+        ]:
+            del _PROBE_FP_MEMO[k]
         fp = f"{fp}:{src}"
     kdim = hold(dim_keys)
     if fp:

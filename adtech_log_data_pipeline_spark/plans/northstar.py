@@ -148,7 +148,7 @@ def _dedup_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _artifact_for_fixture(
         "spark_graft_dedup_index",
         "SPARK_GRAFT_DEDUP_INDEX_CACHE",
-        _fixture_key(sf_dir, "documents"),
+        _fixture_key(sf_dir, "documents") + "-" + _INDEX_FORMAT_TAG,
         build,
     )
 
@@ -322,7 +322,7 @@ def _pq_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _artifact_for_fixture(
         "spark_graft_pq_index",
         "SPARK_GRAFT_PQ_INDEX_CACHE",
-        _fixture_key(sf_dir, "embeddings"),
+        _fixture_key(sf_dir, "embeddings") + "-" + _INDEX_FORMAT_TAG,
         build,
     )
 
@@ -478,7 +478,7 @@ def _pq_incr_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _artifact_for_fixture(
         "spark_graft_pq_incr_index",
         "SPARK_GRAFT_PQ_INCR_INDEX_CACHE",
-        _fixture_key(sf_dir, "embeddings"),
+        _fixture_key(sf_dir, "embeddings") + "-" + _INDEX_FORMAT_TAG,
         build,
     )
 
@@ -2168,6 +2168,13 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_reachability(copurchase_edges(li), seed_mod=50, k=3)
 
 
+#: on-disk index-artifact format tag, folded into the fixture cache key
+#: of every manifest-committed index family — bumping it (round 13:
+#: the _index_commit manifest layout) retires cached artifacts written
+#: under an older layout instead of failing to read them
+_INDEX_FORMAT_TAG = "ix2"
+
+
 def _fixture_key(sf_dir: str, table: str) -> str:
     """Cache key for a fixture table: sha256 over (path, size, mtime_ns)
     of every file in the table's parquet path — the fingerprint
@@ -2234,7 +2241,7 @@ def _graph_index_for_fixture(spark: SparkSession, sf_dir: str) -> str:
     return _artifact_for_fixture(
         "spark_graft_graph_index",
         "SPARK_GRAFT_GRAPH_INDEX_CACHE",
-        _fixture_key(sf_dir, "lineitem"),
+        _fixture_key(sf_dir, "lineitem") + "-" + _INDEX_FORMAT_TAG,
         build,
     )
 
@@ -6723,3 +6730,140 @@ NORTHSTAR_ORACLES["stream_quality_score"] = NORTHSTAR_ORACLES[
 
 NORTHSTAR_ORACLES["bpe_merge_rules"] = _oracle_bpe(8)
 NORTHSTAR_ORACLES["bpe_encode_stats"] = _oracle_bpe_encode(8)
+
+
+def q_markup_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup -> text extraction + boilerplate screen
+    (functions/text.py::markup_extract — round-12 verdict #3, the
+    missing first stage of a web-corpus pipeline): per document, strip
+    comments/script/style, unwrap CDATA, strip tags, decode entities,
+    collapse whitespace, and report the structure counts + the two
+    boilerplate cues (text-density ppm, nav/footer/aside chrome-share
+    ppm). Input HTML is synthesized DETERMINISTICALLY from the
+    documents fixture — messy on purpose (a comment containing a tag,
+    a script with '<' and '&&', CDATA with angle brackets, entities,
+    nav/footer chrome) — and the DuckDB oracle restates both the
+    synthesis and the full extraction chain from first principles (the
+    PNG-codec discipline: no external parser on either side). The full
+    extracted text is gate-checked via md5."""
+    from ..functions.text import markup_extract
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    esc = F.replace(
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"),
+        F.lit("&lt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.lit('<style type="text/css">p { margin: 0; }</style>'),
+        F.lit('<script>if (1 < 2 && "a" > "b") { render(); }</script>'),
+        F.lit("</head><body><!-- doc "), did, F.lit(" <hidden> & co -->"),
+        F.lit('<nav>home | <a href="/about">about</a> | contact</nav>'),
+        F.lit("<h1>"), F.col("source"), F.lit("</h1><p>"), esc, F.lit("</p>"),
+        F.lit("<![CDATA[raw <angles> & amps]]>"),
+        F.lit('<a href="/doc/'), did, F.lit('">doc &quot;'), did,
+        F.lit('&#39;s&quot; page</a>'),
+        F.lit("<footer>&amp;copy; corp&nbsp;"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    return markup_extract(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id",
+        "html_len",
+        "n_tags",
+        "n_links",
+        "n_comments",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        "text_len",
+        "text_density_ppm",
+        "boiler_ppm",
+    )
+
+
+NORTHSTAR_QUERIES["markup_extract_stats"] = q_markup_extract_stats
+
+
+def _oracle_markup_extract_stats() -> str:
+    """The markup chain restated in DuckDB SQL: same synthesis, same
+    regex spec (RE2 runs the identical patterns — no backreferences in
+    MATCH position; the CDATA rewrite uses RE2's \\1), same entity
+    order (&amp; last), same integer-ppm arithmetic."""
+    from ..functions.text import (
+        MARKUP_BOILER_TAGS,
+        MARKUP_COMMENT,
+        MARKUP_ENTITIES,
+        MARKUP_LINK,
+        MARKUP_SCRIPT,
+        MARKUP_STYLE,
+        MARKUP_TAG,
+    )
+
+    def entity_chain(expr: str) -> str:
+        for ent, ch in MARKUP_ENTITIES:
+            lit = "chr(39)" if ch == "'" else "'" + ch.replace("'", "''") + "'"
+            expr = f"replace({expr}, '{ent}', {lit})"
+        return expr
+
+    def clean_chain(expr: str) -> str:
+        inner = entity_chain(
+            rf"regexp_replace({expr}, '{MARKUP_TAG}', ' ', 'g')"
+        )
+        return rf"trim(regexp_replace({inner}, '\s+', ' ', 'g'))"
+
+    # coalesce: DuckDB's array_to_string over an EMPTY match list is
+    # NULL (string_agg semantics) and would null the whole || chain;
+    # Spark's array_join gives '' — coalesce pins both to ''
+    boiler_src = " || ' ' || ".join(
+        rf"coalesce(array_to_string(regexp_extract_all(h,"
+        rf" '(?is)<{t}[^>]*>.*?</{t}>'), ' '), '')"
+        for t in MARKUP_BOILER_TAGS
+    )
+    return rf"""
+WITH h0 AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || '<style type="text/css">p {{ margin: 0; }}</style>'
+    || '<script>if (1 < 2 && "a" > "b") {{ render(); }}</script>'
+    || '</head><body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' <hidden> & co -->'
+    || '<nav>home | <a href="/about">about</a> | contact</nav>'
+    || '<h1>' || source || '</h1><p>'
+    || replace(replace(text, '&', '&amp;'), '<', '&lt;') || '</p>'
+    || '<![CDATA[raw <angles> & amps]]>'
+    || '<a href="/doc/' || CAST(doc_id AS VARCHAR) || '">doc &quot;'
+    || CAST(doc_id AS VARCHAR) || '&#39;s&quot; page</a>'
+    || '<footer>&amp;copy; corp&nbsp;' || CAST(doc_id % 100 AS VARCHAR)
+    || '</footer></body></html>' AS h0
+  FROM documents),
+pre AS (
+  SELECT doc_id, h0,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(h0, '{MARKUP_COMMENT}', ' ', 'g'),
+          '{MARKUP_SCRIPT}', ' ', 'g'),
+        '{MARKUP_STYLE}', ' ', 'g'),
+      '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g') AS h
+  FROM h0),
+txt AS (
+  SELECT doc_id, h0, h,
+    {clean_chain("h")} AS text,
+    {clean_chain(f"({boiler_src})")} AS boiler_text
+  FROM pre)
+SELECT doc_id,
+  CAST(length(h0) AS INT) AS html_len,
+  CAST(len(regexp_extract_all(h, '{MARKUP_TAG}')) AS INT) AS n_tags,
+  CAST(len(regexp_extract_all(h, '{MARKUP_LINK}')) AS INT) AS n_links,
+  CAST(len(regexp_extract_all(h0, '{MARKUP_COMMENT}')) AS INT) AS n_comments,
+  md5(text) AS text_hash,
+  CAST(length(text) AS INT) AS text_len,
+  CAST(length(text) AS BIGINT) * 1000000
+    // greatest(CAST(length(h0) AS BIGINT), 1) AS text_density_ppm,
+  CAST(length(boiler_text) AS BIGINT) * 1000000
+    // greatest(CAST(length(text) AS BIGINT), 1) AS boiler_ppm
+FROM txt
+"""
+
+
+NORTHSTAR_ORACLES["markup_extract_stats"] = _oracle_markup_extract_stats()

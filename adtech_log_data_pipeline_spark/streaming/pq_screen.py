@@ -145,7 +145,11 @@ def stream_pq_screen(
             F.expr("aggregate(qm, cast(0 as bigint), (a, v) -> a + v * v)"),
         )
         .withColumn(
-            "list_id", nearest_list_udf(ivf_seeds)(F.col("embedding"))
+            "list_id",
+            nearest_list_udf(
+                ivf_seeds,
+                matrix=index.seed_matrix() if index is not None else None,
+            )(F.col("embedding")),
         )
         .select("vec_id", "qm", "qn2", "list_id")
     )

@@ -565,17 +565,102 @@ def test_probe_memo_invalidates_on_source_rewrite(spark, tmp_path):
 
 
 def test_hygienic_drops_stale_stream_tables(spark):
-    """_hygienic must drop memory-sink temp views left by a PREVIOUS
-    streaming query before the next query builds (the 1 GiB-session
-    residue class found in round 12), while leaving the fixture temp
-    views (region/nation/...) alone."""
+    """No memory-sink temp view outlives its streaming replay
+    (_run_to_memory drops its own view eagerly — the 1 GiB-session
+    residue class found in round 12), the RESULT stays consumable
+    after the drop, and fixture temp views (region/nation/...) are
+    untouched."""
     from adtech_log_data_pipeline_spark.plans.queries import QUERIES
 
-    QUERIES["stream_window_counts"](spark, "/root/testdata/sf0.001").count()
+    out = QUERIES["stream_window_counts"](spark, "/root/testdata/sf0.001")
     names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
-    assert any(n.startswith("stream_out_") for n in names)
+    assert not any(n.startswith("stream_out_") for n in names), names
+    assert out.count() > 0  # the sink relation survives the view drop
 
     QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
-    assert not any(n.startswith("stream_out_") for n in names), names
     assert "lineitem" in names  # fixture views untouched
+
+
+def test_plan_fingerprint_stable_across_lambda_constructions(spark, tmp_path):
+    """Two separately-constructed but identical lookup plans containing
+    higher-order functions (Python lambdas — pyspark binder names carry
+    a session-global counter: x_1 vs x_2) must fingerprint-equal, and a
+    literal change must still change the fingerprint (round-12 ADVICE:
+    the ExprId-only normalizer silently disabled the memo tier for
+    every transform()/filter()-bearing dim plan)."""
+    from pyspark.sql import functions as F
+
+    from adtech_log_data_pipeline_spark.operators.skew import _plan_fingerprint
+
+    d = str(tmp_path / "dim.parquet")
+    spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(4)], "k long, xs array<long>"
+    ).write.mode("overwrite").parquet(d)
+
+    def build(thresh):
+        return (
+            spark.read.parquet(d)
+            .select("k", F.transform("xs", lambda x: x + 1).alias("ys"))
+            .filter(F.size(F.filter("ys", lambda y: y > F.lit(thresh))) > 0)
+        )
+
+    f1, f2 = _plan_fingerprint(build(0)), _plan_fingerprint(build(0))
+    assert f1 and f1 == f2
+    assert _plan_fingerprint(build(5)) != f1
+
+
+def test_probe_memo_evicts_stale_source_entries(spark, tmp_path):
+    """A fresh probe after a fixture rewrite must EVICT the old-source
+    entries from both memo tiers, not leave them retaining a dead
+    DataFrame handle + stale count forever (round-12 ADVICE)."""
+    import time
+
+    from adtech_log_data_pipeline_spark.operators import skew
+    from adtech_log_data_pipeline_spark.operators.skew import (
+        probe_memo_clear,
+        routed_anti_join,
+    )
+
+    probe_memo_clear()
+    facts = spark.createDataFrame(
+        [(f"k{i % 20}", i) for i in range(60)], "k string, v int"
+    )
+    d = str(tmp_path / "dim.parquet")
+    for n in (4, 9):
+        spark.createDataFrame(
+            [(f"k{i}",) for i in range(n)], "k string"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        spark.catalog.refreshByPath(d)
+        routed_anti_join(facts, spark.read.parquet(d), "k", report={})
+        assert len(skew._PROBE_MEMO) == 1, skew._PROBE_MEMO.keys()
+        assert len(skew._PROBE_FP_MEMO) <= 1
+        time.sleep(0.05)  # distinct mtime_ns for the rewrite
+    probe_memo_clear()
+
+
+def test_interleaved_streaming_queries_keep_results(spark):
+    """Two declared streaming queries interleaved in one session must
+    not destroy each other's results (round-12 verdict #7): build A,
+    build B (whose hygiene pass runs between), then consume BOTH. The
+    owner-scoped sweep plus the eager view drop make the second build
+    unable to touch the first's sink relation."""
+    from adtech_log_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["stream_window_counts"](spark, sf)
+    b = QUERIES["stream_sliding_counts"](spark, sf)
+    assert a.count() > 0
+    assert b.count() > 0
+    # and a stranded foreign view (simulated crash leftover) survives
+    # another query's hygiene pass: the sweep is owner-scoped
+    a.limit(1).createOrReplaceTempView("stream_out_stream_window_counts__999_1")
+    QUERIES["pricing_summary"](spark, sf).count()
+    names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
+    assert "stream_out_stream_window_counts__999_1" in names
+    # ... until its OWN query runs again and reclaims it
+    QUERIES["stream_window_counts"](spark, sf).count()
+    names = [t.name for t in spark.catalog.listTables() if t.isTemporary]
+    assert "stream_out_stream_window_counts__999_1" not in names, names
+    spark.catalog.dropTempView("stream_out_stream_window_counts__999_1") \
+        if "stream_out_stream_window_counts__999_1" in names else None
