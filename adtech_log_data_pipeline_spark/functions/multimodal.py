@@ -231,12 +231,17 @@ _EMBED_MODEL_CACHE: dict[tuple[str, str | None], tuple] = {}
 
 
 def _blob_features(blob: bytes) -> list[int]:
-    """The EMBED_DIMS md5-derived integer feature vector of a blob in
-    [-1e6, 1e6] — the deterministic stand-in for a pixel featurizer
-    (mirrored exactly by the oracle SQL's conv/substr formula)."""
+    """The EMBED_DIMS md5-derived integer feature vector of a blob,
+    CENTERED on [-1e6, +1e6): each 16-bit md5 slice scaled monotonically
+    by v = slice * 2000001 div 65536 - 1000000 — the deterministic
+    stand-in for a pixel featurizer (mirrored exactly by the oracle
+    SQL's conv/substr formula). Centering matters: the round-12 formula
+    (slice % 2000001 - 1e6) collapsed every vector into the all-negative
+    orthant, making any cosine ~1.0 and the alignment screen
+    non-discriminative."""
     h = hashlib.md5(blob).hexdigest()
     return [
-        int(h[4 * j : 4 * j + 4], 16) % 2_000_001 - 1_000_000
+        int(h[4 * j : 4 * j + 4], 16) * 2_000_001 // 65_536 - 1_000_000
         for j in range(EMBED_DIMS)
     ]
 
@@ -431,7 +436,7 @@ def text_embed(
                 f"transform(sequence(0, {EMBED_DIMS - 1}), j ->"
                 f" cast(conv(substr(md5(cast({text_col} as binary)),"
                 " 4 * j + 1, 4), 16, 10) as bigint)"
-                " % 2000001 - 1000000"
+                " * 2000001 div 65536 - 1000000)"
             ).alias("emb"),
         )
 

@@ -4002,8 +4002,8 @@ FROM d, unnest(range(8)) AS t(i)
 _ORACLE_IMAGE_EMBED = """
 SELECT doc_id,
        CAST(j AS INT) AS dim,
-       ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT % 2000001
-         - 1000000 AS emb_micro
+       ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT * 2000001
+         // 65536 - 1000000 AS emb_micro
 FROM documents, unnest(range(8)) AS t(j)
 """
 
@@ -6867,3 +6867,160 @@ FROM txt
 
 
 NORTHSTAR_ORACLES["markup_extract_stats"] = _oracle_markup_extract_stats()
+
+
+def _pair_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled (image, caption) pair fixture: every document's blob
+    (utf-8 text bytes, the with_blob_column convention) paired with its
+    OWN text as caption — except each doc_id % 5 == 0, whose caption is
+    swapped to doc (doc_id + 7) mod n (deterministic miscaptioning; 7
+    never divides the fixture sizes, so a swap never maps to itself).
+    Ground truth is therefore doc_id % 5 != 0."""
+    docs = _docs(spark, sf_dir)
+    n = table_row_count(sf_dir, "documents")
+    caps = docs.select(
+        F.col("doc_id").alias("cap_id"), F.col("text").alias("caption")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text").cast("binary").alias("blob"),
+            F.expr(
+                f"CASE WHEN doc_id % 5 = 0 THEN (doc_id + 7) % {n}"
+                " ELSE doc_id END"
+            ).alias("cap_id"),
+        )
+        .join(caps, "cap_id")
+        .select("doc_id", "cap_id", "blob", "caption")
+    )
+
+
+def q_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair alignment scores
+    (functions/multimodal.py::pair_alignment — round-12 verdict #4, the
+    CLIP-filtering shape): embed both sides of every (image, caption)
+    pair through the shared-space encoders (image_embed's md5 features;
+    text_embed's codegen twin), score the exact-bigint integer-micros
+    cosine, and screen at ALIGN_THRESHOLD_MICRO. The oracle restates
+    both encoders and the cosine from first principles. Output one row
+    per pair with the ground-truth label alongside the screen verdict."""
+    from ..functions.multimodal import pair_alignment
+
+    pr = _pair_relation(spark, sf_dir)
+    out = pair_alignment(pr.select("doc_id", "blob", "caption"))
+    return (
+        pr.select("doc_id", F.col("cap_id").alias("cap_doc"))
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "cap_doc",
+            (F.col("doc_id") % 5 != 0).alias("is_match"),
+            "align_micro",
+            "hit",
+        )
+    )
+
+
+def q_pair_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-quality audit over the labeled pair fixture: confusion
+    counts + integer-ppm recall/precision of the alignment screen — the
+    recall audit the similarity family pins for every approximate
+    screen (matched pairs of the shared-space encoders score exactly
+    1e6, so recall_ppm == 1e6 is itself a law the gate re-proves; the
+    false-hit mass prices the threshold)."""
+    from ..functions.multimodal import ALIGN_THRESHOLD_MICRO
+
+    return q_pair_alignment(spark, sf_dir).agg(
+        F.lit(ALIGN_THRESHOLD_MICRO).cast("long").alias("threshold_micro"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        F.sum(
+            F.when(F.col("hit") & F.col("is_match"), 1).otherwise(0)
+        ).alias("true_pos"),
+        F.sum(
+            F.when(F.col("hit") & ~F.col("is_match"), 1).otherwise(0)
+        ).alias("false_pos"),
+        F.expr(
+            "sum(CASE WHEN hit AND is_match THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(sum(CASE WHEN is_match THEN 1 ELSE 0 END), 1)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "sum(CASE WHEN hit AND is_match THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(sum(CASE WHEN hit THEN 1 ELSE 0 END), 1)"
+        ).alias("precision_ppm"),
+    )
+
+
+NORTHSTAR_QUERIES["pair_alignment"] = q_pair_alignment
+NORTHSTAR_QUERIES["pair_alignment_audit"] = q_pair_alignment_audit
+
+
+def _oracle_pair_ctes() -> str:
+    """Shared CTE chain for the pair-alignment oracles: the pair
+    fixture, both encoders' md5 feature formula (the image side's blob
+    IS the utf-8 text, so md5(blob) == md5(text) — stated directly),
+    and the integer-micros cosine."""
+    from ..functions.multimodal import ALIGN_THRESHOLD_MICRO
+
+    return f"""
+t AS (SELECT count(*) AS n FROM documents),
+p AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 5 = 0 THEN (d.doc_id + 7) % t.n
+                  ELSE d.doc_id END AS cap_doc
+      FROM documents d, t),
+f AS (SELECT doc_id, j,
+             ('0x' || substr(md5(text), 4 * j + 1, 4))::BIGINT * 2000001
+               // 65536 - 1000000 AS v
+      FROM documents, unnest(range(8)) AS r(j)),
+s AS (SELECT p.doc_id, p.cap_doc,
+             sum(a.v * b.v) AS dot,
+             sum(a.v * a.v) AS na2, sum(b.v * b.v) AS nb2
+      FROM p
+      JOIN f a ON a.doc_id = p.doc_id
+      JOIN f b ON b.doc_id = p.cap_doc AND b.j = a.j
+      GROUP BY p.doc_id, p.cap_doc),
+al AS (SELECT doc_id, cap_doc, (doc_id % 5 <> 0) AS is_match,
+              CAST(round(dot / nullif(sqrt(CAST(na2 AS DOUBLE))
+                                      * sqrt(CAST(nb2 AS DOUBLE)), 0)
+                         * 1000000) AS BIGINT) AS align_micro
+       FROM s),
+v AS (SELECT doc_id, cap_doc, is_match, align_micro,
+             (align_micro >= {ALIGN_THRESHOLD_MICRO}) AS hit
+      FROM al)"""
+
+
+NORTHSTAR_ORACLES["pair_alignment"] = (
+    "WITH " + _oracle_pair_ctes() + "\nSELECT doc_id, cap_doc, is_match,"
+    " align_micro, hit FROM v"
+)
+
+
+def _oracle_pair_alignment_audit() -> str:
+    from ..functions.multimodal import ALIGN_THRESHOLD_MICRO
+
+    return (
+        "WITH "
+        + _oracle_pair_ctes()
+        + f"""
+SELECT CAST({ALIGN_THRESHOLD_MICRO} AS BIGINT) AS threshold_micro,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN hit AND is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS true_pos,
+       CAST(sum(CASE WHEN hit AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_pos,
+       CAST(sum(CASE WHEN hit AND is_match THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000
+         // greatest(CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+                          AS BIGINT), 1) AS recall_ppm,
+       CAST(sum(CASE WHEN hit AND is_match THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000
+         // greatest(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT), 1)
+         AS precision_ppm
+FROM v"""
+    )
+
+
+NORTHSTAR_ORACLES["pair_alignment_audit"] = _oracle_pair_alignment_audit()

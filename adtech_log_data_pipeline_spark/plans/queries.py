@@ -269,65 +269,21 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The external gate checks the FIRST 50 entries of queries(), so ordering is
 # part of the contract: the least-proven queries must sort earliest.
 #
-# Round-12 rotation record, COMPUTED from the CORRECTNESS_r01..r11
+# Round-13 rotation record, COMPUTED from the CORRECTNESS_r01..r12
 # artifacts (last-green round per query, ascending, stable by declared
-# order — the protocol set by the round-7 verdict): all 213 previously
+# order — the protocol set by the round-7 verdict): all 219 previously
 # declared queries have at least one green driver row; the last-green
-# histogram entering this round is r7:34, r8:43, r9:43, r10:43, r11:50.
-# The window is the FIVE new round-12 queries (0 greens beat all),
-# then the full r7 cohort (34 — the round-11 verdict's task-2 promote
-# queue, honored verbatim), then the 4 oldest r8 greens. After this
-# round gates them, min(last-green) across the board advances to r8.
+# histogram entering this round is r8:39, r9:43, r10:43, r11:43, r12:50.
+# The window is the THREE new round-13 queries (markup_extract_stats,
+# pair_alignment, pair_alignment_audit — 0 greens beat all), then the
+# FULL r8 cohort (39 — the round-12 verdict's task-2 promote queue,
+# honored verbatim), then the 1 oldest r9 green. After this round gates
+# them, min(last-green) across the board advances to r9.
 # The window stays parity-7 + 43.
 _GATE_FIRST = [
-    "ivfpq_multiprobe_topk",
-    "ivfpq_incremental_topk",
-    "pq_index_stats",
-    "ivfpq_probe_recall",
-    "stream_pq_screen",
-    "customer_spend_rank",
-    "cohort_ltv",
-    "hourly_gapfill",
-    "cm_error_audit",
-    "cdc_customer_state",
-    "dim_truncation_recall",
-    "hll_user_distinct",
-    "hll_error_audit",
-    "quantile_sketch_prices",
-    "quantile_sketch_audit",
-    "copurchase_triangles",
-    "click_attribution",
-    "concurrent_sessions",
-    "session_concurrency",
-    "embedding_covariance",
-    "kmv_overlap",
-    "incremental_rollup",
-    "embedding_outliers",
-    "bm25_search",
-    "stream_attribution_full",
-    "stream_cm_sketch",
-    "semantic_contamination",
-    "nearest_click",
-    "pareto_documents",
-    "funnel_pattern",
-    "event_pivot",
-    "score_auc",
-    "score_calibration",
-    "graph_reachability",
-    "knn_label_agreement",
-    "shortest_path_parts",
-    "event_anomaly",
-    "rfm_segments",
-    "tfrecord_parity_check",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "sessionized_events",
-]
-# The tail: every remaining query ordered last-green ASCENDING (the
-# remaining r8 cohort — the round-13 promote queue head — then r9, r10,
-# r11), so future rotations keep promoting from the tail head.
-_GATE_LAST = [
+    "markup_extract_stats",
+    "pair_alignment",
+    "pair_alignment_audit",
     "customer_order_distribution",
     "monthly_revenue_trend",
     "brand_supplier_stats",
@@ -368,6 +324,11 @@ _GATE_LAST = [
     "snapshot_asof_read",
     "snapshot_merge_state",
     "scd2_intervals",
+]
+# The tail: every remaining query ordered last-green ASCENDING (the
+# remaining r9 cohort — the round-14 promote queue head — then r10,
+# r11, r12), so future rotations keep promoting from the tail head.
+_GATE_LAST = [
     "rolling_user_features",
     "retention_cohorts",
     "hourly_activity",
@@ -453,10 +414,10 @@ _GATE_LAST = [
     "stream_session_windows",
     "streaming_spend_sessions",
     "schema_drift_audit",
-    "stream_quality_score",
-    "pq_adc_topk",
-    "pq_recall_audit",
-    "ivfpq_topk",
+    "profile_cap_audit",
+    "weighted_median_price",
+    "penny_allocation",
+    "activity_streaks",
     "props_json_stats",
     "volume_shipping",
     "market_share",
@@ -464,7 +425,13 @@ _GATE_LAST = [
     "large_volume_customers",
     "idle_rich_customers",
     "fk_integrity_audit",
+    "frequent_part_pairs",
+    "value_deciles",
+    "type_transitions",
+    "segment_trend",
+    "wide_order_facts",
     "user_value_outliers",
+    "stream_quality_score",
     "bigram_lm_score",
     "similar_parts",
     "weighted_sample",
@@ -475,6 +442,9 @@ _GATE_LAST = [
     "dedup_cap_audit",
     "semantic_cap_audit",
     "ann_recall_audit",
+    "pq_adc_topk",
+    "pq_recall_audit",
+    "ivfpq_topk",
     "embedding_bucket_audit",
     "salted_hot_join",
     "zorder_audit",
@@ -487,15 +457,49 @@ _GATE_LAST = [
     "csv_roundtrip",
     "orc_roundtrip",
     "partition_prune_audit",
-    "profile_cap_audit",
-    "weighted_median_price",
-    "penny_allocation",
-    "activity_streaks",
-    "frequent_part_pairs",
-    "value_deciles",
-    "type_transitions",
-    "segment_trend",
-    "wide_order_facts",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "sessionized_events",
+    "customer_spend_rank",
+    "cohort_ltv",
+    "hourly_gapfill",
+    "cm_error_audit",
+    "cdc_customer_state",
+    "dim_truncation_recall",
+    "hll_user_distinct",
+    "hll_error_audit",
+    "quantile_sketch_prices",
+    "quantile_sketch_audit",
+    "copurchase_triangles",
+    "click_attribution",
+    "concurrent_sessions",
+    "session_concurrency",
+    "embedding_covariance",
+    "kmv_overlap",
+    "incremental_rollup",
+    "ivfpq_multiprobe_topk",
+    "ivfpq_probe_recall",
+    "ivfpq_incremental_topk",
+    "pq_index_stats",
+    "stream_pq_screen",
+    "embedding_outliers",
+    "bm25_search",
+    "stream_attribution_full",
+    "stream_cm_sketch",
+    "semantic_contamination",
+    "nearest_click",
+    "pareto_documents",
+    "funnel_pattern",
+    "event_pivot",
+    "score_auc",
+    "score_calibration",
+    "graph_reachability",
+    "knn_label_agreement",
+    "shortest_path_parts",
+    "event_anomaly",
+    "rfm_segments",
+    "tfrecord_parity_check",
 ]
 _PARITY = [
     "bidlog_validation",
