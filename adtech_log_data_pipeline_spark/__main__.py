@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
             "drift", "attribution", "pca", "cdc", "explain",
             "graph-index", "graph-index-append", "snapshot", "snapshot-vacuum",
             "snapshot-merge", "quality-score", "pq-index", "pq-index-append",
+            "index-compact", "index-vacuum",
         ],
         required=True,
     )
@@ -344,6 +345,39 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.output, spark.read.parquet(args.input), keys, seqs
         )
         print(f"snapshot-merge done: published v={v} -> {args.output}")
+    elif args.job == "index-compact":
+        if not args.against:
+            ap.error(
+                "--against (committed index dir from --job"
+                " pq-index/graph-index/dedup-index) is required for"
+                " --job index-compact"
+            )
+        from .functions._index_commit import read_index_manifest
+
+        man = read_index_manifest(args.against)
+        if man is None:
+            ap.error(f"no committed index manifest under {args.against}")
+        family = man.get("family")
+        if family == "pq":
+            from .functions.similarity import compact_pq_index as _compact
+        elif family == "graph":
+            from .functions.graph import compact_graph_index as _compact
+        elif family == "dedup":
+            from .functions.dedup import compact_dedup_index as _compact
+        else:
+            ap.error(f"unknown index family {family!r} in {args.against}")
+        v = _compact(spark, args.against)
+        print(f"index-compact done: {family} index at version v={v} -> {args.against}")
+    elif args.job == "index-vacuum":
+        if not args.against:
+            ap.error("--against (committed index dir) is required for --job index-vacuum")
+        from .functions._index_commit import vacuum_index
+
+        removed = vacuum_index(args.against)
+        print(
+            f"index-vacuum done: removed {len(removed)} orphan batch dirs"
+            f" from {args.against}"
+        )
     elif args.job == "snapshot-vacuum":
         from .jobs.maintenance import vacuum_snapshots
 

@@ -209,3 +209,73 @@ def commit_index_append(
         },
     )
     return n
+
+
+def vacuum_index(index_dir: str) -> list[str]:
+    """Explicit orphan reclamation: sweep every batch dir the committed
+    manifest does not reference (crashed commits, superseded
+    compactions). The next commit would sweep them anyway — this is the
+    storage-reclaim job a deployment schedules (CLI --job index-vacuum).
+    Returns removed paths; errors if no index is committed here."""
+    man = read_index_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(
+            f"no committed index under {index_dir} (no {MANIFEST});"
+            " nothing to vacuum"
+        )
+    return sweep_orphan_batches(index_dir, man)
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    family: str,
+    merges: dict | None = None,
+) -> int:
+    """Consolidate every multi-batch relation into ONE batch and commit
+    the result as the next manifest version — the small-files
+    maintenance job an append-heavy index needs at scale (every nightly
+    append adds a batch dir; a year of ingest is 365 scans per query
+    until compaction folds them). Same atomicity as every commit: the
+    consolidated batches land unreferenced, one manifest flip publishes
+    them, and the superseded batch dirs become orphans (swept by the
+    next commit or vacuum_index — never deleted before the flip, so a
+    crash mid-compaction leaves the old layout fully readable).
+
+    ``merges`` maps relation name -> (DataFrame -> DataFrame) applied
+    to the concatenated scan before writing — for relations whose
+    loader merges batches SEMANTICALLY rather than by concatenation
+    (the graph edge list sum-merges partial weights; compacting it by
+    concatenation would silently double weights once the single-batch
+    loader short-circuits). Single-batch relations are left untouched.
+    """
+    import os
+
+    man = require_index_manifest(index_dir, family)
+    sweep_orphan_batches(index_dir, man)
+    multi = {
+        rel: vs for rel, vs in man["relations"].items() if len(vs) > 1
+    }
+    if not multi:
+        return int(man["version"])
+    n = int(man["version"]) + 1
+    relations = {rel: list(vs) for rel, vs in man["relations"].items()}
+    for rel, vs in multi.items():
+        df = spark.read.parquet(
+            *[os.path.join(index_dir, rel, f"b={v}") for v in vs]
+        )
+        merge = (merges or {}).get(rel)
+        if merge is not None:
+            df = merge(df)
+        _write_relation(df, os.path.join(index_dir, rel, f"b={n}"))
+        relations[rel] = [n]
+    _commit_manifest(
+        index_dir,
+        {
+            "family": family,
+            "version": n,
+            "meta": man.get("meta", {}),
+            "relations": relations,
+        },
+    )
+    return n

@@ -1267,3 +1267,14 @@ def token_set_near_dup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias("overlap"),
         )
     )
+
+
+def compact_dedup_index(spark, index_dir: str) -> int:
+    """Fold an append-heavy dedup artifact's per-batch bands/shingles
+    dirs into one batch each (plain concatenation — band and shingle
+    rows are per-document facts; the per-increment cap semantics are a
+    property of how rows were GENERATED, which compaction preserves
+    verbatim). Atomic (functions/_index_commit.py::compact_index)."""
+    from ._index_commit import compact_index
+
+    return compact_index(spark, index_dir, DEDUP_INDEX_FAMILY)

@@ -611,3 +611,25 @@ def kcore_peel(
                 )
             )
     return out
+
+
+def compact_graph_index(spark, index_dir: str) -> int:
+    """Fold the per-batch partial edge lists into ONE sum-merged batch
+    (functions/_index_commit.py::compact_index) — after which
+    load_graph_edges short-circuits to a plain scan with zero merge
+    aggregate per query. The merge is the SEMANTIC sum (concatenation
+    would double weights once the single-batch loader short-circuits);
+    append == rebuild therefore still holds across compactions by the
+    additive law. Atomic like every manifest commit."""
+    from ._index_commit import compact_index
+
+    return compact_index(
+        spark,
+        index_dir,
+        GRAPH_INDEX_FAMILY,
+        merges={
+            GRAPH_INDEX_SUBDIR: lambda df: df.groupBy("p1", "p2").agg(
+                F.sum("w").alias("w")
+            )
+        },
+    )

@@ -1916,3 +1916,16 @@ def pca_components(embeddings: DataFrame, k: int = 8):
             c *= -1
     total = float(vals.sum()) or 1.0
     return comps, vals[order] / total
+
+
+def compact_pq_index(spark, index_dir: str) -> int:
+    """Fold an append-heavy PQ artifact's per-batch codes/assignment
+    dirs into one batch each (functions/_index_commit.py::compact_index
+    — plain concatenation: code and assignment rows are per-vector
+    facts, so batch structure is storage, not semantics). The model
+    relations (codebook, ivf_seeds) are single-batch by construction
+    and untouched. Atomic; superseded batches become orphans swept by
+    the next commit or vacuum_index."""
+    from ._index_commit import compact_index
+
+    return compact_index(spark, index_dir, PQ_INDEX_FAMILY)

@@ -269,6 +269,10 @@ BENCH_QUERIES = [
     "ivfpq_incremental_topk",
     "pq_index_stats",
     "stream_pq_screen",
+    # round-13 additions
+    "markup_extract_stats",
+    "pair_alignment",
+    "pair_alignment_audit",
 ]
 
 
@@ -455,31 +459,42 @@ def main() -> None:
         print("BENCH_CHUNK_JSON " + json.dumps(timings), flush=True)
         return
 
-    # quiet-window gate (round-12; the round-11 verdict traced the
-    # parity-7 inflation in BOTH driver benches to chunks 1-2 running
-    # while the gate boards' load drained, load1 up to 14.6): wait —
-    # bounded — for load1 to fall below the gate before chunk 1, and
-    # record the wait + the load it settled at in the trailer so the
-    # artifact shows whether the gate engaged. Skippable for protocol
-    # smoke runs via SPARK_GRAFT_BENCH_NO_LOADGATE=1.
+    # quiet-window gate (round-12, widened round-13 per the verdict's
+    # task 5: BENCH_r12's chunk 1 still ran at load1 12.5 because the
+    # wait was a single pre-chunk-1 check with too small a cap): wait —
+    # bounded — for load1 to fall below the gate before EVERY chunk
+    # (chunk 1 gets the long cap, the drain window after the
+    # correctness boards; later chunks a short top-up, since only the
+    # bench itself was running), and record every wait + the load each
+    # settled at in the trailer so the artifact shows whether and where
+    # the gate engaged. Skippable for protocol smoke runs via
+    # SPARK_GRAFT_BENCH_NO_LOADGATE=1.
     load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "4.0"))
-    gate_wait = 0.0
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_LOADGATE"):
-        gate_t0 = time.time()
-        while time.time() - gate_t0 < 300:
+    gate_cap_first = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE_CAP", "900"))
+    gate_cap_rest = 120.0
+
+    def _quiet_window(cap: float) -> float:
+        if os.environ.get("SPARK_GRAFT_BENCH_NO_LOADGATE"):
+            return 0.0
+        t0 = time.time()
+        while time.time() - t0 < cap:
             la = _loadavg()
             if la and la[0] < load_gate:
                 break
             time.sleep(10)
-        gate_wait = round(time.time() - gate_t0, 1)
+        return round(time.time() - t0, 1)
 
     # orchestrator: fresh child JVM per chunk, load sampled around each
     timings: dict[str, float] = {}
     loads: list[list[float]] = []
+    gate_waits: list[float] = []
     steal0, total0 = _cpu_jiffies()
     here = os.path.dirname(os.path.abspath(__file__))
     for lo in range(0, len(board), CHUNK_SIZE):
         hi = min(lo + CHUNK_SIZE, len(board))
+        gate_waits.append(
+            _quiet_window(gate_cap_first if lo == 0 else gate_cap_rest)
+        )
         before = _loadavg()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run-chunk", str(lo), str(hi)],
@@ -603,7 +618,8 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "chunks": len(loads),
                 "load1_per_chunk": loads,
-                "loadgate_wait_sec": gate_wait,
+                "loadgate_wait_sec": sum(gate_waits),
+                "loadgate_wait_per_chunk": gate_waits,
                 "steal_pct": _steal_pct_since(steal0, total0),
                 "delta_vs_prev": delta,
             }

@@ -320,3 +320,87 @@ def test_family_mismatch_refused(spark, tmp_path):
         load_graph_edges(spark, idx_dir)
     with pytest.raises(FileNotFoundError, match="no committed pq index"):
         load_pq_index(spark, str(tmp_path / "missing"))
+
+
+def test_compact_pq_index_preserves_content(spark, tmp_path):
+    """compact_pq_index folds multi-batch codes/assign into one batch:
+    same rows, meta preserved, superseded batches orphaned then swept,
+    and a later append still lands cleanly."""
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        append_pq_index,
+        build_pq_index,
+        compact_pq_index,
+        load_pq_index,
+    )
+
+    rows = _vecs(n=40, seed=17)
+    idx_dir = str(tmp_path / "pq")
+    build_pq_index(
+        _df(spark, rows[:20]), idx_dir, m=M, n_codes=K, n_lists=4
+    )
+    append_pq_index(_df(spark, rows[20:30]), idx_dir)
+    append_pq_index(_df(spark, rows[30:]), idx_dir)
+    pre = load_pq_index(spark, idx_dir)
+    pre_codes, pre_assign = _rows(pre.codes), _rows(pre.assign)
+
+    v = compact_pq_index(spark, idx_dir)
+    man = _index_commit.read_index_manifest(idx_dir)
+    assert v == man["version"] == 4
+    assert man["relations"]["codes"] == [4]
+    assert man["relations"]["ivf_assign"] == [4]
+    assert man["relations"]["codebook"] == [1]  # model untouched
+    post = load_pq_index(spark, idx_dir)
+    assert _rows(post.codes) == pre_codes
+    assert _rows(post.assign) == pre_assign
+    assert post.meta == pre.meta
+
+    # orphan sweep at the NEXT commit removes the superseded batches
+    append_pq_index(_df(spark, [(100, rows[0][1])]), idx_dir)
+    man = _index_commit.read_index_manifest(idx_dir)
+    committed = {
+        f"{rel}/b={v}" for rel, vs in man["relations"].items() for v in vs
+    }
+    assert set(_committed_batches(idx_dir)) == committed
+
+
+def test_compact_graph_index_sum_merges(spark, tmp_path):
+    """Graph compaction must SEMANTICALLY sum-merge (concatenation
+    would double weights once the single-batch loader short-circuits);
+    post-compaction the load is a plain scan equal to the rebuild."""
+    from adtech_log_data_pipeline_spark.functions.graph import (
+        append_graph_index,
+        build_graph_index,
+        compact_graph_index,
+        copurchase_edges,
+        load_graph_edges,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    idx_dir = str(tmp_path / "g")
+    build_graph_index(li.filter(F.col("l_orderkey") % 3 == 0), idx_dir)
+    append_graph_index(li.filter(F.col("l_orderkey") % 3 == 1), idx_dir)
+    append_graph_index(li.filter(F.col("l_orderkey") % 3 == 2), idx_dir)
+    compact_graph_index(spark, idx_dir)
+    loaded = load_graph_edges(spark, idx_dir)
+    plan = loaded._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan  # single batch short-circuits
+    assert _rows(loaded) == _rows(copurchase_edges(li))
+
+
+def test_vacuum_index_reclaims_orphans(spark, tmp_path):
+    import os
+
+    from adtech_log_data_pipeline_spark.functions._index_commit import (
+        vacuum_index,
+    )
+    from adtech_log_data_pipeline_spark.functions.similarity import (
+        build_pq_index,
+    )
+
+    idx_dir = str(tmp_path / "pq")
+    build_pq_index(_df(spark, _vecs(n=16)), idx_dir, m=M, n_codes=K, n_lists=4)
+    orphan = os.path.join(idx_dir, "codes", "b=9")
+    os.makedirs(orphan)
+    removed = vacuum_index(idx_dir)
+    assert removed == [orphan] and not os.path.isdir(orphan)
+    assert vacuum_index(idx_dir) == []

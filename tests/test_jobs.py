@@ -276,3 +276,51 @@ def test_pq_index_job_cli_end_to_end(spark, tmp_path):
     art = ivfpq_topk(emb, q, k=3, index=idx).collect()
     fresh = ivfpq_topk(emb, q, k=3).collect()
     assert sorted(map(tuple, art)) == sorted(map(tuple, fresh)) and len(art) > 0
+
+
+def test_index_compact_and_vacuum_cli(spark, tmp_path):
+    """CLI wiring: --job index-compact dispatches on the manifest's
+    family (graph -> sum-merge) and --job index-vacuum reclaims
+    orphans; the compacted index answers identically."""
+    import os
+
+    from adtech_log_data_pipeline_spark.__main__ import main
+    from adtech_log_data_pipeline_spark.functions._index_commit import (
+        read_index_manifest,
+    )
+    from adtech_log_data_pipeline_spark.functions.graph import (
+        copurchase_edges,
+        load_graph_edges,
+    )
+
+    idx = str(tmp_path / "gidx")
+    sf = "/root/testdata/sf0.001"
+    li_path = os.path.join(sf, "lineitem.parquet")
+    assert main(["--job", "graph-index", "--input", li_path, "--output", idx]) in (0, None)
+    assert (
+        main(
+            ["--job", "graph-index-append", "--input", li_path,
+             "--against", idx, "--output", idx]
+        )
+        in (0, None)
+    )
+    assert (
+        main(["--job", "index-compact", "--against", idx, "--output", idx])
+        in (0, None)
+    )
+    man = read_index_manifest(idx)
+    assert man["relations"]["edges"] == [man["version"]]
+    # doubled input (same lineitem twice) == 2x weights, sum-merged
+    li = spark.read.parquet(li_path)
+    want = {
+        (r["p1"], r["p2"]): 2 * r["w"] for r in copurchase_edges(li).collect()
+    }
+    got = {
+        (r["p1"], r["p2"]): r["w"]
+        for r in load_graph_edges(spark, idx).collect()
+    }
+    assert got == want
+    assert (
+        main(["--job", "index-vacuum", "--against", idx, "--output", idx])
+        in (0, None)
+    )
