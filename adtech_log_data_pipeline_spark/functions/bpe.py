@@ -110,6 +110,12 @@ def _bpe_rounds(
     from ._cache import hold
 
     wf = word_freq(documents)
+    # LAZY holds (round-13 optimization): each round's symbol table has
+    # exactly one FIRST consumer — the pair-count TakeOrdered action —
+    # which populates the cache as a side effect; the next round's
+    # rewrite then reads the cache. An eager count per round doubled the
+    # action count (2k+1 jobs -> k+1) for zero shared-consumer benefit
+    # (consumers here are strictly serial, never racing in one job).
     cur = hold(
         wf.select(
             "w",
@@ -118,8 +124,7 @@ def _bpe_rounds(
                 "array_append(transform(sequence(1, length(w)),"
                 f" i -> substring(w, i, 1)), '{END_MARK}')"
             ).alias("s"),
-        ),
-        eager=True,
+        )
     )
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, int(k) + 1):
@@ -153,8 +158,7 @@ def _bpe_rounds(
                 "w",
                 "cnt",
                 F.expr(_merge_expr(_sql_str(x), _sql_str(y))).alias("s"),
-            ),
-            eager=True,
+            )
         )
     return rules, cur
 

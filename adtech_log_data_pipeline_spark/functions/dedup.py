@@ -233,10 +233,9 @@ def minhash_band_rows(
     Bucket membership beyond ``bucket_cap`` (keep-rule: smallest doc_ids)
     is dropped so a degenerate corpus bounds pair generation at
     O(cap^2) per bucket; HOW MUCH each band dropped is observable via
-    band_cap_audit (the "no silent caps" rule). Eagerly materialized:
-    every consumer joins it at least twice, and without upfront
-    materialization the join sides race to populate the cache and each
-    recomputes the signature pipeline."""
+    band_cap_audit (the "no silent caps" rule). Held lazily (r13): the
+    first consumer's action fills the cache, and concurrent fills are
+    per-partition-serialized by the block manager — see hold()."""
     from pyspark.sql.window import Window
 
     wcap = Window.partitionBy("band", "key").orderBy("doc_id")
@@ -245,7 +244,6 @@ def minhash_band_rows(
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
         .drop("rn"),
-        eager=True,
     )
     return bands
 
@@ -469,8 +467,7 @@ def simhash_near_dup(
         .withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= bucket_cap)
         .drop("rn"),
-        # eager: self-join — see minhash_candidates
-        eager=True,
+        # lazy hold (r13): see hold() — the self-join's first scan fills it
     )
     return (
         pieces.alias("l")
@@ -623,12 +620,12 @@ def ngram_jaccard_pairs(
     ds = (
         shingles
         if shingles is not None
-        else hold(_shingle_rows(documents).distinct(), eager=True)
+        else hold(_shingle_rows(documents).distinct())
     )
     if candidates is None:
         # tiny pair relation consumed by two joins below — persist so the
         # band self-join behind it runs once
-        candidates = hold(minhash_candidates(documents, shingles=ds), eager=True)
+        candidates = hold(minhash_candidates(documents, shingles=ds))
     # join formulation: intersection = equi-join count restricted to
     # candidate pairs — no per-row array_intersect over big arrays, and
     # every stage is a codegen hash agg/join
@@ -688,7 +685,7 @@ def minhash_precision_audit(
     Output (one row): (n_docs, n_truth, n_candidates, n_true_pos,
     precision_ppm, recall_ppm)."""
     sliced = documents.filter(F.col("doc_id") < int(n_docs))
-    ds = hold(_shingle_rows(sliced).distinct(), eager=True)
+    ds = hold(_shingle_rows(sliced).distinct())
     cand = minhash_candidates(sliced, shingles=ds)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     inter = (
@@ -769,7 +766,7 @@ def dedup_incoming(
     fresh docs."""
     from pyspark.sql.window import Window
 
-    ds = hold(_shingle_rows(documents).distinct(), eager=True)
+    ds = hold(_shingle_rows(documents).distinct())
     bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=ds)
     is_in = (F.col("doc_id") % mod) == slot
     bi = bands.filter(is_in).select(
@@ -825,7 +822,7 @@ def build_dedup_index(
 
     mark = registry_mark()
     try:
-        ds = hold(_shingle_rows(documents).distinct(), eager=True)
+        ds = hold(_shingle_rows(documents).distinct())
         bands = minhash_band_rows(documents, bucket_cap=bucket_cap, shingles=ds)
         commit_index_build(
             out_dir,
@@ -876,7 +873,7 @@ def update_dedup_index(
         )
     mark = registry_mark()
     try:
-        ds = hold(_shingle_rows(new_documents).distinct(), eager=True)
+        ds = hold(_shingle_rows(new_documents).distinct())
         bands = minhash_band_rows(
             new_documents, bucket_cap=bucket_cap, shingles=ds
         )
@@ -915,7 +912,7 @@ def dedup_incoming_indexed(
     man = require_index_manifest(index_dir, DEDUP_INDEX_FAMILY)
     bands_e = spark.read.parquet(*relation_paths(index_dir, man, "bands"))
     sh_e = spark.read.parquet(*relation_paths(index_dir, man, "shingles"))
-    ds_i = hold(_shingle_rows(incoming).distinct(), eager=True)
+    ds_i = hold(_shingle_rows(incoming).distinct())
     bands_i = minhash_band_rows(incoming, bucket_cap=bucket_cap, shingles=ds_i)
     pairs = hold(
         bands_i.select(F.col("doc_id").alias("doc_a"), "band", "key")
@@ -925,7 +922,6 @@ def dedup_incoming_indexed(
         )
         .select("doc_a", "doc_b")
         .distinct(),
-        eager=True,
     )
     # doc_ids are disjoint across sides, so the union is a valid single
     # shingle relation for the shared Jaccard verifier

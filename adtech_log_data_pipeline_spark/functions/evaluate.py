@@ -249,18 +249,33 @@ def distributed_ntile(
     semantics to match). A NULL therefore raises at execution time
     instead of diverging silently.
     """
-    tagged = df.withColumn(
-        "__v",
-        F.when(
-            F.col(value_col).cast("long").isNull(),
-            F.raise_error(
-                F.lit(
-                    f"distributed_ntile: NULL (or non-castable) {value_col};"
-                    " the operator's non-null contract — filter or impute"
-                    " upstream (plain ntile() NULL ordering is not portable)"
-                )
-            ).cast("long"),
-        ).otherwise(F.col(value_col).cast("long")),
+    from ._cache import hold
+
+    # HELD (round-13 optimization): `tagged` is referenced twice below
+    # (per_value agg + rank join), so a CHAIN of ntile applications (RFM
+    # binds three in a row) otherwise re-nests its whole input per
+    # reference — plan size and re-execution grow exponentially with
+    # chain depth (rfm_segments' formatted plan carried 764 Exchange
+    # nodes before this; guide §3.3 "very wide plans"). The hold
+    # truncates the lineage per level: the chain is now linear. LAZY on
+    # purpose: the two consumers materialize inside one action, where the
+    # block manager serializes concurrent fills per partition (measured
+    # A/B at sf0.1: lazy 3.2 s vs eager 3.6 s for the 3-level RFM chain —
+    # the eager count is pure added latency here).
+    tagged = hold(
+        df.withColumn(
+            "__v",
+            F.when(
+                F.col(value_col).cast("long").isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"distributed_ntile: NULL (or non-castable) {value_col};"
+                        " the operator's non-null contract — filter or impute"
+                        " upstream (plain ntile() NULL ordering is not portable)"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(value_col).cast("long")),
+        )
     )
     per_value = tagged.groupBy("__v").agg(
         F.count(F.lit(1)).alias("pos"),  # prefix helper contract: the
@@ -279,7 +294,10 @@ def distributed_ntile(
         )
         .withColumn("rnk", F.col("rows_below") + F.col("intra"))
     )
-    n_total = tagged.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total from the VALUE-sized relation, not a third scan of the rows
+    n_total = per_value.groupBy().agg(
+        F.sum("pos").cast("long").alias("n_total")
+    )
     k = int(n_bins)
     return (
         ranked.crossJoin(F.broadcast(n_total))

@@ -43,7 +43,7 @@ def export_training_shards(
         from .text import curated_corpus
 
         # export owns this frame: persist it for the two consumers below
-        curated = hold(curated_corpus(documents), eager=True)
+        curated = hold(curated_corpus(documents))
     try:
         rows = documents.join(
             curated.select("doc_id", "split", "n_tokens"), "doc_id"

@@ -70,7 +70,6 @@ def weighted_pagerank(
         .select("x.node", "x.w")
         .groupBy("node")
         .agg(F.sum("w").alias("deg_w")),
-        eager=True,
     )
     ed = hold(
         pairs.select(
@@ -90,7 +89,6 @@ def weighted_pagerank(
             ),
             "src",
         ),
-        eager=True,
     )
     r = deg.select("node", F.lit(1_000_000).alias("r"))
     for _ in range(iters):
@@ -188,14 +186,13 @@ def triangle_stats(pairs: DataFrame, broadcast_adj: bool = True) -> DataFrame:
     from ._cache import hold
 
     maybe_bc = F.broadcast if broadcast_adj else (lambda df: df)
-    edges = hold(pairs.select("p1", "p2").distinct(), eager=True)
+    edges = hold(pairs.select("p1", "p2").distinct())
     deg = hold(
         edges.select(
             F.explode(F.array(F.col("p1"), F.col("p2"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg")),
-        eager=True,
     )
     d1 = deg.select(F.col("node").alias("p1"), F.col("deg").alias("deg_1"))
     d2 = deg.select(F.col("node").alias("p2"), F.col("deg").alias("deg_2"))
@@ -208,7 +205,6 @@ def triangle_stats(pairs: DataFrame, broadcast_adj: bool = True) -> DataFrame:
             F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         ),
-        eager=True,
     )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     adj_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
@@ -308,7 +304,6 @@ def khop_reachability(
                 F.expr("array(struct(p1 AS src, p2 AS dst), struct(p2 AS src, p1 AS dst))")
             ).alias("x")
         ).select("x.src", "x.dst"),
-        eager=True,
     )
     # level relations are NODE-sized: pin their dedup exchanges to the
     # core count instead of inheriting the session's fact-sized
@@ -387,7 +382,6 @@ def bounded_shortest_path(
                 )
             ).alias("x")
         ).select("x.src", "x.dst", F.expr("1000000 div x.w").alias("len")),
-        eager=True,
     )
 
     def _min_cost(df: DataFrame) -> DataFrame:
@@ -568,7 +562,6 @@ def kcore_peel(
             pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
         )
         .repartition(width, "src"),
-        eager=True,
     )
     out = None
     for r in range(int(rounds) + 1):

@@ -290,7 +290,6 @@ def trimmed_stats(
         values.filter(F.col("cents").isNotNull())
         .groupBy("cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
-        eager=True,
     )
     bucketed = per.withColumn(
         "bucket", F.expr(f"cents div {_TRIM_BUCKET}")

@@ -114,72 +114,54 @@ def mmr_rerank(
     integers: mmr = lambda_tenths * rel - (10 - lambda_tenths) * max_sim,
     ties by doc_id.
 
-    The per-round winner is collected as DRIVER STATE (one 1-row action
-    per pick) so the plan stays linear in rounds — the BPE-induction
-    discipline; the held candidate/sim relations are k- and k^2-sized,
-    so every round is a bounded broadcast job regardless of corpus size.
+    The candidate and similarity relations are k- and k^2-sized BY
+    CONTRACT (first-stage top-k), so the whole greedy loop runs on
+    DRIVER STATE from a single bounded collect of each — the same bound
+    the earlier per-round formulation already shipped to the driver one
+    row at a time, minus its 2-3 Spark jobs per pick (round-13
+    optimization: 24 jobs -> 2 for the declared query; the greedy loop
+    itself is O(picks * k) integer compares, microseconds at any corpus
+    size because k never scales with the corpus).
 
     Output: (pick, doc_id, rel_micro, max_sim_micro, mmr_score) with
     pick = 1..picks in selection order."""
-    from ._cache import hold
-
     lam = int(lambda_tenths)
-    # the held relations are k- and k^2-row: collapse to ONE partition so
-    # each greedy round is a single-task job instead of a 32-task scan
-    cand = hold(
-        candidates.select("doc_id", "rel_micro").coalesce(1), eager=True
+    # bounded collects: k and k^2 rows by the top-k contract
+    cand_rows = sorted(
+        (
+            (int(r["doc_id"]), int(r["rel_micro"]))
+            for r in candidates.select("doc_id", "rel_micro").collect()
+        ),
     )
-    sim = hold(
-        sims.select("id_a", "id_b", "sim_micro").coalesce(1), eager=True
-    )
+    sim_map: dict[tuple[int, int], int] = {}
+    for r in sims.select("id_a", "id_b", "sim_micro").collect():
+        key = (int(r["id_a"]), int(r["id_b"]))
+        v = int(r["sim_micro"])
+        # duplicate pair rows keep the max — the aggregation semantics of
+        # the prior distributed formulation (groupBy(id_b).max)
+        if key not in sim_map or v > sim_map[key]:
+            sim_map[key] = v
+
     chosen: list[tuple] = []
     chosen_ids: list[int] = []
     for pick in range(1, int(picks) + 1):
-        rem = cand
-        if chosen_ids:
-            rem = cand.filter(~F.col("doc_id").isin(chosen_ids))
-            ms = (
-                sim.filter(F.col("id_a").isin(chosen_ids))
-                .groupBy(F.col("id_b").alias("doc_id"))
-                .agg(F.max("sim_micro").alias("max_sim_micro"))
+        best: tuple | None = None
+        for doc_id, rel in cand_rows:
+            if doc_id in chosen_ids:
+                continue
+            max_sim = max(
+                (sim_map.get((c, doc_id), 0) for c in chosen_ids),
+                default=0,
             )
-            rem = rem.join(ms, "doc_id", "left").select(
-                "doc_id",
-                "rel_micro",
-                F.coalesce(F.col("max_sim_micro"), F.lit(0)).alias(
-                    "max_sim_micro"
-                ),
-            )
-        else:
-            rem = rem.select(
-                "doc_id", "rel_micro",
-                F.lit(0).cast("bigint").alias("max_sim_micro"),
-            )
-        scored = rem.select(
-            "doc_id",
-            "rel_micro",
-            "max_sim_micro",
-            (
-                F.lit(lam) * F.col("rel_micro")
-                - F.lit(10 - lam) * F.col("max_sim_micro")
-            ).cast("bigint").alias("mmr_score"),
-        )
-        top = scored.orderBy(
-            F.col("mmr_score").desc(), F.col("doc_id")
-        ).limit(1).collect()
-        if not top:
+            score = lam * rel - (10 - lam) * max_sim
+            # ties by doc_id ascending — cand_rows is id-sorted, so the
+            # strict > keeps the smallest doc_id among equal scores
+            if best is None or score > best[4]:
+                best = (pick, doc_id, rel, max_sim, score)
+        if best is None:
             break
-        row = top[0]
-        chosen.append(
-            (
-                pick,
-                row["doc_id"],
-                row["rel_micro"],
-                row["max_sim_micro"],
-                row["mmr_score"],
-            )
-        )
-        chosen_ids.append(row["doc_id"])
+        chosen.append(best)
+        chosen_ids.append(best[1])
     spark = candidates.sparkSession
     return spark.createDataFrame(
         chosen,

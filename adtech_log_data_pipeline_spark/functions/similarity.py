@@ -387,7 +387,6 @@ def ivf_topk(
 
     assign = hold(
         ivf_assignments(embeddings, n_lists, total=total, seeds=seeds),
-        eager=True,
     )
     corpus = embeddings.join(assign, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
@@ -462,7 +461,7 @@ def embedding_near_dup_pairs(
     from ._cache import hold
 
     n = embeddings.count() if total is None else total
-    sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)), eager=True)
+    sigs = hold(lsh_signatures(embeddings, bits=lsh_bits(n)))
     wcap = Window.partitionBy("bucket").orderBy("vec_id")
     tagged = (
         embeddings.join(sigs, "vec_id")
@@ -514,7 +513,7 @@ def lsh_topk(
 
     n = embeddings.count() if total is None else total
     bits = lsh_bits(n)
-    sigs = hold(lsh_signatures(embeddings, bits=bits), eager=True)
+    sigs = hold(lsh_signatures(embeddings, bits=bits))
     corpus = embeddings.join(sigs, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("b"),
@@ -593,7 +592,7 @@ def kmeans_centroids(
     # (vec_id, dim, x_micro) relation share it (semantic_dedup reuses it
     # for its quality screens); the update aggregation consumes it
     x = micro_rows if micro_rows is not None else hold(
-        micro_vec_rows(embeddings), eager=True
+        micro_vec_rows(embeddings)
     )
     if total is None:
         total = embeddings.count()
@@ -902,7 +901,7 @@ def semantic_dedup(
         total = embeddings.count()
     if k is None:
         k = default_kmeans_k(total)
-    x = hold(micro_vec_rows(embeddings), eager=True)
+    x = hold(micro_vec_rows(embeddings))
     cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total, micro_rows=x)
     assign = kmeans_assignments(embeddings, cent, micro_rows=x)
     tagged = hold(
@@ -912,7 +911,6 @@ def semantic_dedup(
             _norm("embedding").alias("nv"),
             "cid",
         ),
-        eager=True,
     )
     wcap = Window.partitionBy("cid").orderBy("vec_id")
     capped = (
@@ -989,7 +987,7 @@ def semantic_dedup_cap_audit(
         total = embeddings.count()
     if k is None:
         k = default_kmeans_k(total)
-    x = hold(micro_vec_rows(embeddings), eager=True)
+    x = hold(micro_vec_rows(embeddings))
     cent = kmeans_centroids(embeddings, k=k, iters=iters, total=total, micro_rows=x)
     assign = kmeans_assignments(embeddings, cent, micro_rows=x)
     return assign.groupBy("cid").agg(
@@ -1362,8 +1360,8 @@ def build_pq_index(
         if n_lists is None:
             n_lists = default_n_lists(total)
         dims = _pq_dsub(embeddings, m) * m
-        codebook = hold(pq_codebooks(embeddings, k=n_codes, total=total), eager=True)
-        seeds = hold(_ivf_seed_vectors(embeddings, n_lists, total), eager=True)
+        codebook = hold(pq_codebooks(embeddings, k=n_codes, total=total))
+        seeds = hold(_ivf_seed_vectors(embeddings, n_lists, total))
         commit_index_build(
             out_dir,
             writes={
@@ -1444,7 +1442,7 @@ def append_pq_index(
     m, _ = _resolve_index_params(idx, m, None)
     mark = registry_mark()
     try:
-        batch = hold(new_embeddings, eager=True)
+        batch = hold(new_embeddings)
         n_new = batch.count()
         clash = (
             idx.assign.join(
@@ -1575,7 +1573,6 @@ def pq_adc_topk(
         seeds = pq_codebooks(embeddings, k=n_codes)
         codes = hold(
             pq_code_rows(embeddings, m=m, n_codes=n_codes, codebook=seeds),
-            eager=True,
         )
     # per-query ADC table: exact partial dot of the query subvector with
     # every codeword subvector — m * n_codes rows per query, broadcast
@@ -1693,7 +1690,7 @@ def ivfpq_topk(
         ivf_seeds = index.ivf_seeds
     else:
         assign = hold(
-            ivf_assignments(embeddings, n_lists, total=total), eager=True
+            ivf_assignments(embeddings, n_lists, total=total)
         )
         seeds = pq_codebooks(embeddings, k=n_codes)
         code_rows = pq_code_rows(
@@ -1860,7 +1857,7 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     ).agg(F.sum("g").alias("gram_micro2"))
     m = micro_vec_rows(embeddings)
     sums = hold(
-        m.groupBy("dim").agg(F.sum("x_micro").alias("sd")), eager=True
+        m.groupBy("dim").agg(F.sum("x_micro").alias("sd"))
     )
     n = embeddings.agg(F.count(F.lit(1)).alias("n_vecs"))
     si = sums.select(F.col("dim").alias("i"), F.col("sd").alias("s_i"))

@@ -628,7 +628,7 @@ def contamination_check(documents: DataFrame) -> DataFrame:
     from ._cache import hold
     from .dedup import _shingle_rows
 
-    sh = hold(_shingle_rows(documents).distinct(), eager=True)
+    sh = hold(_shingle_rows(documents).distinct())
     eval_sh = (
         sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("s").distinct()
     )
@@ -832,8 +832,9 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         documents.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf")),
-        # eager: feeds both the df aggregation and the scoring join below
-        eager=True,
+        # lazy hold (r13): the first consumer's action fills the cache;
+        # concurrent fills are serialized per partition by the block
+        # manager, so an upfront count is pure added latency (see hold())
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -917,9 +918,8 @@ def source_mix(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(tokens_col()).cast("bigint")).alias("n_tokens"),
         ),
-        # eager: the totals aggregate and the share projection both read
+        # lazy hold (r13): the totals aggregate and the share projection both read
         # this (tiny) relation — without it the corpus scan runs twice
-        eager=True,
     )
     totals = per.agg(
         F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
@@ -1248,7 +1248,6 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
                 " i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))"
             ).alias("b"),
         ).select("doc_id", "b.w1", "b.w2"),
-        eager=True,
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1314,7 +1313,6 @@ def weighted_systematic_sample(
             .alias("w"),
             (F.col("doc_id") / bucket_span).cast("bigint").alias("bucket"),
         ),
-        eager=True,
     )
     local = w.withColumn(
         "local_cum",
@@ -1411,8 +1409,7 @@ def bm25_topk(
     toks = documents.select("doc_id", tokens_col().alias("toks"))
     dl = hold(
         toks.select("doc_id", F.size("toks").cast("bigint").alias("dl")),
-        # eager: feeds the totals aggregate AND the scoring join
-        eager=True,
+        # lazy hold (r13): feeds the totals aggregate AND the scoring join
     )
     tf = (
         toks.select("doc_id", F.explode("toks").alias("term"))
@@ -1493,7 +1490,6 @@ def bm25_prf_search(
     toks = documents.select("doc_id", tokens_col().alias("toks"))
     dl = hold(
         toks.select("doc_id", F.size("toks").cast("bigint").alias("dl")),
-        eager=True,
     )
     # lazy hold: the three consumers (base tf, expansion pick, expanded
     # tf) run in SEQUENTIAL jobs, so first-use population is race-free

@@ -101,10 +101,9 @@ def app_profile_slots_from_valid(valid_logs: DataFrame) -> DataFrame:
         valid_logs.select(
             "os", "uuid", F.col("app_bundle").alias("bundle"), "exchange"
         ).distinct(),
-        # eager: both legs execute in ONE downstream job; without the
-        # upfront materialization they race to populate the cache and each
-        # recomputes the full scan+derive chain
-        eager=True,
+        # lazy hold (r13): the first consumer's action fills the cache;
+        # concurrent fills are serialized per partition by the block
+        # manager, so an upfront count is pure added latency (see hold())
     )
     user_leg = (
         device_apps.select("os", "uuid", "bundle")

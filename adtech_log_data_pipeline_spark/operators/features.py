@@ -110,10 +110,9 @@ def feature_pipeline_from_valid(
 
     device_apps = hold(
         valid_logs.select("os", "uuid", F.col("app_bundle").alias("bundle")).distinct(),
-        # eager: popular/unpopular/matched all consume this in one job —
-        # populate the cache before they race (each racer would recompute
-        # the full scan+derive+validate chain)
-        eager=True,
+        # lazy hold (r13): the first consumer's action fills the cache;
+        # concurrent fills are serialized per partition by the block
+        # manager, so an upfront count is pure added latency (see hold())
     )
 
     dev_stats = valid_logs.groupBy("os", "uuid").agg(

@@ -439,7 +439,7 @@ def skew_report(
     )
     from ..functions._cache import hold
 
-    counts = hold(counts, eager=True)
+    counts = hold(counts)
     totals = counts.agg(
         F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )

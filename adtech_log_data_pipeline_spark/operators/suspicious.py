@@ -109,9 +109,9 @@ def suspicious_ids_from_valid(
             F.sum("n").alias("n"),
             F.collect_set(F.struct("geo_country", "geo_region")).alias("geos"),
         ),
-        # eager: three consumers share one downstream job — populate the
-        # cache before they race
-        eager=True,
+        # lazy hold (r13): the first consumer's action fills the cache;
+        # concurrent fills are serialized per partition by the block
+        # manager, so an upfront count is pure added latency (see hold())
     )
 
     popular = (

@@ -235,7 +235,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
-    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    exact = hold(brute_force_topk(emb, q, k=5))
     approx = ivf_topk(
         emb, q, k=5, total=table_row_count(sf_dir, "embeddings")
     )
@@ -281,7 +281,7 @@ def q_sq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
-    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    exact = hold(brute_force_topk(emb, q, k=5))
     approx = sq_rescore_topk(emb, q, k=5)
     ex = exact.select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
@@ -364,7 +364,7 @@ def q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
-    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    exact = hold(brute_force_topk(emb, q, k=5))
     approx = pq_adc_topk(emb, q, k=5, index=_pq_index(spark, sf_dir))
     ex = exact.select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
@@ -434,7 +434,7 @@ def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
     idx = _pq_index(spark, sf_dir)
-    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    exact = hold(brute_force_topk(emb, q, k=5))
     ex = exact.select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
@@ -1431,7 +1431,6 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "coalesce(cast(floor(value * 100 + 0.5) as bigint), 0)"
             ).alias("cents"),
         ),
-        eager=True,
     )
     bounds = ev.agg(
         F.expr("(min(ts_ms) + max(ts_ms)) div 2").alias("cutoff_ms")
@@ -1592,7 +1591,6 @@ def q_training_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part"),
         )
         .distinct(),
-        eager=True,
     )
     catalog = (
         li.groupBy(F.col("l_partkey").alias("part"))
@@ -1923,7 +1921,6 @@ def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_ms").alias("start_ms"),
             (F.max("ts_ms") + F.lit(1)).alias("end_ms"),
         ),
-        eager=True,
     )
 
 
@@ -2089,7 +2086,7 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hold() the full-dim side: both top-k relations share the embeddings
     # scan lineage, and same-named attributes across a self-joined
     # lineage resolve ambiguously (the round-6 NULL-group bug)
-    exact = hold(brute_force_topk(emb, q, k=5), eager=True)
+    exact = hold(brute_force_topk(emb, q, k=5))
     trunc = brute_force_topk(emb_t, q_t, k=5)
     ex = exact.select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")

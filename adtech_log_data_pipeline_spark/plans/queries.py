@@ -121,7 +121,7 @@ def q_feature_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+derive chain runs once."""
     from ..functions._cache import hold
 
-    v = hold(_valid(spark, sf_dir), eager=True)
+    v = hold(_valid(spark, sf_dir))
     return feature_pipeline_from_valid(v, load_iapp(spark, sf_dir), QUERY_THRESHOLDS)
 
 

@@ -370,9 +370,13 @@ class TestLoudContracts:
         df = spark.createDataFrame(
             [(1, 10), (2, None), (3, 30)], "uid long, v long"
         )
-        binned = distributed_ntile(df, value_col="v", id_col="uid", n_bins=2)
+        # the r13 eager hold (chain linearization) surfaces the raise at
+        # construction already; the contract is "loud, never a silent
+        # drop", so accept the raise from either construction or action
         with pytest.raises(Exception, match="non-null contract"):
-            binned.collect()
+            distributed_ntile(
+                df, value_col="v", id_col="uid", n_bins=2
+            ).collect()
 
     def test_ntile_non_null_unaffected_by_guard(self, spark):
         from adtech_log_data_pipeline_spark.functions.evaluate import (

@@ -53,7 +53,16 @@ def main() -> None:
     spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
 
     os.makedirs(args.plans_dir, exist_ok=True)
-    tracker = sc.statusTracker()
+
+    def _n_jobs() -> int:
+        # AppStatusStore job count — survives job-group-less submission
+        # (statusTracker.getJobIdsForGroup only sees grouped jobs). The
+        # inter-query hygiene trims this store, so only the within-query
+        # delta is meaningful.
+        try:
+            return sc._jsc.sc().statusStore().jobsList(None).size()
+        except Exception:
+            return -1
 
     for name in args.queries:
         if name not in QUERIES:
@@ -80,13 +89,13 @@ def main() -> None:
             jobs0 = jobs1 = 0
             for i in range(args.runs):
                 sc.setJobDescription(f"profile:{name}:run{i}")
-                jobs0 = len(tracker.getJobIdsForGroup())
+                jobs0 = _n_jobs()
                 t0 = time.time()
                 QUERIES[name](spark, args.sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(round(time.time() - t0, 3))
-                jobs1 = len(tracker.getJobIdsForGroup())
+                jobs1 = _n_jobs()
                 release_cached()
                 spark.catalog.clearCache()
                 sc.setJobDescription(None)
