@@ -580,26 +580,28 @@ def kcore_peel(
         ).select(F.lit(r).cast("int").alias("round"), "*")
         out = census if out is None else out.unionAll(census)
         if r < rounds:
-            # two hard-renamed copies of the alive set: one per endpoint
-            # (shared lineage across a double semi-join resolves
-            # ambiguously otherwise — the round-6 NULL-group discipline)
-            alive_src = deg.filter(F.col("deg") >= int(k)).select(
-                F.col("src").alias("alive_src")
-            )
-            alive_dst = alive_src.select(
-                F.col("alive_src").alias("alive_dst")
+            # ONE alive relation for both endpoint screens (r13): the
+            # old per-endpoint rename Project made the two broadcast
+            # subtrees canonically different, so every round built the
+            # same broadcast twice; a bare .alias() keeps the plans
+            # canonically equal and ReuseExchange ships one build per
+            # round. No ambiguity: a semi join outputs only left-side
+            # attributes, so the second condition's alive_node can only
+            # resolve to the right side.
+            alive = deg.filter(F.col("deg") >= int(k)).select(
+                F.col("src").alias("alive_node")
             )
             # hold the induced subgraph too: without it round r's census
             # re-executes the whole semi-join chain back to e0 (the
             # re-execution cost compounds with depth)
             e = hold(
                 e.join(
-                    F.broadcast(alive_src),
-                    F.col("src") == F.col("alive_src"),
+                    F.broadcast(alive),
+                    F.col("src") == F.col("alive_node"),
                     "semi",
                 ).join(
-                    F.broadcast(alive_dst),
-                    F.col("dst") == F.col("alive_dst"),
+                    F.broadcast(alive.alias("a2")),
+                    F.col("dst") == F.col("alive_node"),
                     "semi",
                 )
             )

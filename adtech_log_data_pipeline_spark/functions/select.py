@@ -244,22 +244,39 @@ def training_negatives(
     of rand(): the choice is a pure function of (user, item), so
     re-ingestion or repartitioning never changes a user's negatives.
 
-    Inputs: ``positives`` = (user_id, part) distinct interactions;
+    Inputs: ``positives`` = (user_id, part) interactions (duplicates
+    tolerated — the per-user collect_set dedupes);
     ``catalog`` = (part) the bounded candidate slice (broadcast-sized —
     popularity-ranked upstream, the standard popularity-biased sampling
     frame). Selection: md5(user:part) ranked ascending per user (item id
     tiebreak), k smallest kept.
 
-    Scale shape: users x |catalog| candidates are generated by ONE
-    broadcast fan-out (no shuffle), the never-interacted screen is a
-    co-keyed LEFT ANTI join on (user, part), and the per-user rank
-    window runs over <= |catalog| rows per user — bounded state at any
-    user count.
+    Scale shape (round-13 rework): ONE exchange total. The positives
+    aggregate to one row per user (collect_set of interacted parts —
+    bounded by the user's history), the broadcast catalog array is
+    cross-joined on, and the candidate fan-out happens MAP-SIDE via
+    array_except + explode. The output of the user aggregate is already
+    clustered on user_id, so the per-user rank window needs NO further
+    exchange — the earlier formulation's anti join shuffled the
+    users x |catalog| fan-out on (user, part) and then shuffled it BACK
+    on user_id for the window (3 full fan-out exchanges -> 0; only the
+    user aggregate's positives-sized exchange remains). Window state is
+    <= |catalog| rows per user, as before.
 
     Output: (user_id, part, rnk), rnk = 1..k."""
-    users = positives.select("user_id").distinct()
-    cand = users.crossJoin(F.broadcast(catalog.select("part")))
-    neg = cand.join(positives, ["user_id", "part"], "left_anti")
+    cat = catalog.select("part").groupBy().agg(
+        F.sort_array(F.collect_set("part")).alias("__cat")
+    )
+    per_user = positives.groupBy("user_id").agg(
+        F.collect_set("part").alias("__pos")
+    )
+    neg = (
+        per_user.crossJoin(F.broadcast(cat))
+        .select(
+            "user_id",
+            F.explode(F.array_except("__cat", "__pos")).alias("part"),
+        )
+    )
     h = F.expr(
         "cast(conv(substr(md5(concat(cast(user_id as string), ':',"
         " cast(part as string))), 1, 8), 16, 10) as bigint)"

@@ -1575,22 +1575,18 @@ def q_training_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     training_negatives): 3 deterministic hash-chosen never-purchased
     parts per customer from the top-200 catalog slice — the BPR
     training-pair generator, reshuffle-proof by construction."""
-    from ..functions._cache import hold
     from ..functions.select import NEG_CATALOG, training_negatives
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # held: the positives relation feeds BOTH the user universe and the
-    # anti-join screen — without the hold the orders-broadcast join runs
-    # twice, which is wasted work everywhere and a heap spike on the
-    # bare 1g vanilla session
-    pos = hold(
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("l_partkey").alias("part"),
-        )
-        .distinct(),
+    # no hold, no distinct (r13): the reworked training_negatives
+    # consumes the positives exactly once through a per-user collect_set,
+    # which dedupes by construction — the upstream distinct was a second
+    # full exchange for nothing, and caching a single-consumer relation
+    # is a pure write-path tax
+    pos = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("part"),
     )
     catalog = (
         li.groupBy(F.col("l_partkey").alias("part"))
