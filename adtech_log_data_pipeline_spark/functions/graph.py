@@ -305,17 +305,34 @@ def khop_reachability(
             ).alias("x")
         ).select("x.src", "x.dst"),
     )
-    # level relations are NODE-sized: pin their dedup exchanges to the
-    # core count instead of inheriting the session's fact-sized
-    # spark.sql.shuffle.partitions (a bare vanilla session's 200-wide
-    # default costs ~2k near-empty tasks across the k levels — measured
-    # 35 s -> ~8 s at sf0.01 on exactly that session). A hash
-    # repartition on the dedup key satisfies dropDuplicates' clustering
-    # requirement, so each level still pays exactly ONE exchange.
-    width = pairs.sparkSession.sparkContext.defaultParallelism
+    # level relations are NODE-sized. Two dedup formulations, chosen from
+    # the SESSION's shuffle sizing (conf-derived, not hard-coded — r13):
+    #   * session sized sanely (shuffle partitions within 4x the core
+    #     count — the engine session, any well-configured cluster): a
+    #     bare dropDuplicates, WITHOUT a pre-repartition. The explicit
+    #     repartition satisfied the aggregation's distribution
+    #     requirement and thereby DISABLED partial map-side dedup, so
+    #     every level shuffled its full expansion output (~2|E| rows)
+    #     instead of per-task-deduped partials (~|V| rows per task) —
+    #     guide §2.3 "aggregate before you shuffle". Measured at sf0.1:
+    #     4.65 -> 4.09 s for the k=3 query.
+    #   * grossly oversized session default (bare vanilla 200 on a small
+    #     box): pin the exchange to the core count as before — the r12
+    #     fix; ~2k near-empty dedup tasks across the levels measured
+    #     35 s -> ~8 s at sf0.01, and AQE read-coalescing does not undo
+    #     the 200x200 tiny-block shuffle write (re-measured this round:
+    #     plain 16.8 s vs pinned 7.4 s on exactly that session).
+    spark = pairs.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    try:
+        oversized = int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * width
+    except Exception:
+        oversized = False
 
     def _dedup(df: DataFrame) -> DataFrame:
-        return df.repartition(width, "node").dropDuplicates(["node"])
+        if oversized:
+            return df.repartition(width, "node").dropDuplicates(["node"])
+        return df.dropDuplicates(["node"])
 
     # seed filter BEFORE the dedup: the distinct shuffles only the
     # seed_mod-th fraction of endpoint rows
@@ -335,11 +352,9 @@ def khop_reachability(
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
-    return (
-        out.repartition(width, "node")
-        .groupBy("node")
-        .agg(F.min("hops").cast("int").alias("hops"))
-    )
+    if oversized:
+        out = out.repartition(width, "node")
+    return out.groupBy("node").agg(F.min("hops").cast("int").alias("hops"))
 
 
 def bounded_shortest_path(
@@ -364,15 +379,21 @@ def bounded_shortest_path(
     relaxation whose dist_i feeds dist_{i+1} twice and re-executes its
     prefix exponentially unless every round materializes. Same broadcast
     and width discipline as khop_reachability: node-sized levels
-    broadcast into the expansion joins (edges never reshuffle),
-    min-aggs width-pinned to the core count.
+    broadcast into the expansion joins (edges never reshuffle), min-aggs
+    partial-aggregated map-side (width-pinned only when the session's
+    shuffle default is grossly oversized -- see khop's _dedup note).
 
     Output: (node, cost_micro bigint) — exact min cost over paths of
     <= k edges from any seed (seeds themselves at cost 0)."""
     from ._cache import hold
 
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
-    width = pairs.sparkSession.sparkContext.defaultParallelism
+    spark = pairs.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    try:
+        oversized = int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * width
+    except Exception:
+        oversized = False
     edges = hold(
         pairs.select(
             F.explode(
@@ -385,11 +406,13 @@ def bounded_shortest_path(
     )
 
     def _min_cost(df: DataFrame) -> DataFrame:
-        return (
-            df.repartition(width, "node")
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-        )
+        # same conf-derived branch as khop_reachability's _dedup: a bare
+        # groupBy gets partial map-side min() (the repartition disabled
+        # it by pre-satisfying the distribution requirement); pin the
+        # width only on grossly oversized session defaults
+        if oversized:
+            df = df.repartition(width, "node")
+        return df.groupBy("node").agg(F.min("cost").alias("cost"))
 
     level = _min_cost(
         edges.select(F.col("src").alias("node"))
@@ -408,10 +431,10 @@ def bounded_shortest_path(
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
-    return (
-        out.repartition(width, "node")
-        .groupBy("node")
-        .agg(F.min("cost").cast("bigint").alias("cost_micro"))
+    if oversized:
+        out = out.repartition(width, "node")
+    return out.groupBy("node").agg(
+        F.min("cost").cast("bigint").alias("cost_micro")
     )
 
 
