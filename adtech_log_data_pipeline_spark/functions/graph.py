@@ -194,28 +194,36 @@ def triangle_stats(pairs: DataFrame, broadcast_adj: bool = True) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg")),
     )
-    d1 = deg.select(F.col("node").alias("p1"), F.col("deg").alias("deg_1"))
-    d2 = deg.select(F.col("node").alias("p2"), F.col("deg").alias("deg_2"))
+    # ONE degree relation broadcast for both endpoints (r13): the old
+    # per-endpoint rename Projects (deg_1/deg_2) made the two broadcast
+    # subtrees canonically different, so deg built and shipped twice;
+    # bare .alias() frames keep them canonically equal for ReuseExchange
+    # (the kcore_peel discipline). Same for the adjacency below.
+    dg1 = deg.alias("dg1")
+    dg2 = deg.alias("dg2")
     # p1 < p2 by contract, so a degree tie orients p1 -> p2
-    lower_first = F.col("deg_1") <= F.col("deg_2")
+    lower_first = F.col("dg1.deg") <= F.col("dg2.deg")
     oriented = hold(
-        edges.join(maybe_bc(d1), "p1")
-        .join(maybe_bc(d2), "p2")
+        edges.join(maybe_bc(dg1), F.col("p1") == F.col("dg1.node"))
+        .join(maybe_bc(dg2), F.col("p2") == F.col("dg2.node"))
         .select(
             F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         ),
     )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    adj_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    adj_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    adj_u = adj.alias("adj_u")
+    adj_v = adj.alias("adj_v")
     tri = (
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(maybe_bc(adj_u), "u")
-        .join(maybe_bc(adj_v), "v", "left")
+        .join(maybe_bc(adj_u), F.col("u") == F.col("adj_u.src"))
+        .select("u", "v", F.col("adj_u.nbrs").alias("nbrs_u"))
+        .join(maybe_bc(adj_v), F.col("v") == F.col("adj_v.src"), "left")
         .select(
-            F.when(F.col("nbrs_v").isNull(), F.lit(0))
-            .otherwise(F.size(F.array_intersect("nbrs_u", "nbrs_v")))
+            F.when(F.col("adj_v.nbrs").isNull(), F.lit(0))
+            .otherwise(
+                F.size(F.array_intersect(F.col("nbrs_u"), F.col("adj_v.nbrs")))
+            )
             .cast("long")
             .alias("k")
         )
