@@ -1260,7 +1260,7 @@ class PQIndex:
         assign: DataFrame,
         ivf_seeds: DataFrame,
         meta: dict | None = None,
-        seed_memo_key: tuple[str, int] | None = None,
+        seed_memo_key: tuple[str, int, int] | None = None,
     ) -> None:
         self.codebook = codebook
         self.codes = codes
@@ -1277,8 +1277,10 @@ class PQIndex:
         board run that loads the same committed index once per query
         pays ONE driver collect per session, not one per handle
         (round-12 verdict #6, widened r13). An append/compact bumps the
-        manifest version, which changes the key and evicts the stale
-        entry. Seeds are ~isqrt(n) rows, so the held numpy matrix is
+        manifest version and a REBUILD refreshes the manifest mtime
+        (r14: commit_index_build resets the version to 1, so the mtime
+        is what rotates the key there), which evicts the stale entry.
+        Seeds are ~isqrt(n) rows, so the held numpy matrix is
         model-sized."""
         if self._seed_matrix is None:
             key = self._seed_memo_key
@@ -1297,8 +1299,9 @@ class PQIndex:
 
 
 #: session memo of collected coarse-quantizer matrices, keyed on
-#: (abspath(index_dir), manifest version) — see PQIndex.seed_matrix
-_SEED_MATRIX_MEMO: dict[tuple[str, int], tuple] = {}
+#: (abspath(index_dir), manifest version, manifest mtime_ns) — see
+#: PQIndex.seed_matrix and load_pq_index's staleness note
+_SEED_MATRIX_MEMO: dict[tuple[str, int, int], tuple] = {}
 
 
 def _resolve_index_params(
@@ -1414,20 +1417,27 @@ def load_pq_index(spark, index_dir: str) -> PQIndex:
     orphan batches are refused, never silently scanned."""
     import os
 
-    from ._index_commit import relation_paths, require_index_manifest
+    from ._index_commit import MANIFEST, relation_paths, require_index_manifest
 
     man = require_index_manifest(index_dir, PQ_INDEX_FAMILY)
 
     def rel(name: str) -> DataFrame:
         return spark.read.parquet(*relation_paths(index_dir, man, name))
 
+    # memo key carries the manifest file's mtime_ns in addition to the
+    # version: commit_index_build RESETS the version to 1 (documented
+    # overwrite contract), so a same-session rebuild into the same dir
+    # would otherwise hit the previous build's memoized coarse-quantizer
+    # matrix (r13 ADVICE #1). Every commit path lands via os.replace,
+    # which refreshes the mtime.
+    mtime = os.stat(os.path.join(index_dir, MANIFEST)).st_mtime_ns
     return PQIndex(
         codebook=rel("codebook"),
         codes=rel("codes"),
         assign=rel("ivf_assign"),
         ivf_seeds=rel("ivf_seeds"),
         meta=man.get("meta", {}),
-        seed_memo_key=(os.path.abspath(index_dir), int(man["version"])),
+        seed_memo_key=(os.path.abspath(index_dir), int(man["version"]), mtime),
     )
 
 

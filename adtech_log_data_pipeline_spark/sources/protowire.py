@@ -615,6 +615,21 @@ def encode_b64_proto(
     return df.mapInPandas(batches, schema="value string")
 
 
+def _fast_batch_encoder(spec: Spec, from_row) -> Callable | None:
+    """Vectorized whole-batch encoder for the fixed hot shapes
+    (sources/_wirevec.py), resolved AT CLOSURE-CREATION TIME on the
+    driver (the pickled spec copy inside a Python worker would fail an
+    identity check). Returns None when no fast path exists; a fast
+    encoder itself returns None for a batch whose dtypes it cannot prove
+    clean, and the caller falls back to the scalar path — so semantics
+    (including error behavior on dirty input) stay exactly scalar."""
+    if spec is BID_LOG and from_row is row_to_bidlog:
+        from ._wirevec import encode_bidlog_rows
+
+        return encode_bidlog_rows
+    return None
+
+
 def encode_wire_proto(
     df: DataFrame,
     spec: Spec,
@@ -623,14 +638,19 @@ def encode_wire_proto(
     """Typed rows -> one raw wire-bytes binary column named `payload` —
     the TFRecord-sink shape (each payload becomes one framed record via
     sources/tfrecord.py::write_tfrecord_partitioned). Arrow-batched;
-    blobs are produced in place and never shuffle."""
+    blobs are produced in place and never shuffle. Known specs encode
+    through the vectorized lockstep path (guide §4.2, bit-identical —
+    see _wirevec.py)."""
+    fast = _fast_batch_encoder(spec, from_row)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            vals = [
-                encode_message(from_row(rec), spec)
-                for rec in pdf.to_dict("records")
-            ]
+            vals = fast(pdf) if fast is not None else None
+            if vals is None:
+                vals = [
+                    encode_message(from_row(rec), spec)
+                    for rec in pdf.to_dict("records")
+                ]
             yield pd.DataFrame({"payload": vals})
 
     return df.mapInPandas(batches, schema="payload binary")

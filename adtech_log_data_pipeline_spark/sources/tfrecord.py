@@ -77,18 +77,18 @@ def masked_crc32c(data: bytes) -> int:
     return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
 
 
-def crc32c_many(payloads: list[bytes]) -> np.ndarray:
-    """CRC-32C of MANY byte strings at once — the per-byte table walk
-    runs in LOCKSTEP across all records (one numpy pass over an
-    N-vector per byte position), so the cost is max_len vectorized ops
-    instead of sum_len interpreted-Python table lookups. Bit-identical
-    to crc32c() (guide §4.2: batch the native work; measured ~19x on
-    100k x 150 B payloads). Returns uint32[n]."""
+#: dense lockstep matrix bound (bytes). A batch whose n x maxlen matrix
+#: would exceed this is processed in length-sorted slices instead —
+#: one huge payload among many small ones must not allocate
+#: n x maxlen (r13 ADVICE: that can exceed the file size by orders of
+#: magnitude on valid skewed input).
+_CRC_MATRIX_CAP = 1 << 26
+
+
+def _crc32c_lockstep(
+    payloads: list[bytes], lens: np.ndarray, maxlen: int
+) -> np.ndarray:
     n = len(payloads)
-    if not n:
-        return np.zeros(0, np.uint32)
-    lens = np.fromiter((len(p) for p in payloads), np.int64, n)
-    maxlen = int(lens.max()) if n else 0
     buf = np.zeros((n, max(maxlen, 1)), np.uint8)
     for i, p in enumerate(payloads):
         if p:
@@ -98,6 +98,40 @@ def crc32c_many(payloads: list[bytes]) -> np.ndarray:
         nxt = _TABLE[(crc ^ buf[:, j]) & 0xFF] ^ (crc >> np.uint32(8))
         crc = np.where(j < lens, nxt, crc)
     return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def crc32c_many(payloads: list[bytes]) -> np.ndarray:
+    """CRC-32C of MANY byte strings at once — the per-byte table walk
+    runs in LOCKSTEP across all records (one numpy pass over an
+    N-vector per byte position), so the cost is max_len vectorized ops
+    instead of sum_len interpreted-Python table lookups. Bit-identical
+    to crc32c() (guide §4.2: batch the native work; measured ~19x on
+    100k x 150 B payloads). Length-skewed batches are walked in
+    length-sorted slices so the dense matrix stays under
+    _CRC_MATRIX_CAP. Returns uint32[n]."""
+    n = len(payloads)
+    if not n:
+        return np.zeros(0, np.uint32)
+    lens = np.fromiter((len(p) for p in payloads), np.int64, n)
+    maxlen = int(lens.max())
+    if n * max(maxlen, 1) <= _CRC_MATRIX_CAP:
+        return _crc32c_lockstep(payloads, lens, maxlen)
+    order = np.argsort(lens, kind="stable")
+    out = np.empty(n, np.uint32)
+    i = 0
+    while i < n:
+        j = i + 1
+        while (
+            j < n
+            and (j + 1 - i) * max(int(lens[order[j]]), 1) <= _CRC_MATRIX_CAP
+        ):
+            j += 1
+        idx = order[i:j]
+        sub = [payloads[k] for k in idx]
+        sublens = lens[idx]
+        out[idx] = _crc32c_lockstep(sub, sublens, int(sublens.max()))
+        i = j
+    return out
 
 
 def masked_crc32c_many(payloads: list[bytes]) -> np.ndarray:
@@ -312,6 +346,25 @@ def read_tfrecord_proto(
     schema = _parse_datatype_string(out_schema)
     names = [f.name for f in schema.fields]
     records = read_tfrecord(spark, path_glob)
+
+    # vectorized whole-batch decode for the fixed hot shapes (resolved on
+    # the driver — see protowire._fast_batch_encoder for why): the
+    # canonical-layout lockstep parser with per-row scalar fallback, so
+    # malformed-drop semantics are exactly the scalar path's
+    from .protowire import BID_LOG, bidlog_to_row
+
+    if spec is BID_LOG and to_row is bidlog_to_row:
+        from ._wirevec import decode_bidlog_rows
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                cols = decode_bidlog_rows(
+                    [bytes(p) for p in pdf["payload"]],
+                    drop_default_instance=drop_default_instance,
+                )
+                yield pd.DataFrame({c: cols[c] for c in names})
+
+        return records.mapInPandas(decode, schema=schema)
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
