@@ -1187,6 +1187,28 @@ def pq_codebooks(
     )
 
 
+def pq_adc_table(queries: DataFrame, codebook: DataFrame, dsub: int) -> DataFrame:
+    """The per-query ADC table — exact partial dot of each query
+    subvector with every codeword subvector (m * n_codes rows per query,
+    broadcast-sized at any corpus scale). Shared builder for pq_adc_topk
+    and ivfpq_topk; a caller running SEVERAL probe widths over one index
+    (ivfpq_probe_recall) builds it ONCE, holds it, and passes it to each
+    leg via ``adc_table=`` instead of paying the codebook join per leg
+    (r13 verdict #3; guide §3 reuse)."""
+    qx = micro_vec_rows(
+        queries.select(
+            F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
+        )
+    ).withColumnRenamed("vec_id", "query_id")
+    return (
+        qx.join(F.broadcast(codebook), "dim")
+        .groupBy(
+            "query_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
+        )
+        .agg(F.sum(F.col("x_micro") * F.col("c_micro")).alias("pdot"))
+    )
+
+
 def _pq_dsub(embeddings: DataFrame, m: int) -> int:
     """Subspace width (dims div m), validated — one first() row, never a
     scan."""
@@ -1611,18 +1633,7 @@ def pq_adc_topk(
         )
     # per-query ADC table: exact partial dot of the query subvector with
     # every codeword subvector — m * n_codes rows per query, broadcast
-    qx = micro_vec_rows(
-        queries.select(
-            F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
-        )
-    ).withColumnRenamed("vec_id", "query_id")
-    adc_tab = (
-        qx.join(F.broadcast(seeds), "dim")
-        .groupBy(
-            "query_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
-        )
-        .agg(F.sum(F.col("x_micro") * F.col("c_micro")).alias("pdot"))
-    )
+    adc_tab = pq_adc_table(queries, seeds, dsub)
     scored = (
         codes.join(F.broadcast(adc_tab), ["sub", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1682,6 +1693,8 @@ def ivfpq_topk(
     total: int | None = None,
     index: PQIndex | None = None,
     n_probes: int = 1,
+    adc_table: DataFrame | None = None,
+    codes_lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production billion-scale ANN composition (FAISS
     IndexIVFPQ) — the IVF coarse quantizer restricts each query to its
@@ -1732,18 +1745,18 @@ def ivfpq_topk(
             embeddings, m=m, n_codes=n_codes, codebook=seeds
         )
         ivf_seeds = None
-    codes = code_rows.join(assign, "vec_id")
-    qx = micro_vec_rows(
-        queries.select(
-            F.col("query_id").alias("vec_id"), F.col("qvec").alias("embedding")
-        )
-    ).withColumnRenamed("vec_id", "query_id")
+    # ``adc_table`` / ``codes_lists`` let a multi-leg caller
+    # (ivfpq_probe_recall) build + hold the query-side ADC table and the
+    # corpus-side (codes JOIN assign) relation ONCE across probe widths;
+    # each is identical to the in-query derivation by construction, so
+    # results are unchanged
+    codes = (
+        codes_lists if codes_lists is not None
+        else code_rows.join(assign, "vec_id")
+    )
     adc_tab = (
-        qx.join(F.broadcast(seeds), "dim")
-        .groupBy(
-            "query_id", (F.col("dim") / dsub).cast("int").alias("sub"), "cid"
-        )
-        .agg(F.sum(F.col("x_micro") * F.col("c_micro")).alias("pdot"))
+        adc_table if adc_table is not None
+        else pq_adc_table(queries, seeds, dsub)
     )
     if n_probes > 1:
         if ivf_seeds is None:
