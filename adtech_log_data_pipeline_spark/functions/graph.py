@@ -116,6 +116,21 @@ def weighted_pagerank(
     )
 
 
+def _shuffle_oversized(spark) -> tuple[bool, int]:
+    """(oversized, width): whether the session's shuffle-partition
+    default is grossly oversized relative to the core count (> 4x), and
+    the core count itself. Shared by the khop/Bellman-Ford width
+    discipline. An unreadable/non-integer conf falls back to the SAFE
+    branch — treat the session as oversized and pin to width — instead
+    of silently dropping the vanilla-200 fix (r13 ADVICE #3)."""
+    width = spark.sparkContext.defaultParallelism
+    try:
+        oversized = int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * width
+    except Exception:
+        oversized = True
+    return oversized, width
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected weighted co-purchase edge list between parts (p1 < p2):
     weight = number of orders containing both parts.
@@ -280,8 +295,9 @@ def khop_reachability(
     chain of k expansion joins, then min(hops) over the union of all
     levels — re-reaching a settled node at a later hop is collapsed by
     the min, so the result is exactly BFS distance. The chain composes
-    into a SINGLE action: only the edge relation is held (it feeds all k
-    joins); each level is node-sized and — same broadcast discipline as
+    into a SINGLE action: the edge relation is held (it feeds all k
+    joins) and so is each level (it feeds the next expansion AND the
+    final union); each level is node-sized and — same broadcast discipline as
     weighted_pagerank — broadcast into its expansion join, so edges
     never reshuffle and the per-level shuffle is just the distinct over
     reached nodes. Measured ~2x faster end-to-end than the
@@ -330,30 +346,37 @@ def khop_reachability(
     #     35 s -> ~8 s at sf0.01, and AQE read-coalescing does not undo
     #     the 200x200 tiny-block shuffle write (re-measured this round:
     #     plain 16.8 s vs pinned 7.4 s on exactly that session).
-    spark = pairs.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    try:
-        oversized = int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * width
-    except Exception:
-        oversized = False
+    oversized, width = _shuffle_oversized(pairs.sparkSession)
 
     def _dedup(df: DataFrame) -> DataFrame:
         if oversized:
             return df.repartition(width, "node").dropDuplicates(["node"])
         return df.dropDuplicates(["node"])
 
+    # each level is HELD (r14): level_i is referenced twice — by
+    # level_{i+1}'s expansion AND by the final union — so without the
+    # hold every level's dedup chain re-executes once per reference and
+    # the re-evaluation compounds with depth (the bounded_shortest_path
+    # docstring's "bounded re-evaluation" was real cost: measured at
+    # sf0.1, interleaved best-of-4, 5.05 -> 3.50 s for the k=3 query).
+    # Levels are node-sized, so the cached footprint is k small
+    # relations, exactly the artifacts a checkpoint would persist.
     # seed filter BEFORE the dedup: the distinct shuffles only the
     # seed_mod-th fraction of endpoint rows
-    level = _dedup(
-        edges.select(F.col("src").alias("node")).filter(
-            F.col("node") % seed_mod == 0
+    level = hold(
+        _dedup(
+            edges.select(F.col("src").alias("node")).filter(
+                F.col("node") % seed_mod == 0
+            )
         )
     )
     levels = [level.select("node", F.lit(0).alias("hops"))]
     for i in range(1, int(k) + 1):
-        level = _dedup(
-            edges.join(maybe_bc(level), level["node"] == edges["src"]).select(
-                F.col("dst").alias("node")
+        level = hold(
+            _dedup(
+                edges.join(
+                    maybe_bc(level), level["node"] == edges["src"]
+                ).select(F.col("dst").alias("node"))
             )
         )
         levels.append(level.select("node", F.lit(i).alias("hops")))
@@ -396,12 +419,7 @@ def bounded_shortest_path(
     from ._cache import hold
 
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
-    spark = pairs.sparkSession
-    width = spark.sparkContext.defaultParallelism
-    try:
-        oversized = int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * width
-    except Exception:
-        oversized = False
+    oversized, width = _shuffle_oversized(pairs.sparkSession)
     edges = hold(
         pairs.select(
             F.explode(
@@ -422,17 +440,26 @@ def bounded_shortest_path(
             df = df.repartition(width, "node")
         return df.groupBy("node").agg(F.min("cost").alias("cost"))
 
-    level = _min_cost(
-        edges.select(F.col("src").alias("node"))
-        .filter(F.col("node") % seed_mod == 0)
-        .select("node", F.lit(0).cast("long").alias("cost"))
+    # each level HELD — the khop discipline (r14): level_i feeds both the
+    # chain and the final union, so unheld levels re-execute per
+    # reference (see khop_reachability's measured 5.05 -> 3.50 s)
+    level = hold(
+        _min_cost(
+            edges.select(F.col("src").alias("node"))
+            .filter(F.col("node") % seed_mod == 0)
+            .select("node", F.lit(0).cast("long").alias("cost"))
+        )
     )
     levels = [level]
     for _ in range(int(k)):
-        level = _min_cost(
-            edges.join(maybe_bc(level), level["node"] == edges["src"]).select(
-                F.col("dst").alias("node"),
-                (F.col("cost") + F.col("len")).alias("cost"),
+        level = hold(
+            _min_cost(
+                edges.join(
+                    maybe_bc(level), level["node"] == edges["src"]
+                ).select(
+                    F.col("dst").alias("node"),
+                    (F.col("cost") + F.col("len")).alias("cost"),
+                )
             )
         )
         levels.append(level)
