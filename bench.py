@@ -432,6 +432,7 @@ def _prev_round_tail_queries() -> tuple[str | None, dict[str, float]]:
         if name in (
             "value", "n_queries", "parity7", "sf", "chunks",
             "median_ratio", "n_common", "steal_pct",
+            "chunk", "steal", "rerun_steal",
         ):
             continue
         try:
@@ -484,18 +485,20 @@ def main() -> None:
             time.sleep(10)
         return round(time.time() - t0, 1)
 
-    # orchestrator: fresh child JVM per chunk, load sampled around each
-    timings: dict[str, float] = {}
-    loads: list[list[float]] = []
-    gate_waits: list[float] = []
-    steal0, total0 = _cpu_jiffies()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for lo in range(0, len(board), CHUNK_SIZE):
-        hi = min(lo + CHUNK_SIZE, len(board))
-        gate_waits.append(
-            _quiet_window(gate_cap_first if lo == 0 else gate_cap_rest)
-        )
-        before = _loadavg()
+    # noisy-chunk self-identification (round-14, verdict #7): the load
+    # gate watches load1, which cannot see NEIGHBOR noise — r13's driver
+    # window ran at 0.18 % steal with load1 spiking to 10.7 mid-chunk and
+    # the per-query comparison was unreadable without an 8-core
+    # cross-check. Record steal% around EVERY chunk; a chunk over the
+    # floor is re-run once (fresh JVM, after a fresh quiet window) and
+    # min-merged per query — the same min-of-reruns protocol the
+    # per-query regression candidates already use. Timed region per
+    # query is unchanged.
+    steal_floor = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_FLOOR", "0.5"))
+    max_chunk_reruns = 3
+
+    def _run_chunk_child(lo: int, hi: int) -> tuple[dict[str, float], float]:
+        s0, t0 = _cpu_jiffies()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run-chunk", str(lo), str(hi)],
             capture_output=True,
@@ -503,8 +506,6 @@ def main() -> None:
             cwd=here,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
         )
-        after = _loadavg()
-        loads.append([round(x, 2) for x in (before[:1] + after[:1])])
         chunk: dict[str, float] = {}
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_CHUNK_JSON "):
@@ -515,6 +516,38 @@ def main() -> None:
                 + proc.stderr[-4000:]
             )
             raise SystemExit(1)
+        return chunk, _steal_pct_since(s0, t0)
+
+    # orchestrator: fresh child JVM per chunk, load sampled around each
+    timings: dict[str, float] = {}
+    loads: list[list[float]] = []
+    gate_waits: list[float] = []
+    chunk_steals: list[float] = []
+    noisy_rerun: list[dict] = []
+    reruns_left = max_chunk_reruns
+    steal0, total0 = _cpu_jiffies()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for lo in range(0, len(board), CHUNK_SIZE):
+        hi = min(lo + CHUNK_SIZE, len(board))
+        gate_waits.append(
+            _quiet_window(gate_cap_first if lo == 0 else gate_cap_rest)
+        )
+        before = _loadavg()
+        chunk, chunk_steal = _run_chunk_child(lo, hi)
+        after = _loadavg()
+        loads.append([round(x, 2) for x in (before[:1] + after[:1])])
+        chunk_steals.append(chunk_steal)
+        if chunk_steal >= steal_floor and reruns_left > 0:
+            reruns_left -= 1
+            _quiet_window(gate_cap_rest)
+            redo, redo_steal = _run_chunk_child(lo, hi)
+            for q, t in redo.items():
+                if q in chunk:
+                    chunk[q] = min(chunk[q], t)
+            noisy_rerun.append(
+                {"chunk": lo // CHUNK_SIZE, "steal": chunk_steal,
+                 "rerun_steal": redo_steal}
+            )
         timings.update(chunk)
 
     # regression summary: prefer the full per-query log of a prior run
@@ -621,6 +654,8 @@ def main() -> None:
                 "loadgate_wait_sec": sum(gate_waits),
                 "loadgate_wait_per_chunk": gate_waits,
                 "steal_pct": _steal_pct_since(steal0, total0),
+                "steal_per_chunk": chunk_steals,
+                "noisy_chunks_rerun": noisy_rerun,
                 "delta_vs_prev": delta,
             }
         )
