@@ -621,10 +621,11 @@ def kcore_peel(
         )
         .repartition(width, "src"),
     )
+    e0 = e
     out = None
     for r in range(int(rounds) + 1):
         # node-sized; held so the census agg and the alive filter (and
-        # every later round's re-execution chain) read it once
+        # the next round's semi-join screens) read it once
         deg = hold(
             e.groupBy("src").agg(
                 F.count(F.lit(1)).cast("bigint").alias("deg")
@@ -646,22 +647,27 @@ def kcore_peel(
             # round. No ambiguity: a semi join outputs only left-side
             # attributes, so the second condition's alive_node can only
             # resolve to the right side.
-            alive = deg.filter(F.col("deg") >= int(k)).select(
-                F.col("src").alias("alive_node")
-            )
-            # hold the induced subgraph too: without it round r's census
-            # re-executes the whole semi-join chain back to e0 (the
-            # re-execution cost compounds with depth)
-            e = hold(
-                e.join(
-                    F.broadcast(alive),
-                    F.col("src") == F.col("alive_node"),
-                    "semi",
-                ).join(
-                    F.broadcast(alive.alias("a2")),
-                    F.col("dst") == F.col("alive_node"),
-                    "semi",
+            alive = hold(
+                deg.filter(F.col("deg") >= int(k)).select(
+                    F.col("src").alias("alive_node")
                 )
+            )
+            # induce round r+1's subgraph by filtering the ORIGINAL held
+            # edge list, not a chained per-round cache (r14): alive sets
+            # shrink monotonically, so e0 semi-joined on the CURRENT
+            # alive set at both endpoints IS the round's induced
+            # subgraph, and the map-side refilter of cached e0 measures
+            # cheaper than writing three chained edge-sized caches
+            # (interleaved best-of-4 at sf0.1: 3.84 -> 3.33 s; census
+            # rows identical).
+            e = e0.join(
+                F.broadcast(alive),
+                F.col("src") == F.col("alive_node"),
+                "semi",
+            ).join(
+                F.broadcast(alive.alias("a2")),
+                F.col("dst") == F.col("alive_node"),
+                "semi",
             )
     return out
 
