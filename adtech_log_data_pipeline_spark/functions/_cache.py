@@ -25,12 +25,13 @@ def hold(df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist ``df`` and register it for later release.
 
     LAZY by default and by discipline (round-13 optimization): the first
-    consumer's action fills the cache as a side effect, which is never
-    more work than an upfront count — the block manager serializes
-    concurrent fills of one partition in-process, and on a cluster the
-    worst case (two executors computing the same partition before either
-    caches it) costs exactly the one extra pass ``eager=True`` pays
-    ALWAYS. Measured at sf0.1: flipping the engine's ~45 eager holds to
+    consumer's action fills the cache as a side effect, which — in local
+    mode / a single BlockManager, where the block manager serializes
+    concurrent fills of one partition — is never more work than an
+    upfront count. On a multi-executor cluster, concurrent FIRST
+    consumers can each recompute the lineage before either caches a
+    partition; that worst case costs the one extra pass ``eager=True``
+    pays ALWAYS, so lazy remains the right default there too. Measured at sf0.1: flipping the engine's ~45 eager holds to
     lazy saved 10-20% wall on every multi-hold query (copurchase_pagerank
     5.05 -> 3.52 s, feature_inputs 5.18 -> 4.39 s) with zero plan-shape
     change. ``eager=True`` remains for call sites that need an action

@@ -343,6 +343,17 @@ def run_chunk(names: list[str], sf_dir: str) -> dict[str, float]:
             # so earlier runs' cache doesn't pressure later ones
             release_cached()
             spark.catalog.clearCache()
+            # ... and collect the PREVIOUS query's JVM garbage now, outside
+            # the timed region (r14): Spark frees broadcasts/shuffles via
+            # weak references, so without an explicit GC the ContextCleaner
+            # runs whenever the JVM happens to collect — measured landing
+            # INSIDE whichever heavy query runs next (copurchase_pagerank
+            # mid-chunk read 6.7-7.3 s vs ~4.1 s standalone; with the GC
+            # the same sequence reads 5.3 and every small query in the
+            # sequence dropped 0.3-0.6 s). Same hygiene class as the
+            # clearCache above: the timed region still computes everything
+            # from parquet.
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
     # unpersist audit: a chunk session must end with ZERO cached RDDs

@@ -370,9 +370,9 @@ class TestLoudContracts:
         df = spark.createDataFrame(
             [(1, 10), (2, None), (3, 30)], "uid long, v long"
         )
-        # the r13 eager hold (chain linearization) surfaces the raise at
-        # construction already; the contract is "loud, never a silent
-        # drop", so accept the raise from either construction or action
+        # the r13 LAZY hold (chain linearization) still defers the raise
+        # to action time; the contract is "loud, never a silent drop",
+        # so accept the raise from either construction or action
         with pytest.raises(Exception, match="non-null contract"):
             distributed_ntile(
                 df, value_col="v", id_col="uid", n_bins=2
