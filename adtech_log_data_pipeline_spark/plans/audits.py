@@ -373,10 +373,12 @@ def q_tfrecord_parity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end. DuckDB never needs to read TFRecord: equality of the
     two paths IS the check.
 
-    The collect is bounded by DEVICE×APP×EXCHANGE cardinality (the
-    profile aggregate's output, not the input log count) and exists only
-    so the scratch shards can be deleted before returning; a production
-    deployment reads durable TFRecords and stays fully lazy."""
+    Fully lazy (r14): the profile relation returns as a plain plan over
+    the scratch shards, whose cleanup is deferred to interpreter exit —
+    the old collect() hauled the device×app×exchange-cardinality output
+    to the driver, which GROWS with the corpus (660 k rows / 10-24 s at
+    sf1). A production deployment reads durable TFRecords and never hits
+    the scratch lifecycle at all."""
     from ..operators.device_profile import (
         device_profiles,
         flatten_device_profiles,
@@ -406,17 +408,21 @@ def q_tfrecord_parity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             BID_LOG_SQL_SCHEMA,
             bidlog_to_row,
         )
-        flat = flatten_device_profiles(device_profiles(valid_bid_logs(decoded)))
-        rows = flat.collect()
-        return _materialize(
-            spark,
-            rows,
-            "os string, uuid string, first_at bigint, last_at bigint,"
-            " bundle string, app_first_at bigint, app_last_at bigint,"
-            " exchange int, cnt int",
-        )
-    finally:
+        # LAZY return (r14): the old collect() + createDataFrame hauled
+        # the whole profile relation to the driver — device x app x
+        # exchange cardinality GROWS with the corpus (660 k rows and
+        # 10-24 s at sf1; the sf1 8c/32c ratio read 1.03 because the
+        # driver leg serialized everything). The scratch shards instead
+        # live until interpreter exit (the _replay._lazy_result
+        # discipline); production writes durable TFRecords and never
+        # hits the scratch lifecycle.
+        import atexit
+
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        return flatten_device_profiles(device_profiles(valid_bid_logs(decoded)))
+    except BaseException:
         shutil.rmtree(work, ignore_errors=True)
+        raise
 
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
